@@ -1,0 +1,139 @@
+"""Measure compilation: build-side partial aggregates and query-side
+re-aggregates, per measure type.
+
+Reference parity:
+- build aggregation: ``kylin-spark-engine/.../job/CuboidAggregator.scala:40-133``
+  (COUNT re-agg of a child layout becomes SUM :86-91; decimal re-cast
+  :125-132).
+- COUNT_DISTINCT bitmap (``udaf/PreciseCountDistinct.scala``) + global
+  dictionary (``NGlobalDictionaryV2.java``): we deliberately do NOT rebuild
+  the dictionary+roaring machinery. Exact re-aggregatable distinct is served
+  the Spark-native way: the distinct column is a cube dimension, and any
+  covering cuboid answers ``countDistinct(col)`` exactly (the reference's own
+  DimCountDistinct measure, ``measure/dim/DimCountDistinctMeasureType.java``).
+- COUNT_DISTINCT hllc(p) (``udaf/ApproxCountDistinct.scala:33-196``): mapped
+  to Spark's Datasketches HLL (``hll_sketch_agg`` / ``hll_union_agg`` /
+  ``hll_sketch_estimate``) — a true re-aggregatable sketch column, like the
+  reference's binary HLL counters.
+- TOP_N (``TopNUDAF.scala:28-100``, rewrite ``TopNMeasureType.java:411-441``):
+  stored as a sorted ``array<struct<key,val>>`` per group; re-aggregation
+  explodes + re-sums (approximate beyond exact match, same boundary the
+  reference declares in its capability check :261-330).
+- PERCENTILE_APPROX (``SparderAggFun.scala:39-180``): no union-able percentile
+  sketch is exposed in PySpark, so percentile measures are exact-match-only in
+  cuboids; the router falls back to the flat path otherwise (the reference's
+  capability machinery exists for exactly this reason).
+- EXTENDED_COLUMN (``ExtendedColumnMeasureType.java:82-130``): ``first(col)``.
+- RAW (``RawMeasureType.java:48-200``): ``collect_list``; detail queries route
+  to the flat table instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import DecimalType, StructType
+
+from kylin_on_parquet_v2_spark.metadata.cube import FunctionDesc, MeasureDesc
+
+
+def _hll_lgk(func: FunctionDesc) -> int:
+    # returntype 'hllc(p)' — map Kylin HLL precision p to Datasketches lgK.
+    rt = func.returntype or ""
+    if rt.startswith("hllc(") and rt.endswith(")"):
+        try:
+            return max(4, min(21, int(rt[5:-1])))
+        except ValueError:
+            pass
+    return 12
+
+
+def topn_k(func: FunctionDesc) -> int:
+    rt = func.returntype or ""
+    if rt.startswith("topn(") and rt.endswith(")"):
+        try:
+            return int(rt[5:-1].split(",")[0])
+        except ValueError:
+            pass
+    return 100
+
+
+def build_agg(measure: MeasureDesc, schema: StructType | None = None) -> Column | None:
+    """Partial-aggregate Column for the flat-table -> cuboid build.
+
+    Returns None for measures that are not materialized in layouts
+    (exact COUNT_DISTINCT — answered from dimensions instead).
+    """
+    f = measure.function
+    col, name = f.parameter, measure.name
+    if f.expression == "COUNT":
+        return F.count(F.lit(1) if col is None else F.col(col)).alias(name)
+    if f.expression == "SUM":
+        out = F.sum(col)
+        # Decimal re-cast parity (CuboidAggregator.scala:125-132): pin the
+        # declared precision instead of letting sum() widen per build layer.
+        if schema is not None:
+            dt = schema[col].dataType if col in schema.fieldNames() else None
+            if isinstance(dt, DecimalType):
+                out = out.cast(DecimalType(min(dt.precision + 10, 38), dt.scale))
+        return out.alias(name)
+    if f.expression == "MIN":
+        return F.min(col).alias(name)
+    if f.expression == "MAX":
+        return F.max(col).alias(name)
+    if f.expression == "COUNT_DISTINCT":
+        if (f.returntype or "").startswith("hllc"):
+            return F.hll_sketch_agg(F.col(col), F.lit(_hll_lgk(f))).alias(name)
+        return None  # exact: served from a cuboid that carries `col` as a dim
+    if f.expression == "TOP_N":
+        # Needs its own groupBy over (dims + ranked dim) — assembled at the
+        # cuboid level in CubeBuilder, not as a single agg Column.
+        return None
+    if f.expression == "PERCENTILE_APPROX":
+        return None  # exact-match only; no union-able sketch in PySpark
+    if f.expression == "EXTENDED_COLUMN":
+        return F.first(col, ignorenulls=True).alias(name)
+    if f.expression == "RAW":
+        return F.collect_list(col).alias(name)
+    if f.expression == "COLLECT_SET":
+        return F.collect_set(col).alias(name)
+    raise ValueError(f"unhandled measure {f.expression}")
+
+
+def reagg_from_layout(measure: MeasureDesc) -> Column | None:
+    """Re-aggregate a stored layout column when the query groups by a strict
+    subset of the cuboid's dims (or when merging child layouts).
+
+    COUNT becomes SUM (CuboidAggregator.scala:86-91); sketches union.
+    """
+    f = measure.function
+    name = measure.name
+    if f.expression == "COUNT":
+        return F.sum(name).alias(name)
+    if f.expression == "SUM":
+        return F.sum(name).alias(name)
+    if f.expression == "MIN":
+        return F.min(name).alias(name)
+    if f.expression == "MAX":
+        return F.max(name).alias(name)
+    if f.expression == "COUNT_DISTINCT":
+        if (f.returntype or "").startswith("hllc"):
+            return F.hll_union_agg(name).alias(name)
+        return None
+    if f.expression == "EXTENDED_COLUMN":
+        return F.first(name, ignorenulls=True).alias(name)
+    if f.expression == "RAW":
+        return F.flatten(F.collect_list(name)).alias(name)
+    if f.expression == "COLLECT_SET":
+        return F.array_distinct(F.flatten(F.collect_list(name))).alias(name)
+    return None
+
+
+def finalize(measure: MeasureDesc, col: Column | None = None) -> Column:
+    """Turn a stored/re-aggregated measure column into its SQL-surface value
+    (e.g. HLL sketch binary -> estimated count)."""
+    f = measure.function
+    c = col if col is not None else F.col(measure.name)
+    if f.expression == "COUNT_DISTINCT" and (f.returntype or "").startswith("hllc"):
+        return F.hll_sketch_estimate(c)
+    return c

@@ -1,0 +1,88 @@
+"""Standard model/cube fixtures over the driver testdata.
+
+This is our analogue of the reference's bundled CI metadata
+(``examples/test_case_data/localmeta/model_desc/ci_inner_join_model.json`` and
+``cube_desc/ci_left_join_cube.json``): one declared star model + cube over the
+TPC-H-ish tables in ``/root/testdata/sf*`` (see FIXTURES.md §B), used by tests,
+``__spark_entry__`` and the bench.
+"""
+
+from __future__ import annotations
+
+from kylin_on_parquet_v2_spark.metadata import (
+    AggregationGroup,
+    CubeDesc,
+    DataModel,
+    FunctionDesc,
+    JoinDesc,
+    JoinTable,
+    MeasureDesc,
+)
+
+#: lineitem fact star/snowflake: orders, part, supplier (+customer via orders,
+#: nation/region via customer — snowflake hops, like the reference's
+#: FACT→ORDER→ACCOUNT→COUNTRY depth-3 chain).
+TPCH_MODEL = DataModel(
+    name="tpch_star",
+    fact_table="lineitem",
+    lookups=(
+        JoinTable("orders", JoinDesc(("l_orderkey",), ("o_orderkey",), "inner")),
+        JoinTable("part", JoinDesc(("l_partkey",), ("p_partkey",), "inner")),
+        JoinTable("supplier", JoinDesc(("l_suppkey",), ("s_suppkey",), "inner")),
+        JoinTable(
+            "customer",
+            JoinDesc(("o_custkey",), ("c_custkey",), "inner"),
+            fk_table="orders",
+        ),
+        JoinTable(
+            "nation",
+            JoinDesc(("c_nationkey",), ("n_nationkey",), "inner"),
+            fk_table="customer",
+        ),
+        JoinTable(
+            "region",
+            JoinDesc(("n_regionkey",), ("r_regionkey",), "inner"),
+            fk_table="nation",
+        ),
+    ),
+)
+
+TPCH_CUBE = CubeDesc(
+    name="tpch_cube",
+    model_name="tpch_star",
+    dimensions=(
+        "l_returnflag",
+        "l_linestatus",
+        "o_orderpriority",
+        "o_orderstatus",
+        "p_brand",
+        "n_name",
+        "r_name",
+    ),
+    measures=(
+        MeasureDesc("_count", FunctionDesc("COUNT")),
+        MeasureDesc("sum_qty", FunctionDesc("SUM", "l_quantity")),
+        MeasureDesc("sum_base_price", FunctionDesc("SUM", "l_extendedprice")),
+        MeasureDesc("sum_discount", FunctionDesc("SUM", "l_discount")),
+        MeasureDesc("min_price", FunctionDesc("MIN", "l_extendedprice")),
+        MeasureDesc("max_price", FunctionDesc("MAX", "l_extendedprice")),
+        MeasureDesc("hll_suppkey", FunctionDesc("COUNT_DISTINCT", "l_suppkey", "hllc(12)")),
+    ),
+    aggregation_groups=(
+        AggregationGroup(
+            includes=(
+                "l_returnflag",
+                "l_linestatus",
+                "o_orderpriority",
+                "o_orderstatus",
+                "p_brand",
+                "n_name",
+                "r_name",
+            ),
+            # region > nation is a natural hierarchy: no cuboid keeps n_name
+            # without r_name's ancestor slot being free — prunes the lattice.
+            hierarchies=(("r_name", "n_name"),),
+        ),
+    ),
+    shard_by="p_brand",
+)

@@ -1,0 +1,128 @@
+"""Cube descriptors: dimensions, measures, aggregation groups.
+
+Reference parity: ``core-cube/.../cube/model/CubeDesc.java:142-224``
+(dimensions :156, measures :158, aggregationGroups :167),
+``AggregationGroup.java:62-67`` (mandatory/hierarchy/joint masks),
+``core-metadata/.../model/FunctionDesc.java:60-67`` (SUM/MIN/MAX/COUNT/
+COUNT_DISTINCT/PERCENTILE_APPROX/TOP_N/...), measure sketch types registered in
+``core-metadata/.../measure/MeasureTypeFactory.java:110-152``.
+
+Spark mapping: a measure is a pair of Spark aggregate Columns — the build-side
+partial aggregate (into the cuboid layout) and the query-side re-aggregate
+(over layout rows). See ``cube/build.py`` and SURVEY.md §2.4.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+# Measure expressions the cube understands. AVG never appears: like Calcite's
+# standard rewrite in the reference (OLAPAggregateRel.java:94-116 has no AVG),
+# the router decomposes AVG into SUM/COUNT.
+MEASURE_EXPRESSIONS = frozenset(
+    {
+        "COUNT",  # count(*) or count(col)
+        "SUM",
+        "MIN",
+        "MAX",
+        "COUNT_DISTINCT",  # param 'exact' (bitmap-equivalent) | 'hllc'
+        "TOP_N",
+        "PERCENTILE_APPROX",
+        "EXTENDED_COLUMN",
+        "RAW",
+        "COLLECT_SET",  # building block for exact re-aggregatable distinct
+    }
+)
+
+
+@dataclass(frozen=True)
+class FunctionDesc:
+    """Aggregate function + parameter column(s).
+
+    ``parameter`` is the flat-table column (None => count(*)). ``returntype``
+    mirrors the reference's sketch-type strings where relevant:
+    ``hllc(p)``, ``bitmap``, ``topn(n)``, ``percentile(p)``.
+    """
+
+    expression: str
+    parameter: str | None = None
+    returntype: str | None = None
+    #: TOP_N group-by ("literal") columns — the dimension being ranked.
+    extra_params: tuple[str, ...] = ()
+
+    def __post_init__(self) -> None:
+        if self.expression not in MEASURE_EXPRESSIONS:
+            raise ValueError(f"unknown measure expression {self.expression}")
+
+
+@dataclass(frozen=True)
+class MeasureDesc:
+    name: str
+    function: FunctionDesc
+
+
+@dataclass(frozen=True)
+class AggregationGroup:
+    """Prunes the 2^n cuboid lattice (reference AggregationGroup.java:62-67).
+
+    - ``includes``: dimensions this group spans.
+    - ``mandatory``: must appear in every cuboid of the group.
+    - ``hierarchies``: ordered chains — a member may appear only with all its
+      ancestors (year > month > day).
+    - ``joints``: all-or-nothing bundles.
+    """
+
+    includes: tuple[str, ...]
+    mandatory: tuple[str, ...] = ()
+    hierarchies: tuple[tuple[str, ...], ...] = ()
+    joints: tuple[tuple[str, ...], ...] = ()
+
+    def valid(self, dims: frozenset[str]) -> bool:
+        if not dims <= set(self.includes):
+            return False
+        if not set(self.mandatory) <= dims:
+            return False
+        for chain in self.hierarchies:
+            seen_gap = False
+            for d in chain:
+                if d in dims:
+                    if seen_gap:
+                        return False
+                else:
+                    seen_gap = True
+        for joint in self.joints:
+            present = dims & set(joint)
+            if present and present != set(joint):
+                return False
+        return True
+
+
+@dataclass(frozen=True)
+class CubeDesc:
+    """A cube over a :class:`~kylin_on_parquet_v2_spark.metadata.model.DataModel`."""
+
+    name: str
+    model_name: str
+    dimensions: tuple[str, ...]
+    measures: tuple[MeasureDesc, ...]
+    aggregation_groups: tuple[AggregationGroup, ...] = ()
+    #: bucketing column for layout writes (reference 'shardby' rowkey flag)
+    shard_by: str | None = None
+    #: cuboids are additionally partitioned by segment when the model declares
+    #: a partition column; granularity is a Spark date_trunc unit.
+    segment_granularity: str = "month"
+
+    def __post_init__(self) -> None:
+        names = [m.name for m in self.measures]
+        if len(names) != len(set(names)):
+            raise ValueError("duplicate measure names")
+
+    def measure(self, name: str) -> MeasureDesc:
+        for m in self.measures:
+            if m.name == name:
+                return m
+        raise KeyError(name)
+
+    def groups(self) -> tuple[AggregationGroup, ...]:
+        """Aggregation groups, defaulting to one full group over all dims."""
+        return self.aggregation_groups or (AggregationGroup(includes=self.dimensions),)

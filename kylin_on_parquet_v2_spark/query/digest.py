@@ -1,0 +1,246 @@
+"""SQL digest: a structural summary of an aggregate query, extracted from
+Spark's *analyzed* logical plan (via the JVM handle — Catalyst is our Calcite).
+
+Reference parity: ``query/.../relnode/OLAPContext.java:122-182`` accumulates
+firstTableScan, groupByColumns, aggregations, filterColumns, joins into a
+``SQLDigest`` (:184-218) that the realization chooser matches against cubes.
+We extract the same summary, but from Catalyst's resolved plan instead of a
+frozen Calcite tree — Spark has already parsed, resolved and type-coerced the
+query for us.
+
+Extraction is *best-effort by design*: any shape we don't recognize returns
+None and the engine answers via the pushdown path (``spark.sql``), which is
+always correct. A digest is only ever used to *accelerate*.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+_AGG_RE = re.compile(
+    r"^(sum|min|max|count|avg)\(\s*(distinct\s+)?(.+?)\s*\)$", re.IGNORECASE | re.DOTALL
+)
+_QUALIFIED = re.compile(r"\b(\w+)\.(\w+)\b")
+_EQ_PAIR = re.compile(r"\(?\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*\)?")
+
+
+@dataclass
+class AggCall:
+    func: str  # SUM | MIN | MAX | COUNT | AVG
+    column: str | None  # unqualified; None for count(*)
+    distinct: bool
+    alias: str
+
+
+@dataclass
+class JoinEdge:
+    left_table: str
+    right_table: str
+    left_cols: tuple[str, ...]
+    right_cols: tuple[str, ...]
+    join_type: str  # inner | left
+
+
+@dataclass
+class SelectItem:
+    """One output column: either a group-by passthrough or an agg call."""
+
+    name: str
+    group_col: str | None = None
+    agg: AggCall | None = None
+
+
+@dataclass
+class SqlDigest:
+    tables: set[str]
+    joins: list[JoinEdge]
+    group_cols: list[str]  # unqualified flat-table column names
+    select: list[SelectItem] = field(default_factory=list)
+    filter_sql: str | None = None  # unqualified, F.expr-able
+    filter_cols: set[str] = field(default_factory=set)
+    sort: list[tuple[str, bool]] = field(default_factory=list)  # (col, asc)
+    limit: int | None = None
+
+    @property
+    def aggs(self) -> list[AggCall]:
+        return [s.agg for s in self.select if s.agg is not None]
+
+
+def _cls(node) -> str:
+    return node.getClass().getSimpleName()
+
+
+def _seq(jseq) -> list:
+    return [jseq.apply(i) for i in range(jseq.size())]
+
+
+def _unqualify(sql: str, valid_cols: set[str]) -> str | None:
+    """Strip `table.` qualifiers; None if a referenced column is unknown."""
+    ok = True
+
+    def sub(m: re.Match) -> str:
+        nonlocal ok
+        if m.group(2) not in valid_cols:
+            ok = False
+        return m.group(2)
+
+    out = _QUALIFIED.sub(sub, sql)
+    return out if ok else None
+
+
+def _attr_names(jexpr) -> set[str]:
+    """Unqualified attribute names referenced by a resolved expression."""
+    it = jexpr.references().iterator()
+    names = set()
+    while it.hasNext():
+        names.add(it.next().name())
+    return names
+
+
+def _relation_name(node) -> str | None:
+    """SubqueryAlias over a view/relation -> alias name."""
+    if _cls(node) == "SubqueryAlias":
+        try:
+            return str(node.alias())
+        except Exception:
+            return None
+    return None
+
+
+def _walk_from(node, digest: SqlDigest) -> bool:
+    """Walk the join/scan subtree below the aggregate; fill tables + joins."""
+    cls = _cls(node)
+    if cls == "SubqueryAlias":
+        name = _relation_name(node)
+        if name is None:
+            return False
+        digest.tables.add(name)
+        return True
+    if cls == "Join":
+        jt = str(node.joinType().sql()).strip().upper()
+        if jt not in ("INNER", "LEFT OUTER"):
+            return False
+        cond_opt = node.condition()
+        if not cond_opt.isDefined():
+            return False
+        if not _walk_from(node.left(), digest) or not _walk_from(node.right(), digest):
+            return False
+        cond_sql = cond_opt.get().sql()
+        pairs = _EQ_PAIR.findall(cond_sql)
+        # Reject anything beyond a conjunction of qualified equalities.
+        residue = _EQ_PAIR.sub("", cond_sql)
+        if not pairs or re.search(r"[<>]|!=|\bOR\b|\bNOT\b", residue, re.IGNORECASE):
+            return False
+        by_tables: dict[tuple[str, str], list[tuple[str, str]]] = {}
+        for lt, lc, rt, rc in pairs:
+            by_tables.setdefault((lt, rt), []).append((lc, rc))
+        for (lt, rt), cols in by_tables.items():
+            digest.joins.append(
+                JoinEdge(
+                    left_table=lt,
+                    right_table=rt,
+                    left_cols=tuple(c[0] for c in cols),
+                    right_cols=tuple(c[1] for c in cols),
+                    join_type="inner" if jt == "INNER" else "left",
+                )
+            )
+        return True
+    return False
+
+
+def extract_digest(df: DataFrame) -> SqlDigest | None:
+    """Best-effort digest of ``df``'s analyzed plan.
+
+    Recognized shape (top-down):
+    ``[GlobalLimit/LocalLimit] [Sort] Aggregate [Filter] (Join*| Relation)``.
+    Returns None for anything else — caller falls back to pushdown.
+    """
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        return _extract(plan)
+    except Exception:
+        return None
+
+
+def _extract(plan) -> SqlDigest | None:  # noqa: C901 — one dispatch walk
+    digest = SqlDigest(tables=set(), joins=[], group_cols=[])
+
+    node = plan
+    # LIMIT appears as GlobalLimit(LocalLimit(child))
+    if _cls(node) == "GlobalLimit":
+        digest.limit = int(node.limitExpr().sql())
+        node = node.child()
+        if _cls(node) == "LocalLimit":
+            node = node.child()
+    if _cls(node) == "Sort":
+        for so in _seq(node.order()):
+            child_sql = so.child().sql()
+            m = _QUALIFIED.fullmatch(child_sql) or re.fullmatch(r"\w+", child_sql)
+            if not m:
+                return None
+            colname = child_sql.split(".")[-1]
+            asc = "ASC" in str(so.direction().sql()).upper()
+            digest.sort.append((colname, asc))
+        node = node.child()
+    if _cls(node) != "Aggregate":
+        return None
+
+    agg_node = node
+    # Group-by columns: plain attributes only (expressions => pushdown).
+    for g in _seq(agg_node.groupingExpressions()):
+        if _cls(g) != "AttributeReference":
+            return None
+        digest.group_cols.append(g.name())
+
+    # Select list.
+    for e in _seq(agg_node.aggregateExpressions()):
+        cls = _cls(e)
+        if cls == "AttributeReference":
+            if e.name() not in digest.group_cols:
+                return None
+            digest.select.append(SelectItem(name=e.name(), group_col=e.name()))
+            continue
+        if cls != "Alias":
+            return None
+        alias = e.name()
+        child = e.child()
+        child_sql = child.sql()
+        m = _AGG_RE.match(child_sql)
+        if not m:
+            # aliased group column?
+            if _cls(child) == "AttributeReference" and child.name() in digest.group_cols:
+                digest.select.append(SelectItem(name=alias, group_col=child.name()))
+                continue
+            return None
+        func = m.group(1).upper()
+        distinct = bool(m.group(2))
+        arg = m.group(3).strip()
+        refs = _attr_names(child)
+        if arg == "1" and func == "COUNT":
+            col = None
+        elif len(refs) == 1 and _QUALIFIED.fullmatch(arg):
+            col = arg.split(".")[-1]
+        else:
+            return None  # agg over an expression — pushdown for now
+        if distinct and func != "COUNT":
+            return None
+        digest.select.append(
+            SelectItem(name=alias, agg=AggCall(func=func, column=col, distinct=distinct, alias=alias))
+        )
+
+    node = agg_node.child()
+    if _cls(node) == "Filter":
+        cond = node.condition()
+        digest.filter_cols = _attr_names(cond)
+        sql = _unqualify(cond.sql(), digest.filter_cols)
+        if sql is None:
+            return None
+        digest.filter_sql = sql
+        node = node.child()
+
+    if not _walk_from(node, digest):
+        return None
+    return digest

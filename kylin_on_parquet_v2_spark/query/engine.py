@@ -1,0 +1,106 @@
+"""OlapEngine — the user-facing facade.
+
+Query lifecycle (collapses the reference's entry points A + B, SURVEY.md §3):
+``engine.sql(q)`` analyzes the query with Catalyst, extracts a SqlDigest,
+tries to route it onto a built cube layout, and otherwise answers it directly
+with ``spark.sql`` (the reference's own pushdown path,
+``kylin-spark-query/.../pushdown/SparkSqlClient.scala:41-76`` — semantically
+the oracle inside the reference itself).
+
+Routing is an accelerator only: ``engine.sql(q, validate=True)`` asserts the
+routed answer equals the pushdown answer (the reference's dual-execution test
+harness, ``NExecAndComp.java`` CompareLevel.SAME, built into the engine).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+from kylin_on_parquet_v2_spark.cube.build import CubeBuilder, CubeInstance
+from kylin_on_parquet_v2_spark.metadata.cube import CubeDesc
+from kylin_on_parquet_v2_spark.metadata.model import DataModel
+from kylin_on_parquet_v2_spark.query.digest import extract_digest
+from kylin_on_parquet_v2_spark.query.router import Route, execute_route, plan_route
+from kylin_on_parquet_v2_spark.session import get_spark, register_views
+
+
+class OlapEngine:
+    def __init__(self, spark: SparkSession | None = None, storage_dir: str | None = None):
+        self.spark = spark or get_spark()
+        self.storage_dir = storage_dir or os.path.join(
+            tempfile.gettempdir(), "kylin_on_parquet_v2_spark"
+        )
+        self.models: dict[str, DataModel] = {}
+        self.cubes: dict[str, CubeInstance] = {}
+        #: route taken by the last sql() call (None => pushdown); for tests
+        #: and EXPLAIN-style introspection.
+        self.last_route: Route | None = None
+
+    # -- metadata / build ----------------------------------------------------
+
+    def register_sources(self, sf_dir: str) -> dict[str, DataFrame]:
+        return register_views(self.spark, sf_dir)
+
+    def add_model(self, model: DataModel) -> None:
+        self.models[model.name] = model
+
+    def build_cube(self, desc: CubeDesc) -> CubeInstance:
+        model = self.models[desc.model_name]
+        inst = CubeBuilder(self.spark, model, desc, self.storage_dir).build()
+        self.cubes[desc.name] = inst
+        return inst
+
+    # -- query ---------------------------------------------------------------
+
+    def sql(self, query: str, use_cube: bool = True, validate: bool = False) -> DataFrame:
+        """Answer ``query``; serve from a cuboid when provably equivalent."""
+        df = self.spark.sql(query)
+        self.last_route = None
+        if not use_cube or not self.cubes:
+            return df
+        digest = extract_digest(df)
+        if digest is None:
+            return df
+        for inst in self.cubes.values():
+            route = plan_route(digest, inst)
+            if route is None:
+                continue
+            routed = execute_route(digest, inst, route, self.spark)
+            if validate:
+                self._assert_same(routed, df)
+            self.last_route = route
+            return routed
+        return df
+
+    def pushdown(self, query: str) -> DataFrame:
+        """The always-correct flat path (reference SparkSqlClient.scala:41-55)."""
+        return self.spark.sql(query)
+
+    # -- validation (dual execution) ------------------------------------------
+
+    @staticmethod
+    def _normalize(rows) -> list[str]:
+        out = []
+        for r in rows:
+            vals = []
+            for v in r:
+                if isinstance(v, float):
+                    vals.append(f"{v:.4f}")  # partial-agg order changes FP low bits
+                else:
+                    vals.append(str(v))
+            out.append("|".join(vals))
+        return sorted(out)
+
+    @classmethod
+    def _assert_same(cls, a: DataFrame, b: DataFrame) -> None:
+        rows_a = cls._normalize(a.collect())
+        rows_b = cls._normalize(b.collect())
+        if rows_a != rows_b:
+            diff_a = [r for r in rows_a if r not in rows_b][:5]
+            diff_b = [r for r in rows_b if r not in rows_a][:5]
+            raise AssertionError(
+                f"routed answer != pushdown answer; routed-only={diff_a} pushdown-only={diff_b}"
+            )

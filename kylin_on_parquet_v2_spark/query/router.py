@@ -1,0 +1,159 @@
+"""Cuboid router: match a SqlDigest against a built cube and answer the
+query from the best-matching pre-aggregated layout.
+
+Reference parity:
+- realization choice: ``query/.../routing/RealizationChooser.java:60-100``
+- cuboid match: ``Cuboid.findCuboid`` -> ``DefaultCuboidScheduler.findBestMatchCuboid:93-120``
+- exact-match skip (no query-time re-aggregation): ``GTCubeStorageQueryBase.java:164-186``,
+  ``AggregatePlan.scala:54-60``
+- measure rewrite (SQL agg -> stored measure field): ``OLAPAggregateRel.java:528-600``
+- AVG: decomposed to SUM/COUNT like Calcite's standard rewrite (AVG never
+  reaches the reference runtime — OLAPAggregateRel.java:94-116 has no AVG).
+
+A wrong cuboid match is silent data corruption, so matching is conservative:
+unknown shapes return None and the engine answers from the flat path.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kylin_on_parquet_v2_spark.cube.build import SEGMENT_COL, CubeInstance
+from kylin_on_parquet_v2_spark.cube.cuboid import Cuboid
+from kylin_on_parquet_v2_spark.metadata.cube import MeasureDesc
+from kylin_on_parquet_v2_spark.query.digest import AggCall, SqlDigest
+
+
+@dataclass
+class Route:
+    cube: str
+    cuboid: Cuboid
+    exact: bool  # cuboid dims == query dims -> no re-aggregation needed
+
+
+def _match_joins(digest: SqlDigest, inst: CubeInstance) -> bool:
+    """The query's join graph must be a subgraph of the model's.
+
+    Lookups are PK-FK joins, so a query joining *fewer* lookups than the
+    model still reads correct multiplicities from the cuboid (the reference
+    relies on the same model-integrity assumption).
+    """
+    model = inst.model
+    fact = model.fact_table
+    if fact not in digest.tables:
+        return False
+    lookup_names = {lk.name: lk for lk in model.lookups}
+    if not (digest.tables - {fact}) <= set(lookup_names):
+        return False
+    for edge in digest.joins:
+        matched = False
+        for lk in model.lookups:
+            fk_table = lk.fk_table or fact
+            keysets = {
+                (fk_table, lk.table, lk.join.foreign_key, lk.join.primary_key),
+                (lk.table, fk_table, lk.join.primary_key, lk.join.foreign_key),
+            }
+            edge_key = (edge.left_table, edge.right_table, edge.left_cols, edge.right_cols)
+            if edge_key in keysets and edge.join_type == lk.join.join_type:
+                matched = True
+                break
+        if not matched:
+            return False
+    return True
+
+
+def _measure_for(agg: AggCall, inst: CubeInstance) -> MeasureDesc | None:
+    want = {"COUNT": "COUNT", "SUM": "SUM", "MIN": "MIN", "MAX": "MAX"}.get(agg.func)
+    if want is None:
+        return None
+    for m in inst.desc.measures:
+        if m.function.expression == want and m.function.parameter == agg.column:
+            return m
+    return None
+
+
+def plan_route(digest: SqlDigest, inst: CubeInstance) -> Route | None:
+    if not _match_joins(digest, inst):
+        return None
+    dims = set(inst.desc.dimensions)
+    needed = set(digest.group_cols) | set(digest.filter_cols)
+    stored_aggs: list[AggCall] = []
+    for agg in digest.aggs:
+        if agg.distinct:
+            if agg.func != "COUNT" or agg.column is None:
+                return None
+            needed.add(agg.column)  # exact distinct: served from dimensions
+        elif agg.func == "AVG":
+            if _measure_for(AggCall("SUM", agg.column, False, ""), inst) is None:
+                return None
+            if _measure_for(AggCall("COUNT", None, False, ""), inst) is None:
+                return None
+        else:
+            m = _measure_for(agg, inst)
+            if m is None:
+                return None
+            stored_aggs.append(agg)
+    if not needed <= dims:
+        return None
+    cuboid = inst.scheduler.find_best_match(frozenset(needed))
+    if cuboid is None or cuboid.cuboid_id not in inst.layouts:
+        return None
+    exact = (
+        not inst.segmented
+        and set(cuboid.dims) == set(digest.group_cols)
+        and not any(a.distinct or a.func == "AVG" for a in digest.aggs)
+    )
+    return Route(cube=inst.desc.name, cuboid=cuboid, exact=exact)
+
+
+def execute_route(digest: SqlDigest, inst: CubeInstance, route: Route, spark) -> DataFrame:
+    df = inst.layout_df(spark, route.cuboid)
+    if SEGMENT_COL in df.columns:
+        df = df.drop(SEGMENT_COL)
+    if digest.filter_sql:
+        df = df.filter(F.expr(digest.filter_sql))
+
+    out_cols: list[Column] = []
+    if route.exact:
+        # Exact cuboid hit => project-only plan (the architecture's core
+        # speedup claim — zero aggregation at query time).
+        for item in digest.select:
+            if item.group_col is not None:
+                out_cols.append(F.col(item.group_col).alias(item.name))
+            else:
+                m = _measure_for(item.agg, inst)
+                out_cols.append(F.col(m.name).alias(item.name))
+        result = df.select(*out_cols)
+    else:
+        agg_cols: list[Column] = []
+        for item in digest.select:
+            if item.group_col is not None:
+                continue
+            agg = item.agg
+            if agg.distinct:
+                agg_cols.append(F.countDistinct(agg.column).alias(item.name))
+            elif agg.func == "AVG":
+                s = _measure_for(AggCall("SUM", agg.column, False, ""), inst)
+                c = _measure_for(AggCall("COUNT", None, False, ""), inst)
+                agg_cols.append((F.sum(s.name) / F.sum(c.name)).alias(item.name))
+            else:
+                m = _measure_for(agg, inst)
+                fn = {"COUNT": F.sum, "SUM": F.sum, "MIN": F.min, "MAX": F.max}[agg.func]
+                col = fn(m.name)
+                if agg.func == "COUNT":
+                    col = col.cast("long")  # COUNT re-agg is SUM of stored counts
+                agg_cols.append(col.alias(item.name))
+        grouped = df.groupBy(*digest.group_cols) if digest.group_cols else df.groupBy()
+        result = grouped.agg(*agg_cols)
+        result = result.select(*[item.name for item in digest.select])
+
+    if digest.sort:
+        result = result.orderBy(
+            *[F.col(c).asc() if asc else F.col(c).desc() for c, asc in digest.sort]
+        )
+    if digest.limit is not None:
+        result = result.limit(digest.limit)
+    return result

@@ -1,0 +1,82 @@
+"""Cuboid lattice math (reference CuboidSchedulerTest/CuboidTest parity)."""
+
+from __future__ import annotations
+
+import pytest
+
+from kylin_on_parquet_v2_spark.metadata.cube import (
+    AggregationGroup,
+    CubeDesc,
+    FunctionDesc,
+    MeasureDesc,
+)
+from kylin_on_parquet_v2_spark.cube.cuboid import CuboidScheduler
+
+COUNT = (MeasureDesc("_count", FunctionDesc("COUNT")),)
+
+
+def _cube(dims, groups=()):
+    return CubeDesc("c", "m", tuple(dims), COUNT, tuple(groups))
+
+
+def test_full_lattice():
+    sched = CuboidScheduler(_cube("abc"))
+    assert len(sched.cuboids) == 7  # 2^3 - empty
+
+
+def test_mandatory_prunes():
+    g = AggregationGroup(includes=("a", "b", "c"), mandatory=("a",))
+    sched = CuboidScheduler(_cube("abc", [g]))
+    dims_sets = {c.dims for c in sched.cuboids.values()}
+    # 4 with 'a' + base cuboid (already has a)
+    assert dims_sets == {("a",), ("a", "b"), ("a", "c"), ("a", "b", "c")}
+
+
+def test_hierarchy_prunes():
+    g = AggregationGroup(includes=("y", "m", "d"), hierarchies=(("y", "m", "d"),))
+    sched = CuboidScheduler(_cube("ymd", [g]))
+    dims_sets = {frozenset(c.dims) for c in sched.cuboids.values()}
+    assert dims_sets == {
+        frozenset("y"),
+        frozenset(("y", "m")),
+        frozenset(("y", "m", "d")),
+    }
+
+
+def test_joint_prunes():
+    g = AggregationGroup(includes=("a", "b", "c"), joints=(("b", "c"),))
+    sched = CuboidScheduler(_cube("abc", [g]))
+    dims_sets = {frozenset(c.dims) for c in sched.cuboids.values()}
+    assert dims_sets == {
+        frozenset("a"),
+        frozenset(("b", "c")),
+        frozenset(("a", "b", "c")),
+    }
+
+
+def test_best_match_smallest_superset():
+    sched = CuboidScheduler(_cube("abcd"))
+    hit = sched.find_best_match(frozenset(("b", "c")))
+    assert set(hit.dims) == {"b", "c"}
+    g = AggregationGroup(includes=("a", "b", "c", "d"), mandatory=("a",))
+    sched2 = CuboidScheduler(_cube("abcd", [g]))
+    hit2 = sched2.find_best_match(frozenset(("b", "c")))
+    assert set(hit2.dims) == {"a", "b", "c"}
+
+
+def test_spanning_tree_parents_first():
+    sched = CuboidScheduler(_cube("abc"))
+    seen = set()
+    for cuboid, parent in sched.spanning_tree():
+        if parent is not None:
+            assert parent.cuboid_id in seen
+            assert set(cuboid.dims) < set(parent.dims)
+        else:
+            assert set(cuboid.dims) == {"a", "b", "c"}
+        seen.add(cuboid.cuboid_id)
+
+
+def test_too_wide_group_rejected():
+    dims = tuple(f"d{i}" for i in range(25))
+    with pytest.raises(ValueError):
+        CuboidScheduler(_cube(dims))

@@ -1,0 +1,96 @@
+"""Router dual-execution tests: every routed query must equal the pushdown
+answer (CompareLevel.SAME — a wrong cuboid match is silent corruption)."""
+
+from __future__ import annotations
+
+import pytest
+
+from kylin_on_parquet_v2_spark.datasets import TPCH_CUBE, TPCH_MODEL
+from kylin_on_parquet_v2_spark.query.engine import OlapEngine
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tmp_path_factory):
+    eng = OlapEngine(spark, storage_dir=str(tmp_path_factory.mktemp("cubes")))
+    eng.register_sources(SF_SMOKE)
+    eng.add_model(TPCH_MODEL)
+    eng.build_cube(TPCH_CUBE)
+    return eng
+
+
+ROUTED = [
+    # exact-match hit: project-only plan
+    """select l_returnflag, l_linestatus, sum(l_quantity) as s, count(*) as n
+       from lineitem group by l_returnflag, l_linestatus""",
+    # re-aggregation from a wider cuboid
+    """select l_returnflag, sum(l_extendedprice) as s
+       from lineitem group by l_returnflag""",
+    # global aggregate, no group by
+    """select sum(l_quantity) as s, max(l_extendedprice) as mx, count(*) as n
+       from lineitem""",
+    # filter on a dimension + group by another
+    """select l_linestatus, count(*) as n from lineitem
+       where l_returnflag = 'A' group by l_linestatus""",
+    # model joins + snowflake dim
+    """select r_name, n_name, sum(l_extendedprice) as s
+       from lineitem join orders on l_orderkey = o_orderkey
+         join customer on o_custkey = c_custkey
+         join nation on c_nationkey = n_nationkey
+         join region on n_regionkey = r_regionkey
+       group by r_name, n_name""",
+    # AVG decomposition to SUM/COUNT
+    """select o_orderpriority, avg(l_quantity) as a from lineitem
+       join orders on l_orderkey = o_orderkey group by o_orderpriority""",
+    # exact count distinct served from dimensions
+    """select l_returnflag, count(distinct p_brand) as nb from lineitem
+       join part on l_partkey = p_partkey group by l_returnflag""",
+    # sort + limit re-applied after routing
+    """select p_brand, sum(l_quantity) as s from lineitem
+       join part on l_partkey = p_partkey
+       group by p_brand order by s desc limit 5""",
+]
+
+NOT_ROUTED = [
+    # group by a non-dimension column
+    "select l_shipdate, count(*) as n from lineitem group by l_shipdate",
+    # aggregate over an expression
+    "select l_returnflag, sum(l_extendedprice * (1 - l_discount)) as s from lineitem group by l_returnflag",
+    # measure not declared (sum of l_tax)
+    "select l_returnflag, sum(l_tax) as s from lineitem group by l_returnflag",
+    # join not in the model
+    """select c_mktsegment, count(*) as n from customer
+       join nation on c_nationkey = n_nationkey group by c_mktsegment""",
+    # filter on a non-dimension
+    "select l_returnflag, count(*) as n from lineitem where l_quantity > 30 group by l_returnflag",
+]
+
+
+@pytest.mark.parametrize("sql", ROUTED)
+def test_routes_and_matches_pushdown(engine, sql):
+    engine.sql(sql, validate=True)  # raises on mismatch
+    assert engine.last_route is not None, f"expected a cuboid route for: {sql}"
+
+
+@pytest.mark.parametrize("sql", NOT_ROUTED)
+def test_falls_back_to_pushdown(engine, sql):
+    df = engine.sql(sql)
+    assert engine.last_route is None
+    assert df.collect() is not None  # pushdown still answers correctly
+
+
+def test_exact_match_is_project_only(engine):
+    engine.sql(
+        """select l_returnflag, l_linestatus, sum(l_quantity) as s, count(*) as n
+           from lineitem group by l_returnflag, l_linestatus"""
+    )
+    assert engine.last_route.exact
+
+
+def test_sort_limit_preserved(engine):
+    sql = """select p_brand, sum(l_quantity) as s from lineitem
+             join part on l_partkey = p_partkey
+             group by p_brand order by s desc, p_brand limit 3"""
+    routed = [tuple(r) for r in engine.sql(sql).collect()]
+    flat = [tuple(r) for r in engine.pushdown(sql).collect()]
+    assert routed == flat
