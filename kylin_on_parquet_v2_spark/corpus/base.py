@@ -1,0 +1,36 @@
+"""Shared helpers for corpus queries: view registration + cached cube engine."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import SparkSession
+
+from kylin_on_parquet_v2_spark.query.engine import OlapEngine
+from kylin_on_parquet_v2_spark.session import register_views
+
+_ENGINES: dict[str, OlapEngine] = {}
+
+
+def views(spark: SparkSession, sf_dir: str) -> None:
+    register_views(spark, sf_dir)
+
+
+def engine(spark: SparkSession, sf_dir: str) -> OlapEngine:
+    """Engine with the standard TPC-H star cube built (cached per sf_dir)."""
+    from kylin_on_parquet_v2_spark.datasets import TPCH_CUBE, TPCH_MODEL
+
+    key = os.path.abspath(sf_dir)
+    eng = _ENGINES.get(key)
+    if eng is not None and eng.spark is spark:
+        return eng
+    storage = os.path.join(
+        tempfile.gettempdir(), "kylin_entry_cubes", key.strip("/").replace("/", "_")
+    )
+    eng = OlapEngine(spark, storage_dir=storage)
+    eng.register_sources(sf_dir)
+    eng.add_model(TPCH_MODEL)
+    eng.build_cube(TPCH_CUBE)
+    _ENGINES[key] = eng
+    return eng

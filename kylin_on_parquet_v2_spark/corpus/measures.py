@@ -1,0 +1,243 @@
+"""The measure zoo — reference SURVEY.md §2.4: PERCENTILE, TOP_N,
+INTERSECT_COUNT (retention/funnel), HLL approximate distinct, EXTENDED_COLUMN,
+RAW.
+
+- percentile: exact interpolated percentile matches DuckDB ``quantile_cont``;
+  ``percentile_approx`` is exposed too but oracle-checked via the exact form.
+- top-n per group: window row_number <= k (the reference rewrites
+  ``group by d order by sum(m) limit k`` onto its topn measure,
+  TopNMeasureType.java:411-441 — our formulation is exact).
+- intersect_count: per-key set intersection across filter values
+  (IntersectCount.scala / sql_intersect_count corpus) expressed as
+  conditional distinct aggregation — no custom UDAF needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kylin_on_parquet_v2_spark.corpus.base import views
+
+
+def percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCENTILE (exact, interpolated) per group — SparderAggFun parity."""
+    views(spark, sf_dir)
+    li = spark.table("lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_extendedprice", 0.5), 4).alias("p50"),
+            F.round(F.percentile("l_extendedprice", 0.9), 4).alias("p90"),
+            F.round(F.percentile("l_quantity", 0.25), 4).alias("q1_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def percentile_approx_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCENTILE_APPROX (sketch-based, accuracy-bounded) — values are
+    engine-specific, so the oracle checks the invariant p50<=p90 and row
+    shape via rows-only comparison (no oracle_sql entry)."""
+    views(spark, sf_dir)
+    li = spark.table("lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50_approx"),
+            F.percentile_approx("l_extendedprice", 0.9, 10000).alias("p90_approx"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOP_N measure semantics: top 3 brands by revenue within each nation."""
+    views(spark, sf_dir)
+    li = spark.table("lineitem")
+    sup = spark.table("supplier")
+    nation = spark.table("nation")
+    rev = (
+        li.join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(spark.table("part")), li.l_partkey == F.col("p_partkey"))
+        .groupBy("n_name", "p_brand")
+        .agg(F.round(F.sum("l_extendedprice"), 2).alias("revenue"))
+    )
+    w = Window.partitionBy("n_name").orderBy(F.col("revenue").desc(), F.col("p_brand"))
+    return (
+        rev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("n_name", "p_brand", "revenue", "rn")
+        .orderBy("n_name", "rn")
+    )
+
+
+def intersect_count_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT_COUNT: users present in multiple event cohorts
+    (sql_intersect_count/query00.sql shape) via conditional exact distincts."""
+    views(spark, sf_dir)
+    ev = spark.table("events")
+    return ev.agg(
+        F.countDistinct(F.when(F.col("event_type") == "view", F.col("user_id"))).alias(
+            "view_users"
+        ),
+        F.countDistinct(F.when(F.col("event_type") == "click", F.col("user_id"))).alias(
+            "click_users"
+        ),
+        F.countDistinct(F.when(F.col("event_type") == "purchase", F.col("user_id"))).alias(
+            "purchase_users"
+        ),
+        F.count_distinct(
+            F.when(F.col("event_type").isin("view", "click"), F.col("user_id"))
+        ).alias("view_or_click"),
+    )
+
+
+def intersect_count_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True intersection (view ∩ click ∩ purchase) — per-user cohort flags
+    then conjunction, the IntersectBitmapCounter semantics."""
+    views(spark, sf_dir)
+    ev = spark.table("events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("saw"),
+        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("clicked"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("bought"),
+    )
+    return per_user.agg(
+        F.sum(F.when((F.col("saw") == 1) & (F.col("clicked") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("view_and_click"),
+        F.sum(
+            F.when(
+                (F.col("saw") == 1) & (F.col("clicked") == 1) & (F.col("bought") == 1), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("full_funnel"),
+        F.count(F.lit(1)).alias("total_users"),
+    )
+
+
+def hll_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT_DISTINCT hllc(p): Datasketches HLL — build sketches per group,
+    union across groups, estimate (ApproxCountDistinct.scala parity).
+    Estimates are engine-specific => rows-only check; exactness bound is
+    asserted in tests instead."""
+    views(spark, sf_dir)
+    li = spark.table("lineitem")
+    sketched = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.hll_sketch_agg("l_partkey", F.lit(14)).alias("sk"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        sketched.groupBy("l_returnflag")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_nd_part"),
+            F.sum("n").cast("long").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def extended_column_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXTENDED_COLUMN measure: 1:1 companion column without a join
+    (ExtendedColumnMeasureType.java:82-130) — e.g. nation name for key."""
+    views(spark, sf_dir)
+    nation = spark.table("nation")
+    cust = spark.table("customer")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_nationkey")
+        .agg(
+            F.first("n_name").alias("nation_name"),
+            F.count(F.lit(1)).alias("n_cust"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+def raw_detail_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAW measure: detail values preserved through aggregation
+    (RawMeasureType.java:48-200) — sorted list per group."""
+    views(spark, sf_dir)
+    sup = spark.table("supplier")
+    return (
+        sup.groupBy("s_nationkey")
+        .agg(F.array_sort(F.collect_list("s_suppkey")).alias("supp_keys"))
+        .orderBy("s_nationkey")
+    )
+
+
+QUERIES = {
+    "percentile_exact": percentile_exact,
+    "percentile_approx_sketch": percentile_approx_sketch,
+    "topn_per_group": topn_per_group,
+    "intersect_count_retention": intersect_count_retention,
+    "intersect_count_funnel": intersect_count_funnel,
+    "hll_approx_distinct": hll_approx_distinct,
+    "extended_column_first": extended_column_first,
+    "raw_detail_values": raw_detail_values,
+}
+
+ORACLES = {
+    "percentile_exact": """
+        select l_returnflag,
+               round(quantile_cont(l_extendedprice, 0.5), 4) as p50,
+               round(quantile_cont(l_extendedprice, 0.9), 4) as p90,
+               round(quantile_cont(l_quantity, 0.25), 4) as q1_qty
+        from lineitem
+        group by l_returnflag
+        order by l_returnflag
+    """,
+    # percentile_approx_sketch: rows-only (sketch estimates are engine-specific)
+    "topn_per_group": """
+        select n_name, p_brand, revenue, rn from (
+            select n_name, p_brand,
+                   round(sum(l_extendedprice), 2) as revenue,
+                   row_number() over (partition by n_name
+                                      order by round(sum(l_extendedprice), 2) desc, p_brand) as rn
+            from lineitem
+              join supplier on l_suppkey = s_suppkey
+              join nation on s_nationkey = n_nationkey
+              join part on l_partkey = p_partkey
+            group by n_name, p_brand
+        ) t where rn <= 3
+        order by n_name, rn
+    """,
+    "intersect_count_retention": """
+        select count(distinct case when event_type = 'view' then user_id end) as view_users,
+               count(distinct case when event_type = 'click' then user_id end) as click_users,
+               count(distinct case when event_type = 'purchase' then user_id end) as purchase_users,
+               count(distinct case when event_type in ('view','click') then user_id end) as view_or_click
+        from events
+    """,
+    "intersect_count_funnel": """
+        select cast(sum(case when saw = 1 and clicked = 1 then 1 else 0 end) as bigint) as view_and_click,
+               cast(sum(case when saw = 1 and clicked = 1 and bought = 1 then 1 else 0 end) as bigint) as full_funnel,
+               count(*) as total_users
+        from (
+            select user_id,
+                   max(case when event_type = 'view' then 1 else 0 end) as saw,
+                   max(case when event_type = 'click' then 1 else 0 end) as clicked,
+                   max(case when event_type = 'purchase' then 1 else 0 end) as bought
+            from events group by user_id
+        ) t
+    """,
+    # hll_approx_distinct: rows-only (estimates are engine-specific)
+    "extended_column_first": """
+        select c_nationkey,
+               min(n_name) as nation_name,
+               count(*) as n_cust
+        from customer join nation on c_nationkey = n_nationkey
+        group by c_nationkey
+        order by c_nationkey
+    """,
+    "raw_detail_values": """
+        select s_nationkey,
+               list_sort(list(s_suppkey)) as supp_keys
+        from supplier
+        group by s_nationkey
+        order by s_nationkey
+    """,
+}

@@ -1,0 +1,341 @@
+"""Training-data pipeline queries: dedup, similarity, text analysis,
+multimodal — the beyond-the-reference surface (BASELINE.json north star).
+
+The md5-based hashing in :mod:`kylin_on_parquet_v2_spark.pipeline` was chosen
+so DuckDB can replay every operator bit-for-bit — each entry here carries a
+full value-level oracle, not just row counts (except the Arrow-batch decode,
+whose fake features are Python-side).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kylin_on_parquet_v2_spark.corpus.base import views
+from kylin_on_parquet_v2_spark.pipeline import dedup as D
+from kylin_on_parquet_v2_spark.pipeline import multimodal as MM
+from kylin_on_parquet_v2_spark.pipeline import similarity as S
+from kylin_on_parquet_v2_spark.pipeline import text as T
+
+# shared oracle fragments -----------------------------------------------------
+
+_NORM = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+
+# word 3-gram shingles of the normalized text, deduped per doc
+_SHINGLES3 = f"""
+    select doc_id, distinct_sh as sh from (
+        select doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(len(ws) - 1, 1)),
+                   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) as distinct_sh
+        from (select doc_id, string_split({_NORM}, ' ') as ws from documents)
+        where len(ws) >= 3
+        union all
+        select doc_id, {_NORM} as distinct_sh
+        from documents where len(string_split({_NORM}, ' ')) < 3
+    )
+"""
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    out = D.exact_dedup(spark.table("documents"))
+    return out.orderBy("digest")
+
+
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    return D.minhash_signatures(spark.table("documents")).orderBy("doc_id")
+
+
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    return D.minhash_lsh_pairs(spark.table("documents")).orderBy("doc_a", "doc_b")
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    return D.simhash(spark.table("documents")).orderBy("doc_id")
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    docs = spark.table("documents").filter(F.col("doc_id") < 100)
+    return D.ngram_jaccard_pairs(docs, threshold=0.2).orderBy("doc_a", "doc_b")
+
+
+def similarity_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return S.brute_force_topk(emb, queries, k=5).orderBy("query_id", "rn")
+
+
+def similarity_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    emb = spark.table("embeddings").filter(F.col("vec_id") < 200)
+    return S.embedding_neardup_pairs(emb, threshold=0.5).orderBy("id_a", "id_b")
+
+
+def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN — approximate by design => rows-only check; recall
+    vs brute force is asserted in tests."""
+    views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return S.ann_lsh_topk(emb, queries, k=5).orderBy("query_id", "rn")
+
+
+def text_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    return T.quality_features(spark.table("documents")).orderBy("doc_id")
+
+
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    return T.language_id(spark.table("documents")).orderBy("doc_id")
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    return T.fingerprint(spark.table("documents")).orderBy("doc_id")
+
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    docs = spark.table("documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.sum(T.token_count(F.col("text"))).cast("long").alias("total_tokens"),
+            F.sum(T.bpe_ish_token_count(F.col("text"))).cast("long").alias("total_subwords"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    assets = MM.synthesize_assets(spark.table("documents"))
+    return MM.metadata_summary(assets)
+
+
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas decode (fake decoder) — Python-side features
+    => rows-only check; determinism is asserted in tests."""
+    views(spark, sf_dir)
+    assets = MM.synthesize_assets(spark.table("documents"))
+    return (
+        MM.decode_features(assets)
+        .select("asset_id", "media_type", "byte_len", "width", "height", "n_frames")
+        .orderBy("asset_id")
+    )
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_minhash_signatures": dedup_minhash_signatures,
+    "dedup_minhash_lsh_pairs": dedup_minhash_lsh_pairs,
+    "dedup_simhash": dedup_simhash,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "similarity_bruteforce_topk": similarity_bruteforce_topk,
+    "similarity_neardup_pairs": similarity_neardup_pairs,
+    "similarity_ann_lsh": similarity_ann_lsh,
+    "text_quality_features": text_quality_features,
+    "text_language_id": text_language_id,
+    "text_fingerprint": text_fingerprint,
+    "text_token_stats": text_token_stats,
+    "multimodal_metadata": multimodal_metadata,
+    "multimodal_decode_features": multimodal_decode_features,
+}
+
+_MH_COLS = ",\n               ".join(
+    f"min(substr(md5(sh), {4 * i + 1}, 4)) as mh{i}" for i in range(D.MINHASH_K)
+)
+
+_SIMHASH_BITS = 32
+
+
+def _simhash_oracle() -> str:
+    votes = []
+    for bit in range(_SIMHASH_BITS):
+        hexpos = bit // 4 + 1
+        shift = 3 - bit % 4
+        votes.append(
+            f"sum((((instr('0123456789abcdef', substr(md5(tok), {hexpos}, 1)) - 1) >> {shift}) & 1) * 2 - 1) as v{bit}"
+        )
+    packed = " + ".join(
+        f"(case when v{bit} > 0 then {2 ** (_SIMHASH_BITS - 1 - bit)} else 0 end)"
+        for bit in range(_SIMHASH_BITS)
+    )
+    return f"""
+        select doc_id, cast({packed} as bigint) as simhash from (
+            select doc_id, {", ".join(votes)}
+            from (select doc_id, unnest(string_split({_NORM}, ' ')) as tok from documents)
+            group by doc_id
+        ) order by doc_id
+    """
+
+
+_COS = (
+    "round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / "
+    "(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * "
+    "sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6)"
+)
+
+ORACLES = {
+    "dedup_exact": f"""
+        select md5({_NORM}) as digest,
+               min(doc_id) as canonical_id,
+               count(*) as n_copies
+        from documents
+        group by 1
+        order by digest
+    """,
+    "dedup_minhash_signatures": f"""
+        select doc_id,
+               {_MH_COLS}
+        from ({_SHINGLES3})
+        group by doc_id
+        order by doc_id
+    """,
+    "dedup_minhash_lsh_pairs": f"""
+        with sig as (
+            select doc_id, {_MH_COLS}
+            from ({_SHINGLES3})
+            group by doc_id
+        ),
+        banded as (
+            select doc_id, '0|' || mh0 || '|' || mh1 as bucket from sig
+            union all select doc_id, '1|' || mh2 || '|' || mh3 from sig
+            union all select doc_id, '2|' || mh4 || '|' || mh5 from sig
+            union all select doc_id, '3|' || mh6 || '|' || mh7 from sig
+        )
+        select distinct a.doc_id as doc_a, b.doc_id as doc_b
+        from banded a join banded b
+          on a.bucket = b.bucket and a.doc_id < b.doc_id
+        order by doc_a, doc_b
+    """,
+    "dedup_simhash": _simhash_oracle(),
+    "dedup_ngram_jaccard": f"""
+        with sh2 as (
+            select doc_id, distinct_sh as sh from (
+                select doc_id,
+                       unnest(list_distinct(list_transform(
+                           range(1, len(ws)),
+                           i -> ws[i] || ' ' || ws[i+1]))) as distinct_sh
+                from (select doc_id, string_split({_NORM}, ' ') as ws
+                      from documents where doc_id < 100)
+                where len(ws) >= 2
+                union all
+                select doc_id, {_NORM} as distinct_sh
+                from documents where doc_id < 100
+                  and len(string_split({_NORM}, ' ')) < 2
+            )
+        ),
+        sizes as (select doc_id, count(*) as sz from sh2 group by doc_id),
+        inter as (
+            select a.doc_id as doc_a, b.doc_id as doc_b, count(*) as inter
+            from sh2 a join sh2 b on a.sh = b.sh and a.doc_id < b.doc_id
+            group by 1, 2
+        )
+        select doc_a, doc_b,
+               round(inter / (sa.sz + sb.sz - inter), 6) as jaccard
+        from inter
+          join sizes sa on sa.doc_id = doc_a
+          join sizes sb on sb.doc_id = doc_b
+        where round(inter / (sa.sz + sb.sz - inter), 6) >= 0.2
+        order by doc_a, doc_b
+    """,
+    "similarity_bruteforce_topk": f"""
+        select query_id, cand_id, cos, rn from (
+            select a.vec_id as query_id, b.vec_id as cand_id, {_COS} as cos,
+                   row_number() over (partition by a.vec_id
+                                      order by {_COS} desc, b.vec_id) as rn
+            from embeddings a, embeddings b
+            where a.vec_id < 5 and a.vec_id != b.vec_id
+        ) t where rn <= 5
+        order by query_id, rn
+    """,
+    "similarity_neardup_pairs": f"""
+        select a.vec_id as id_a, b.vec_id as id_b, {_COS} as cos
+        from embeddings a join embeddings b on a.vec_id < b.vec_id
+        where a.vec_id < 200 and b.vec_id < 200
+          and {_COS} >= 0.5
+        order by id_a, id_b
+    """,
+    # similarity_ann_lsh: rows-only (approximate by design)
+    "text_quality_features": f"""
+        with t as (
+            select doc_id, text,
+                   length(text) as n_chars_m,
+                   len(string_split({_NORM}, ' ')) as n_tokens,
+                   len(regexp_extract_all(text, '[^\\sA-Za-z0-9]')) as n_punct,
+                   len(regexp_extract_all(' ' || {_NORM} || ' ',
+                       ' (the|and|of|to|a|in|is|it) ')) as n_stop
+            from documents
+        )
+        select doc_id, n_chars_m, n_tokens,
+               round(n_punct / greatest(n_chars_m, 1), 6) as punct_ratio,
+               round(n_stop / greatest(n_tokens, 1), 6) as stop_ratio,
+               round(n_chars_m / greatest(n_tokens, 1), 6) as avg_token_len,
+               round(least(n_tokens / 100.0, 1.0) * 0.4
+                     + least(round(n_stop / greatest(n_tokens, 1), 6) * 5.0, 1.0) * 0.4
+                     + (1.0 - least(round(n_punct / greatest(n_chars_m, 1), 6) * 10.0, 1.0)) * 0.2,
+                     6) as quality_score
+        from t
+        order by doc_id
+    """,
+    "text_language_id": f"""
+        with s as (
+            select doc_id, lang,
+                   len(regexp_extract_all(' ' || {_NORM} || ' ', ' (der|die|und|ist|das) ')) as score_de,
+                   len(regexp_extract_all(' ' || {_NORM} || ' ', ' (the|and|of|to|a) ')) as score_en,
+                   len(regexp_extract_all(' ' || {_NORM} || ' ', ' (le|la|et|les|des) ')) as score_fr
+            from documents
+        )
+        select doc_id, lang,
+               case when score_de > 0 and score_de >= score_en and score_de >= score_fr then 'de'
+                    when score_en > 0 and score_en >= score_de and score_en >= score_fr then 'en'
+                    when score_fr > 0 and score_fr >= score_de and score_fr >= score_en then 'fr'
+                    else 'und' end as lang_pred,
+               score_de, score_en, score_fr
+        from s
+        order by doc_id
+    """,
+    "text_fingerprint": f"""
+        select doc_id,
+               md5({_NORM}) as fp_full,
+               md5(substring({_NORM}, 1, 64)) as fp_head,
+               md5(substring(reverse({_NORM}), 1, 64)) as fp_tail,
+               length({_NORM}) as n_norm_chars
+        from documents
+        order by doc_id
+    """,
+    "text_token_stats": f"""
+        select source,
+               cast(sum(len(string_split({_NORM}, ' '))) as bigint) as total_tokens,
+               cast(sum(len(regexp_extract_all(text, '[A-Za-z]{{1,4}}'))
+                        + len(regexp_extract_all(text, '[0-9]'))
+                        + len(regexp_extract_all(text, '[^\\sA-Za-z0-9]'))) as bigint) as total_subwords,
+               count(*) as n_docs
+        from documents
+        group by source
+        order by source
+    """,
+    "multimodal_metadata": """
+        select case when doc_id % 3 = 0 then 'image'
+                    when doc_id % 3 = 1 then 'audio'
+                    else 'video' end as media_type,
+               count(*) as n_assets,
+               sum(octet_length(encode(text))) as total_bytes,
+               min(octet_length(encode(text))) as min_bytes,
+               max(octet_length(encode(text))) as max_bytes
+        from documents
+        group by 1
+        order by media_type
+    """,
+    # multimodal_decode_features: rows-only (Python-side fake decoder)
+}

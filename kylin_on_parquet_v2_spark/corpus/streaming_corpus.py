@@ -1,0 +1,148 @@
+"""Streaming queries — driven to completion over the finite events fixture
+so results are deterministic and oracle-checkable: the streaming answer must
+equal the equivalent batch SQL (the strongest parity a stream can claim).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kylin_on_parquet_v2_spark.corpus.base import views
+from kylin_on_parquet_v2_spark.streaming.segments import (
+    SEGMENT_COL,
+    hybrid_union,
+    ingest_segments,
+    run_windowed_to_memory,
+)
+
+_INGESTED: dict[str, str] = {}
+_SRC_DIRS: dict[str, str] = {}
+
+
+def _stream_source_dir(sf_dir: str) -> str:
+    """Spark's file-stream source wants a *directory* it can watch (the
+    file-drop pattern); stage one containing the events parquet."""
+    key = os.path.abspath(sf_dir)
+    if key in _SRC_DIRS:
+        return _SRC_DIRS[key]
+    src = os.path.join(
+        tempfile.gettempdir(), "kylin_stream_source", key.strip("/").replace("/", "_")
+    )
+    os.makedirs(src, exist_ok=True)
+    link = os.path.join(src, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    _SRC_DIRS[key] = src
+    return src
+
+
+def _ingest_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Stream-ingest the events fixture into segment dirs once per sf_dir."""
+    key = os.path.abspath(sf_dir)
+    if key in _INGESTED:
+        return _INGESTED[key]
+    base = os.path.join(
+        tempfile.gettempdir(), "kylin_stream_segments", key.strip("/").replace("/", "_")
+    )
+    out_dir = os.path.join(base, "segments")
+    ckpt = os.path.join(base, "checkpoint")
+    if os.path.exists(base):
+        shutil.rmtree(base)
+    os.makedirs(base, exist_ok=True)
+    ingest_segments(
+        spark,
+        source_dir=_stream_source_dir(sf_dir),
+        out_dir=out_dir,
+        checkpoint_dir=ckpt,
+        granularity="day",
+        max_files_per_trigger=1,
+    )
+    _INGESTED[key] = out_dir
+    return out_dir
+
+
+def streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window aggregation driven to completion —
+    must equal the batch date_trunc aggregation (the oracle)."""
+    views(spark, sf_dir)
+    name = "stream_win_" + os.path.basename(os.path.abspath(sf_dir)).replace(".", "_")
+    result = run_windowed_to_memory(
+        spark, _stream_source_dir(sf_dir), query_name=name
+    )
+    return result.orderBy("window_start", "event_type")
+
+
+def streaming_segment_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Micro-batch Parquet segment append: per-segment counts over the
+    stream-written store must equal batch counts over the source."""
+    views(spark, sf_dir)
+    seg_dir = _ingest_dir(spark, sf_dir)
+    segs = spark.read.parquet(seg_dir)
+    return (
+        segs.groupBy(F.col(SEGMENT_COL).alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("nd_users"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("segment")
+    )
+
+
+def streaming_hybrid_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-time + historical union query: stream-ingested segments unioned
+    with the batch source, aggregated — equals 2x the batch answer."""
+    views(spark, sf_dir)
+    seg_dir = _ingest_dir(spark, sf_dir)
+    realtime = spark.read.parquet(seg_dir)
+    batch = spark.table("events")
+    unioned = hybrid_union(realtime, batch)
+    return (
+        unioned.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES = {
+    "streaming_window_counts": streaming_window_counts,
+    "streaming_segment_ingest": streaming_segment_ingest,
+    "streaming_hybrid_union": streaming_hybrid_union,
+}
+
+ORACLES = {
+    "streaming_window_counts": """
+        select strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') as window_start,
+               event_type,
+               count(*) as n,
+               round(sum(value), 2) as sum_value
+        from events
+        group by 1, 2
+        order by window_start, event_type
+    """,
+    "streaming_segment_ingest": """
+        select strftime(date_trunc('day', ts), '%Y-%m-%d-%H') as segment,
+               count(*) as n,
+               count(distinct user_id) as nd_users,
+               round(sum(value), 2) as sum_value
+        from events
+        group by 1
+        order by segment
+    """,
+    "streaming_hybrid_union": """
+        select event_type,
+               count(*) * 2 as n,
+               round(sum(value) * 2, 2) as sum_value
+        from events
+        group by event_type
+        order by event_type
+    """,
+}

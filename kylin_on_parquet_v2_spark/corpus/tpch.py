@@ -1,0 +1,222 @@
+"""TPC-H-shaped core SQL surface: scan, filter, joins, aggregate, sort/limit.
+
+Reference corpus parity: ``sql/`` (108 base queries), ``sql_join/``,
+``sql_orderby/``, ``sql_limit/`` — SURVEY.md §2.1-2.4, §2.6.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kylin_on_parquet_v2_spark.corpus.base import views
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: filter -> groupBy -> 8 aggregates -> sort."""
+    views(spark, sf_dir)
+    li = spark.table("lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join x2 + filter + agg + topk (sort/limit); small dims broadcast."""
+    views(spark, sf_dir)
+    cust = spark.table("customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = spark.table("orders").filter(F.col("o_orderdate") < F.lit("1995-03-15").cast("date"))
+    li = spark.table("lineitem").filter(F.col("l_shipdate") > F.lit("1995-03-15").cast("date"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowflake joins (depth 4) + region filter + agg."""
+    views(spark, sf_dir)
+    li = spark.table("lineitem")
+    orders = spark.table("orders")
+    cust = spark.table("customer")
+    nation = spark.table("nation")
+    region = spark.table("region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
+    )
+
+
+def q6_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-only global aggregate (no group)."""
+    views(spark, sf_dir)
+    li = spark.table("lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("date"))
+        & (F.col("l_discount").between(0.05, 0.07))
+        & (F.col("l_quantity") < 24)
+    ).agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+
+
+def agg_count_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT DISTINCT (reference bitmap measure semantics)."""
+    views(spark, sf_dir)
+    li = spark.table("lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_suppkey").alias("nd_supp"),
+            F.countDistinct("l_partkey").alias("nd_part"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def cross_join_small(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross join (no equi keys) — reference JoinPlan.scala:53-54."""
+    views(spark, sf_dir)
+    region = spark.table("region").select("r_name")
+    status = spark.table("lineitem").select("l_linestatus").distinct()
+    return region.crossJoin(status).orderBy("r_name", "l_linestatus")
+
+
+def outer_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT/RIGHT/FULL outer joins — customers without orders keep NULLs."""
+    views(spark, sf_dir)
+    cust = spark.table("customer")
+    orders = spark.table("orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum(F.coalesce(F.col("o_totalprice"), F.lit(0.0))), 2).alias("sum_price"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_nation_revenue": q5_nation_revenue,
+    "q6_revenue_change": q6_revenue_change,
+    "agg_count_distinct_exact": agg_count_distinct_exact,
+    "cross_join_small": cross_join_small,
+    "outer_join_agg": outer_join_agg,
+}
+
+ORACLES = {
+    "q1_pricing_summary": """
+        select l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) as sum_qty,
+               round(sum(l_extendedprice), 2) as sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) as sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) as sum_charge,
+               round(avg(l_quantity), 2) as avg_qty,
+               round(avg(l_extendedprice), 2) as avg_price,
+               round(avg(l_discount), 4) as avg_disc,
+               count(*) as count_order
+        from lineitem
+        where l_shipdate <= date '1998-09-02'
+        group by l_returnflag, l_linestatus
+        order by l_returnflag, l_linestatus
+    """,
+    "q3_shipping_priority": """
+        select l_orderkey, o_orderdate, o_orderpriority,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue
+        from lineitem
+          join orders on l_orderkey = o_orderkey
+          join customer on o_custkey = c_custkey
+        where c_mktsegment = 'BUILDING'
+          and o_orderdate < date '1995-03-15'
+          and l_shipdate > date '1995-03-15'
+        group by l_orderkey, o_orderdate, o_orderpriority
+        order by revenue desc, l_orderkey asc
+        limit 10
+    """,
+    "q5_nation_revenue": """
+        select n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue
+        from lineitem
+          join orders on l_orderkey = o_orderkey
+          join customer on o_custkey = c_custkey
+          join nation on c_nationkey = n_nationkey
+          join region on n_regionkey = r_regionkey
+        where r_name = 'ASIA'
+        group by n_name
+        order by revenue desc, n_name asc
+    """,
+    "q6_revenue_change": """
+        select round(sum(l_extendedprice * l_discount), 2) as revenue
+        from lineitem
+        where l_shipdate >= date '1995-01-01'
+          and l_shipdate < date '1996-01-01'
+          and l_discount between 0.05 and 0.07
+          and l_quantity < 24
+    """,
+    "agg_count_distinct_exact": """
+        select l_returnflag,
+               count(distinct l_suppkey) as nd_supp,
+               count(distinct l_partkey) as nd_part,
+               count(*) as n
+        from lineitem
+        group by l_returnflag
+        order by l_returnflag
+    """,
+    "cross_join_small": """
+        select r_name, l_linestatus
+        from region
+        cross join (select distinct l_linestatus from lineitem) t
+        order by r_name, l_linestatus
+    """,
+    "outer_join_agg": """
+        select c_mktsegment,
+               count(o_orderkey) as n_orders,
+               count(*) as n_rows,
+               round(sum(coalesce(o_totalprice, 0.0)), 2) as sum_price
+        from customer
+          left join orders on c_custkey = o_custkey
+        group by c_mktsegment
+        order by c_mktsegment
+    """,
+}

@@ -1,0 +1,190 @@
+"""Deduplication operators over a document corpus.
+
+Scale notes (100 TB): every operator here is a pure DataFrame pipeline —
+shingle explosion is map-side, minhash reduction is one groupBy(doc) shuffle,
+LSH candidate generation is one groupBy(band-key) shuffle whose fan-in is
+bounded by band width. No driver-side loops, no UDFs: the hashes are md5
+(JVM codegen), chosen over xxhash64 because the DuckDB oracle can replay md5
+bit-for-bit.
+
+- exact: hash-groupBy on normalized text.
+- minhash: word-shingle -> k independent min-hashes -> banded LSH buckets.
+- simhash: per-token md5 bit-majority fingerprint (32-bit to stay in int64
+  range on every engine).
+- ngram jaccard: exact pairwise similarity via shingle co-occurrence join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: number of independent minhash permutations and LSH band layout
+MINHASH_K = 8
+LSH_BANDS = 4  # => 2 minhashes per band
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical text form: lowercase, collapse whitespace."""
+    return F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as an array column (JVM-side, no UDF).
+
+    IMPORTANT: pass a *materialized token-array column* (an attribute from a
+    prior select), not an inline split(...) expression — element_at inside
+    the transform lambda embeds a full copy of its input subtree, so an
+    inline split would re-run the regex split per shingle element
+    (O(tokens * text_len) per doc). :func:`shingle_rows` does this right.
+    """
+    idx = F.sequence(F.lit(0), F.size(col) - n)
+    return F.when(
+        F.size(col) >= n,
+        F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(col, i + j + 1) for j in range(n)])),
+    ).otherwise(F.array(F.array_join(col, " ")))
+
+
+def shingle_rows(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(id, shingle) rows: tokenize once per doc, then explode n-grams."""
+    toks = docs.select(
+        F.col(id_col), F.split(normalize_text(F.col(text_col)), " ").alias("__ws")
+    )
+    return toks.select(F.col(id_col), F.explode(word_shingles(F.col("__ws"), n)).alias("sh"))
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups by content hash; keeps the lowest id as
+    canonical. One shuffle on the digest."""
+    return (
+        docs.select(F.col(id_col), F.md5(normalize_text(F.col(text_col)).cast("binary")).alias("digest"))
+        .groupBy("digest")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = MINHASH_K
+) -> DataFrame:
+    """k-slot MinHash signature per document.
+
+    One md5 per shingle; slot i is the i-th 4-hex-char slice of the digest
+    (32 hex chars / 4 = up to 8 independent 16-bit hash functions) and the
+    signature is the per-slot string-min. One digest instead of k keyed
+    digests cuts the hash cost k-fold at 100 TB — and stays bit-replayable
+    in any engine with md5+substr.
+    """
+    if k > 8:
+        raise ValueError("k>8 needs more digest bits; widen the slice scheme")
+    # no dropDuplicates: min() is idempotent under repeated shingles, so the
+    # per-doc dedup shuffle would be pure waste (one groupBy is the only
+    # shuffle in the whole operator)
+    sh = shingle_rows(docs, text_col, id_col)
+    h = F.md5(F.col("sh").cast("binary"))
+    aggs = [F.min(F.substring(h, 4 * i + 1, 4)).alias(f"mh{i}") for i in range(k)]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded LSH.
+
+    Documents sharing ALL minhashes within any band land in one bucket; a
+    self-join per bucket emits pairs. At scale the bucket groupBy is the only
+    shuffle and hot buckets (boilerplate docs) are handled by AQE skew split.
+    """
+    sig = minhash_signatures(docs, text_col, id_col, k)
+    rows_per_band = k // bands
+    band_cols = [
+        F.concat_ws("|", F.lit(str(b)), *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(
+            f"band{b}"
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(F.col(id_col), *band_cols)
+    stacked = banded.select(
+        F.col(id_col),
+        F.explode(F.array(*[F.col(f"band{b}") for b in range(bands)])).alias("bucket"),
+    )
+    a = stacked.alias("a")
+    b = stacked.alias("b")
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .dropDuplicates()
+    )
+
+
+def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
+    """SimHash fingerprint: per-token md5, bit-majority vote, packed int.
+
+    32 bits (from the first 8 hex digits) keeps the packed value inside
+    int64 on every engine. Pure expressions — the per-bit votes are one
+    groupBy(doc) with `bits` conditional sums.
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok")
+    )
+    h = F.md5(F.col("tok").cast("binary"))
+    votes = []
+    for bit in range(bits):
+        hexpos = bit // 4 + 1
+        shift = 3 - bit % 4
+        digit = F.substring(h, hexpos, 1)
+        val = F.instr(F.lit("0123456789abcdef"), digit) - 1
+        bitval = F.shiftright(val, shift).bitwiseAND(F.lit(1))
+        votes.append(F.sum(bitval * 2 - 1).alias(f"v{bit}"))
+    voted = toks.groupBy(id_col).agg(*votes)
+    packed = None
+    for bit in range(bits):
+        term = F.when(F.col(f"v{bit}") > 0, F.lit(2 ** (bits - 1 - bit))).otherwise(F.lit(0))
+        packed = term if packed is None else packed + term
+    return voted.select(F.col(id_col), packed.cast("long").alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact pairwise n-gram Jaccard similarity >= threshold.
+
+    |A ∩ B| via shingle co-occurrence self-join (only docs sharing a shingle
+    ever meet — sparse at scale), |A|,|B| via per-doc counts broadcast back.
+    """
+    sh = shingle_rows(docs, text_col, id_col, n).dropDuplicates([id_col, "sh"])
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )

@@ -1,0 +1,165 @@
+"""Similarity search over embedding columns (array<float>).
+
+Scale notes (100 TB): brute-force top-k is the exactness baseline —
+a broadcast of the (small) query set against a full scan, one
+window-per-query reduction; cost is linear in corpus size. The LSH-bucketed
+variant is the scale path: random-hyperplane signatures bucket vectors so
+each query only meets its bucket's candidates (one groupBy shuffle on the
+signature), trading recall for a corpus-fraction scan.
+
+All arithmetic is double-cast and sequentially folded (F.aggregate over
+zip_with) so results are bit-reproducible against the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product in double precision (deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k per query vector.
+
+    The query side is broadcast (it is small by definition); the corpus scan
+    is embarrassingly parallel; top-k is a per-query window.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = corpus.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "cand_id", "cos", "rn")
+    )
+
+
+def embedding_neardup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact, pairwise).
+
+    Quadratic by nature — at scale, call it on LSH buckets
+    (:func:`lsh_bucket`) rather than the full corpus.
+    """
+    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
+def lsh_bucket(
+    corpus: DataFrame,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Random-hyperplane LSH signature: sign pattern of `n_planes`
+    projections, as a bit-string bucket key.
+
+    Hyperplanes are deterministic pseudo-random (seeded), generated
+    driver-side (n_planes x dim floats — metadata-sized) and folded into the
+    plan as literals, so executors evaluate pure expressions.
+    """
+    import random
+
+    rng = random.Random(seed)
+    planes = [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+    bits = []
+    for p in planes:
+        plane_col = F.array(*[F.lit(x) for x in p])
+        bits.append(F.when(dot(F.col(vec_col), plane_col) >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.concat(*bits).alias("bucket"),
+    )
+
+
+def ann_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: exact search within the query's LSH bucket only.
+
+    Recall < 1 by design (the IVF/LSH trade) — at 100 TB the bucket join
+    replaces the full-corpus scan with a corpus/2^n_planes fraction.
+    """
+    cb = lsh_bucket(corpus, n_planes, id_col, vec_col, dim).select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec"), "bucket"
+    )
+    qb = lsh_bucket(queries, n_planes, id_col, vec_col, dim).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), "bucket"
+    )
+    scored = (
+        cb.join(F.broadcast(qb), "bucket")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "cand_id", "cos", "rn")
+    )

@@ -1,0 +1,134 @@
+"""Streaming segment ingest + windowed aggregation + hybrid queries.
+
+Scale notes: foreachBatch writes are per-micro-batch Parquet appends
+partitioned by segment (Hive-style), so downstream queries get segment
+pruning for free and the write parallelism follows the source partitioning.
+The watermark bounds state: window aggregation state is dropped once the
+watermark passes (reference late-event accounting,
+StreamingSegmentManager.java:178-181).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+SEGMENT_COL = "__segment__"
+
+
+def _normalize_ts(df: DataFrame, ts_col: str) -> DataFrame:
+    """Source parquet may carry TIMESTAMP(NANOS) read as bigint (see
+    session.py nanosAsLong) — convert back to a UTC-naive timestamp."""
+    field = dict(zip(df.schema.fieldNames(), [f.dataType for f in df.schema.fields]))
+    dt = field.get(ts_col)
+    if dt is not None and dt.simpleString() == "bigint":
+        # Keep LTZ (session tz is pinned to UTC): Spark watermarks reject
+        # TIMESTAMP_NTZ event-time columns.
+        return df.withColumn(
+            ts_col, F.timestamp_micros((F.col(ts_col) / 1000).cast("long"))
+        )
+    if dt is not None and dt.simpleString() == "timestamp_ntz":
+        return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
+
+
+def ingest_segments(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    ts_col: str = "ts",
+    granularity: str = "hour",
+    schema: StructType | None = None,
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Stream a growing directory of Parquet files into segment-partitioned
+    Parquet (the reference's real-time ingest path, file source standing in
+    for Kafka; the pipeline after readStream is source-agnostic).
+
+    Runs with Trigger.AvailableNow: processes everything present, then stops
+    — deterministic for tests; a production deployment drops the trigger.
+    """
+    if schema is None:
+        schema = spark.read.parquet(source_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+    stream = _normalize_ts(stream, ts_col)
+    with_seg = stream.withColumn(
+        SEGMENT_COL,
+        F.date_format(F.date_trunc(granularity, F.col(ts_col)), "yyyy-MM-dd-HH"),
+    )
+
+    def _write_batch(batch: DataFrame, epoch_id: int) -> None:
+        batch.write.mode("append").partitionBy(SEGMENT_COL).parquet(out_dir)
+
+    q = (
+        with_seg.writeStream.foreachBatch(_write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def windowed_aggregate(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    group_cols: tuple[str, ...] = ("event_type",),
+) -> DataFrame:
+    """Event-time tumbling-window aggregation with watermark (the
+    incremental in-memory cube of the reference's RecordsAggregator)."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window), *group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            # formatted in the (UTC) session tz: engine-neutral for oracles
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            *group_cols,
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def run_windowed_to_memory(
+    spark: SparkSession,
+    source_dir: str,
+    query_name: str,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    schema: StructType | None = None,
+) -> DataFrame:
+    """Drive the windowed aggregation over a finite source to completion
+    (complete output mode -> memory sink) and return the result table."""
+    if schema is None:
+        schema = spark.read.parquet(source_dir).schema
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    stream = _normalize_ts(stream, ts_col)
+    agg = windowed_aggregate(stream, ts_col=ts_col, window=window)
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(query_name)
+
+
+def hybrid_union(realtime_segments: DataFrame, batch_segments: DataFrame) -> DataFrame:
+    """Real-time + historical union (reference HybridInstance,
+    TableScanPlan.scala:58-62): one logical table over both stores."""
+    cols = [c for c in batch_segments.columns if c in realtime_segments.columns]
+    return realtime_segments.select(*cols).unionByName(batch_segments.select(*cols))

@@ -34,10 +34,15 @@ def _norm(v):
     return v
 
 
+def _sort_key(row):
+    # None is not orderable against floats/strs: sort on (is_none, repr)
+    return tuple((v is None, str(v)) for v in row)
+
+
 def spark_rows(df):
     cols = sorted(df.columns)
     data = df.select(*cols).collect()
-    return sorted(tuple(_norm(v) for v in row) for row in data), cols
+    return sorted((tuple(_norm(v) for v in row) for row in data), key=_sort_key), cols
 
 
 def duck_rows(con, sql):
@@ -45,7 +50,10 @@ def duck_rows(con, sql):
     names = [d[0] for d in cur.description]
     order = sorted(range(len(names)), key=lambda i: names[i])
     rows = cur.fetchall()
-    return sorted(tuple(_norm(r[i]) for i in order) for r in rows), sorted(names)
+    return (
+        sorted((tuple(_norm(r[i]) for i in order) for r in rows), key=_sort_key),
+        sorted(names),
+    )
 
 
 def assert_same(df, con, sql, name=""):

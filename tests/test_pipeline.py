@@ -1,0 +1,117 @@
+"""Invariants for pipeline operators whose values are engine-specific
+(sketches, approximate ANN, stub decoders) — these back the rows-only
+entries in the driver contract with real assertions."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kylin_on_parquet_v2_spark.pipeline import dedup as D
+from kylin_on_parquet_v2_spark.pipeline import multimodal as MM
+from kylin_on_parquet_v2_spark.pipeline import similarity as S
+from kylin_on_parquet_v2_spark.session import register_views
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _views(spark):
+    register_views(spark, SF_SMOKE)
+
+
+def test_hll_within_tolerance(spark):
+    li = spark.table("lineitem")
+    got = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("l_partkey", F.lit(14))).alias("approx"),
+            F.countDistinct("l_partkey").alias("exact"),
+        )
+        .collect()
+    )
+    for row in got:
+        assert abs(row.approx - row.exact) / row.exact < 0.05, row
+
+
+def test_exact_dedup_collapses_duplicates(spark):
+    docs = spark.table("documents").limit(20)
+    doubled = docs.union(docs.withColumn("doc_id", F.col("doc_id") + 100000))
+    out = D.exact_dedup(doubled).collect()
+    assert all(r.n_copies >= 2 for r in out)
+    assert all(r.canonical_id < 100000 for r in out)
+
+
+def test_simhash_near_duplicates_close(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again today"),
+        (2, "the quick brown fox jumps over the lazy cat again and again today"),
+        (3, "completely different words about spark cubes parquet layouts routing"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r.simhash for r in D.simhash(docs).collect()}
+
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+
+    assert hamming(got[1], got[2]) < hamming(got[1], got[3])
+    assert hamming(got[1], got[2]) <= 8
+
+
+def test_minhash_similarity_tracks_jaccard(spark):
+    rows = [
+        (1, " ".join(f"w{i}" for i in range(40))),
+        (2, " ".join(f"w{i}" for i in range(40))),  # identical -> sig equal
+        (3, " ".join(f"x{i}" for i in range(40))),  # disjoint -> sig differs
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    sig = {r.doc_id: tuple(r)[1:] for r in D.minhash_signatures(docs).collect()}
+    assert sig[1] == sig[2]
+    assert sig[1] != sig[3]
+
+
+def test_lsh_pairs_superset_of_exact_dups(spark):
+    docs = spark.table("documents").limit(30)
+    doubled = docs.union(docs.withColumn("doc_id", F.col("doc_id") + 100000))
+    pairs = {(r.doc_a, r.doc_b) for r in D.minhash_lsh_pairs(doubled).collect()}
+    for r in docs.select("doc_id").collect():
+        assert (r.doc_id, r.doc_id + 100000) in pairs
+
+
+def test_ann_lsh_results_are_true_cosines(spark):
+    """LSH ANN trades recall, never precision: every returned score must
+    equal the brute-force cosine for that exact pair."""
+    emb = spark.table("embeddings").filter(F.col("vec_id") < 100)
+    queries = emb.filter(F.col("vec_id") < 5)
+    ann = S.ann_lsh_topk(emb, queries, k=5)
+    brute = S.brute_force_topk(emb, queries, k=10**6)
+    truth = {
+        (r.query_id, r.cand_id): r.cos for r in brute.collect()
+    }
+    for r in ann.collect():
+        assert truth[(r.query_id, r.cand_id)] == r.cos
+
+
+def test_multimodal_decode_deterministic_and_consistent(spark):
+    assets = MM.synthesize_assets(spark.table("documents").limit(50))
+    a = sorted(map(str, MM.decode_features(assets).collect()))
+    b = sorted(map(str, MM.decode_features(assets).collect()))
+    assert a == b
+    feats = MM.decode_features(assets).collect()
+    meta = {r.asset_id: r.byte_len for r in assets.collect()}
+    for r in feats:
+        assert r.byte_len == meta[r.asset_id]
+        assert len(r.features) == 16
+        assert (r.n_frames == 1) if r.media_type == "image" else (r.n_frames >= 1)
+
+
+def test_metadata_query_prunes_payload(spark, tmp_path):
+    """The opaque-binary layout contract: metadata-only aggregates must not
+    read the payload column from parquet (columnar projection)."""
+    assets = MM.synthesize_assets(spark.table("documents"))
+    path = str(tmp_path / "assets.parquet")
+    assets.write.parquet(path)
+    re_read = spark.read.parquet(path)
+    plan = MM.metadata_summary(re_read)._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan_lines, plan
+    assert all("payload" not in ln for ln in scan_lines), scan_lines
