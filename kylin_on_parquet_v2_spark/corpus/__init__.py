@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 def _modules():
     from kylin_on_parquet_v2_spark.corpus import (
+        advanced,
         cube_routed,
         functions_date,
         functions_misc,
@@ -42,6 +43,7 @@ def _modules():
         functions_date,
         functions_misc,
         measures,
+        advanced,
         pipeline,
         streaming_corpus,
     ]

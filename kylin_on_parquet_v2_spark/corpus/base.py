@@ -18,8 +18,14 @@ def views(spark: SparkSession, sf_dir: str) -> None:
 
 
 def engine(spark: SparkSession, sf_dir: str) -> OlapEngine:
-    """Engine with the standard TPC-H star cube built (cached per sf_dir)."""
-    from kylin_on_parquet_v2_spark.datasets import TPCH_CUBE, TPCH_MODEL
+    """Engine with the standard TPC-H cubes built (cached per sf_dir):
+    the wide star cube and the month-segmented cube."""
+    from kylin_on_parquet_v2_spark.datasets import (
+        TPCH_CUBE,
+        TPCH_CUBE_SEG,
+        TPCH_MODEL,
+        TPCH_MODEL_SEG,
+    )
 
     key = os.path.abspath(sf_dir)
     eng = _ENGINES.get(key)
@@ -31,6 +37,8 @@ def engine(spark: SparkSession, sf_dir: str) -> OlapEngine:
     eng = OlapEngine(spark, storage_dir=storage)
     eng.register_sources(sf_dir)
     eng.add_model(TPCH_MODEL)
+    eng.add_model(TPCH_MODEL_SEG)
     eng.build_cube(TPCH_CUBE)
+    eng.build_cube(TPCH_CUBE_SEG)
     _ENGINES[key] = eng
     return eng

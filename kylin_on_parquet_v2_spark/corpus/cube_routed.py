@@ -106,11 +106,76 @@ def cube_routed_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cube_routed_segment_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-range filter on the partition column routed onto the segmented
+    cube: the router folds the bounds into __segment__ partition predicates
+    (FilePruner.pruneSegments parity) so only matching month dirs are read."""
+    eng = engine(spark, sf_dir)
+    df = eng.sql(
+        """
+        select l_returnflag, sum(l_quantity) as sum_qty, count(*) as n
+        from lineitem
+        where l_shipdate >= date '1995-01-01' and l_shipdate < date '1996-01-01'
+        group by l_returnflag
+        order by l_returnflag
+        """
+    )
+    route = eng.last_route
+    assert route is not None and route.cube == "tpch_cube_seg", route
+    assert route.segment_filters, "expected folded segment predicates"
+    return df.select("l_returnflag", F.round("sum_qty", 2).alias("sum_qty"), "n")
+
+
+def cube_routed_derived_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived dimension: n_name is NOT in the segmented cube — the router
+    recovers it by joining the nation lookup back on the c_nationkey host
+    dim (DerivedProcess.scala parity)."""
+    eng = engine(spark, sf_dir)
+    df = eng.sql(
+        """
+        select n_name, sum(l_extendedprice) as sum_price, count(*) as n
+        from lineitem
+          join orders on l_orderkey = o_orderkey
+          join customer on o_custkey = c_custkey
+          join nation on c_nationkey = n_nationkey
+        where l_shipdate >= date '1997-01-01'
+        group by n_name
+        order by n_name
+        """
+    )
+    route = eng.last_route
+    assert route is not None and route.cube == "tpch_cube_seg", route
+    assert route.derived, "expected derived-dimension recovery"
+    return df.select("n_name", F.round("sum_price", 2).alias("sum_price"), "n")
+
+
+def cube_routed_topn_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TopN pattern `group by d order by sum(m) desc limit k` answered from
+    a cuboid — exact, unlike the reference's approximate TopN measure
+    (TopNMeasureType.java:411-441 rewrite; our cuboid route needs no
+    accuracy boundary)."""
+    eng = engine(spark, sf_dir)
+    df = eng.sql(
+        """
+        select p_brand, sum(l_extendedprice) as revenue
+        from lineitem join part on l_partkey = p_partkey
+        group by p_brand
+        order by revenue desc, p_brand
+        limit 5
+        """
+    )
+    assert eng.last_route is not None, "expected cuboid route for topn rewrite"
+    return df.select("p_brand", F.round("revenue", 2).alias("revenue"))
+
+
 QUERIES = {
     "cube_routed_q1": cube_routed_q1,
     "cube_routed_snowflake": cube_routed_snowflake,
     "cube_routed_filter_dim": cube_routed_filter_dim,
     "cube_routed_global": cube_routed_global,
+    "cube_routed_segment_prune": cube_routed_segment_prune,
+    "cube_routed_derived_dim": cube_routed_derived_dim,
+    "cube_routed_topn_rewrite": cube_routed_topn_rewrite,
 }
 
 ORACLES = {
@@ -151,5 +216,29 @@ ORACLES = {
                max(l_extendedprice) as max_price,
                count(*) as n
         from lineitem
+    """,
+    "cube_routed_segment_prune": """
+        select l_returnflag, round(sum(l_quantity), 2) as sum_qty, count(*) as n
+        from lineitem
+        where l_shipdate >= date '1995-01-01' and l_shipdate < date '1996-01-01'
+        group by l_returnflag
+        order by l_returnflag
+    """,
+    "cube_routed_derived_dim": """
+        select n_name, round(sum(l_extendedprice), 2) as sum_price, count(*) as n
+        from lineitem
+          join orders on l_orderkey = o_orderkey
+          join customer on o_custkey = c_custkey
+          join nation on c_nationkey = n_nationkey
+        where l_shipdate >= date '1997-01-01'
+        group by n_name
+        order by n_name
+    """,
+    "cube_routed_topn_rewrite": """
+        select p_brand, round(sum(l_extendedprice), 2) as revenue
+        from lineitem join part on l_partkey = p_partkey
+        group by p_brand
+        order by sum(l_extendedprice) desc, p_brand
+        limit 5
     """,
 }

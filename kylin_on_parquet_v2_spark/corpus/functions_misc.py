@@ -52,13 +52,15 @@ def arithmetic_expressions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """+ - * / precedence and null propagation (SparderRexVisitor:155-267)."""
     views(spark, sf_dir)
     li = spark.table("lineitem").filter(F.col("l_orderkey") <= 30)
+    charged = F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    unit = F.col("l_extendedprice") / F.col("l_quantity")
+    # floor-trick rounding: bit-identical across engines for row-level
+    # expressions (see corpus/advanced.py note on round() divergence)
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.round(
-            F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")), 4
-        ).alias("charged"),
-        F.round(F.col("l_extendedprice") / F.col("l_quantity"), 4).alias("unit_price"),
+        (F.floor(charged * 10000 + 0.5) / 10000).alias("charged"),
+        (F.floor(unit * 10000 + 0.5) / 10000).alias("unit_price"),
         (F.col("l_quantity") + F.col("l_linenumber") - 1).alias("sum_mix"),
         (F.col("l_extendedprice") * F.lit(None).cast("double")).alias("null_prop"),
     ).orderBy("l_orderkey", "l_linenumber")
@@ -100,8 +102,8 @@ ORACLES = {
     """,
     "arithmetic_expressions": """
         select l_orderkey, l_linenumber,
-               round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 4) as charged,
-               round(l_extendedprice / l_quantity, 4) as unit_price,
+               floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 10000 + 0.5) / 10000 as charged,
+               floor(l_extendedprice / l_quantity * 10000 + 0.5) / 10000 as unit_price,
                l_quantity + l_linenumber - 1 as sum_mix,
                l_extendedprice * cast(null as double) as null_prop
         from lineitem where l_orderkey <= 30

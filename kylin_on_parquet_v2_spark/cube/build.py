@@ -50,6 +50,9 @@ class CubeInstance:
     scheduler: CuboidScheduler
     layouts: dict[int, str] = field(default_factory=dict)  # cuboid_id -> path
     segmented: bool = False
+    #: column -> hosting table (fact + lookups), resolved at build time; used
+    #: by the router for derived-dimension recovery (DerivedProcess parity)
+    column_tables: dict[str, str] = field(default_factory=dict)
 
     def layout_df(self, spark: SparkSession, cuboid: Cuboid) -> DataFrame:
         return spark.read.parquet(self.layouts[cuboid.cuboid_id])
@@ -87,12 +90,20 @@ class CubeBuilder:
             shutil.rmtree(cube_dir)
         os.makedirs(cube_dir, exist_ok=True)
 
+        column_tables: dict[str, str] = {}
+        for c in self.spark.table(self.model.fact_table).columns:
+            column_tables[c] = self.model.fact_table
+        for lk in self.model.lookups:
+            for c in self.spark.table(lk.table).columns:
+                column_tables.setdefault(c, lk.name)
+
         inst = CubeInstance(
             desc=self.desc,
             model=self.model,
             storage_dir=self.storage_dir,
             scheduler=self.scheduler,
             segmented=self.model.partition_column is not None,
+            column_tables=column_tables,
         )
 
         flat = self._flat_with_segment()
@@ -167,15 +178,21 @@ class CubeBuilder:
             return parent.select(*keys).dropDuplicates()
         return parent.groupBy(*keys).agg(*aggs)
 
+    #: files per layout at test scale; a cluster deployment derives this
+    #: from layout bytes / 64 MB (ResultPlan.scala:42 split target)
+    write_partitions = 8
+
     def _write_layout(self, df: DataFrame, path: str, segmented: bool) -> None:
-        writer = df
         if self.desc.shard_by and self.desc.shard_by in df.columns:
             # Shard parity (CubeBuildJob.java:326-357): co-locate rows by the
             # shard key so query-time groupBy/join on it avoids a shuffle
-            # after AQE detects the layout. At local test scale one file per
-            # shard partition is plenty; at cluster scale the partition count
-            # would derive from layout bytes / 64MB.
-            writer = df.repartition(F.col(self.desc.shard_by))
+            # after AQE detects the layout.
+            writer = df.repartition(self.write_partitions, F.col(self.desc.shard_by))
+        else:
+            # coalesce the aggregation's shuffle partitions: without this
+            # every cuboid writes one tiny file per shuffle partition (the
+            # classic small-files problem, multiplied by the lattice size)
+            writer = df.coalesce(self.write_partitions)
         w = writer.write.mode("overwrite")
         if segmented:
             w = w.partitionBy(SEGMENT_COL)

@@ -86,3 +86,33 @@ TPCH_CUBE = CubeDesc(
     ),
     shard_by="p_brand",
 )
+
+#: Same star, declared with a partition column: cuboid layouts are written
+#: as month-segment partition dirs (reference: segment per TSRange,
+#: PathManager segment=... dirs) and date filters prune whole segments.
+TPCH_MODEL_SEG = DataModel(
+    name="tpch_star_seg",
+    fact_table="lineitem",
+    lookups=TPCH_MODEL.lookups,
+    partition_column="l_shipdate",
+)
+
+TPCH_CUBE_SEG = CubeDesc(
+    name="tpch_cube_seg",
+    model_name="tpch_star_seg",
+    dimensions=(
+        "l_shipdate",
+        "l_returnflag",
+        "l_linestatus",
+        # FK dim hosting derived customer/nation attributes: the router
+        # recovers e.g. n_name by joining the lookup back on c_nationkey
+        # (DerivedProcess parity) instead of storing it in the cube.
+        "c_nationkey",
+    ),
+    measures=(
+        MeasureDesc("_count", FunctionDesc("COUNT")),
+        MeasureDesc("sum_qty", FunctionDesc("SUM", "l_quantity")),
+        MeasureDesc("sum_price", FunctionDesc("SUM", "l_extendedprice")),
+    ),
+    segment_granularity="month",
+)

@@ -9,6 +9,13 @@ Reference parity:
 - measure rewrite (SQL agg -> stored measure field): ``OLAPAggregateRel.java:528-600``
 - AVG: decomposed to SUM/COUNT like Calcite's standard rewrite (AVG never
   reaches the reference runtime — OLAPAggregateRel.java:94-116 has no AVG).
+- derived dimensions: lookup columns recovered by joining the lookup
+  (snapshot) back onto the cuboid rows via its host FK dims
+  (``runtime/DerivedProcess.scala:38-188``).
+- segment pruning: date bounds on the model partition column folded into
+  ``__segment__`` partition predicates so Spark prunes whole segment dirs
+  before listing files (``FilePruner.pruneSegments``/``SegFilters.foldFilter``,
+  ``FilePruner.scala:265-285,385-470``).
 
 A wrong cuboid match is silent data corruption, so matching is conservative:
 unknown shapes return None and the engine answers from the flat path.
@@ -16,7 +23,9 @@ unknown shapes return None and the engine answers from the flat path.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+import datetime as _dt
+import re
+from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -24,6 +33,7 @@ from pyspark.sql import functions as F
 from kylin_on_parquet_v2_spark.cube.build import SEGMENT_COL, CubeInstance
 from kylin_on_parquet_v2_spark.cube.cuboid import Cuboid
 from kylin_on_parquet_v2_spark.metadata.cube import MeasureDesc
+from kylin_on_parquet_v2_spark.metadata.model import JoinTable
 from kylin_on_parquet_v2_spark.query.digest import AggCall, SqlDigest
 
 
@@ -32,6 +42,10 @@ class Route:
     cube: str
     cuboid: Cuboid
     exact: bool  # cuboid dims == query dims -> no re-aggregation needed
+    #: lookups to join back for derived-dimension recovery
+    derived: list[JoinTable] = field(default_factory=list)
+    #: pruning predicates on the segment partition column
+    segment_filters: list[str] = field(default_factory=list)
 
 
 def _match_joins(digest: SqlDigest, inst: CubeInstance) -> bool:
@@ -75,44 +89,129 @@ def _measure_for(agg: AggCall, inst: CubeInstance) -> MeasureDesc | None:
     return None
 
 
+def _derived_host(col: str, inst: CubeInstance) -> JoinTable | None:
+    """A lookup that can recover `col` at query time: hosts the column, and
+    its foreign keys are all cube dimensions (DerivedProcess host-FK rule)."""
+    dims = set(inst.desc.dimensions)
+    table = inst.column_tables.get(col)
+    if table is None or table == inst.model.fact_table:
+        return None
+    for lk in inst.model.lookups:
+        if lk.name == table and set(lk.join.foreign_key) <= dims:
+            return lk
+    return None
+
+
+def _fold_segment_filters(digest: SqlDigest, inst: CubeInstance) -> list[str]:
+    """Fold date bounds on the partition column into segment predicates.
+
+    Only sound for pure conjunctions: an OR/NOT anywhere disables pruning
+    (the reference's foldFilter handles the same cases conservatively).
+    The derived predicate only *narrows the scan* — the original row filter
+    still applies, so a missed fold costs performance, never correctness.
+    """
+    pcol = inst.model.partition_column
+    sql = digest.filter_sql
+    if not inst.segmented or pcol is None or not sql:
+        return []
+    if re.search(r"\bOR\b|\bNOT\b", sql, re.IGNORECASE):
+        return []
+    pat = re.compile(
+        rf"\b{re.escape(pcol)}\s*(>=|<=|=|<|>)\s*"
+        rf"(?:CAST\s*\(\s*)?(?:DATE|TIMESTAMP(?:_NTZ)?)\s*'(\d{{4}}-\d{{2}}-\d{{2}})"
+    )
+    gran = inst.desc.segment_granularity
+    out = []
+    for op, lit in pat.findall(sql):
+        d = _dt.date.fromisoformat(lit)
+        if gran == "month":
+            seg = d.replace(day=1)
+        elif gran == "year":
+            seg = d.replace(month=1, day=1)
+        else:  # day
+            seg = d
+        s = seg.isoformat()
+        if op in (">=", ">", "="):
+            out.append(f"{SEGMENT_COL} >= '{s}'")
+        if op in ("<=", "<", "="):
+            out.append(f"{SEGMENT_COL} <= '{s}'")
+    return out
+
+
 def plan_route(digest: SqlDigest, inst: CubeInstance) -> Route | None:
     if not _match_joins(digest, inst):
         return None
     dims = set(inst.desc.dimensions)
-    needed = set(digest.group_cols) | set(digest.filter_cols)
-    stored_aggs: list[AggCall] = []
+    needed: set[str] = set()
+    derived: dict[str, JoinTable] = {}
+
+    def _need(col: str) -> bool:
+        """Register a column the layout must provide; True if coverable."""
+        if col in dims:
+            needed.add(col)
+            return True
+        host = _derived_host(col, inst)
+        if host is not None:
+            derived[host.name] = host
+            needed.update(host.join.foreign_key)
+            return True
+        return False
+
+    for col in list(digest.group_cols) + sorted(digest.filter_cols):
+        if not _need(col):
+            return None
+
     for agg in digest.aggs:
         if agg.distinct:
             if agg.func != "COUNT" or agg.column is None:
                 return None
-            needed.add(agg.column)  # exact distinct: served from dimensions
+            if not _need(agg.column):  # exact distinct: served from dimensions
+                return None
         elif agg.func == "AVG":
             if _measure_for(AggCall("SUM", agg.column, False, ""), inst) is None:
                 return None
             if _measure_for(AggCall("COUNT", None, False, ""), inst) is None:
                 return None
         else:
-            m = _measure_for(agg, inst)
-            if m is None:
+            if _measure_for(agg, inst) is None:
                 return None
-            stored_aggs.append(agg)
-    if not needed <= dims:
-        return None
+
     cuboid = inst.scheduler.find_best_match(frozenset(needed))
     if cuboid is None or cuboid.cuboid_id not in inst.layouts:
         return None
     exact = (
         not inst.segmented
+        and not derived
         and set(cuboid.dims) == set(digest.group_cols)
         and not any(a.distinct or a.func == "AVG" for a in digest.aggs)
     )
-    return Route(cube=inst.desc.name, cuboid=cuboid, exact=exact)
+    return Route(
+        cube=inst.desc.name,
+        cuboid=cuboid,
+        exact=exact,
+        derived=list(derived.values()),
+        segment_filters=_fold_segment_filters(digest, inst),
+    )
 
 
 def execute_route(digest: SqlDigest, inst: CubeInstance, route: Route, spark) -> DataFrame:
     df = inst.layout_df(spark, route.cuboid)
+    # segment pruning first: these predicates hit the partition column, so
+    # Catalyst turns them into PartitionFilters (no data read outside range)
+    for pred in route.segment_filters:
+        df = df.filter(F.expr(pred))
     if SEGMENT_COL in df.columns:
         df = df.drop(SEGMENT_COL)
+
+    # derived-dimension recovery: broadcast-join lookups back on host FKs
+    for lk in route.derived:
+        lookup = spark.table(lk.table)
+        cond = None
+        for fk, pk in zip(lk.join.foreign_key, lk.join.primary_key):
+            c = df[fk] == lookup[pk]
+            cond = c if cond is None else (cond & c)
+        df = df.join(F.broadcast(lookup), cond, "inner")
+
     if digest.filter_sql:
         df = df.filter(F.expr(digest.filter_sql))
 

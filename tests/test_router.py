@@ -5,7 +5,12 @@ from __future__ import annotations
 
 import pytest
 
-from kylin_on_parquet_v2_spark.datasets import TPCH_CUBE, TPCH_MODEL
+from kylin_on_parquet_v2_spark.datasets import (
+    TPCH_CUBE,
+    TPCH_CUBE_SEG,
+    TPCH_MODEL,
+    TPCH_MODEL_SEG,
+)
 from kylin_on_parquet_v2_spark.query.engine import OlapEngine
 from tests.conftest import SF_SMOKE
 
@@ -15,7 +20,9 @@ def engine(spark, tmp_path_factory):
     eng = OlapEngine(spark, storage_dir=str(tmp_path_factory.mktemp("cubes")))
     eng.register_sources(SF_SMOKE)
     eng.add_model(TPCH_MODEL)
+    eng.add_model(TPCH_MODEL_SEG)
     eng.build_cube(TPCH_CUBE)
+    eng.build_cube(TPCH_CUBE_SEG)
     return eng
 
 
@@ -52,8 +59,6 @@ ROUTED = [
 ]
 
 NOT_ROUTED = [
-    # group by a non-dimension column
-    "select l_shipdate, count(*) as n from lineitem group by l_shipdate",
     # aggregate over an expression
     "select l_returnflag, sum(l_extendedprice * (1 - l_discount)) as s from lineitem group by l_returnflag",
     # measure not declared (sum of l_tax)
@@ -63,6 +68,14 @@ NOT_ROUTED = [
        join nation on c_nationkey = n_nationkey group by c_mktsegment""",
     # filter on a non-dimension
     "select l_returnflag, count(*) as n from lineitem where l_quantity > 30 group by l_returnflag",
+    # derived recovery impossible: r_name's host FK (n_regionkey) not a dim
+    """select r_name, sum(l_quantity) as s from lineitem
+       join orders on l_orderkey = o_orderkey
+       join customer on o_custkey = c_custkey
+       join nation on c_nationkey = n_nationkey
+       join region on n_regionkey = r_regionkey
+       where l_shipdate >= date '1997-01-01'
+       group by r_name""",
 ]
 
 
@@ -85,6 +98,59 @@ def test_exact_match_is_project_only(engine):
            from lineitem group by l_returnflag, l_linestatus"""
     )
     assert engine.last_route.exact
+
+
+def test_segment_pruning_in_plan(engine):
+    """Date bounds must become PartitionFilters on __segment__ — whole
+    segment dirs skipped before file listing (FilePruner parity)."""
+    sql = """select l_returnflag, sum(l_quantity) as s from lineitem
+             where l_shipdate >= date '1995-06-01' and l_shipdate < date '1995-09-01'
+             group by l_returnflag"""
+    df = engine.sql(sql, validate=True)
+    route = engine.last_route
+    assert route is not None and route.cube == "tpch_cube_seg"
+    assert len(route.segment_filters) == 2
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    seg_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert seg_lines and "__segment__" in seg_lines[0], plan
+
+
+def test_segment_pruning_disabled_under_or(engine):
+    """OR makes bound-folding unsound — router must keep correctness by
+    skipping the fold (rows still filtered normally)."""
+    sql = """select l_returnflag, count(*) as n from lineitem
+             where l_shipdate >= date '1995-06-01' or l_returnflag = 'A'
+             group by l_returnflag"""
+    engine.sql(sql, validate=True)
+    route = engine.last_route
+    assert route is not None and route.segment_filters == []
+
+
+def test_derived_dimension_recovery(engine):
+    """n_name recovered via snapshot join on the c_nationkey host dim."""
+    sql = """select n_name, sum(l_quantity) as s from lineitem
+             join orders on l_orderkey = o_orderkey
+             join customer on o_custkey = c_custkey
+             join nation on c_nationkey = n_nationkey
+             where l_shipdate >= date '1996-01-01'
+             group by n_name"""
+    engine.sql(sql, validate=True)
+    route = engine.last_route
+    assert route is not None and route.cube == "tpch_cube_seg"
+    assert [lk.table for lk in route.derived] == ["nation"]
+
+
+def test_derived_filter_column(engine):
+    """Filter on a derived (lookup) column also recovered via snapshot."""
+    sql = """select l_returnflag, count(*) as n from lineitem
+             join orders on l_orderkey = o_orderkey
+             join customer on o_custkey = c_custkey
+             join nation on c_nationkey = n_nationkey
+             where n_name = 'CHINA' and l_shipdate >= date '1994-01-01'
+             group by l_returnflag"""
+    engine.sql(sql, validate=True)
+    route = engine.last_route
+    assert route is not None and route.derived
 
 
 def test_sort_limit_preserved(engine):

@@ -1,0 +1,97 @@
+"""Streaming semantics tests: segment ingest layout + late-event watermark
+policy (reference StreamingSegmentManager late-event accounting :178-181,
+348-350 — events within the lateness bound land in their original (older)
+window; events beyond the watermark are dropped)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+from pyspark.sql import functions as F
+
+from kylin_on_parquet_v2_spark.streaming.segments import (
+    SEGMENT_COL,
+    ingest_segments,
+    windowed_aggregate,
+)
+
+
+def _write_events(spark, path, rows):
+    df = spark.createDataFrame(rows, ["event_id", "ts", "event_type", "value"])
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def test_ingest_writes_hive_partitioned_segments(spark, tmp_path):
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 10, 5), "click", 1.0),
+        (2, dt.datetime(2024, 1, 1, 11, 5), "view", 2.0),
+        (3, dt.datetime(2024, 1, 2, 9, 0), "click", 3.0),
+    ]
+    _write_events(spark, src, rows)
+    ingest_segments(spark, src, out, ckpt, granularity="day")
+    seg_dirs = sorted(d for d in os.listdir(out) if d.startswith(SEGMENT_COL))
+    assert seg_dirs == [
+        f"{SEGMENT_COL}=2024-01-01-00",
+        f"{SEGMENT_COL}=2024-01-02-00",
+    ]
+    back = spark.read.parquet(out)
+    assert back.count() == 3
+    # partition pruning on the segment column reads one dir only
+    one = back.filter(F.col(SEGMENT_COL) == "2024-01-01-00")
+    assert one.count() == 2
+
+
+def test_watermark_drops_too_late_events(spark, tmp_path):
+    """Two micro-batches: batch 2 carries one acceptably-late event (inside
+    the 1h watermark -> merged into its original window) and one hopelessly
+    late event (beyond the watermark -> dropped from state in update mode)."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    name = "late_events_test"
+
+    base = dt.datetime(2024, 1, 1, 0, 0)
+
+    def rows_to_df(rows):
+        return spark.createDataFrame(rows, ["ts", "event_type", "value"])
+
+    stream = (
+        spark.readStream.schema(rows_to_df([(base, "x", 0.0)]).schema).parquet(src)
+    )
+    agg = windowed_aggregate(stream, ts_col="ts", window="1 hour", watermark="1 hour")
+    q = (
+        agg.writeStream.outputMode("update").format("memory").queryName(name).start()
+    )
+    try:
+        # batch 1: events at hours 0 and 10 -> watermark advances to 09:00
+        rows_to_df(
+            [
+                (base, "click", 1.0),
+                (base + dt.timedelta(hours=10), "click", 1.0),
+            ]
+        ).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+
+        # batch 2: hour 9:30 is within watermark (accepted into its window);
+        # hour 0:30 is far beyond it (dropped)
+        rows_to_df(
+            [
+                (base + dt.timedelta(hours=9, minutes=30), "click", 1.0),
+                (base + dt.timedelta(minutes=30), "click", 99.0),
+            ]
+        ).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    updates = spark.table(name).collect()
+    by_window = {}
+    for r in updates:  # later updates for a window supersede earlier ones
+        by_window[r.window_start] = r.n
+    assert by_window["2024-01-01 09:00:00"] == 1  # accepted late event
+    # the hopelessly late event must NOT have updated the 00:00 window
+    assert by_window["2024-01-01 00:00:00"] == 1
+    assert all(r.sum_value != 99.0 for r in updates)
