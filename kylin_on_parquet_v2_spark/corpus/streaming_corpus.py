@@ -112,10 +112,39 @@ def streaming_hybrid_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-key running
+    totals. Driven in ONE micro-batch so the emitted update rows equal the
+    batch aggregation — the oracle."""
+    from kylin_on_parquet_v2_spark.streaming.stateful import running_totals
+
+    views(spark, sf_dir)
+    src = _stream_source_dir(sf_dir)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    name = "stream_state_" + os.path.basename(os.path.abspath(sf_dir)).replace(".", "_")
+    q = (
+        running_totals(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name).select(
+        "event_type",
+        "n_total",
+        F.round("sum_value", 2).alias("sum_value"),
+        "n_batches",
+    ).orderBy("event_type")
+
+
 QUERIES = {
     "streaming_window_counts": streaming_window_counts,
     "streaming_segment_ingest": streaming_segment_ingest,
     "streaming_hybrid_union": streaming_hybrid_union,
+    "streaming_stateful_totals": streaming_stateful_totals,
 }
 
 ORACLES = {
@@ -141,6 +170,15 @@ ORACLES = {
         select event_type,
                count(*) * 2 as n,
                round(sum(value) * 2, 2) as sum_value
+        from events
+        group by event_type
+        order by event_type
+    """,
+    "streaming_stateful_totals": """
+        select event_type,
+               count(*) as n_total,
+               round(sum(value), 2) as sum_value,
+               cast(1 as bigint) as n_batches
         from events
         group by event_type
         order by event_type

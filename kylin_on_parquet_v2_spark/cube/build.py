@@ -183,7 +183,13 @@ class CubeBuilder:
     write_partitions = 8
 
     def _write_layout(self, df: DataFrame, path: str, segmented: bool) -> None:
-        if self.desc.shard_by and self.desc.shard_by in df.columns:
+        if segmented:
+            # dynamic-partition write rule: cluster rows by the partition
+            # column first, so each segment dir is written by one task (one
+            # file) instead of every write task spraying a sliver into every
+            # dir (the partitioned-write small-files explosion)
+            writer = df.repartition(F.col(SEGMENT_COL))
+        elif self.desc.shard_by and self.desc.shard_by in df.columns:
             # Shard parity (CubeBuildJob.java:326-357): co-locate rows by the
             # shard key so query-time groupBy/join on it avoids a shuffle
             # after AQE detects the layout.

@@ -1,0 +1,64 @@
+"""Segment merge job.
+
+Reference parity: ``kylin-spark-engine/.../job/CubeMergeJob.java`` +
+``DFLayoutMergeAssist.java`` — union the layouts of adjacent segments and
+re-aggregate them into one merged segment (Kylin's auto-merge keeps the
+segment count bounded as real-time/daily builds accumulate).
+
+Scale notes: merging re-aggregates layout rows (already tiny vs source
+data) — one groupBy per cuboid; writes replace N small segment dirs with
+one, which is also the small-files compaction path at 100 TB.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from kylin_on_parquet_v2_spark.cube import measures as M
+from kylin_on_parquet_v2_spark.cube.build import SEGMENT_COL, CubeInstance
+
+
+def merge_segments(
+    spark: SparkSession,
+    inst: CubeInstance,
+    segments: list[str],
+    new_segment: str,
+) -> None:
+    """Merge ``segments`` of every cuboid layout into ``new_segment``.
+
+    The merged rows are the re-aggregation of the input segments' rows
+    (COUNT->SUM, sketch-union, min/min, max/max — same rules as building a
+    child layout from its parent).
+    """
+    if not inst.segmented:
+        raise ValueError("cube is not segmented; nothing to merge")
+    if not segments:
+        raise ValueError("no segments given")
+
+    for cuboid_id, path in inst.layouts.items():
+        cuboid = inst.scheduler.cuboids[cuboid_id]
+        df = spark.read.parquet(path).filter(F.col(SEGMENT_COL).isin(segments))
+        aggs = []
+        for m in inst.desc.measures:
+            if m.name not in df.columns:
+                continue
+            c = M.reagg_from_layout(m)
+            if c is not None:
+                aggs.append(c)
+        keys = list(cuboid.dims)
+        merged = df.groupBy(*keys).agg(*aggs) if aggs else df.select(*keys).dropDuplicates()
+        # stage the merged segment, then atomically swap the old dirs out
+        staging = os.path.join(path, f"_staging_{SEGMENT_COL}={new_segment}")
+        merged.coalesce(1).write.mode("overwrite").parquet(staging)
+        for seg in segments:
+            seg_dir = os.path.join(path, f"{SEGMENT_COL}={seg}")
+            if os.path.exists(seg_dir):
+                shutil.rmtree(seg_dir)
+        final = os.path.join(path, f"{SEGMENT_COL}={new_segment}")
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.rename(staging, final)

@@ -69,6 +69,12 @@ def get_spark(app_name: str = "kylin-on-parquet-v2-spark") -> SparkSession:
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # bucketed-table support (shard-aware scans, KylinFileSourceScanExec
+        # parity): keep the warehouse + metastore out of the repo tree
+        .config("spark.sql.warehouse.dir", "/tmp/kylin_spark_warehouse")
+        .config(
+            "spark.driver.extraJavaOptions", "-Dderby.system.home=/tmp/kylin_derby"
+        )
     )
     return builder.getOrCreate()
 

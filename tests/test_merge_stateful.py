@@ -1,0 +1,95 @@
+"""Segment merge job + custom stateful streaming operator."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from kylin_on_parquet_v2_spark.cube.build import SEGMENT_COL, CubeBuilder
+from kylin_on_parquet_v2_spark.cube.merge import merge_segments
+from kylin_on_parquet_v2_spark.datasets import TPCH_CUBE_SEG, TPCH_MODEL_SEG
+from kylin_on_parquet_v2_spark.session import register_views
+from kylin_on_parquet_v2_spark.streaming.stateful import running_totals
+from tests.conftest import SF_SMOKE
+
+
+def test_merge_segments_preserves_answers(spark, tmp_path):
+    register_views(spark, SF_SMOKE)
+    inst = CubeBuilder(spark, TPCH_MODEL_SEG, TPCH_CUBE_SEG, str(tmp_path)).build()
+
+    base_layout = inst.layouts[inst.scheduler.find_best_match(frozenset()).cuboid_id]
+    any_layout = next(iter(inst.layouts.values()))
+    segs = sorted(
+        d.split("=", 1)[1]
+        for d in os.listdir(any_layout)
+        if d.startswith(SEGMENT_COL + "=")
+    )
+    assert len(segs) > 3, segs
+
+    def totals():
+        df = spark.read.parquet(inst.layouts[max(inst.layouts)])  # base cuboid
+        return (
+            df.groupBy("l_returnflag")
+            .agg(F.sum("_count").alias("n"), F.round(F.sum("sum_qty"), 2).alias("q"))
+            .collect()
+        )
+
+    before = {r.l_returnflag: (r.n, r.q) for r in totals()}
+    merge_segments(spark, inst, segments=segs[:3], new_segment=segs[0])
+    after = {r.l_returnflag: (r.n, r.q) for r in totals()}
+    assert before == after
+
+    merged_segs = sorted(
+        d.split("=", 1)[1]
+        for d in os.listdir(any_layout)
+        if d.startswith(SEGMENT_COL + "=")
+    )
+    assert len(merged_segs) == len(segs) - 2
+    del base_layout
+
+
+def test_stateful_running_totals_across_batches(spark, tmp_path):
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    schema_df = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1), "x", 1.0)], ["ts", "event_type", "value"]
+    )
+
+    stream = spark.readStream.schema(schema_df.schema).parquet(src)
+    out = running_totals(stream)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("running_totals_test")
+        .start()
+    )
+    try:
+        spark.createDataFrame(
+            [
+                (dt.datetime(2024, 1, 1, 0), "click", 1.0),
+                (dt.datetime(2024, 1, 1, 1), "click", 2.0),
+                (dt.datetime(2024, 1, 1, 2), "view", 5.0),
+            ],
+            schema_df.schema,
+        ).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        spark.createDataFrame(
+            [
+                (dt.datetime(2024, 1, 2, 0), "click", 3.0),
+            ],
+            schema_df.schema,
+        ).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = spark.table("running_totals_test").collect()
+    # state accumulated across batches: click ends at n=3, sum=6.0
+    final = {}
+    for r in rows:
+        final[r.event_type] = (r.n_total, round(r.sum_value, 2))  # later rows overwrite
+    assert final["click"] == (3, 6.0)
+    assert final["view"] == (1, 5.0)
