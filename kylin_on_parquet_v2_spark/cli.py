@@ -1,0 +1,88 @@
+"""Command-line SQL entry point (the reference's REST query endpoint,
+``server-base/.../QueryService``, reduced to its essence: SQL in, rows out,
+with transparent cube routing).
+
+Usage:
+    python -m kylin_on_parquet_v2_spark.cli "select ... from lineitem ..."
+    python -m kylin_on_parquet_v2_spark.cli --explain "select ..."
+    python -m kylin_on_parquet_v2_spark.cli --no-cube "select ..."  # pushdown only
+    python -m kylin_on_parquet_v2_spark.cli --build-only            # build cubes, exit
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import tempfile
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description="PySpark OLAP engine SQL shell")
+    p.add_argument("sql", nargs="?", help="SQL to run (omit with --build-only)")
+    p.add_argument(
+        "--sf-dir",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"),
+        help="source data directory (parquet per table)",
+    )
+    p.add_argument("--storage", default=None, help="cube layout storage dir")
+    p.add_argument("--no-cube", action="store_true", help="pushdown only (no routing)")
+    p.add_argument("--approx-distinct", action="store_true", help="allow hllc answers")
+    p.add_argument("--explain", action="store_true", help="print route + physical plan")
+    p.add_argument("--build-only", action="store_true", help="build cubes and exit")
+    p.add_argument("-n", "--rows", type=int, default=50, help="max rows to print")
+    args = p.parse_args(argv)
+
+    if not args.sql and not args.build_only:
+        p.error("provide SQL or --build-only")
+
+    from kylin_on_parquet_v2_spark.datasets import (
+        TPCH_CUBE,
+        TPCH_CUBE_SEG,
+        TPCH_MODEL,
+        TPCH_MODEL_SEG,
+    )
+    from kylin_on_parquet_v2_spark.query.engine import OlapEngine
+    from kylin_on_parquet_v2_spark.session import get_spark
+
+    spark = get_spark("kylin-cli")
+    spark.sparkContext.setLogLevel("ERROR")
+    storage = args.storage or os.path.join(
+        tempfile.gettempdir(),
+        "kylin_cli_cubes",
+        os.path.abspath(args.sf_dir).strip("/").replace("/", "_"),
+    )
+    eng = OlapEngine(spark, storage_dir=storage)
+    eng.register_sources(args.sf_dir)
+
+    if not args.no_cube:
+        t0 = time.perf_counter()
+        eng.add_model(TPCH_MODEL)
+        eng.add_model(TPCH_MODEL_SEG)
+        eng.build_cube(TPCH_CUBE)
+        eng.build_cube(TPCH_CUBE_SEG)
+        print(f"[cubes ready in {time.perf_counter() - t0:.1f}s]", file=sys.stderr)
+    if args.build_only:
+        return 0
+
+    if args.explain:
+        print(eng.explain(args.sql, approx_distinct=args.approx_distinct))
+        return 0
+
+    t0 = time.perf_counter()
+    df = eng.sql(args.sql, use_cube=not args.no_cube, approx_distinct=args.approx_distinct)
+    df.show(args.rows, truncate=False)
+    took = time.perf_counter() - t0
+    route = eng.last_route
+    via = (
+        f"cuboid {route.cuboid.dims} of {route.cube}"
+        if route is not None
+        else "pushdown (spark.sql)"
+    )
+    print(f"[{took:.2f}s via {via}]", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

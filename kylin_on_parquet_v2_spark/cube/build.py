@@ -170,7 +170,7 @@ class CubeBuilder:
         for m in self.desc.measures:
             if m.name not in parent.columns:
                 continue
-            c = M.reagg_from_layout(m)
+            c = M.reagg_from_layout(m, parent.schema)
             if c is not None:
                 aggs.append(c)
         keys = self._group_cols(cuboid, segmented)

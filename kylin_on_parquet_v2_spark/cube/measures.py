@@ -100,18 +100,26 @@ def build_agg(measure: MeasureDesc, schema: StructType | None = None) -> Column 
     raise ValueError(f"unhandled measure {f.expression}")
 
 
-def reagg_from_layout(measure: MeasureDesc) -> Column | None:
+def reagg_from_layout(measure: MeasureDesc, schema: StructType | None = None) -> Column | None:
     """Re-aggregate a stored layout column when the query groups by a strict
     subset of the cuboid's dims (or when merging child layouts).
 
-    COUNT becomes SUM (CuboidAggregator.scala:86-91); sketches union.
+    COUNT becomes SUM (CuboidAggregator.scala:86-91); sketches union. SUM
+    over a decimal layout column re-casts to the stored type — otherwise
+    each build layer widens precision again ((29,4) -> (38,4) -> ...), the
+    exact creep CuboidAggregator.scala:125-132 exists to stop.
     """
     f = measure.function
     name = measure.name
     if f.expression == "COUNT":
-        return F.sum(name).alias(name)
+        return F.sum(name).cast("long").alias(name)
     if f.expression == "SUM":
-        return F.sum(name).alias(name)
+        out = F.sum(name)
+        if schema is not None and name in schema.fieldNames():
+            dt = schema[name].dataType
+            if isinstance(dt, DecimalType):
+                out = out.cast(dt)
+        return out.alias(name)
     if f.expression == "MIN":
         return F.min(name).alias(name)
     if f.expression == "MAX":

@@ -46,7 +46,7 @@ def merge_segments(
         for m in inst.desc.measures:
             if m.name not in df.columns:
                 continue
-            c = M.reagg_from_layout(m)
+            c = M.reagg_from_layout(m, df.schema)
             if c is not None:
                 aggs.append(c)
         keys = list(cuboid.dims)

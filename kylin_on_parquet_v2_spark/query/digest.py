@@ -63,6 +63,9 @@ class SqlDigest:
     filter_cols: set[str] = field(default_factory=set)
     sort: list[tuple[str, bool]] = field(default_factory=list)  # (col, asc)
     limit: int | None = None
+    #: HAVING over select-output aliases (Filter above Aggregate), post-agg
+    having_sql: str | None = None
+    having_cols: set[str] = field(default_factory=set)
 
     @property
     def aggs(self) -> list[AggCall]:
@@ -184,6 +187,19 @@ def _extract(plan) -> SqlDigest | None:  # noqa: C901 — one dispatch walk
             colname = child_sql.split(".")[-1]
             asc = "ASC" in str(so.direction().sql()).upper()
             digest.sort.append((colname, asc))
+        node = node.child()
+    # HAVING: a Filter sitting directly above the Aggregate whose condition
+    # references only select-output attributes (Spark resolves `having
+    # sum(x) > k` onto the matching select alias when one exists; aggs not
+    # in the select list create an extended-Aggregate shape => pushdown).
+    if _cls(node) == "Filter" and _cls(node.child()) == "Aggregate":
+        cond = node.condition()
+        refs = _attr_names(cond)
+        sql = _unqualify(cond.sql(), refs)
+        if sql is None:
+            return None
+        digest.having_sql = sql
+        digest.having_cols = refs
         node = node.child()
     if _cls(node) != "Aggregate":
         return None

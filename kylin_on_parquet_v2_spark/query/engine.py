@@ -55,8 +55,19 @@ class OlapEngine:
 
     # -- query ---------------------------------------------------------------
 
-    def sql(self, query: str, use_cube: bool = True, validate: bool = False) -> DataFrame:
-        """Answer ``query``; serve from a cuboid when provably equivalent."""
+    def sql(
+        self,
+        query: str,
+        use_cube: bool = True,
+        validate: bool = False,
+        approx_distinct: bool = False,
+    ) -> DataFrame:
+        """Answer ``query``; serve from a cuboid when provably equivalent.
+
+        ``approx_distinct=True`` additionally lets COUNT(DISTINCT col) be
+        answered from a declared hllc sketch measure (accuracy-bounded, the
+        reference's hllc semantics) when the column is not a dimension.
+        """
         df = self.spark.sql(query)
         self.last_route = None
         if not use_cube or not self.cubes:
@@ -65,7 +76,7 @@ class OlapEngine:
         if digest is None:
             return df
         for inst in self.cubes.values():
-            route = plan_route(digest, inst)
+            route = plan_route(digest, inst, approx_distinct=approx_distinct)
             if route is None:
                 continue
             routed = execute_route(digest, inst, route, self.spark)
@@ -74,6 +85,21 @@ class OlapEngine:
             self.last_route = route
             return routed
         return df
+
+    def explain(self, query: str, approx_distinct: bool = False) -> str:
+        """Human-readable routing decision + physical plan for ``query``."""
+        df = self.sql(query, approx_distinct=approx_distinct)
+        route = self.last_route
+        head = (
+            f"route: cube={route.cube} cuboid={route.cuboid.dims} "
+            f"exact={route.exact} derived={[lk.table for lk in route.derived]} "
+            f"segment_filters={route.segment_filters} "
+            f"approx_distinct={route.approx_distinct}"
+            if route is not None
+            else "route: none (pushdown — plain spark.sql)"
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return head + "\n" + plan
 
     def pushdown(self, query: str) -> DataFrame:
         """The always-correct flat path (reference SparkSqlClient.scala:41-55)."""

@@ -46,6 +46,9 @@ class Route:
     derived: list[JoinTable] = field(default_factory=list)
     #: pruning predicates on the segment partition column
     segment_filters: list[str] = field(default_factory=list)
+    #: alias -> hll measure name, for COUNT DISTINCT served approximately
+    #: (the reference's hllc measure semantics — opt-in via engine.sql)
+    approx_distinct: dict[str, str] = field(default_factory=dict)
 
 
 def _match_joins(digest: SqlDigest, inst: CubeInstance) -> bool:
@@ -138,12 +141,26 @@ def _fold_segment_filters(digest: SqlDigest, inst: CubeInstance) -> list[str]:
     return out
 
 
-def plan_route(digest: SqlDigest, inst: CubeInstance) -> Route | None:
+def _hll_measure_for(col: str, inst: CubeInstance) -> MeasureDesc | None:
+    for m in inst.desc.measures:
+        if (
+            m.function.expression == "COUNT_DISTINCT"
+            and m.function.parameter == col
+            and (m.function.returntype or "").startswith("hllc")
+        ):
+            return m
+    return None
+
+
+def plan_route(
+    digest: SqlDigest, inst: CubeInstance, approx_distinct: bool = False
+) -> Route | None:
     if not _match_joins(digest, inst):
         return None
     dims = set(inst.desc.dimensions)
     needed: set[str] = set()
     derived: dict[str, JoinTable] = {}
+    approx: dict[str, str] = {}
 
     def _need(col: str) -> bool:
         """Register a column the layout must provide; True if coverable."""
@@ -165,7 +182,11 @@ def plan_route(digest: SqlDigest, inst: CubeInstance) -> Route | None:
         if agg.distinct:
             if agg.func != "COUNT" or agg.column is None:
                 return None
-            if not _need(agg.column):  # exact distinct: served from dimensions
+            if agg.column in dims:
+                needed.add(agg.column)  # exact distinct from dimensions
+            elif approx_distinct and _hll_measure_for(agg.column, inst) is not None:
+                approx[agg.alias] = _hll_measure_for(agg.column, inst).name
+            elif not _need(agg.column):
                 return None
         elif agg.func == "AVG":
             if _measure_for(AggCall("SUM", agg.column, False, ""), inst) is None:
@@ -175,6 +196,12 @@ def plan_route(digest: SqlDigest, inst: CubeInstance) -> Route | None:
         else:
             if _measure_for(agg, inst) is None:
                 return None
+
+    if digest.having_sql is not None:
+        # HAVING refs must be select outputs (post-agg filter is then sound)
+        out_names = {s.name for s in digest.select}
+        if not digest.having_cols <= out_names:
+            return None
 
     cuboid = inst.scheduler.find_best_match(frozenset(needed))
     if cuboid is None or cuboid.cuboid_id not in inst.layouts:
@@ -191,6 +218,7 @@ def plan_route(digest: SqlDigest, inst: CubeInstance) -> Route | None:
         exact=exact,
         derived=list(derived.values()),
         segment_filters=_fold_segment_filters(digest, inst),
+        approx_distinct=approx,
     )
 
 
@@ -233,7 +261,14 @@ def execute_route(digest: SqlDigest, inst: CubeInstance, route: Route, spark) ->
                 continue
             agg = item.agg
             if agg.distinct:
-                agg_cols.append(F.countDistinct(agg.column).alias(item.name))
+                if item.name in route.approx_distinct:
+                    agg_cols.append(
+                        F.hll_sketch_estimate(
+                            F.hll_union_agg(route.approx_distinct[item.name])
+                        ).alias(item.name)
+                    )
+                else:
+                    agg_cols.append(F.countDistinct(agg.column).alias(item.name))
             elif agg.func == "AVG":
                 s = _measure_for(AggCall("SUM", agg.column, False, ""), inst)
                 c = _measure_for(AggCall("COUNT", None, False, ""), inst)
@@ -249,6 +284,8 @@ def execute_route(digest: SqlDigest, inst: CubeInstance, route: Route, spark) ->
         result = grouped.agg(*agg_cols)
         result = result.select(*[item.name for item in digest.select])
 
+    if digest.having_sql is not None:
+        result = result.filter(F.expr(digest.having_sql))
     if digest.sort:
         result = result.orderBy(
             *[F.col(c).asc() if asc else F.col(c).desc() for c, asc in digest.sort]

@@ -153,6 +153,49 @@ def test_derived_filter_column(engine):
     assert route is not None and route.derived
 
 
+def test_having_routed(engine):
+    """HAVING over a select alias routes and filters post-aggregation."""
+    sql = """select l_returnflag, sum(l_quantity) as s from lineitem
+             group by l_returnflag having sum(l_quantity) > 1000"""
+    engine.sql(sql, validate=True)
+    assert engine.last_route is not None
+
+
+def test_having_on_hidden_agg_falls_back(engine):
+    """HAVING on an agg absent from the select list (extended-Aggregate
+    shape) is not routed — pushdown answers it."""
+    sql = """select l_returnflag, sum(l_quantity) as s from lineitem
+             group by l_returnflag having count(*) > 5"""
+    df = engine.sql(sql)
+    assert engine.last_route is None
+    assert df.count() > 0
+
+
+def test_approx_distinct_via_hll_measure(engine):
+    """COUNT(DISTINCT l_suppkey): not a dimension, but the cube declares an
+    hllc measure on it — approx routing is opt-in and accuracy-bounded."""
+    sql = """select l_returnflag, count(distinct l_suppkey) as nd
+             from lineitem group by l_returnflag"""
+    df_default = engine.sql(sql)
+    assert engine.last_route is None  # exact answer required by default
+    exact = {r.l_returnflag: r.nd for r in df_default.collect()}
+
+    df_approx = engine.sql(sql, approx_distinct=True)
+    route = engine.last_route
+    assert route is not None and route.approx_distinct == {"nd": "hll_suppkey"}
+    for r in df_approx.collect():
+        assert abs(r.nd - exact[r.l_returnflag]) / exact[r.l_returnflag] < 0.05
+
+
+def test_explain_reports_route(engine):
+    out = engine.explain(
+        "select l_returnflag, count(*) as n from lineitem group by l_returnflag"
+    )
+    assert out.startswith("route: cube=tpch_cube")
+    out2 = engine.explain("select l_shipdate from lineitem limit 1")
+    assert out2.startswith("route: none")
+
+
 def test_sort_limit_preserved(engine):
     sql = """select p_brand, sum(l_quantity) as s from lineitem
              join part on l_partkey = p_partkey
