@@ -21,6 +21,7 @@ def _modules():
         cube_routed,
         functions_date,
         functions_misc,
+        functions_more,
         functions_string,
         grouping,
         measures,
@@ -42,6 +43,7 @@ def _modules():
         functions_string,
         functions_date,
         functions_misc,
+        functions_more,
         measures,
         advanced,
         pipeline,

@@ -168,7 +168,24 @@ def cube_routed_topn_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("p_brand", F.round("revenue", 2).alias("revenue"))
 
 
+def cube_routed_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING over a select alias, applied post-aggregation on the layout."""
+    eng = engine(spark, sf_dir)
+    df = eng.sql(
+        """
+        select p_brand, sum(l_quantity) as sum_qty
+        from lineitem join part on l_partkey = p_partkey
+        group by p_brand
+        having sum(l_quantity) > 100
+        order by p_brand
+        """
+    )
+    assert eng.last_route is not None, "expected cuboid route for having query"
+    return df.select("p_brand", F.round("sum_qty", 2).alias("sum_qty"))
+
+
 QUERIES = {
+    "cube_routed_having": cube_routed_having,
     "cube_routed_q1": cube_routed_q1,
     "cube_routed_snowflake": cube_routed_snowflake,
     "cube_routed_filter_dim": cube_routed_filter_dim,
@@ -179,6 +196,13 @@ QUERIES = {
 }
 
 ORACLES = {
+    "cube_routed_having": """
+        select p_brand, round(sum(l_quantity), 2) as sum_qty
+        from lineitem join part on l_partkey = p_partkey
+        group by p_brand
+        having sum(l_quantity) > 100
+        order by p_brand
+    """,
     "cube_routed_q1": """
         select l_returnflag, l_linestatus,
                round(sum(l_quantity), 2) as sum_qty,

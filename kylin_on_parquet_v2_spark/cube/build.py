@@ -53,9 +53,18 @@ class CubeInstance:
     #: column -> hosting table (fact + lookups), resolved at build time; used
     #: by the router for derived-dimension recovery (DerivedProcess parity)
     column_tables: dict[str, str] = field(default_factory=dict)
+    #: lookup-table snapshot parquet paths, frozen at build time
+    #: (reference TableScanPlan.createLookupTable / SparderLookupManager)
+    snapshots: dict[str, str] = field(default_factory=dict)
 
     def layout_df(self, spark: SparkSession, cuboid: Cuboid) -> DataFrame:
         return spark.read.parquet(self.layouts[cuboid.cuboid_id])
+
+    def lookup_df(self, spark: SparkSession, table: str) -> DataFrame:
+        """Lookup rows as of build time (snapshot), falling back to the live
+        view if no snapshot exists (pre-snapshot cubes)."""
+        path = self.snapshots.get(table)
+        return spark.read.parquet(path) if path else spark.table(table)
 
     def meta_path(self) -> str:
         return os.path.join(self.storage_dir, self.desc.name, "cube_meta.json")
@@ -68,6 +77,7 @@ class CubeInstance:
             "measures": [m.name for m in self.desc.measures],
             "segmented": self.segmented,
             "layouts": {str(k): v for k, v in self.layouts.items()},
+            "snapshots": self.snapshots,
         }
         with open(self.meta_path(), "w") as fh:
             json.dump(meta, fh, indent=2)
@@ -133,6 +143,13 @@ class CubeBuilder:
                 built[cuboid.cuboid_id] = self.spark.read.parquet(path)
         finally:
             flat.unpersist()
+        # freeze lookup snapshots (queries against the cube must see the
+        # lookup rows the cube was built with, not later mutations)
+        snap_root = os.path.join(cube_dir, "snapshots")
+        for lk in self.model.lookups:
+            snap_path = os.path.join(snap_root, lk.name)
+            self.spark.table(lk.table).coalesce(1).write.mode("overwrite").parquet(snap_path)
+            inst.snapshots[lk.table] = snap_path
         inst.save_meta()
         return inst
 

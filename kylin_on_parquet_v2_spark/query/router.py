@@ -231,9 +231,11 @@ def execute_route(digest: SqlDigest, inst: CubeInstance, route: Route, spark) ->
     if SEGMENT_COL in df.columns:
         df = df.drop(SEGMENT_COL)
 
-    # derived-dimension recovery: broadcast-join lookups back on host FKs
+    # derived-dimension recovery: broadcast-join the build-time snapshot
+    # back on host FKs (snapshot, not live view: the cube's answers must be
+    # consistent with the rows it was built from)
     for lk in route.derived:
-        lookup = spark.table(lk.table)
+        lookup = inst.lookup_df(spark, lk.table)
         cond = None
         for fk, pk in zip(lk.join.foreign_key, lk.join.primary_key):
             c = df[fk] == lookup[pk]

@@ -146,7 +146,7 @@ def test_derived_filter_column(engine):
              join orders on l_orderkey = o_orderkey
              join customer on o_custkey = c_custkey
              join nation on c_nationkey = n_nationkey
-             where n_name = 'CHINA' and l_shipdate >= date '1994-01-01'
+             where n_name = 'NATION_5' and l_shipdate >= date '1994-01-01'
              group by l_returnflag"""
     engine.sql(sql, validate=True)
     route = engine.last_route

@@ -27,7 +27,7 @@ FILTERS = [
     "l_linestatus <> 'F'",
     "o_orderstatus in ('F', 'O')",
     "p_brand like 'Brand#1%'",
-    "n_name = 'CHINA' or n_name = 'JAPAN'",
+    "n_name = 'NATION_3' or n_name = 'NATION_7'",
 ]
 # join chains, each a prefix-closed path through the model graph
 JOIN_SETS = {
