@@ -181,7 +181,30 @@ def pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured columns: JSON property extraction + typed aggregation
+    (beyond the reference — it has no JSON functions at all; a training-data
+    pipeline lives on them). get_json_object is JVM-side (Jackson), and
+    from_json gives the typed-struct path."""
+    views(spark, sf_dir)
+    ev = spark.table("events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    typed = F.from_json("props", "k INT")
+    return (
+        ev.select("event_type", k.alias("k"), typed.getField("k").alias("k_typed"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.sum("k_typed").cast("long").alias("sum_k_typed"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
+    "json_extract_props": json_extract_props,
     "theta_join": theta_join,
     "mass_in_filter": mass_in_filter,
     "sum0_null_to_zero": sum0_null_to_zero,
@@ -193,6 +216,16 @@ QUERIES = {
 }
 
 ORACLES = {
+    "json_extract_props": """
+        select event_type,
+               count(*) as n,
+               cast(sum(cast(json_extract_string(props, '$.k') as int)) as bigint) as sum_k,
+               cast(sum(cast(json_extract_string(props, '$.k') as int)) as bigint) as sum_k_typed,
+               max(cast(json_extract_string(props, '$.k') as int)) as max_k
+        from events
+        group by event_type
+        order by event_type
+    """,
     "theta_join": """
         select s_suppkey, count(*) as n_poorer_compatriots
         from supplier join customer
