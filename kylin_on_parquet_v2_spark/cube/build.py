@@ -128,19 +128,7 @@ class CubeBuilder:
         flat = flat.select(*[c for c in flat.columns if c in needed])
         flat.persist()
         try:
-            built: dict[int, DataFrame] = {}
-            for cuboid, parent in self.scheduler.spanning_tree():
-                if parent is None:
-                    df = self._agg_from_flat(flat, cuboid, inst.segmented)
-                else:
-                    df = self._agg_from_parent(built[parent.cuboid_id], cuboid, inst.segmented)
-                path = os.path.join(cube_dir, f"cuboid={cuboid.cuboid_id}")
-                self._write_layout(df, path, inst.segmented)
-                inst.layouts[cuboid.cuboid_id] = path
-                # Re-read the written layout as the parent for children: the
-                # reference builds children from *persisted* parents, which
-                # also truncates the lineage (no exploding plan down layers).
-                built[cuboid.cuboid_id] = self.spark.read.parquet(path)
+            self._build_layers(flat, cube_dir, inst)
         finally:
             flat.unpersist()
         # freeze lookup snapshots (queries against the cube must see the
@@ -154,6 +142,41 @@ class CubeBuilder:
         return inst
 
     # -- internals -----------------------------------------------------------
+
+    #: concurrent layout builds within a lattice layer. Spark schedules jobs
+    #: submitted from multiple threads concurrently (FIFO pool), so small
+    #: per-cuboid write jobs overlap instead of leaving cores idle between
+    #: stages. Layers are a natural barrier: a cuboid of size k only ever
+    #: reads parents of size > k.
+    build_parallelism = 4
+
+    def _build_layers(self, flat: DataFrame, cube_dir: str, inst: CubeInstance) -> None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        tree = self.scheduler.spanning_tree()
+        built: dict[int, DataFrame] = {}
+        layers: dict[int, list] = {}
+        for cuboid, parent in tree:
+            layers.setdefault(cuboid.n_dims, []).append((cuboid, parent))
+
+        def _one(cuboid: Cuboid, parent: Cuboid | None) -> tuple[int, str]:
+            if parent is None:
+                df = self._agg_from_flat(flat, cuboid, inst.segmented)
+            else:
+                df = self._agg_from_parent(built[parent.cuboid_id], cuboid, inst.segmented)
+            path = os.path.join(cube_dir, f"cuboid={cuboid.cuboid_id}")
+            self._write_layout(df, path, inst.segmented)
+            return cuboid.cuboid_id, path
+
+        for size in sorted(layers, reverse=True):
+            wave = layers[size]
+            with ThreadPoolExecutor(max_workers=self.build_parallelism) as pool:
+                for cuboid_id, path in pool.map(lambda cp: _one(*cp), wave):
+                    inst.layouts[cuboid_id] = path
+                    # persisted parent for the next layer: re-reading the
+                    # written layout truncates lineage (the reference builds
+                    # children from persisted parents too)
+                    built[cuboid_id] = self.spark.read.parquet(path)
 
     def _flat_with_segment(self) -> DataFrame:
         flat = self.model.flat_table(self.spark)

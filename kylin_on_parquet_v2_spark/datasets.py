@@ -82,6 +82,10 @@ TPCH_CUBE = CubeDesc(
             # region > nation is a natural hierarchy: no cuboid keeps n_name
             # without r_name's ancestor slot being free — prunes the lattice.
             hierarchies=(("r_name", "n_name"),),
+            # deep combinations re-aggregate from the base cuboid instead of
+            # being materialized (max-combination safeguard) — ~1/3 fewer
+            # layouts with no routing-correctness impact.
+            max_combination=3,
         ),
     ),
     shard_by="p_brand",

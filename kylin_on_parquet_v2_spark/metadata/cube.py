@@ -76,9 +76,16 @@ class AggregationGroup:
     mandatory: tuple[str, ...] = ()
     hierarchies: tuple[tuple[str, ...], ...] = ()
     joints: tuple[tuple[str, ...], ...] = ()
+    #: cap on dimensions per cuboid (the spirit of the reference's
+    #: kylin.cube.aggrgroup.max-combination safeguard): wide group-bys are
+    #: served by re-aggregating the base cuboid instead of materializing
+    #: every deep combination. None = unlimited.
+    max_combination: int | None = None
 
     def valid(self, dims: frozenset[str]) -> bool:
         if not dims <= set(self.includes):
+            return False
+        if self.max_combination is not None and len(dims) > self.max_combination:
             return False
         if not set(self.mandatory) <= dims:
             return False
