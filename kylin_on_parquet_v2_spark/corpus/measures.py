@@ -169,7 +169,27 @@ def raw_detail_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def aggregates_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: stddev/variance (sample), median, correlation,
+    covariance — completes the aggregate surface beyond the reference's
+    measure list (its AVG-style rewrites stop at SUM/COUNT)."""
+    views(spark, sf_dir)
+    li = spark.table("lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev("l_quantity"), 4).alias("sd_qty"),
+            F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+            F.round(F.median("l_quantity"), 4).alias("med_qty"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qp"),
+            F.round(F.covar_samp("l_quantity", "l_discount"), 4).alias("cov_qd"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 QUERIES = {
+    "aggregates_stats": aggregates_stats,
     "percentile_exact": percentile_exact,
     "percentile_approx_sketch": percentile_approx_sketch,
     "topn_per_group": topn_per_group,
@@ -181,6 +201,17 @@ QUERIES = {
 }
 
 ORACLES = {
+    "aggregates_stats": """
+        select l_returnflag,
+               round(stddev(l_quantity), 4) as sd_qty,
+               round(var_samp(l_quantity), 4) as var_qty,
+               round(median(l_quantity), 4) as med_qty,
+               round(corr(l_quantity, l_extendedprice), 4) as corr_qp,
+               round(covar_samp(l_quantity, l_discount), 4) as cov_qd
+        from lineitem
+        group by l_returnflag
+        order by l_returnflag
+    """,
     "percentile_exact": """
         select l_returnflag,
                round(quantile_cont(l_extendedprice, 0.5), 4) as p50,

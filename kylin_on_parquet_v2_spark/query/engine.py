@@ -75,16 +75,24 @@ class OlapEngine:
         digest = extract_digest(df)
         if digest is None:
             return df
+        # realization choice (RealizationChooser parity): among all cubes
+        # that can answer, prefer exact-match hits, then the narrowest
+        # cuboid (fewest dims => fewest layout rows scanned)
+        candidates: list[tuple[CubeInstance, Route]] = []
         for inst in self.cubes.values():
             route = plan_route(digest, inst, approx_distinct=approx_distinct)
-            if route is None:
-                continue
-            routed = execute_route(digest, inst, route, self.spark)
-            if validate:
-                self._assert_same(routed, df)
-            self.last_route = route
-            return routed
-        return df
+            if route is not None:
+                candidates.append((inst, route))
+        if not candidates:
+            return df
+        inst, route = min(
+            candidates, key=lambda c: (not c[1].exact, c[1].cuboid.n_dims)
+        )
+        routed = execute_route(digest, inst, route, self.spark)
+        if validate:
+            self._assert_same(routed, df)
+        self.last_route = route
+        return routed
 
     def explain(self, query: str, approx_distinct: bool = False) -> str:
         """Human-readable routing decision + physical plan for ``query``."""

@@ -91,6 +91,28 @@ def test_ann_lsh_results_are_true_cosines(spark):
         assert truth[(r.query_id, r.cand_id)] == r.cos
 
 
+def test_lsh_neardup_pairs_subset_of_bruteforce(spark):
+    """Scale path sanity: near-dup pairs found within LSH buckets are a
+    subset of brute-force pairs, with identical cosine values."""
+    emb = spark.table("embeddings").filter(F.col("vec_id") < 150)
+    brute = {
+        (r.id_a, r.id_b): r.cos
+        for r in S.embedding_neardup_pairs(emb, threshold=-1.0).collect()
+    }
+    bucketed = S.lsh_bucket(emb)
+    a = bucketed.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "bucket")
+    b = bucketed.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), "bucket")
+    in_bucket = (
+        a.join(b, ["bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(S.cosine(F.col("va"), F.col("vb")), 6).alias("cos"))
+        .collect()
+    )
+    assert in_bucket, "expected at least one same-bucket pair"
+    for r in in_bucket:
+        assert brute[(r.id_a, r.id_b)] == r.cos
+
+
 def test_multimodal_decode_deterministic_and_consistent(spark):
     assets = MM.synthesize_assets(spark.table("documents").limit(50))
     a = sorted(map(str, MM.decode_features(assets).collect()))

@@ -115,3 +115,49 @@ def test_routed_equals_pushdown(spark, sql):
     eng = _engine(spark)
     eng.sql(sql, validate=True)  # raises on any routed/pushdown divergence
     assert eng.last_route is not None, f"expected route for generated query: {sql}"
+
+
+@st.composite
+def segmented_query(draw):
+    """Random date-range filters against the month-segmented cube: exercises
+    segment-bound folding across operators and granularity edges."""
+    lo_m = draw(st.integers(min_value=1, max_value=12))
+    lo_y = draw(st.integers(min_value=1992, max_value=1997))
+    hi_y = draw(st.integers(min_value=lo_y, max_value=1998))
+    hi_m = draw(st.integers(min_value=1, max_value=12))
+    op_lo = draw(st.sampled_from([">=", ">"]))
+    op_hi = draw(st.sampled_from(["<", "<="]))
+    group = draw(
+        st.lists(
+            st.sampled_from(["l_returnflag", "l_linestatus"]),
+            min_size=1,
+            max_size=2,
+            unique=True,
+        )
+    )
+    sel = ", ".join(group)
+    return (
+        f"select {sel}, sum(l_quantity) as sq, count(*) as n from lineitem "
+        f"where l_shipdate {op_lo} date '{lo_y}-{lo_m:02d}-15' "
+        f"and l_shipdate {op_hi} date '{hi_y}-{hi_m:02d}-15' "
+        f"group by {', '.join(group)}"
+    )
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(sql=segmented_query())
+def test_segment_pruned_routes_equal_pushdown(spark, sql):
+    from kylin_on_parquet_v2_spark.datasets import TPCH_CUBE_SEG, TPCH_MODEL_SEG
+
+    eng = _engine(spark)
+    if TPCH_CUBE_SEG.name not in eng.cubes:
+        eng.add_model(TPCH_MODEL_SEG)
+        eng.build_cube(TPCH_CUBE_SEG)
+    eng.sql(sql, validate=True)
+    route = eng.last_route
+    assert route is not None and route.cube == TPCH_CUBE_SEG.name, sql
+    assert route.segment_filters, sql

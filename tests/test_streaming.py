@@ -45,6 +45,34 @@ def test_ingest_writes_hive_partitioned_segments(spark, tmp_path):
     assert one.count() == 2
 
 
+def test_checkpoint_resume_is_exactly_once(spark, tmp_path):
+    """Offsets + checkpoint (reference CheckPointStore): re-running ingest
+    with the same checkpoint must process only NEW files — no duplicates,
+    no gaps."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    rows1 = [(1, dt.datetime(2024, 1, 1, 10), "click", 1.0)]
+    rows2 = [(2, dt.datetime(2024, 1, 2, 10), "view", 2.0)]
+    df1 = spark.createDataFrame(rows1, ["event_id", "ts", "event_type", "value"])
+    schema = df1.schema
+    df1.coalesce(1).write.mode("append").parquet(src)
+    ingest_segments(spark, src, out, ckpt, granularity="day", schema=schema)
+    assert spark.read.parquet(out).count() == 1
+
+    # second run with NO new data: nothing re-processed
+    ingest_segments(spark, src, out, ckpt, granularity="day", schema=schema)
+    assert spark.read.parquet(out).count() == 1
+
+    # drop one new file: exactly the delta lands
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(src)
+    ingest_segments(spark, src, out, ckpt, granularity="day", schema=schema)
+    got = spark.read.parquet(out)
+    assert got.count() == 2
+    assert {r.event_id for r in got.collect()} == {1, 2}
+
+
 def test_watermark_drops_too_late_events(spark, tmp_path):
     """Two micro-batches: batch 2 carries one acceptably-late event (inside
     the 1h watermark -> merged into its original window) and one hopelessly
