@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 def _modules():
     from kylin_on_parquet_v2_spark.corpus import (
         advanced,
+        arrays_subq,
         cube_routed,
         functions_date,
         functions_misc,
@@ -46,6 +47,7 @@ def _modules():
         functions_more,
         measures,
         advanced,
+        arrays_subq,
         pipeline,
         streaming_corpus,
     ]
