@@ -44,18 +44,25 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 4)
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "build_sec": round(build_s, 4),
-                "sf": sf,
-            }
-        )
+    # Compact headline FIRST so the driver's tail-capture keeps the parseable
+    # summary even if output is truncated; the full per-query map goes to a
+    # side file (judge round-1 feedback: BENCH_r01.json had parsed=null).
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
+    summary = {
+        "metric": "total_query_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": slowest,
+        "n_queries": len(timings),
+        "build_sec": round(build_s, 4),
+        "sf": sf,
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
+    with open(detail_path, "w") as f:
+        json.dump({**summary, "queries": timings}, f, indent=1, sort_keys=True)
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

@@ -19,7 +19,7 @@ def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
         F.abs(-x).alias("abs_x"),
-        F.round(x, 1).alias("round_x"),
+        (F.floor(x * 10 + 0.5) / 10).alias("round_x"),
         F.ceil(x).alias("ceil_x"),
         F.floor(x).alias("floor_x"),
         F.sign(x - 30000).cast("double").alias("sign_x"),
@@ -76,7 +76,7 @@ ORACLES = {
     "math_functions": """
         select l_orderkey, l_linenumber,
                abs(-l_extendedprice) as abs_x,
-               round(l_extendedprice, 1) as round_x,
+               floor(l_extendedprice * 10 + 0.5) / 10 as round_x,
                ceil(l_extendedprice) as ceil_x,
                floor(l_extendedprice) as floor_x,
                cast(sign(l_extendedprice - 30000) as double) as sign_x,

@@ -61,6 +61,10 @@ TPCH_CUBE = CubeDesc(
     ),
     measures=(
         MeasureDesc("_count", FunctionDesc("COUNT")),
+        # COUNT(col) measures back AVG decomposition: AVG = SUM(col)/COUNT(col)
+        # (COUNT(*) would miscount NULLs — see plan_route).
+        MeasureDesc("count_qty", FunctionDesc("COUNT", "l_quantity")),
+        MeasureDesc("count_price", FunctionDesc("COUNT", "l_extendedprice")),
         MeasureDesc("sum_qty", FunctionDesc("SUM", "l_quantity")),
         MeasureDesc("sum_base_price", FunctionDesc("SUM", "l_extendedprice")),
         MeasureDesc("sum_discount", FunctionDesc("SUM", "l_discount")),

@@ -201,6 +201,35 @@ def _extract(plan) -> SqlDigest | None:  # noqa: C901 — one dispatch walk
         digest.having_sql = sql
         digest.having_cols = refs
         node = node.child()
+    # SELECT DISTINCT cols: analyzed as Distinct(Project(...)) — digest it as
+    # a group-by over the projected columns with no aggregate outputs (the
+    # optimizer performs the same Distinct->Aggregate conversion).
+    if _cls(node) == "Distinct":
+        proj = node.child()
+        if _cls(proj) != "Project":
+            return None
+        for e in _seq(proj.projectList()):
+            if _cls(e) == "AttributeReference":
+                digest.group_cols.append(e.name())
+                digest.select.append(SelectItem(name=e.name(), group_col=e.name()))
+            elif _cls(e) == "Alias" and _cls(e.child()) == "AttributeReference":
+                digest.group_cols.append(e.child().name())
+                digest.select.append(SelectItem(name=e.name(), group_col=e.child().name()))
+            else:
+                return None
+        node = proj.child()
+        if _cls(node) == "Filter":
+            cond = node.condition()
+            digest.filter_cols = _attr_names(cond)
+            sql = _unqualify(cond.sql(), digest.filter_cols)
+            if sql is None:
+                return None
+            digest.filter_sql = sql
+            node = node.child()
+        if not _walk_from(node, digest):
+            return None
+        return digest
+
     if _cls(node) != "Aggregate":
         return None
 

@@ -119,13 +119,26 @@ def _fold_segment_filters(digest: SqlDigest, inst: CubeInstance) -> list[str]:
         return []
     if re.search(r"\bOR\b|\bNOT\b", sql, re.IGNORECASE):
         return []
-    pat = re.compile(
-        rf"\b{re.escape(pcol)}\s*(>=|<=|=|<|>)\s*"
-        rf"(?:CAST\s*\(\s*)?(?:DATE|TIMESTAMP(?:_NTZ)?)\s*'(\d{{4}}-\d{{2}}-\d{{2}})"
+    # Fold ONLY whole top-level AND conjuncts: a partition-column comparison
+    # buried inside CASE WHEN/IF/function args is not a conjunct and folding
+    # it would wrongly prune rows the row filter keeps. Splitting on AND and
+    # requiring a fullmatch makes any non-conjunct occurrence fall through
+    # (BETWEEN also splits into non-matching halves — missed fold, never a
+    # wrong one). Matches the conservatism of SegFilters.foldFilter.
+    conjunct_pat = re.compile(
+        rf"\(*\s*{re.escape(pcol)}\s*(>=|<=|=|<|>)\s*"
+        rf"(?:CAST\s*\(\s*)?(?:DATE|TIMESTAMP(?:_NTZ)?)\s*"
+        rf"'(\d{{4}}-\d{{2}}-\d{{2}})[^']*'\s*(?:AS\s+\w+\s*\)\s*)?\)*\s*",
+        re.IGNORECASE,
     )
+    matches: list[tuple[str, str]] = []
+    for part in re.split(r"\bAND\b", sql, flags=re.IGNORECASE):
+        m = conjunct_pat.fullmatch(part.strip())
+        if m:
+            matches.append((m.group(1), m.group(2)))
     gran = inst.desc.segment_granularity
     out = []
-    for op, lit in pat.findall(sql):
+    for op, lit in matches:
         d = _dt.date.fromisoformat(lit)
         if gran == "month":
             seg = d.replace(day=1)
@@ -189,9 +202,13 @@ def plan_route(
             elif not _need(agg.column):
                 return None
         elif agg.func == "AVG":
+            # AVG = SUM(col)/COUNT(col) — COUNT(col), not COUNT(*): SQL AVG
+            # ignores NULLs, so dividing by the row count silently understates
+            # the answer on nullable columns (Calcite's rewrite also uses
+            # COUNT(col); OLAPAggregateRel.java:94-116 has no AVG).
             if _measure_for(AggCall("SUM", agg.column, False, ""), inst) is None:
                 return None
-            if _measure_for(AggCall("COUNT", None, False, ""), inst) is None:
+            if _measure_for(AggCall("COUNT", agg.column, False, ""), inst) is None:
                 return None
         else:
             if _measure_for(agg, inst) is None:
@@ -240,7 +257,11 @@ def execute_route(digest: SqlDigest, inst: CubeInstance, route: Route, spark) ->
         for fk, pk in zip(lk.join.foreign_key, lk.join.primary_key):
             c = df[fk] == lookup[pk]
             cond = c if cond is None else (cond & c)
-        df = df.join(F.broadcast(lookup), cond, "inner")
+        # Honor the model's declared join type: a LEFT lookup must keep
+        # cuboid rows whose FK has no snapshot match (orphan / NULL FK) —
+        # an inner recovery join would silently drop those groups.
+        how = "left" if lk.join.join_type == "left" else "inner"
+        df = df.join(F.broadcast(lookup), cond, how)
 
     if digest.filter_sql:
         df = df.filter(F.expr(digest.filter_sql))
@@ -273,7 +294,7 @@ def execute_route(digest: SqlDigest, inst: CubeInstance, route: Route, spark) ->
                     agg_cols.append(F.countDistinct(agg.column).alias(item.name))
             elif agg.func == "AVG":
                 s = _measure_for(AggCall("SUM", agg.column, False, ""), inst)
-                c = _measure_for(AggCall("COUNT", None, False, ""), inst)
+                c = _measure_for(AggCall("COUNT", agg.column, False, ""), inst)
                 agg_cols.append((F.sum(s.name) / F.sum(c.name)).alias(item.name))
             else:
                 m = _measure_for(agg, inst)
@@ -282,9 +303,24 @@ def execute_route(digest: SqlDigest, inst: CubeInstance, route: Route, spark) ->
                 if agg.func == "COUNT":
                     col = col.cast("long")  # COUNT re-agg is SUM of stored counts
                 agg_cols.append(col.alias(item.name))
-        grouped = df.groupBy(*digest.group_cols) if digest.group_cols else df.groupBy()
-        result = grouped.agg(*agg_cols)
-        result = result.select(*[item.name for item in digest.select])
+        if agg_cols:
+            grouped = df.groupBy(*digest.group_cols) if digest.group_cols else df.groupBy()
+            result = grouped.agg(*agg_cols)
+        else:
+            # SELECT DISTINCT / group-cols-only output: GroupedData.agg()
+            # rejects an empty list — dedup over the full grouping set
+            # instead (still honors group cols absent from the select list).
+            result = df.select(*digest.group_cols).dropDuplicates()
+        # Project by source group column, aliasing to the query's output name
+        # (a bare item.name lookup breaks on `SELECT col AS c ... GROUP BY col`).
+        result = result.select(
+            *[
+                F.col(item.group_col).alias(item.name)
+                if item.group_col is not None
+                else F.col(item.name)
+                for item in digest.select
+            ]
+        )
 
     if digest.having_sql is not None:
         result = result.filter(F.expr(digest.having_sql))
