@@ -35,6 +35,47 @@ def cube_routed_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cube_routed_q1_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL TPC-H q1: expression measures sum(l_extendedprice*(1-l_discount))
+    and sum(...*(1+l_tax)) routed onto cuboid measures over model computed
+    columns (CreateFlatTable.scala:43-95 materialization +
+    OLAPAggregateRel.java:528-600 rewrite), with the date filter folded into
+    segment pruning on the month-partitioned cube."""
+    eng = engine(spark, sf_dir)
+    df = eng.sql(
+        """
+        select l_returnflag, l_linestatus,
+               sum(l_quantity) as sum_qty,
+               sum(l_extendedprice) as sum_base_price,
+               sum(l_extendedprice * (1 - l_discount)) as sum_disc_price,
+               sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) as sum_charge,
+               avg(l_quantity) as avg_qty,
+               avg(l_extendedprice) as avg_price,
+               avg(l_discount) as avg_disc,
+               count(*) as count_order
+        from lineitem
+        where l_shipdate <= date '1998-09-02'
+        group by l_returnflag, l_linestatus
+        order by l_returnflag, l_linestatus
+        """
+    )
+    route = eng.last_route
+    assert route is not None, "expected cuboid route for cube_routed_q1_revenue"
+    assert route.cube == "tpch_cube_seg", route
+    return df.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.round("sum_qty", 2).alias("sum_qty"),
+        F.round("sum_base_price", 2).alias("sum_base_price"),
+        F.round("sum_disc_price", 2).alias("sum_disc_price"),
+        F.round("sum_charge", 2).alias("sum_charge"),
+        F.round("avg_qty", 2).alias("avg_qty"),
+        F.round("avg_price", 2).alias("avg_price"),
+        F.round("avg_disc", 2).alias("avg_disc"),
+        "count_order",
+    )
+
+
 def cube_routed_snowflake(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snowflake aggregate routed onto a cuboid with re-aggregation + AVG
     decomposition (SUM/COUNT)."""
@@ -187,6 +228,7 @@ def cube_routed_having(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "cube_routed_having": cube_routed_having,
     "cube_routed_q1": cube_routed_q1,
+    "cube_routed_q1_revenue": cube_routed_q1_revenue,
     "cube_routed_snowflake": cube_routed_snowflake,
     "cube_routed_filter_dim": cube_routed_filter_dim,
     "cube_routed_global": cube_routed_global,
@@ -208,6 +250,21 @@ ORACLES = {
                round(sum(l_quantity), 2) as sum_qty,
                count(*) as count_order
         from lineitem
+        group by l_returnflag, l_linestatus
+        order by l_returnflag, l_linestatus
+    """,
+    "cube_routed_q1_revenue": """
+        select l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) as sum_qty,
+               round(sum(l_extendedprice), 2) as sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) as sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) as sum_charge,
+               round(avg(l_quantity), 2) as avg_qty,
+               round(avg(l_extendedprice), 2) as avg_price,
+               round(avg(l_discount), 2) as avg_disc,
+               count(*) as count_order
+        from lineitem
+        where l_shipdate <= date '1998-09-02'
         group by l_returnflag, l_linestatus
         order by l_returnflag, l_linestatus
     """,

@@ -56,6 +56,10 @@ class CubeInstance:
     #: lookup-table snapshot parquet paths, frozen at build time
     #: (reference TableScanPlan.createLookupTable / SparderLookupManager)
     snapshots: dict[str, str] = field(default_factory=dict)
+    #: canonical resolved SQL -> computed-column name, for rewriting
+    #: agg-over-expression calls onto computed-column measures
+    #: (CreateFlatTable.scala:43-95 / OLAPAggregateRel.java:528-600)
+    computed_canon: dict[str, str] = field(default_factory=dict)
 
     def layout_df(self, spark: SparkSession, cuboid: Cuboid) -> DataFrame:
         return spark.read.parquet(self.layouts[cuboid.cuboid_id])
@@ -78,6 +82,7 @@ class CubeInstance:
             "segmented": self.segmented,
             "layouts": {str(k): v for k, v in self.layouts.items()},
             "snapshots": self.snapshots,
+            "computed_columns": self.computed_canon,
         }
         with open(self.meta_path(), "w") as fh:
             json.dump(meta, fh, indent=2)
@@ -115,6 +120,15 @@ class CubeBuilder:
             segmented=self.model.partition_column is not None,
             column_tables=column_tables,
         )
+        # Computed columns are resolved against the fact schema once here;
+        # the router compares query agg expressions against these canonical
+        # forms (both sides resolve to the same coerced tree).
+        from kylin_on_parquet_v2_spark.query.digest import resolved_expr_canon
+
+        for cc_name, cc_expr in self.model.computed_columns.items():
+            canon = resolved_expr_canon(self.spark, self.model.fact_table, cc_expr)
+            if canon is not None:
+                inst.computed_canon[canon] = cc_name
 
         flat = self._flat_with_segment()
         # Column pruning at the source: only dims + measure inputs survive.

@@ -22,9 +22,18 @@ from kylin_on_parquet_v2_spark.metadata import (
 #: lineitem fact star/snowflake: orders, part, supplier (+customer via orders,
 #: nation/region via customer — snowflake hops, like the reference's
 #: FACT→ORDER→ACCOUNT→COUNTRY depth-3 chain).
+#: TPC-H q1's expression measures, declared as model computed columns and
+#: materialized in the flat table at build (CreateFlatTable.scala:43-95);
+#: the router rewrites matching agg-over-expression calls onto them.
+_COMPUTED = {
+    "revenue": "l_extendedprice * (1 - l_discount)",
+    "charge": "l_extendedprice * (1 - l_discount) * (1 + l_tax)",
+}
+
 TPCH_MODEL = DataModel(
     name="tpch_star",
     fact_table="lineitem",
+    computed_columns=_COMPUTED,
     lookups=(
         JoinTable("orders", JoinDesc(("l_orderkey",), ("o_orderkey",), "inner")),
         JoinTable("part", JoinDesc(("l_partkey",), ("p_partkey",), "inner")),
@@ -71,6 +80,10 @@ TPCH_CUBE = CubeDesc(
         MeasureDesc("min_price", FunctionDesc("MIN", "l_extendedprice")),
         MeasureDesc("max_price", FunctionDesc("MAX", "l_extendedprice")),
         MeasureDesc("hll_suppkey", FunctionDesc("COUNT_DISTINCT", "l_suppkey", "hllc(12)")),
+        # expression measures over model computed columns
+        MeasureDesc("sum_revenue", FunctionDesc("SUM", "revenue")),
+        MeasureDesc("count_revenue", FunctionDesc("COUNT", "revenue")),
+        MeasureDesc("sum_charge", FunctionDesc("SUM", "charge")),
     ),
     aggregation_groups=(
         AggregationGroup(
@@ -102,6 +115,7 @@ TPCH_MODEL_SEG = DataModel(
     name="tpch_star_seg",
     fact_table="lineitem",
     lookups=TPCH_MODEL.lookups,
+    computed_columns=_COMPUTED,
     partition_column="l_shipdate",
 )
 
@@ -120,7 +134,14 @@ TPCH_CUBE_SEG = CubeDesc(
     measures=(
         MeasureDesc("_count", FunctionDesc("COUNT")),
         MeasureDesc("sum_qty", FunctionDesc("SUM", "l_quantity")),
+        MeasureDesc("count_qty", FunctionDesc("COUNT", "l_quantity")),
         MeasureDesc("sum_price", FunctionDesc("SUM", "l_extendedprice")),
+        MeasureDesc("count_price", FunctionDesc("COUNT", "l_extendedprice")),
+        MeasureDesc("sum_disc", FunctionDesc("SUM", "l_discount")),
+        MeasureDesc("count_disc", FunctionDesc("COUNT", "l_discount")),
+        # full TPC-H q1 from the segmented cube: expression measures
+        MeasureDesc("sum_revenue", FunctionDesc("SUM", "revenue")),
+        MeasureDesc("sum_charge", FunctionDesc("SUM", "charge")),
     ),
     segment_granularity="month",
 )

@@ -30,9 +30,39 @@ _EQ_PAIR = re.compile(r"\(?\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*\)?")
 @dataclass
 class AggCall:
     func: str  # SUM | MIN | MAX | COUNT | AVG
-    column: str | None  # unqualified; None for count(*)
+    column: str | None  # unqualified; None for count(*) / agg-over-expression
     distinct: bool
     alias: str
+    #: canonical SQL of the aggregated expression when it is not a bare
+    #: column — matched against the model's declared computed columns
+    #: (reference: CreateFlatTable.scala:43-95 bakes computed columns into
+    #: the flat table; OLAPAggregateRel.java:528-600 rewrites agg calls
+    #: over them onto measures)
+    expr_sql: str | None = None
+
+
+def canonical_expr_sql(sql: str) -> str:
+    """Normalize a *resolved* expression's SQL for structural comparison:
+    strip backticks and table qualifiers, collapse whitespace, lowercase.
+
+    Both sides of a computed-column match are resolved against the same
+    fact-table schema (same parse tree, same type-coercion casts), so their
+    ``Expression.sql()`` forms are directly comparable after this cleanup.
+    """
+    s = sql.replace("`", "")
+    s = re.sub(r"\b[A-Za-z_]\w*\.(?=[A-Za-z_])", "", s)  # table qualifiers
+    return re.sub(r"\s+", " ", s).strip().lower()
+
+
+def resolved_expr_canon(spark, table: str, expr_sql: str) -> str | None:
+    """Canonical form of ``expr_sql`` resolved against ``table``'s schema
+    (used at cube-build time for declared computed columns)."""
+    try:
+        proj = spark.table(table).selectExpr(f"({expr_sql}) AS __cc__")
+        alias = proj._jdf.queryExecution().analyzed().projectList().apply(0)
+        return canonical_expr_sql(alias.child().sql())
+    except Exception:
+        return None
 
 
 @dataclass
@@ -264,16 +294,31 @@ def _extract(plan) -> SqlDigest | None:  # noqa: C901 — one dispatch walk
         distinct = bool(m.group(2))
         arg = m.group(3).strip()
         refs = _attr_names(child)
+        expr_canon = None
         if arg == "1" and func == "COUNT":
             col = None
         elif len(refs) == 1 and _QUALIFIED.fullmatch(arg):
             col = arg.split(".")[-1]
+        elif not distinct and refs:
+            # agg over an expression: keep its canonical form so the router
+            # can match it against a declared computed-column measure
+            col = None
+            expr_canon = canonical_expr_sql(arg)
         else:
-            return None  # agg over an expression — pushdown for now
+            return None
         if distinct and func != "COUNT":
             return None
         digest.select.append(
-            SelectItem(name=alias, agg=AggCall(func=func, column=col, distinct=distinct, alias=alias))
+            SelectItem(
+                name=alias,
+                agg=AggCall(
+                    func=func,
+                    column=col,
+                    distinct=distinct,
+                    alias=alias,
+                    expr_sql=expr_canon,
+                ),
+            )
         )
 
     node = agg_node.child()

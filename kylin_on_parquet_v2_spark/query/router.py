@@ -86,8 +86,17 @@ def _measure_for(agg: AggCall, inst: CubeInstance) -> MeasureDesc | None:
     want = {"COUNT": "COUNT", "SUM": "SUM", "MIN": "MIN", "MAX": "MAX"}.get(agg.func)
     if want is None:
         return None
+    column = agg.column
+    if agg.expr_sql is not None:
+        # Agg over an expression: usable only when the model declares a
+        # matching computed column (materialized in the flat table at build,
+        # CreateFlatTable.scala:43-95) — rewrite onto its measure
+        # (OLAPAggregateRel.java:528-600).
+        column = inst.computed_canon.get(agg.expr_sql)
+        if column is None:
+            return None
     for m in inst.desc.measures:
-        if m.function.expression == want and m.function.parameter == agg.column:
+        if m.function.expression == want and m.function.parameter == column:
             return m
     return None
 
@@ -206,9 +215,9 @@ def plan_route(
             # ignores NULLs, so dividing by the row count silently understates
             # the answer on nullable columns (Calcite's rewrite also uses
             # COUNT(col); OLAPAggregateRel.java:94-116 has no AVG).
-            if _measure_for(AggCall("SUM", agg.column, False, ""), inst) is None:
+            if _measure_for(AggCall("SUM", agg.column, False, "", agg.expr_sql), inst) is None:
                 return None
-            if _measure_for(AggCall("COUNT", agg.column, False, ""), inst) is None:
+            if _measure_for(AggCall("COUNT", agg.column, False, "", agg.expr_sql), inst) is None:
                 return None
         else:
             if _measure_for(agg, inst) is None:
@@ -293,8 +302,8 @@ def execute_route(digest: SqlDigest, inst: CubeInstance, route: Route, spark) ->
                 else:
                     agg_cols.append(F.countDistinct(agg.column).alias(item.name))
             elif agg.func == "AVG":
-                s = _measure_for(AggCall("SUM", agg.column, False, ""), inst)
-                c = _measure_for(AggCall("COUNT", agg.column, False, ""), inst)
+                s = _measure_for(AggCall("SUM", agg.column, False, "", agg.expr_sql), inst)
+                c = _measure_for(AggCall("COUNT", agg.column, False, "", agg.expr_sql), inst)
                 agg_cols.append((F.sum(s.name) / F.sum(c.name)).alias(item.name))
             else:
                 m = _measure_for(agg, inst)

@@ -56,11 +56,17 @@ ROUTED = [
     """select p_brand, sum(l_quantity) as s from lineitem
        join part on l_partkey = p_partkey
        group by p_brand order by s desc limit 5""",
+    # aggregate over an expression matching a declared computed column
+    # (CreateFlatTable.scala:43-95 materialization + OLAPAggregateRel.java
+    # :528-600 measure rewrite)
+    "select l_returnflag, sum(l_extendedprice * (1 - l_discount)) as s from lineitem group by l_returnflag",
+    # AVG over a computed column decomposes to its SUM/COUNT measures
+    "select l_returnflag, avg(l_extendedprice * (1 - l_discount)) as a from lineitem group by l_returnflag",
 ]
 
 NOT_ROUTED = [
-    # aggregate over an expression
-    "select l_returnflag, sum(l_extendedprice * (1 - l_discount)) as s from lineitem group by l_returnflag",
+    # aggregate over an expression with no matching computed column
+    "select l_returnflag, sum(l_extendedprice * (1 + l_discount)) as s from lineitem group by l_returnflag",
     # measure not declared (sum of l_tax)
     "select l_returnflag, sum(l_tax) as s from lineitem group by l_returnflag",
     # join not in the model
@@ -194,6 +200,19 @@ def test_explain_reports_route(engine):
     assert out.startswith("route: cube=tpch_cube")
     out2 = engine.explain("select l_shipdate from lineitem limit 1")
     assert out2.startswith("route: none")
+
+
+def test_expression_measure_routes_to_computed_column(engine):
+    """The real TPC-H q1 revenue aggregate is served from the sum_revenue
+    measure over the model's `revenue` computed column, not the flat path."""
+    sql = """select l_returnflag, sum(l_extendedprice * (1 - l_discount)) as rev
+             from lineitem group by l_returnflag"""
+    engine.sql(sql, validate=True)
+    route = engine.last_route
+    assert route is not None
+    # the layout serves the expression from a stored measure: no flat scan
+    digest_cols = {c for c in ("l_extendedprice", "l_discount")}
+    assert not digest_cols & set(route.cuboid.dims)
 
 
 def test_sort_limit_preserved(engine):
