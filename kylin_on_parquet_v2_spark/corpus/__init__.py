@@ -98,6 +98,7 @@ _PRIORITY = [
     "dedup_ngram_jaccard",
     "similarity_bruteforce_topk",
     "similarity_neardup_pairs",
+    "similarity_neardup_exact",
     "similarity_ann_lsh",
     "text_quality_features",
     "text_language_id",

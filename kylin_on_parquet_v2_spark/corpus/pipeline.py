@@ -73,9 +73,21 @@ def similarity_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def similarity_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed near-dup pairs over the FULL embeddings table — the
+    scale path: an equi (hash) join on the bucket key, never an all-pairs
+    nested-loop join. Deterministic (seeded planes), so fully oracle-checked;
+    subset-of-bruteforce recall is asserted in tests."""
+    views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    return S.embedding_neardup_pairs_lsh(emb, threshold=0.3).orderBy("id_a", "id_b")
+
+
+def similarity_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairwise near-dup baseline — quadratic BY DESIGN, so the export
+    caps the corpus (small-N); at scale use similarity_neardup_pairs."""
     views(spark, sf_dir)
     emb = spark.table("embeddings").filter(F.col("vec_id") < 200)
-    return S.embedding_neardup_pairs(emb, threshold=0.5).orderBy("id_a", "id_b")
+    return S.embedding_neardup_pairs(emb, threshold=0.3).orderBy("id_a", "id_b")
 
 
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -142,6 +154,7 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "similarity_bruteforce_topk": similarity_bruteforce_topk,
     "similarity_neardup_pairs": similarity_neardup_pairs,
+    "similarity_neardup_exact": similarity_neardup_exact,
     "similarity_ann_lsh": similarity_ann_lsh,
     "text_quality_features": text_quality_features,
     "text_language_id": text_language_id,
@@ -184,6 +197,19 @@ _COS = (
     "(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * "
     "sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6)"
 )
+
+
+def _lsh_bucket_sql() -> str:
+    """DuckDB replica of pipeline.similarity.lsh_bucket: the bucket bit is
+    the sign of a dot product against the same seeded plane literals."""
+    bits = []
+    for plane in S.lsh_planes():
+        lit = "[" + ", ".join(repr(x) for x in plane) + "]::DOUBLE[]"
+        bits.append(
+            f"(case when list_dot_product(embedding::DOUBLE[], {lit}) >= 0 "
+            "then '1' else '0' end)"
+        )
+    return " || ".join(bits)
 
 ORACLES = {
     "dedup_exact": f"""
@@ -260,10 +286,20 @@ ORACLES = {
         order by query_id, rn
     """,
     "similarity_neardup_pairs": f"""
+        with bk as (
+            select vec_id, embedding, {_lsh_bucket_sql()} as bucket
+            from embeddings
+        )
+        select a.vec_id as id_a, b.vec_id as id_b, {_COS} as cos
+        from bk a join bk b on a.bucket = b.bucket and a.vec_id < b.vec_id
+        where {_COS} >= 0.3
+        order by id_a, id_b
+    """,
+    "similarity_neardup_exact": f"""
         select a.vec_id as id_a, b.vec_id as id_b, {_COS} as cos
         from embeddings a join embeddings b on a.vec_id < b.vec_id
         where a.vec_id < 200 and b.vec_id < 200
-          and {_COS} >= 0.5
+          and {_COS} >= 0.3
         order by id_a, id_b
     """,
     # similarity_ann_lsh: rows-only (approximate by design)

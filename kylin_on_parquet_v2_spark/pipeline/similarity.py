@@ -98,6 +98,55 @@ def embedding_neardup_pairs(
     )
 
 
+def lsh_planes(n_planes: int = 8, dim: int = 64, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (seeded, driver-side).
+
+    Exposed so oracles can replay the exact same constants (the bucket bit is
+    the sign of a dot product against these literals — engine-independent)."""
+    import random
+
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def embedding_neardup_pairs_lsh(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs via LSH bucketing — the 100 TB scale path.
+
+    Vectors are bucketed by random-hyperplane signature and exact cosine is
+    computed only *within* buckets: an equi-join on ``bucket`` (hash join,
+    shuffle on the bucket key) instead of the all-pairs nested-loop join of
+    :func:`embedding_neardup_pairs`. Cost drops from O(N^2) to
+    sum-over-buckets O(b^2); recall < 1 by design (near-dups with cosine ~1
+    almost always share all plane signs, so high-threshold recall is high).
+    Output is a subset of the brute-force pairs (asserted in tests).
+    """
+    b = lsh_bucket(corpus, n_planes, id_col, vec_col, dim, seed)
+    a_side = b.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket"
+    )
+    b_side = b.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket"
+    )
+    return (
+        a_side.join(b_side, on="bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
 def lsh_bucket(
     corpus: DataFrame,
     n_planes: int = 8,
@@ -113,10 +162,7 @@ def lsh_bucket(
     driver-side (n_planes x dim floats — metadata-sized) and folded into the
     plan as literals, so executors evaluate pure expressions.
     """
-    import random
-
-    rng = random.Random(seed)
-    planes = [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+    planes = lsh_planes(n_planes, dim, seed)
     bits = []
     for p in planes:
         plane_col = F.array(*[F.lit(x) for x in p])

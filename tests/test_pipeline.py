@@ -99,18 +99,25 @@ def test_lsh_neardup_pairs_subset_of_bruteforce(spark):
         (r.id_a, r.id_b): r.cos
         for r in S.embedding_neardup_pairs(emb, threshold=-1.0).collect()
     }
-    bucketed = S.lsh_bucket(emb)
-    a = bucketed.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "bucket")
-    b = bucketed.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), "bucket")
-    in_bucket = (
-        a.join(b, ["bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.round(S.cosine(F.col("va"), F.col("vb")), 6).alias("cos"))
-        .collect()
-    )
+    in_bucket = S.embedding_neardup_pairs_lsh(emb, threshold=-1.0).collect()
     assert in_bucket, "expected at least one same-bucket pair"
     for r in in_bucket:
         assert brute[(r.id_a, r.id_b)] == r.cos
+
+
+def test_lsh_neardup_plan_is_hash_join_on_bucket(spark):
+    """The scale path must execute as an equi (hash) join on the bucket key —
+    an all-pairs BroadcastNestedLoopJoin would be quadratic at 100 TB."""
+    emb = spark.table("embeddings")
+    plan = (
+        S.embedding_neardup_pairs_lsh(emb)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    join_lines = [ln for ln in plan.splitlines() if "Join" in ln and "bucket" in ln]
+    assert join_lines, plan
 
 
 def test_multimodal_decode_deterministic_and_consistent(spark):
