@@ -60,9 +60,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_df caps hot (boilerplate) shingles before the self-join — the
+    guard that keeps the co-occurrence join sparse at corpus scale; the
+    oracle replicates the capped shingle universe exactly."""
     views(spark, sf_dir)
     docs = spark.table("documents").filter(F.col("doc_id") < 100)
-    return D.ngram_jaccard_pairs(docs, threshold=0.2).orderBy("doc_a", "doc_b")
+    return D.ngram_jaccard_pairs(docs, threshold=0.1, max_df=50).orderBy(
+        "doc_a", "doc_b"
+    )
 
 
 def similarity_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -246,7 +251,7 @@ ORACLES = {
     """,
     "dedup_simhash": _simhash_oracle(),
     "dedup_ngram_jaccard": f"""
-        with sh2 as (
+        with sh2_all as (
             select doc_id, distinct_sh as sh from (
                 select doc_id,
                        unnest(list_distinct(list_transform(
@@ -261,6 +266,10 @@ ORACLES = {
                   and len(string_split({_NORM}, ' ')) < 2
             )
         ),
+        sh2 as (
+            select doc_id, sh from sh2_all
+            where sh in (select sh from sh2_all group by sh having count(*) <= 50)
+        ),
         sizes as (select doc_id, count(*) as sz from sh2 group by doc_id),
         inter as (
             select a.doc_id as doc_a, b.doc_id as doc_b, count(*) as inter
@@ -272,7 +281,7 @@ ORACLES = {
         from inter
           join sizes sa on sa.doc_id = doc_a
           join sizes sb on sb.doc_id = doc_b
-        where round(inter / (sa.sz + sb.sz - inter), 6) >= 0.2
+        where round(inter / (sa.sz + sb.sz - inter), 6) >= 0.1
         order by doc_a, doc_b
     """,
     "similarity_bruteforce_topk": f"""

@@ -161,13 +161,31 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 2,
     threshold: float = 0.2,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact pairwise n-gram Jaccard similarity >= threshold.
 
     |A ∩ B| via shingle co-occurrence self-join (only docs sharing a shingle
     ever meet — sparse at scale), |A|,|B| via per-doc counts broadcast back.
+
+    ``max_df`` caps shingle document frequency BEFORE the self-join: a
+    shingle occurring in k documents emits k^2/2 join rows, so one piece of
+    boilerplate (shared header/footer) makes the join quadratic at corpus
+    scale. Shingles with df > max_df are dropped from the shingle universe
+    (both intersections AND sizes — jaccard stays internally consistent over
+    the capped universe). Bounded loss: only pairs whose *entire* overlap is
+    boilerplate are missed, which is exactly the non-duplicate traffic the
+    cap exists to suppress. Cost: one extra groupBy on the shingle key.
     """
     sh = shingle_rows(docs, text_col, id_col, n).dropDuplicates([id_col, "sh"])
+    if max_df is not None:
+        rare = (
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select("sh")
+        )
+        sh = sh.join(rare, "sh", "left_semi")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")

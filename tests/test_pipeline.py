@@ -57,6 +57,32 @@ def test_simhash_near_duplicates_close(spark):
     assert hamming(got[1], got[2]) <= 8
 
 
+def test_ngram_jaccard_df_cap_bounds_boilerplate_pairs(spark):
+    """A shingle shared by every doc (boilerplate header) emits k^2/2 join
+    rows; the df cap must drop it so pair counts stay bounded while genuine
+    overlap still scores."""
+    n_docs = 40
+    rows = [
+        (i, f"standard corporate header text unique{i} body{i} content{i}")
+        for i in range(n_docs)
+    ]
+    # two genuine near-dups sharing real (rare) content
+    rows.append((1000, "standard corporate header text real shared body content here"))
+    rows.append((1001, "standard corporate header text real shared body content here"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    uncapped = D.ngram_jaccard_pairs(docs, threshold=0.01).collect()
+    capped = D.ngram_jaccard_pairs(docs, threshold=0.01, max_df=10).collect()
+    # boilerplate-only overlap explodes without the cap...
+    assert len(uncapped) > n_docs * (n_docs - 1) / 4
+    # ...and collapses with it, keeping the genuine near-dup pair
+    assert len(capped) < len(uncapped) / 10
+    assert (1000, 1001) in {(r.doc_a, r.doc_b) for r in capped}
+    # capped jaccard of the true pair is over the rare-shingle universe only
+    true_pair = [r for r in capped if (r.doc_a, r.doc_b) == (1000, 1001)]
+    assert true_pair[0].jaccard == 1.0
+
+
 def test_minhash_similarity_tracks_jaccard(spark):
     rows = [
         (1, " ".join(f"w{i}" for i in range(40))),
