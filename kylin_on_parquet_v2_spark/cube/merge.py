@@ -22,17 +22,41 @@ from kylin_on_parquet_v2_spark.cube import measures as M
 from kylin_on_parquet_v2_spark.cube.build import SEGMENT_COL, CubeInstance
 
 
+#: target parquet file size for merged segments (Spark's default
+#: maxPartitionBytes — one scan task per merged file downstream)
+TARGET_FILE_BYTES = 128 * 1024 * 1024
+
+
+def _segment_bytes(path: str, segments: list[str]) -> int:
+    """On-disk bytes of the segment dirs being merged (upper bound on the
+    merged output — re-aggregation only shrinks it)."""
+    total = 0
+    for seg in segments:
+        seg_dir = os.path.join(path, f"{SEGMENT_COL}={seg}")
+        if os.path.isdir(seg_dir):
+            for root, _dirs, files in os.walk(seg_dir):
+                total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+    return total
+
+
 def merge_segments(
     spark: SparkSession,
     inst: CubeInstance,
     segments: list[str],
     new_segment: str,
+    target_file_bytes: int = TARGET_FILE_BYTES,
 ) -> None:
     """Merge ``segments`` of every cuboid layout into ``new_segment``.
 
     The merged rows are the re-aggregation of the input segments' rows
     (COUNT->SUM, sketch-union, min/min, max/max — same rules as building a
     child layout from its parent).
+
+    The merged segment is written with a size-based repartition (input
+    bytes / target_file_bytes), NOT coalesce(1): a merged segment of a big
+    cube at scale must not funnel through one task into one >2 GB file —
+    merging is the small-files *compaction* path, and ~128 MB files keep
+    one scan task per file downstream.
     """
     if not inst.segmented:
         raise ValueError("cube is not segmented; nothing to merge")
@@ -51,9 +75,10 @@ def merge_segments(
                 aggs.append(c)
         keys = list(cuboid.dims)
         merged = df.groupBy(*keys).agg(*aggs) if aggs else df.select(*keys).dropDuplicates()
+        n_files = max(1, _segment_bytes(path, segments) // max(1, target_file_bytes))
         # stage the merged segment, then atomically swap the old dirs out
         staging = os.path.join(path, f"_staging_{SEGMENT_COL}={new_segment}")
-        merged.coalesce(1).write.mode("overwrite").parquet(staging)
+        merged.repartition(n_files).write.mode("overwrite").parquet(staging)
         for seg in segments:
             seg_dir = os.path.join(path, f"{SEGMENT_COL}={seg}")
             if os.path.exists(seg_dir):

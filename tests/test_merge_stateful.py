@@ -51,6 +51,39 @@ def test_merge_segments_preserves_answers(spark, tmp_path):
     del base_layout
 
 
+def test_merge_writes_size_based_files(spark, tmp_path):
+    """A large merged segment must NOT be a single coalesce(1) file — the
+    write is repartitioned by input bytes / target file size (compaction
+    with a bounded file size, never a one-task funnel)."""
+    register_views(spark, SF_SMOKE)
+    inst = CubeBuilder(spark, TPCH_MODEL_SEG, TPCH_CUBE_SEG, str(tmp_path)).build()
+    base = inst.layouts[max(inst.layouts)]
+    segs = sorted(
+        d.split("=", 1)[1]
+        for d in os.listdir(base)
+        if d.startswith(SEGMENT_COL + "=")
+    )
+
+    def totals():
+        df = spark.read.parquet(base)
+        return {
+            r.l_returnflag: (r.n, r.q)
+            for r in df.groupBy("l_returnflag")
+            .agg(F.sum("_count").alias("n"), F.round(F.sum("sum_qty"), 2).alias("q"))
+            .collect()
+        }
+
+    before = totals()
+    # tiny target => the input bytes demand several output files
+    merge_segments(
+        spark, inst, segments=segs, new_segment=segs[0], target_file_bytes=4096
+    )
+    assert totals() == before
+    merged_dir = os.path.join(base, f"{SEGMENT_COL}={segs[0]}")
+    files = [f for f in os.listdir(merged_dir) if f.endswith(".parquet")]
+    assert len(files) > 1, files
+
+
 def test_stateful_running_totals_across_batches(spark, tmp_path):
     src = str(tmp_path / "src")
     os.makedirs(src)
