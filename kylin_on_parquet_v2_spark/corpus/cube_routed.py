@@ -76,6 +76,30 @@ def cube_routed_q1_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cube_routed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP routed onto cuboids: the multi-grouping-set aggregate expands
+    into one cuboid aggregation per grouping set, unioned back with typed
+    NULLs (reference AggregateMultipleExpandRule.java:45-120) — every branch
+    reads the pre-aggregated layout, never the fact table."""
+    eng = engine(spark, sf_dir)
+    df = eng.sql(
+        """
+        select l_returnflag, l_linestatus,
+               sum(l_quantity) as sum_qty,
+               count(*) as n
+        from lineitem
+        group by rollup(l_returnflag, l_linestatus)
+        """
+    )
+    assert eng.last_route is not None, "expected cuboid route for cube_routed_rollup"
+    return df.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.round("sum_qty", 2).alias("sum_qty"),
+        "n",
+    ).orderBy("l_returnflag", "l_linestatus")
+
+
 def cube_routed_snowflake(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snowflake aggregate routed onto a cuboid with re-aggregation + AVG
     decomposition (SUM/COUNT)."""
@@ -229,6 +253,7 @@ QUERIES = {
     "cube_routed_having": cube_routed_having,
     "cube_routed_q1": cube_routed_q1,
     "cube_routed_q1_revenue": cube_routed_q1_revenue,
+    "cube_routed_rollup": cube_routed_rollup,
     "cube_routed_snowflake": cube_routed_snowflake,
     "cube_routed_filter_dim": cube_routed_filter_dim,
     "cube_routed_global": cube_routed_global,
@@ -266,6 +291,14 @@ ORACLES = {
         from lineitem
         where l_shipdate <= date '1998-09-02'
         group by l_returnflag, l_linestatus
+        order by l_returnflag, l_linestatus
+    """,
+    "cube_routed_rollup": """
+        select l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) as sum_qty,
+               count(*) as n
+        from lineitem
+        group by rollup(l_returnflag, l_linestatus)
         order by l_returnflag, l_linestatus
     """,
     "cube_routed_snowflake": """

@@ -96,6 +96,11 @@ class SqlDigest:
     #: HAVING over select-output aliases (Filter above Aggregate), post-agg
     having_sql: str | None = None
     having_cols: set[str] = field(default_factory=set)
+    #: ROLLUP / CUBE / GROUPING SETS: the decoded grouping sets (each a
+    #: subset of group_cols), None for a plain GROUP BY. The router expands
+    #: these into per-set cuboid aggregations unioned back — the reference's
+    #: AggregateMultipleExpandRule.java:45-120 rewrite.
+    grouping_sets: list[list[str]] | None = None
 
     @property
     def aggs(self) -> list[AggCall]:
@@ -264,11 +269,43 @@ def _extract(plan) -> SqlDigest | None:  # noqa: C901 — one dispatch walk
         return None
 
     agg_node = node
-    # Group-by columns: plain attributes only (expressions => pushdown).
-    for g in _seq(agg_node.groupingExpressions()):
-        if _cls(g) != "AttributeReference":
-            return None
-        digest.group_cols.append(g.name())
+    below = agg_node.child()
+    gexprs = _seq(agg_node.groupingExpressions())
+    if gexprs and _cls(below) == "Expand" and gexprs[-1].name() == "spark_grouping_id":
+        # ROLLUP / CUBE / GROUPING SETS: Spark plans these as
+        # Aggregate(groups + spark_grouping_id) over Expand(one projection
+        # per grouping set) over a duplication Project. Decode the sets from
+        # each projection's trailing grouping-id literal (bit n-1-k set =>
+        # column k aggregated away in that set).
+        for g in gexprs[:-1]:
+            if _cls(g) != "AttributeReference":
+                return None
+            digest.group_cols.append(g.name())
+        n = len(digest.group_cols)
+        digest.grouping_sets = []
+        for proj in _seq(below.projections()):
+            exprs = _seq(proj)
+            try:
+                gid = int(exprs[-1].toString())
+            except ValueError:
+                return None
+            digest.grouping_sets.append(
+                [c for k, c in enumerate(digest.group_cols) if not (gid >> (n - 1 - k)) & 1]
+            )
+        below = below.child()
+        # the duplication Project only re-aliases attributes — skip it
+        if _cls(below) == "Project" and all(
+            _cls(e) == "AttributeReference"
+            or (_cls(e) == "Alias" and _cls(e.child()) == "AttributeReference")
+            for e in _seq(below.projectList())
+        ):
+            below = below.child()
+    else:
+        # Group-by columns: plain attributes only (expressions => pushdown).
+        for g in gexprs:
+            if _cls(g) != "AttributeReference":
+                return None
+            digest.group_cols.append(g.name())
 
     # Select list.
     for e in _seq(agg_node.aggregateExpressions()):
@@ -321,7 +358,7 @@ def _extract(plan) -> SqlDigest | None:  # noqa: C901 — one dispatch walk
             )
         )
 
-    node = agg_node.child()
+    node = below
     if _cls(node) == "Filter":
         cond = node.condition()
         digest.filter_cols = _attr_names(cond)

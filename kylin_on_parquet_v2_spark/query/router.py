@@ -229,12 +229,16 @@ def plan_route(
         if not digest.having_cols <= out_names:
             return None
 
+    if digest.grouping_sets is not None and not digest.aggs:
+        return None  # aggregate-free grouping sets: rare shape, pushdown
+
     cuboid = inst.scheduler.find_best_match(frozenset(needed))
     if cuboid is None or cuboid.cuboid_id not in inst.layouts:
         return None
     exact = (
         not inst.segmented
         and not derived
+        and digest.grouping_sets is None
         and set(cuboid.dims) == set(digest.group_cols)
         and not any(a.distinct or a.func == "AVG" for a in digest.aggs)
     )
@@ -312,7 +316,33 @@ def execute_route(digest: SqlDigest, inst: CubeInstance, route: Route, spark) ->
                 if agg.func == "COUNT":
                     col = col.cast("long")  # COUNT re-agg is SUM of stored counts
                 agg_cols.append(col.alias(item.name))
-        if agg_cols:
+        if digest.grouping_sets is not None:
+            # ROLLUP/CUBE/GROUPING SETS: one cuboid aggregation per grouping
+            # set, unioned back with typed NULLs for the aggregated-away
+            # columns (AggregateMultipleExpandRule.java:45-120 parity). Every
+            # branch re-aggregates the SAME layout scan; Spark caches the
+            # shuffle exchange across the union branches.
+            types = dict(df.dtypes)
+            branches = []
+            for gset in digest.grouping_sets:
+                grouped = df.groupBy(*gset) if gset else df.groupBy()
+                branch = grouped.agg(*agg_cols)
+                sel = []
+                for item in digest.select:
+                    if item.group_col is not None:
+                        if item.group_col in gset:
+                            sel.append(F.col(item.group_col).alias(item.name))
+                        else:
+                            sel.append(
+                                F.lit(None).cast(types[item.group_col]).alias(item.name)
+                            )
+                    else:
+                        sel.append(F.col(item.name))
+                branches.append(branch.select(*sel))
+            result = branches[0]
+            for b in branches[1:]:
+                result = result.unionAll(b)
+        elif agg_cols:
             grouped = df.groupBy(*digest.group_cols) if digest.group_cols else df.groupBy()
             result = grouped.agg(*agg_cols)
         else:

@@ -202,6 +202,49 @@ def test_explain_reports_route(engine):
     assert out2.startswith("route: none")
 
 
+GROUPING_SET_SQL = [
+    """select l_returnflag, l_linestatus, sum(l_quantity) as s, count(*) as n
+       from lineitem group by rollup(l_returnflag, l_linestatus)""",
+    """select l_returnflag, l_linestatus, sum(l_extendedprice) as s
+       from lineitem group by cube(l_returnflag, l_linestatus)""",
+    """select l_returnflag, l_linestatus, avg(l_quantity) as a, count(*) as n
+       from lineitem where l_shipdate >= date '1995-01-01'
+       group by grouping sets ((l_returnflag), (l_returnflag, l_linestatus), ())""",
+]
+
+
+@pytest.mark.parametrize("sql", GROUPING_SET_SQL)
+def test_grouping_sets_route_and_match(engine, sql):
+    """ROLLUP/CUBE/GROUPING SETS expand into per-set cuboid aggregations
+    unioned back (AggregateMultipleExpandRule parity)."""
+    engine.sql(sql, validate=True)
+    assert engine.last_route is not None, sql
+
+
+def test_grouping_sets_scan_layouts_not_fact(engine):
+    """Every union branch must read the pre-aggregated layout, not the
+    source fact table."""
+    df = engine.sql(
+        """select l_returnflag, l_linestatus, sum(l_quantity) as s
+           from lineitem group by rollup(l_returnflag, l_linestatus)"""
+    )
+    assert engine.last_route is not None
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scans = [ln for ln in plan.splitlines() if "FileScan" in ln or "Scan parquet" in ln]
+    assert scans and all("lineitem.parquet" not in ln for ln in scans), plan
+
+
+def test_grouping_on_grouping_id_falls_back(engine):
+    """GROUPING()/GROUPING_ID() outputs reference spark_grouping_id — an
+    unrecognized select shape must fall back to pushdown, not misroute."""
+    df = engine.sql(
+        """select l_returnflag, grouping(l_returnflag) as g, sum(l_quantity) as s
+           from lineitem group by rollup(l_returnflag)"""
+    )
+    assert engine.last_route is None
+    assert df.count() > 0
+
+
 def test_expression_measure_routes_to_computed_column(engine):
     """The real TPC-H q1 revenue aggregate is served from the sum_revenue
     measure over the model's `revenue` computed column, not the flat path."""
