@@ -100,6 +100,26 @@ def cube_routed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("l_returnflag", "l_linestatus")
 
 
+def cube_routed_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precise COUNT DISTINCT on a NON-dimension column served from the
+    stored dictionary-id bitmap measure (global dictionary + word-bag
+    bitmap; reference PreciseCountDistinct.scala:148-172 +
+    NGlobalDictionaryV2.java) — exact, re-aggregatable, no flat-table scan."""
+    eng = engine(spark, sf_dir)
+    df = eng.sql(
+        """
+        select l_returnflag, count(distinct l_partkey) as nd, count(*) as n
+        from lineitem
+        group by l_returnflag
+        order by l_returnflag
+        """
+    )
+    route = eng.last_route
+    assert route is not None, "expected cuboid route for cube_routed_bitmap_distinct"
+    assert route.bitmap_distinct == {"nd": "bm_partkey"}, route
+    return df
+
+
 def cube_routed_snowflake(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snowflake aggregate routed onto a cuboid with re-aggregation + AVG
     decomposition (SUM/COUNT)."""
@@ -254,6 +274,7 @@ QUERIES = {
     "cube_routed_q1": cube_routed_q1,
     "cube_routed_q1_revenue": cube_routed_q1_revenue,
     "cube_routed_rollup": cube_routed_rollup,
+    "cube_routed_bitmap_distinct": cube_routed_bitmap_distinct,
     "cube_routed_snowflake": cube_routed_snowflake,
     "cube_routed_filter_dim": cube_routed_filter_dim,
     "cube_routed_global": cube_routed_global,
@@ -292,6 +313,12 @@ ORACLES = {
         where l_shipdate <= date '1998-09-02'
         group by l_returnflag, l_linestatus
         order by l_returnflag, l_linestatus
+    """,
+    "cube_routed_bitmap_distinct": """
+        select l_returnflag, count(distinct l_partkey) as nd, count(*) as n
+        from lineitem
+        group by l_returnflag
+        order by l_returnflag
     """,
     "cube_routed_rollup": """
         select l_returnflag, l_linestatus,

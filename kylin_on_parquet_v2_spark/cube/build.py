@@ -32,6 +32,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kylin_on_parquet_v2_spark.cube import dictionary as GD
 from kylin_on_parquet_v2_spark.cube import measures as M
 from kylin_on_parquet_v2_spark.cube.cuboid import Cuboid, CuboidScheduler
 from kylin_on_parquet_v2_spark.metadata.cube import CubeDesc
@@ -140,6 +141,17 @@ class CubeBuilder:
                 needed.add(m.function.parameter)
             needed.update(m.function.extra_params)
         flat = flat.select(*[c for c in flat.columns if c in needed])
+        # Precise bitmap COUNT_DISTINCT: build one global dictionary per
+        # bitmap column and encode the flat table with dense ids
+        # (NGlobalDictionaryV2 / DFTableEncoder parity). The dictionary is
+        # global — bitmap words from different segments/cuboids union
+        # exactly because every value maps to one id everywhere.
+        for m in self._bitmap_measures():
+            param = m.function.parameter
+            d = GD.build_global_dict(flat, param)
+            dict_path = os.path.join(cube_dir, "dict", param)
+            d.write.mode("overwrite").parquet(dict_path)
+            flat = GD.encode_column(flat, self.spark.read.parquet(dict_path), param)
         flat.persist()
         try:
             self._build_layers(flat, cube_dir, inst)
@@ -207,6 +219,24 @@ class CubeBuilder:
     def _group_cols(self, cuboid: Cuboid, segmented: bool) -> list[str]:
         return ([SEGMENT_COL] if segmented else []) + list(cuboid.dims)
 
+    def _bitmap_measures(self):
+        return [
+            m
+            for m in self.desc.measures
+            if m.function.expression == "COUNT_DISTINCT"
+            and (m.function.returntype or "") == "bitmap"
+        ]
+
+    def _join_bitmaps(self, base: DataFrame, bitmaps: list[DataFrame], keys: list[str]) -> DataFrame:
+        """Attach per-group bitmap columns to the plain-measure aggregate.
+        Both sides are the same groupBy keys, so AQE plans a co-partitioned
+        join; a group absent from a bitmap side (all-NULL column) keeps an
+        empty bag."""
+        out = base
+        for bm in bitmaps:
+            out = out.join(bm, keys, "left") if keys else out.crossJoin(bm)
+        return out
+
     def _agg_from_flat(self, flat: DataFrame, cuboid: Cuboid, segmented: bool) -> DataFrame:
         aggs = []
         for m in self.desc.measures:
@@ -214,23 +244,36 @@ class CubeBuilder:
             if c is not None:
                 aggs.append(c)
         keys = self._group_cols(cuboid, segmented)
-        if not aggs:
+        if not aggs and not self._bitmap_measures():
             # dims-only cuboid == dropDuplicates (CuboidAggregator.scala:55-58)
             return flat.select(*keys).dropDuplicates()
-        return flat.groupBy(*keys).agg(*aggs)
+        base = flat.groupBy(*keys).agg(*aggs) if aggs else flat.select(*keys).dropDuplicates()
+        bitmaps = [
+            GD.bitmap_build_agg(flat, keys, GD.dict_col(m.function.parameter), m.name)
+            for m in self._bitmap_measures()
+        ]
+        return self._join_bitmaps(base, bitmaps, keys)
 
     def _agg_from_parent(self, parent: DataFrame, cuboid: Cuboid, segmented: bool) -> DataFrame:
         aggs = []
+        bitmap_names = {m.name for m in self._bitmap_measures()}
         for m in self.desc.measures:
-            if m.name not in parent.columns:
+            if m.name not in parent.columns or m.name in bitmap_names:
                 continue
             c = M.reagg_from_layout(m, parent.schema)
             if c is not None:
                 aggs.append(c)
         keys = self._group_cols(cuboid, segmented)
-        if not aggs:
+        present_bitmaps = [
+            m for m in self._bitmap_measures() if m.name in parent.columns
+        ]
+        if not aggs and not present_bitmaps:
             return parent.select(*keys).dropDuplicates()
-        return parent.groupBy(*keys).agg(*aggs)
+        base = parent.groupBy(*keys).agg(*aggs) if aggs else parent.select(*keys).dropDuplicates()
+        bitmaps = [
+            GD.bitmap_reagg(parent, keys, m.name) for m in present_bitmaps
+        ]
+        return self._join_bitmaps(base, bitmaps, keys)
 
     #: files per layout at test scale; a cluster deployment derives this
     #: from layout bytes / 64 MB (ResultPlan.scala:42 split target)

@@ -1,0 +1,125 @@
+"""Global dictionary + bitmap words for precise re-aggregatable
+COUNT_DISTINCT.
+
+Reference parity:
+- global dictionary: ``org/apache/spark/dict/NGlobalDictionaryV2.java`` /
+  ``NBucketDictionary.java`` (values hashed into buckets, per-bucket dense
+  ids + bucket offsets => a global dense id without a global sort), built by
+  ``kylin-spark-engine/.../builder/DFDictionaryBuilder.scala`` and applied
+  to the flat table by ``DFTableEncoder.scala``.
+- bitmap measure: ``kylin-spark-common/.../udaf/PreciseCountDistinct.scala``
+  (Roaring64 bitmap over dictionary ids). Our bitmap is the same idea in
+  pure DataFrame ops: the id space is chunked into 64-bit words, a group's
+  bitmap is an ``array<struct<bkt:int, mask:long>>`` bag of words, and
+
+  * build     = bit_or of single-bit words per (group, bkt)   [exact]
+  * re-agg    = bag concatenation (+ dedup)                   [exact: bit_or
+                is associative, commutative AND idempotent]
+  * finalize  = explode -> bit_or per bkt -> sum(bit_count)   [exact]
+
+Scale notes (100 TB): the dictionary build is two shuffles (distinct +
+per-bucket window) with NO global sort — per-bucket row_number parallelizes
+across ``n_buckets`` and only the (n_buckets)-row offset table touches the
+driver. Encoding is one join against the dictionary (AQE picks
+broadcast/shuffle-hash by dictionary size). A group's bitmap is
+ceil(card/64) words ≈ 64x smaller than collecting raw values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+#: parallelism of the per-bucket dense-id assignment; at 100 TB scale this
+#: with dictionary cardinality (reference default: 10 buckets/concurrency,
+#: growing by load factor)
+DICT_BUCKETS = 32
+
+
+def dict_col(param: str) -> str:
+    """Name of the encoded dictionary-id column in the flat table."""
+    return f"__did_{param}"
+
+
+def build_global_dict(df: DataFrame, col: str, n_buckets: int = DICT_BUCKETS) -> DataFrame:
+    """(value, did) mapping with dense ids [0, cardinality).
+
+    Bucketed two-pass id assignment (NGlobalDictionaryV2 parity): values
+    hash into buckets, ids are dense within a bucket (parallel window), and
+    driver-side bucket offsets (n_buckets rows only) make them globally
+    dense and unique.
+    """
+    vals = (
+        df.select(F.col(col).alias("value"))
+        .where(F.col("value").isNotNull())
+        .distinct()
+        .withColumn("__b", F.pmod(F.xxhash64("value"), F.lit(n_buckets)).cast("int"))
+    )
+    vals.persist()
+    try:
+        counts = {r["__b"]: r["n"] for r in vals.groupBy("__b").agg(F.count(F.lit(1)).alias("n")).collect()}
+        offsets: list[int] = []
+        acc = 0
+        for b in range(n_buckets):
+            offsets.append(acc)
+            acc += counts.get(b, 0)
+        off_map = F.create_map(
+            *[x for b, off in enumerate(offsets) for x in (F.lit(b), F.lit(off))]
+        )
+        w = Window.partitionBy("__b").orderBy("value")
+        out = vals.select(
+            "value",
+            (F.element_at(off_map, F.col("__b")) + F.row_number().over(w) - 1).alias(
+                "did"
+            ),
+        )
+        # materialize before unpersisting the upstream distinct set
+        return out.localCheckpoint(eager=True)
+    finally:
+        vals.unpersist()
+
+
+def encode_column(flat: DataFrame, dictionary: DataFrame, col: str) -> DataFrame:
+    """Left-join the dictionary id onto the flat table (DFTableEncoder
+    parity). NULL values stay NULL (COUNT DISTINCT ignores them)."""
+    d = dictionary.select(F.col("value").alias(f"__v_{col}"), F.col("did").alias(dict_col(col)))
+    return flat.join(d, flat[col] == d[f"__v_{col}"], "left").drop(f"__v_{col}")
+
+
+def bitmap_build_agg(df: DataFrame, keys: list[str], did: str, out_name: str) -> DataFrame:
+    """Aggregate dictionary ids into a normalized word-bag bitmap per group:
+    one row per key-tuple, ``array<struct<bkt,mask>>`` with one entry per
+    64-id chunk that has members."""
+    words = (
+        df.where(F.col(did).isNotNull())
+        .groupBy(*keys, F.shiftright(F.col(did), 6).cast("int").alias("__bkt"))
+        .agg(F.bit_or(F.expr(f"shiftleft(1L, int({did} % 64))")).alias("__mask"))
+    )
+    return words.groupBy(*keys).agg(
+        F.collect_list(F.struct("__bkt", "__mask")).alias(out_name)
+    )
+
+
+def bitmap_reagg(df: DataFrame, keys: list[str], name: str) -> DataFrame:
+    """Re-normalize a bitmap column when re-grouping layout rows to a
+    coarser key set: explode word bags, bit_or per (group, bkt), re-collect."""
+    words = (
+        df.select(*keys, F.explode(name).alias("__w"))
+        .groupBy(*keys, F.col("__w.__bkt").alias("__bkt"))
+        .agg(F.bit_or("__w.__mask").alias("__mask"))
+    )
+    return words.groupBy(*keys).agg(
+        F.collect_list(F.struct("__bkt", "__mask")).alias(name)
+    )
+
+
+def bitmap_count(df: DataFrame, keys: list[str], name: str, alias: str) -> DataFrame:
+    """Finalize: exact distinct count per group from the word bags."""
+    words = (
+        df.select(*keys, F.explode(name).alias("__w"))
+        .groupBy(*keys, F.col("__w.__bkt").alias("__bkt"))
+        .agg(F.bit_or("__w.__mask").alias("__mask"))
+    )
+    grouped = words.groupBy(*keys) if keys else words.groupBy()
+    return grouped.agg(F.sum(F.bit_count("__mask")).alias(alias))

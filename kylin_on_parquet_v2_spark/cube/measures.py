@@ -127,6 +127,12 @@ def reagg_from_layout(measure: MeasureDesc, schema: StructType | None = None) ->
     if f.expression == "COUNT_DISTINCT":
         if (f.returntype or "").startswith("hllc"):
             return F.hll_union_agg(name).alias(name)
+        if (f.returntype or "") == "bitmap":
+            # word-bag concatenation is an EXACT re-aggregation: bit_or at
+            # finalize is associative, commutative and idempotent, so
+            # duplicate words across merged bags never double-count
+            # (PreciseCountDistinct.scala bitmap-union parity)
+            return F.array_distinct(F.flatten(F.collect_list(name))).alias(name)
         return None
     if f.expression == "EXTENDED_COLUMN":
         return F.first(name, ignorenulls=True).alias(name)

@@ -80,6 +80,10 @@ TPCH_CUBE = CubeDesc(
         MeasureDesc("min_price", FunctionDesc("MIN", "l_extendedprice")),
         MeasureDesc("max_price", FunctionDesc("MAX", "l_extendedprice")),
         MeasureDesc("hll_suppkey", FunctionDesc("COUNT_DISTINCT", "l_suppkey", "hllc(12)")),
+        # precise re-aggregatable distinct on a non-dimension column: global
+        # dictionary + word-bag bitmap (PreciseCountDistinct parity); exact,
+        # so served by default (unlike the opt-in hll sketch above)
+        MeasureDesc("bm_partkey", FunctionDesc("COUNT_DISTINCT", "l_partkey", "bitmap")),
         # expression measures over model computed columns
         MeasureDesc("sum_revenue", FunctionDesc("SUM", "revenue")),
         MeasureDesc("count_revenue", FunctionDesc("COUNT", "revenue")),

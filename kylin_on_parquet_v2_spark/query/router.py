@@ -49,6 +49,10 @@ class Route:
     #: alias -> hll measure name, for COUNT DISTINCT served approximately
     #: (the reference's hllc measure semantics — opt-in via engine.sql)
     approx_distinct: dict[str, str] = field(default_factory=dict)
+    #: alias -> bitmap measure name: COUNT DISTINCT served EXACTLY from the
+    #: stored dictionary-id bitmap (PreciseCountDistinct parity) — on by
+    #: default, unlike the accuracy-trading hll path
+    bitmap_distinct: dict[str, str] = field(default_factory=dict)
 
 
 def _match_joins(digest: SqlDigest, inst: CubeInstance) -> bool:
@@ -174,6 +178,17 @@ def _hll_measure_for(col: str, inst: CubeInstance) -> MeasureDesc | None:
     return None
 
 
+def _bitmap_measure_for(col: str, inst: CubeInstance) -> MeasureDesc | None:
+    for m in inst.desc.measures:
+        if (
+            m.function.expression == "COUNT_DISTINCT"
+            and m.function.parameter == col
+            and (m.function.returntype or "") == "bitmap"
+        ):
+            return m
+    return None
+
+
 def plan_route(
     digest: SqlDigest, inst: CubeInstance, approx_distinct: bool = False
 ) -> Route | None:
@@ -183,6 +198,7 @@ def plan_route(
     needed: set[str] = set()
     derived: dict[str, JoinTable] = {}
     approx: dict[str, str] = {}
+    bitmap: dict[str, str] = {}
 
     def _need(col: str) -> bool:
         """Register a column the layout must provide; True if coverable."""
@@ -204,8 +220,13 @@ def plan_route(
         if agg.distinct:
             if agg.func != "COUNT" or agg.column is None:
                 return None
+            bm = _bitmap_measure_for(agg.column, inst)
             if agg.column in dims:
                 needed.add(agg.column)  # exact distinct from dimensions
+            elif bm is not None and digest.grouping_sets is None:
+                # EXACT distinct from the stored dictionary-id bitmap —
+                # no accuracy trade, so no opt-in needed
+                bitmap[agg.alias] = bm.name
             elif approx_distinct and _hll_measure_for(agg.column, inst) is not None:
                 approx[agg.alias] = _hll_measure_for(agg.column, inst).name
             elif not _need(agg.column):
@@ -249,6 +270,7 @@ def plan_route(
         derived=list(derived.values()),
         segment_filters=_fold_segment_filters(digest, inst),
         approx_distinct=approx,
+        bitmap_distinct=bitmap,
     )
 
 
@@ -292,12 +314,17 @@ def execute_route(digest: SqlDigest, inst: CubeInstance, route: Route, spark) ->
         result = df.select(*out_cols)
     else:
         agg_cols: list[Column] = []
+        bitmap_items: list[tuple] = []  # (SelectItem, bitmap measure name)
         for item in digest.select:
             if item.group_col is not None:
                 continue
             agg = item.agg
             if agg.distinct:
-                if item.name in route.approx_distinct:
+                if item.name in route.bitmap_distinct:
+                    # exact count from the stored word-bag bitmap: needs its
+                    # own explode->bit_or pipeline, joined back post-agg
+                    bitmap_items.append((item, route.bitmap_distinct[item.name]))
+                elif item.name in route.approx_distinct:
                     agg_cols.append(
                         F.hll_sketch_estimate(
                             F.hll_union_agg(route.approx_distinct[item.name])
@@ -345,11 +372,30 @@ def execute_route(digest: SqlDigest, inst: CubeInstance, route: Route, spark) ->
         elif agg_cols:
             grouped = df.groupBy(*digest.group_cols) if digest.group_cols else df.groupBy()
             result = grouped.agg(*agg_cols)
+        elif bitmap_items and not digest.group_cols:
+            result = None  # global query whose only aggs are bitmap counts
         else:
             # SELECT DISTINCT / group-cols-only output: GroupedData.agg()
             # rejects an empty list — dedup over the full grouping set
             # instead (still honors group cols absent from the select list).
             result = df.select(*digest.group_cols).dropDuplicates()
+        # Exact bitmap distincts: one explode -> bit_or-per-word -> bit_count
+        # pipeline per item, joined back on the group keys (a group whose
+        # values were all NULL has an empty bag => coalesce to 0, matching
+        # COUNT DISTINCT semantics).
+        from kylin_on_parquet_v2_spark.cube import dictionary as GD
+
+        for item, mname in bitmap_items:
+            counts = GD.bitmap_count(df, digest.group_cols, mname, item.name)
+            if result is None:
+                result = counts
+            elif digest.group_cols:
+                result = result.join(counts, digest.group_cols, "left")
+            else:
+                result = result.crossJoin(counts)
+            result = result.withColumn(
+                item.name, F.coalesce(F.col(item.name), F.lit(0)).cast("long")
+            )
         # Project by source group column, aliasing to the query's output name
         # (a bare item.name lookup breaks on `SELECT col AS c ... GROUP BY col`).
         result = result.select(

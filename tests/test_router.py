@@ -177,6 +177,45 @@ def test_having_on_hidden_agg_falls_back(engine):
     assert df.count() > 0
 
 
+def test_bitmap_distinct_exact_by_default(engine):
+    """COUNT(DISTINCT l_partkey): not a dimension, but the cube stores a
+    dictionary-id bitmap measure — served exactly WITHOUT opt-in, no
+    flat-table scan."""
+    sql = """select l_returnflag, count(distinct l_partkey) as nd
+             from lineitem group by l_returnflag"""
+    df = engine.sql(sql, validate=True)
+    route = engine.last_route
+    assert route is not None and route.bitmap_distinct == {"nd": "bm_partkey"}
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scans = [ln for ln in plan.splitlines() if "FileScan" in ln or "Scan parquet" in ln]
+    assert scans and all("lineitem.parquet" not in ln for ln in scans), plan
+
+
+def test_bitmap_distinct_global_and_mixed(engine):
+    """Bitmap counts compose with other measures and with no GROUP BY."""
+    engine.sql("select count(distinct l_partkey) as nd from lineitem", validate=True)
+    assert engine.last_route is not None and engine.last_route.bitmap_distinct
+    engine.sql(
+        """select l_returnflag, count(distinct l_partkey) as nd,
+                  sum(l_quantity) as s, count(*) as c
+           from lineitem group by l_returnflag""",
+        validate=True,
+    )
+    assert engine.last_route is not None and engine.last_route.bitmap_distinct
+
+
+def test_global_dictionary_ids_dense_and_unique(spark):
+    from kylin_on_parquet_v2_spark.cube.dictionary import build_global_dict
+    from kylin_on_parquet_v2_spark.session import register_views
+
+    register_views(spark, SF_SMOKE)
+    li = spark.table("lineitem").limit(5000)
+    d = build_global_dict(li, "l_partkey").collect()
+    ids = sorted(r.did for r in d)
+    assert ids == list(range(len(ids)))  # dense [0, cardinality)
+    assert len({r.value for r in d}) == len(d)
+
+
 def test_approx_distinct_via_hll_measure(engine):
     """COUNT(DISTINCT l_suppkey): not a dimension, but the cube declares an
     hllc measure on it — approx routing is opt-in and accuracy-bounded."""
