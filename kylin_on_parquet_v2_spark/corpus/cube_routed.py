@@ -120,6 +120,27 @@ def cube_routed_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def cube_routed_topn_measure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k served from a STORED TopN measure: l_suppkey is not a cube
+    dimension — the layout row's array<struct<key,val>> is exploded instead
+    of scanning supplier-level rows (TopNUDAF.scala:28-100 build,
+    TopNMeasureType.java:411-441 rewrite; exact for k <= n)."""
+    eng = engine(spark, sf_dir)
+    df = eng.sql(
+        """
+        select l_suppkey, sum(l_quantity) as total_qty
+        from lineitem
+        group by l_suppkey
+        order by total_qty desc, l_suppkey
+        limit 10
+        """
+    )
+    route = eng.last_route
+    assert route is not None, "expected cuboid route for cube_routed_topn_measure"
+    assert route.topn is not None, route
+    return df.select("l_suppkey", F.round("total_qty", 2).alias("total_qty"))
+
+
 def cube_routed_snowflake(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snowflake aggregate routed onto a cuboid with re-aggregation + AVG
     decomposition (SUM/COUNT)."""
@@ -275,6 +296,7 @@ QUERIES = {
     "cube_routed_q1_revenue": cube_routed_q1_revenue,
     "cube_routed_rollup": cube_routed_rollup,
     "cube_routed_bitmap_distinct": cube_routed_bitmap_distinct,
+    "cube_routed_topn_measure": cube_routed_topn_measure,
     "cube_routed_snowflake": cube_routed_snowflake,
     "cube_routed_filter_dim": cube_routed_filter_dim,
     "cube_routed_global": cube_routed_global,
@@ -319,6 +341,13 @@ ORACLES = {
         from lineitem
         group by l_returnflag
         order by l_returnflag
+    """,
+    "cube_routed_topn_measure": """
+        select l_suppkey, round(sum(l_quantity), 2) as total_qty
+        from lineitem
+        group by l_suppkey
+        order by sum(l_quantity) desc, l_suppkey
+        limit 10
     """,
     "cube_routed_rollup": """
         select l_returnflag, l_linestatus,

@@ -101,6 +101,13 @@ class CubeBuilder:
 
     def build(self, overwrite: bool = True) -> CubeInstance:
         """Build every scheduled cuboid, reusing parent layouts."""
+        if self.model.partition_column is not None and any(
+            m.function.expression == "TOP_N" for m in self.desc.measures
+        ):
+            # cross-segment TopN merge is approximate (the boundary
+            # TopNMeasureType.java:261-330 declares); we keep stored lists
+            # exact-only, so segmented cubes must not declare them
+            raise ValueError("TOP_N measures are not supported on segmented cubes")
         cube_dir = os.path.join(self.storage_dir, self.desc.name)
         if overwrite and os.path.exists(cube_dir):
             shutil.rmtree(cube_dir)
@@ -189,7 +196,9 @@ class CubeBuilder:
             if parent is None:
                 df = self._agg_from_flat(flat, cuboid, inst.segmented)
             else:
-                df = self._agg_from_parent(built[parent.cuboid_id], cuboid, inst.segmented)
+                df = self._agg_from_parent(
+                    built[parent.cuboid_id], cuboid, inst.segmented, flat
+                )
             path = os.path.join(cube_dir, f"cuboid={cuboid.cuboid_id}")
             self._write_layout(df, path, inst.segmented)
             return cuboid.cuboid_id, path
@@ -227,6 +236,32 @@ class CubeBuilder:
             and (m.function.returntype or "") == "bitmap"
         ]
 
+    def _topn_measures(self):
+        return [m for m in self.desc.measures if m.function.expression == "TOP_N"]
+
+    def _topn_build(self, flat: DataFrame, keys: list[str], m) -> DataFrame:
+        """Stored TopN measure (TopNUDAF.scala:28-100): per layout group, the
+        exact top-n (rank_dim, sum(param)) pairs as array<struct<key,val>>.
+
+        Built from the FLAT table for every layout (not re-aggregated from a
+        parent list — per-group top-n lists do not merge exactly, the
+        approximation TopNMeasureType.java:261-330 declares; building from
+        flat keeps every stored list exact, so any query it serves with
+        k <= n is exact). Total order (val desc, key asc) makes the kept
+        prefix deterministic and consistent with the query-time sort."""
+        from pyspark.sql.window import Window
+
+        rank = m.function.extra_params[0]
+        n = M.topn_k(m.function)
+        sums = flat.groupBy(*keys, rank).agg(F.sum(m.function.parameter).alias("val"))
+        w = Window.partitionBy(*keys).orderBy(F.col("val").desc(), F.col(rank).asc())
+        top = sums.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= n)
+        return top.groupBy(*keys).agg(
+            F.collect_list(
+                F.struct(F.col(rank).alias("key"), F.col("val").alias("val"))
+            ).alias(m.name)
+        )
+
     def _join_bitmaps(self, base: DataFrame, bitmaps: list[DataFrame], keys: list[str]) -> DataFrame:
         """Attach per-group bitmap columns to the plain-measure aggregate.
         Both sides are the same groupBy keys, so AQE plans a co-partitioned
@@ -252,13 +287,18 @@ class CubeBuilder:
             GD.bitmap_build_agg(flat, keys, GD.dict_col(m.function.parameter), m.name)
             for m in self._bitmap_measures()
         ]
+        bitmaps += [self._topn_build(flat, keys, m) for m in self._topn_measures()]
         return self._join_bitmaps(base, bitmaps, keys)
 
-    def _agg_from_parent(self, parent: DataFrame, cuboid: Cuboid, segmented: bool) -> DataFrame:
+    def _agg_from_parent(
+        self, parent: DataFrame, cuboid: Cuboid, segmented: bool, flat: DataFrame
+    ) -> DataFrame:
         aggs = []
-        bitmap_names = {m.name for m in self._bitmap_measures()}
+        special = {m.name for m in self._bitmap_measures()} | {
+            m.name for m in self._topn_measures()
+        }
         for m in self.desc.measures:
-            if m.name not in parent.columns or m.name in bitmap_names:
+            if m.name not in parent.columns or m.name in special:
                 continue
             c = M.reagg_from_layout(m, parent.schema)
             if c is not None:
@@ -267,12 +307,15 @@ class CubeBuilder:
         present_bitmaps = [
             m for m in self._bitmap_measures() if m.name in parent.columns
         ]
-        if not aggs and not present_bitmaps:
+        if not aggs and not present_bitmaps and not self._topn_measures():
             return parent.select(*keys).dropDuplicates()
         base = parent.groupBy(*keys).agg(*aggs) if aggs else parent.select(*keys).dropDuplicates()
         bitmaps = [
             GD.bitmap_reagg(parent, keys, m.name) for m in present_bitmaps
         ]
+        # TopN lists never merge from a parent (approximate) — rebuild from
+        # flat for each layout so every stored list stays exact
+        bitmaps += [self._topn_build(flat, keys, m) for m in self._topn_measures()]
         return self._join_bitmaps(base, bitmaps, keys)
 
     #: files per layout at test scale; a cluster deployment derives this

@@ -55,8 +55,10 @@ class CuboidScheduler:
     def _enumerate(self) -> set[frozenset[str]]:
         """All dim subsets valid under at least one aggregation group, plus
         the base cuboid (all dimensions), which always exists (reference:
-        base cuboid is the spanning-tree root and the fallback realization)."""
-        valid: set[frozenset[str]] = {frozenset(self.cube.dimensions)}
+        base cuboid is the spanning-tree root and the fallback realization),
+        plus the 0-dim grand-total cuboid (one row; answers global
+        aggregates with zero scan and anchors global stored-TopN lists)."""
+        valid: set[frozenset[str]] = {frozenset(self.cube.dimensions), frozenset()}
         for group in self.cube.groups():
             members = list(group.includes)
             n = len(members)
@@ -67,8 +69,6 @@ class CuboidScheduler:
                 )
             for mask in range(1 << n):
                 dims = frozenset(members[i] for i in range(n) if mask >> i & 1)
-                if not dims:
-                    continue  # the 0-dim grand-total cuboid: served by any cuboid
                 if group.valid(dims):
                     valid.add(dims)
         return valid

@@ -84,6 +84,13 @@ TPCH_CUBE = CubeDesc(
         # dictionary + word-bag bitmap (PreciseCountDistinct parity); exact,
         # so served by default (unlike the opt-in hll sketch above)
         MeasureDesc("bm_partkey", FunctionDesc("COUNT_DISTINCT", "l_partkey", "bitmap")),
+        # stored TopN: exact per-layout top-50 suppliers by quantity — serves
+        # `group by l_suppkey order by sum(l_quantity) desc limit k<=50`
+        # without l_suppkey being a dimension (TopNUDAF/TopNMeasureType parity)
+        MeasureDesc(
+            "topn_suppkey_qty",
+            FunctionDesc("TOP_N", "l_quantity", "topn(50)", extra_params=("l_suppkey",)),
+        ),
         # expression measures over model computed columns
         MeasureDesc("sum_revenue", FunctionDesc("SUM", "revenue")),
         MeasureDesc("count_revenue", FunctionDesc("COUNT", "revenue")),

@@ -53,6 +53,11 @@ class Route:
     #: stored dictionary-id bitmap (PreciseCountDistinct parity) — on by
     #: default, unlike the accuracy-trading hll path
     bitmap_distinct: dict[str, str] = field(default_factory=dict)
+    #: (sum alias, measure name, rank column) when the query is served by a
+    #: stored TopN measure (TopNMeasureType.java:411-441 rewrite): the layout
+    #: row's array<struct<key,val>> is exploded instead of scanning the rank
+    #: dimension's rows
+    topn: tuple[str, str, str] | None = None
 
 
 def _match_joins(digest: SqlDigest, inst: CubeInstance) -> bool:
@@ -189,11 +194,72 @@ def _bitmap_measure_for(col: str, inst: CubeInstance) -> MeasureDesc | None:
     return None
 
 
+def _plan_topn_route(digest: SqlDigest, inst: CubeInstance) -> Route | None:
+    """``SELECT g..., r, SUM(m) ... GROUP BY g..., r ORDER BY SUM(m) DESC
+    LIMIT k`` rewritten onto a stored TopN measure whose rank dim is ``r``
+    (TopNMeasureType.java:411-441).
+
+    Exactness boundary (capability check :261-330): the layout's dims must
+    equal the non-rank group cols EXACTLY (no re-aggregation across layout
+    rows — merged top-n lists are approximate), filters only on those dims,
+    and k <= n. Under the build's total order (val desc, key asc) the stored
+    per-group prefix preserves the global top-k prefix for k <= n.
+    """
+    from kylin_on_parquet_v2_spark.cube.measures import topn_k
+
+    if (
+        inst.segmented
+        or digest.grouping_sets is not None
+        or digest.having_sql is not None
+        or digest.limit is None
+        or not digest.sort
+    ):
+        return None
+    if len(digest.aggs) != 1:
+        return None
+    agg = digest.aggs[0]
+    if agg.func != "SUM" or agg.distinct or agg.column is None:
+        return None
+    sort_col, sort_asc = digest.sort[0]
+    if sort_col != agg.alias or sort_asc:
+        return None
+    dims = set(inst.desc.dimensions)
+    for m in inst.desc.measures:
+        f = m.function
+        if f.expression != "TOP_N" or f.parameter != agg.column or not f.extra_params:
+            continue
+        rank = f.extra_params[0]
+        if rank not in digest.group_cols:
+            continue
+        g = [c for c in digest.group_cols if c != rank]
+        if not set(g) <= dims or not digest.filter_cols <= set(g):
+            continue
+        if digest.limit > topn_k(f):
+            continue
+        cuboid = inst.scheduler.find_best_match(frozenset(g))
+        if (
+            cuboid is None
+            or set(cuboid.dims) != set(g)
+            or cuboid.cuboid_id not in inst.layouts
+        ):
+            continue
+        return Route(
+            cube=inst.desc.name,
+            cuboid=cuboid,
+            exact=False,
+            topn=(agg.alias, m.name, rank),
+        )
+    return None
+
+
 def plan_route(
     digest: SqlDigest, inst: CubeInstance, approx_distinct: bool = False
 ) -> Route | None:
     if not _match_joins(digest, inst):
         return None
+    topn_route = _plan_topn_route(digest, inst)
+    if topn_route is not None:
+        return topn_route
     dims = set(inst.desc.dimensions)
     needed: set[str] = set()
     derived: dict[str, JoinTable] = {}
@@ -302,7 +368,26 @@ def execute_route(digest: SqlDigest, inst: CubeInstance, route: Route, spark) ->
         df = df.filter(F.expr(digest.filter_sql))
 
     out_cols: list[Column] = []
-    if route.exact:
+    if route.topn is not None:
+        # Stored-TopN rewrite: explode the layout row's array<struct<key,val>>
+        # — reads k entries per group instead of every rank-dimension row
+        # (TableScanPlan.scala:112-174 inline() parity).
+        alias, mname, rank = route.topn
+        g = [c for c in digest.group_cols if c != rank]
+        exploded = df.select(*g, F.explode(mname).alias("__t")).select(
+            *g,
+            F.col("__t.key").alias(rank),
+            F.col("__t.val").alias(alias),
+        )
+        result = exploded.select(
+            *[
+                F.col(item.group_col).alias(item.name)
+                if item.group_col is not None
+                else F.col(item.name)
+                for item in digest.select
+            ]
+        )
+    elif route.exact:
         # Exact cuboid hit => project-only plan (the architecture's core
         # speedup claim — zero aggregation at query time).
         for item in digest.select:

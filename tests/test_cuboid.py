@@ -21,15 +21,16 @@ def _cube(dims, groups=()):
 
 def test_full_lattice():
     sched = CuboidScheduler(_cube("abc"))
-    assert len(sched.cuboids) == 7  # 2^3 - empty
+    # 2^3 subsets incl. the always-present 0-dim grand-total cuboid
+    assert len(sched.cuboids) == 8
 
 
 def test_mandatory_prunes():
     g = AggregationGroup(includes=("a", "b", "c"), mandatory=("a",))
     sched = CuboidScheduler(_cube("abc", [g]))
     dims_sets = {c.dims for c in sched.cuboids.values()}
-    # 4 with 'a' + base cuboid (already has a)
-    assert dims_sets == {("a",), ("a", "b"), ("a", "c"), ("a", "b", "c")}
+    # 4 with 'a' + always-present grand-total cuboid
+    assert dims_sets == {(), ("a",), ("a", "b"), ("a", "c"), ("a", "b", "c")}
 
 
 def test_hierarchy_prunes():
@@ -37,6 +38,7 @@ def test_hierarchy_prunes():
     sched = CuboidScheduler(_cube("ymd", [g]))
     dims_sets = {frozenset(c.dims) for c in sched.cuboids.values()}
     assert dims_sets == {
+        frozenset(),
         frozenset("y"),
         frozenset(("y", "m")),
         frozenset(("y", "m", "d")),
@@ -48,6 +50,7 @@ def test_joint_prunes():
     sched = CuboidScheduler(_cube("abc", [g]))
     dims_sets = {frozenset(c.dims) for c in sched.cuboids.values()}
     assert dims_sets == {
+        frozenset(),
         frozenset("a"),
         frozenset(("b", "c")),
         frozenset(("a", "b", "c")),

@@ -216,6 +216,45 @@ def test_global_dictionary_ids_dense_and_unique(spark):
     assert len({r.value for r in d}) == len(d)
 
 
+def test_topn_stored_measure_routes(engine):
+    """`group by r order by sum(m) desc limit k` with r NOT a dimension is
+    served by exploding the stored TopN list (exact for k <= n)."""
+    sql = """select l_suppkey, sum(l_quantity) as s from lineitem
+             group by l_suppkey order by s desc, l_suppkey limit 10"""
+    df = engine.sql(sql, validate=True)
+    route = engine.last_route
+    assert route is not None and route.topn == ("s", "topn_suppkey_qty", "l_suppkey")
+    assert route.cuboid.dims == ()  # narrower layout than the group-by set
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "lineitem.parquet" not in plan, plan
+
+
+def test_topn_k_beyond_n_falls_back(engine):
+    """k > n would need entries the stored list dropped — must not use it."""
+    engine.sql(
+        """select l_suppkey, sum(l_quantity) as s from lineitem
+           group by l_suppkey order by s desc limit 60"""
+    )
+    route = engine.last_route
+    assert route is None or route.topn is None
+
+
+def test_topn_with_group_and_filter(engine):
+    sql = """select l_returnflag, l_suppkey, sum(l_quantity) as s from lineitem
+             where l_returnflag = 'A'
+             group by l_returnflag, l_suppkey
+             order by s desc, l_suppkey limit 5"""
+    engine.sql(sql, validate=True)
+    route = engine.last_route
+    assert route is not None and route.topn is not None
+
+
+def test_global_aggregate_hits_zero_dim_cuboid(engine):
+    engine.sql("select sum(l_quantity) as s, count(*) as n from lineitem")
+    route = engine.last_route
+    assert route is not None and route.cuboid.dims == ()
+
+
 def test_approx_distinct_via_hll_measure(engine):
     """COUNT(DISTINCT l_suppkey): not a dimension, but the cube declares an
     hllc measure on it — approx routing is opt-in and accuracy-bounded."""
