@@ -160,9 +160,11 @@ class CubeBuilder:
             d.write.mode("overwrite").parquet(dict_path)
             flat = GD.encode_column(flat, self.spark.read.parquet(dict_path), param)
         flat.persist()
+        self._prepare_measure_bases(flat)
         try:
             self._build_layers(flat, cube_dir, inst)
         finally:
+            self._release_measure_bases()
             flat.unpersist()
         # freeze lookup snapshots (queries against the cube must see the
         # lookup rows the cube was built with, not later mutations)
@@ -196,9 +198,7 @@ class CubeBuilder:
             if parent is None:
                 df = self._agg_from_flat(flat, cuboid, inst.segmented)
             else:
-                df = self._agg_from_parent(
-                    built[parent.cuboid_id], cuboid, inst.segmented, flat
-                )
+                df = self._agg_from_parent(built[parent.cuboid_id], cuboid, inst.segmented)
             path = os.path.join(cube_dir, f"cuboid={cuboid.cuboid_id}")
             self._write_layout(df, path, inst.segmented)
             return cuboid.cuboid_id, path
@@ -239,21 +239,59 @@ class CubeBuilder:
     def _topn_measures(self):
         return [m for m in self.desc.measures if m.function.expression == "TOP_N"]
 
-    def _topn_build(self, flat: DataFrame, keys: list[str], m) -> DataFrame:
+    #: stored TopN lists are materialized only on layouts narrow enough to be
+    #: realistic top-k hosts: a topn route needs the layout dims to EQUAL the
+    #: query's non-rank group cols, and real top-k queries group by 0-2 dims
+    #: beside the ranked one. Wider group-bys take the ordinary
+    #: cuboid + window path (still exact), and the build avoids one
+    #: window+collect job per wide layout.
+    TOPN_HOST_MAX_DIMS = 2
+
+    #: per-measure shared base tables, computed ONCE from the flat table and
+    #: re-aggregated per layout: sum-of-sums (TopN) and distinct (dims, id)
+    #: pairs (bitmap) are exactly re-aggregatable, so only one pass over the
+    #: full flat data is ever made no matter how many layouts the lattice has
+    _topn_base: dict[str, DataFrame]
+    _bitmap_base: dict[str, DataFrame]
+
+    def _prepare_measure_bases(self, flat: DataFrame) -> None:
+        dims = list(self.desc.dimensions)
+        self._topn_base = {}
+        for m in self._topn_measures():
+            rank = m.function.extra_params[0]
+            base = flat.groupBy(*dims, rank).agg(
+                F.sum(m.function.parameter).alias("val")
+            )
+            self._topn_base[m.name] = base.persist()
+        self._bitmap_base = {}
+        for m in self._bitmap_measures():
+            did = GD.dict_col(m.function.parameter)
+            keys = dims + ([SEGMENT_COL] if self.model.partition_column else [])
+            base = (
+                flat.where(F.col(did).isNotNull())
+                .select(*keys, did)
+                .dropDuplicates()
+            )
+            self._bitmap_base[m.name] = base.persist()
+
+    def _release_measure_bases(self) -> None:
+        for df in list(self._topn_base.values()) + list(self._bitmap_base.values()):
+            df.unpersist()
+
+    def _topn_build(self, keys: list[str], m) -> DataFrame:
         """Stored TopN measure (TopNUDAF.scala:28-100): per layout group, the
         exact top-n (rank_dim, sum(param)) pairs as array<struct<key,val>>.
 
-        Built from the FLAT table for every layout (not re-aggregated from a
-        parent list — per-group top-n lists do not merge exactly, the
-        approximation TopNMeasureType.java:261-330 declares; building from
-        flat keeps every stored list exact, so any query it serves with
-        k <= n is exact). Total order (val desc, key asc) makes the kept
-        prefix deterministic and consistent with the query-time sort."""
+        Re-aggregated from the shared all-dims sums base (sum-of-sums is
+        exact) — never from a parent's top-n LIST, whose truncation does not
+        merge exactly (the approximation TopNMeasureType.java:261-330
+        declares). Total order (val desc, key asc) makes the kept prefix
+        deterministic and consistent with the query-time sort."""
         from pyspark.sql.window import Window
 
         rank = m.function.extra_params[0]
         n = M.topn_k(m.function)
-        sums = flat.groupBy(*keys, rank).agg(F.sum(m.function.parameter).alias("val"))
+        sums = self._topn_base[m.name].groupBy(*keys, rank).agg(F.sum("val").alias("val"))
         w = Window.partitionBy(*keys).orderBy(F.col("val").desc(), F.col(rank).asc())
         top = sums.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= n)
         return top.groupBy(*keys).agg(
@@ -284,15 +322,16 @@ class CubeBuilder:
             return flat.select(*keys).dropDuplicates()
         base = flat.groupBy(*keys).agg(*aggs) if aggs else flat.select(*keys).dropDuplicates()
         bitmaps = [
-            GD.bitmap_build_agg(flat, keys, GD.dict_col(m.function.parameter), m.name)
+            GD.bitmap_build_agg(
+                self._bitmap_base[m.name], keys, GD.dict_col(m.function.parameter), m.name
+            )
             for m in self._bitmap_measures()
         ]
-        bitmaps += [self._topn_build(flat, keys, m) for m in self._topn_measures()]
+        if cuboid.n_dims <= self.TOPN_HOST_MAX_DIMS:
+            bitmaps += [self._topn_build(keys, m) for m in self._topn_measures()]
         return self._join_bitmaps(base, bitmaps, keys)
 
-    def _agg_from_parent(
-        self, parent: DataFrame, cuboid: Cuboid, segmented: bool, flat: DataFrame
-    ) -> DataFrame:
+    def _agg_from_parent(self, parent: DataFrame, cuboid: Cuboid, segmented: bool) -> DataFrame:
         aggs = []
         special = {m.name for m in self._bitmap_measures()} | {
             m.name for m in self._topn_measures()
@@ -313,9 +352,10 @@ class CubeBuilder:
         bitmaps = [
             GD.bitmap_reagg(parent, keys, m.name) for m in present_bitmaps
         ]
-        # TopN lists never merge from a parent (approximate) — rebuild from
-        # flat for each layout so every stored list stays exact
-        bitmaps += [self._topn_build(flat, keys, m) for m in self._topn_measures()]
+        # TopN lists never merge from a parent (approximate) — re-aggregate
+        # the shared sums base per layout so every stored list stays exact
+        if cuboid.n_dims <= self.TOPN_HOST_MAX_DIMS:
+            bitmaps += [self._topn_build(keys, m) for m in self._topn_measures()]
         return self._join_bitmaps(base, bitmaps, keys)
 
     #: files per layout at test scale; a cluster deployment derives this

@@ -236,6 +236,10 @@ def _plan_topn_route(digest: SqlDigest, inst: CubeInstance) -> Route | None:
             continue
         if digest.limit > topn_k(f):
             continue
+        from kylin_on_parquet_v2_spark.cube.build import CubeBuilder
+
+        if len(g) > CubeBuilder.TOPN_HOST_MAX_DIMS:
+            continue  # lists only materialized on narrow host layouts
         cuboid = inst.scheduler.find_best_match(frozenset(g))
         if (
             cuboid is None
