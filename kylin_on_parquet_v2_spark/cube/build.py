@@ -39,6 +39,11 @@ from kylin_on_parquet_v2_spark.metadata.cube import CubeDesc
 from kylin_on_parquet_v2_spark.metadata.model import DataModel
 
 SEGMENT_COL = "__segment__"
+#: Hive-style shard partition dir per layout (FilePruner.pruneShards parity):
+#: __shard__ = pmod(hash(shard_col), n) — an equality filter on the shard
+#: column prunes whole shard dirs before file listing, and rows stay
+#: co-located by the shard key for query-time groupBy/join.
+SHARD_COL = "__shard__"
 
 
 @dataclass
@@ -363,23 +368,31 @@ class CubeBuilder:
     write_partitions = 8
 
     def _write_layout(self, df: DataFrame, path: str, segmented: bool) -> None:
+        parts: list[str] = []
+        if self.desc.shard_by and self.desc.shard_by in df.columns:
+            # Shard parity (CubeBuildJob.java:326-357 + FilePruner.pruneShards
+            # :287-373): materialize the shard id as a Hive partition dir so
+            # (a) an equality filter on the shard column becomes native
+            # partition pruning, and (b) rows are co-located by the shard key.
+            df = df.withColumn(
+                SHARD_COL,
+                F.pmod(F.hash(F.col(self.desc.shard_by)), F.lit(self.desc.shard_buckets)),
+            )
+            parts.append(SHARD_COL)
         if segmented:
+            parts.insert(0, SEGMENT_COL)
+        if parts:
             # dynamic-partition write rule: cluster rows by the partition
-            # column first, so each segment dir is written by one task (one
-            # file) instead of every write task spraying a sliver into every
-            # dir (the partitioned-write small-files explosion)
-            writer = df.repartition(F.col(SEGMENT_COL))
-        elif self.desc.shard_by and self.desc.shard_by in df.columns:
-            # Shard parity (CubeBuildJob.java:326-357): co-locate rows by the
-            # shard key so query-time groupBy/join on it avoids a shuffle
-            # after AQE detects the layout.
-            writer = df.repartition(self.write_partitions, F.col(self.desc.shard_by))
+            # columns first, so each dir is written by one task (one file)
+            # instead of every write task spraying a sliver into every dir
+            # (the partitioned-write small-files explosion)
+            writer = df.repartition(*[F.col(c) for c in parts])
         else:
             # coalesce the aggregation's shuffle partitions: without this
             # every cuboid writes one tiny file per shuffle partition (the
             # classic small-files problem, multiplied by the lattice size)
             writer = df.coalesce(self.write_partitions)
         w = writer.write.mode("overwrite")
-        if segmented:
-            w = w.partitionBy(SEGMENT_COL)
+        if parts:
+            w = w.partitionBy(*parts)
         w.parquet(path)

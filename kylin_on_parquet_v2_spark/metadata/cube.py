@@ -115,6 +115,8 @@ class CubeDesc:
     aggregation_groups: tuple[AggregationGroup, ...] = ()
     #: bucketing column for layout writes (reference 'shardby' rowkey flag)
     shard_by: str | None = None
+    #: number of shard partition dirs per layout when shard_by is declared
+    shard_buckets: int = 8
     #: cuboids are additionally partitioned by segment when the model declares
     #: a partition column; granularity is a Spark date_trunc unit.
     segment_granularity: str = "month"

@@ -30,7 +30,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from kylin_on_parquet_v2_spark.cube.build import SEGMENT_COL, CubeInstance
+from kylin_on_parquet_v2_spark.cube.build import SEGMENT_COL, SHARD_COL, CubeInstance
 from kylin_on_parquet_v2_spark.cube.cuboid import Cuboid
 from kylin_on_parquet_v2_spark.metadata.cube import MeasureDesc
 from kylin_on_parquet_v2_spark.metadata.model import JoinTable
@@ -58,6 +58,10 @@ class Route:
     #: row's array<struct<key,val>> is exploded instead of scanning the rank
     #: dimension's rows
     topn: tuple[str, str, str] | None = None
+    #: (shard column, literal SQL) for an equality filter on the layout's
+    #: shard key — folded into a __shard__ partition predicate at execution
+    #: (FilePruner.pruneShards parity; prunes whole shard dirs)
+    shard_eq: tuple[str, str] | None = None
 
 
 def _match_joins(digest: SqlDigest, inst: CubeInstance) -> bool:
@@ -170,6 +174,28 @@ def _fold_segment_filters(digest: SqlDigest, inst: CubeInstance) -> list[str]:
         if op in ("<=", "<", "="):
             out.append(f"{SEGMENT_COL} <= '{s}'")
     return out
+
+
+def _fold_shard_filter(digest: SqlDigest, inst: CubeInstance, cuboid: Cuboid) -> tuple[str, str] | None:
+    """An equality on the layout's shard column, provable as a top-level AND
+    conjunct, prunes whole __shard__ dirs (FilePruner.pruneShards parity).
+    Like segment folding, a missed fold only costs scan width — the row
+    filter still applies — so parsing is conservative."""
+    shard = inst.desc.shard_by
+    sql = digest.filter_sql
+    if not shard or not sql or shard not in cuboid.dims:
+        return None
+    if re.search(r"\bOR\b|\bNOT\b", sql, re.IGNORECASE):
+        return None
+    pat = re.compile(
+        rf"\(*\s*{re.escape(shard)}\s*=\s*('[^']*'|-?\d+(?:\.\d+)?)\s*\)*\s*",
+        re.IGNORECASE,
+    )
+    for part in re.split(r"\bAND\b", sql, flags=re.IGNORECASE):
+        m = pat.fullmatch(part.strip())
+        if m:
+            return (shard, m.group(1))
+    return None
 
 
 def _hll_measure_for(col: str, inst: CubeInstance) -> MeasureDesc | None:
@@ -341,6 +367,7 @@ def plan_route(
         segment_filters=_fold_segment_filters(digest, inst),
         approx_distinct=approx,
         bitmap_distinct=bitmap,
+        shard_eq=_fold_shard_filter(digest, inst, cuboid),
     )
 
 
@@ -352,6 +379,23 @@ def execute_route(digest: SqlDigest, inst: CubeInstance, route: Route, spark) ->
         df = df.filter(F.expr(pred))
     if SEGMENT_COL in df.columns:
         df = df.drop(SEGMENT_COL)
+    if route.shard_eq is not None and SHARD_COL in df.columns:
+        # shard-dir pruning: compute the literal's shard id with the SAME
+        # hash/type the write used, then filter the __shard__ partition col
+        col_name, lit_sql = route.shard_eq
+        k = (
+            spark.range(1)
+            .select(
+                F.pmod(
+                    F.hash(F.expr(lit_sql).cast(df.schema[col_name].dataType)),
+                    F.lit(inst.desc.shard_buckets),
+                ).alias("k")
+            )
+            .first()["k"]
+        )
+        df = df.filter(F.col(SHARD_COL) == k)
+    if SHARD_COL in df.columns:
+        df = df.drop(SHARD_COL)
 
     # derived-dimension recovery: broadcast-join the build-time snapshot
     # back on host FKs (snapshot, not live view: the cube's answers must be

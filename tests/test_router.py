@@ -132,6 +132,31 @@ def test_segment_pruning_disabled_under_or(engine):
     assert route is not None and route.segment_filters == []
 
 
+def test_shard_pruning_in_plan(engine):
+    """Equality on the shard column must become a __shard__ PartitionFilter
+    — whole shard dirs skipped before file listing (FilePruner.pruneShards
+    parity via Hive-style shard partition dirs)."""
+    sql = """select p_brand, sum(l_quantity) as s from lineitem
+             join part on l_partkey = p_partkey
+             where p_brand = 'Brand#13' group by p_brand"""
+    df = engine.sql(sql, validate=True)
+    route = engine.last_route
+    assert route is not None and route.shard_eq == ("p_brand", "'Brand#13'")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    seg_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert seg_lines and "__shard__" in seg_lines[0], plan
+
+
+def test_shard_pruning_disabled_under_or(engine):
+    sql = """select p_brand, count(*) as n from lineitem
+             join part on l_partkey = p_partkey
+             where p_brand = 'Brand#13' or p_brand = 'Brand#5'
+             group by p_brand"""
+    engine.sql(sql, validate=True)
+    route = engine.last_route
+    assert route is not None and route.shard_eq is None
+
+
 def test_derived_dimension_recovery(engine):
     """n_name recovered via snapshot join on the c_nationkey host dim."""
     sql = """select n_name, sum(l_quantity) as s from lineitem
