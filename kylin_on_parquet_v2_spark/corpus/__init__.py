@@ -62,6 +62,7 @@ def _modules():
 _PRIORITY = [
     "math_functions",  # round-1's one hash FAIL; keep its fix driver-visible
     "cube_routed_having",
+    "cube_routed_having_hidden",
     "cube_routed_q1",
     "cube_routed_q1_revenue",
     "cube_routed_rollup",

@@ -290,8 +290,28 @@ def cube_routed_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("p_brand", F.round("sum_qty", 2).alias("sum_qty"))
 
 
+def cube_routed_having_hidden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING over aggregates NOT in the select list (Spark's extended
+    Project-over-Filter-over-Aggregate shape): the hidden count(*) routes as
+    a measure column, filters post-aggregation, and is dropped from the
+    output."""
+    eng = engine(spark, sf_dir)
+    df = eng.sql(
+        """
+        select p_brand, sum(l_quantity) as sum_qty
+        from lineitem join part on l_partkey = p_partkey
+        group by p_brand
+        having count(*) > 200
+        order by p_brand
+        """
+    )
+    assert eng.last_route is not None, "expected route for hidden-having query"
+    return df.select("p_brand", F.round("sum_qty", 2).alias("sum_qty"))
+
+
 QUERIES = {
     "cube_routed_having": cube_routed_having,
+    "cube_routed_having_hidden": cube_routed_having_hidden,
     "cube_routed_q1": cube_routed_q1,
     "cube_routed_q1_revenue": cube_routed_q1_revenue,
     "cube_routed_rollup": cube_routed_rollup,
@@ -311,6 +331,13 @@ ORACLES = {
         from lineitem join part on l_partkey = p_partkey
         group by p_brand
         having sum(l_quantity) > 100
+        order by p_brand
+    """,
+    "cube_routed_having_hidden": """
+        select p_brand, round(sum(l_quantity), 2) as sum_qty
+        from lineitem join part on l_partkey = p_partkey
+        group by p_brand
+        having count(*) > 200
         order by p_brand
     """,
     "cube_routed_q1": """

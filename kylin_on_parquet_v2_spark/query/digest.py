@@ -101,6 +101,10 @@ class SqlDigest:
     #: these into per-set cuboid aggregations unioned back — the reference's
     #: AggregateMultipleExpandRule.java:45-120 rewrite.
     grouping_sets: list[list[str]] | None = None
+    #: select items that exist only to evaluate HAVING (`having count(*)>5`
+    #: with count(*) not selected — Spark's Project-over-Filter-over-Aggregate
+    #: "extended aggregate" shape); dropped from the routed output at the end
+    hidden: list[str] = field(default_factory=list)
 
     @property
     def aggs(self) -> list[AggCall]:
@@ -223,10 +227,26 @@ def _extract(plan) -> SqlDigest | None:  # noqa: C901 — one dispatch walk
             asc = "ASC" in str(so.direction().sql()).upper()
             digest.sort.append((colname, asc))
         node = node.child()
+    # HAVING over aggregates NOT in the select list: Spark plans
+    # Project[visible] over Filter[hidden-agg refs] over Aggregate[... +
+    # hidden aliases]. Record the visible set; the hidden aggregate outputs
+    # become regular (routable) select items renamed to safe __h* aliases
+    # and dropped after the post-aggregation filter.
+    visible: list[str] | None = None
+    if (
+        _cls(node) == "Project"
+        and _cls(node.child()) == "Filter"
+        and _cls(node.child().child()) == "Aggregate"
+    ):
+        entries = _seq(node.projectList())
+        if not all(_cls(e) == "AttributeReference" for e in entries):
+            return None
+        visible = [e.name() for e in entries]
+        node = node.child()
     # HAVING: a Filter sitting directly above the Aggregate whose condition
     # references only select-output attributes (Spark resolves `having
     # sum(x) > k` onto the matching select alias when one exists; aggs not
-    # in the select list create an extended-Aggregate shape => pushdown).
+    # in the select list create the extended shape handled above).
     if _cls(node) == "Filter" and _cls(node.child()) == "Aggregate":
         cond = node.condition()
         refs = _attr_names(cond)
@@ -357,6 +377,29 @@ def _extract(plan) -> SqlDigest | None:  # noqa: C901 — one dispatch walk
                 ),
             )
         )
+
+    if visible is not None:
+        # rename hidden aggregate outputs (auto-aliases like `count(1)`) to
+        # safe identifiers, rewriting the HAVING condition to match, and
+        # mark them for post-filter removal
+        vis = set(visible)
+        renames: dict[str, str] = {}
+        for i, item in enumerate(digest.select):
+            if item.name in vis:
+                continue
+            if item.agg is None:
+                return None  # hidden plain column: unexpected shape
+            safe = f"__h{i}"
+            renames[item.name] = safe
+            item.agg.alias = safe
+            item.name = safe
+            digest.hidden.append(safe)
+        if digest.having_sql is not None:
+            for orig, safe in renames.items():
+                digest.having_sql = digest.having_sql.replace(f"`{orig}`", safe)
+            digest.having_cols = {renames.get(c, c) for c in digest.having_cols}
+        if "`" in (digest.having_sql or ""):
+            return None  # unrewritten quoted reference — refuse to guess
 
     node = below
     if _cls(node) == "Filter":

@@ -542,6 +542,8 @@ def execute_route(digest: SqlDigest, inst: CubeInstance, route: Route, spark) ->
 
     if digest.having_sql is not None:
         result = result.filter(F.expr(digest.having_sql))
+    if digest.hidden:
+        result = result.drop(*digest.hidden)  # HAVING-only aggregates
     if digest.sort:
         result = result.orderBy(
             *[F.col(c).asc() if asc else F.col(c).desc() for c, asc in digest.sort]

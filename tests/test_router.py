@@ -192,11 +192,21 @@ def test_having_routed(engine):
     assert engine.last_route is not None
 
 
-def test_having_on_hidden_agg_falls_back(engine):
-    """HAVING on an agg absent from the select list (extended-Aggregate
-    shape) is not routed — pushdown answers it."""
+def test_having_on_hidden_agg_routes(engine):
+    """HAVING on an agg absent from the select list (Project-over-Filter
+    extended shape): the hidden aggregate becomes a routable measure column,
+    filtered then dropped."""
     sql = """select l_returnflag, sum(l_quantity) as s from lineitem
              group by l_returnflag having count(*) > 5"""
+    df = engine.sql(sql, validate=True)
+    assert engine.last_route is not None
+    assert df.columns == ["l_returnflag", "s"]  # hidden column dropped
+
+
+def test_having_hidden_agg_without_measure_falls_back(engine):
+    """A hidden HAVING aggregate with no matching measure cannot route."""
+    sql = """select l_returnflag, sum(l_quantity) as s from lineitem
+             group by l_returnflag having sum(l_tax) > 0"""
     df = engine.sql(sql)
     assert engine.last_route is None
     assert df.count() > 0
