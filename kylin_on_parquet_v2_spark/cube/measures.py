@@ -30,11 +30,46 @@ Reference parity:
 
 from __future__ import annotations
 
+from collections.abc import Callable
+from dataclasses import dataclass
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.types import DecimalType, StructType
 
 from kylin_on_parquet_v2_spark.metadata.cube import FunctionDesc, MeasureDesc
+
+
+@dataclass(frozen=True)
+class MeasureType:
+    """A user-pluggable measure type (reference MeasureTypeFactory.java:
+    121-135, ``kylin.cube.measure.customMeasureType.*`` — each registered
+    type contributes its aggregators to build and query).
+
+    ``build_agg(func, out_name, schema)`` -> partial-aggregate Column for the
+    flat->cuboid build; ``reagg(func, out_name, schema)`` -> re-aggregate
+    Column over layout rows (must be algebraically exact — it also runs for
+    child layouts and segment merges); ``finalize(func, col)`` -> SQL-surface
+    value of the stored column.
+    """
+
+    name: str
+    build_agg: Callable[[FunctionDesc, str, StructType | None], Column | None]
+    reagg: Callable[[FunctionDesc, str, StructType | None], Column | None]
+    finalize: Callable[[FunctionDesc, Column], Column] = staticmethod(lambda f, c: c)
+
+
+_MEASURE_TYPES: dict[str, MeasureType] = {}
+
+
+def register_measure_type(mt: MeasureType) -> None:
+    """Register a custom measure type under its FunctionDesc expression
+    name. Re-registering replaces (latest wins, like config overrides)."""
+    _MEASURE_TYPES[mt.name.upper()] = mt
+
+
+def registered_measure_type(name: str) -> MeasureType | None:
+    return _MEASURE_TYPES.get(name.upper())
 
 
 def _hll_lgk(func: FunctionDesc) -> int:
@@ -97,6 +132,9 @@ def build_agg(measure: MeasureDesc, schema: StructType | None = None) -> Column 
         return F.collect_list(col).alias(name)
     if f.expression == "COLLECT_SET":
         return F.collect_set(col).alias(name)
+    mt = registered_measure_type(f.expression)
+    if mt is not None:
+        return mt.build_agg(f, name, schema)
     raise ValueError(f"unhandled measure {f.expression}")
 
 
@@ -140,6 +178,9 @@ def reagg_from_layout(measure: MeasureDesc, schema: StructType | None = None) ->
         return F.flatten(F.collect_list(name)).alias(name)
     if f.expression == "COLLECT_SET":
         return F.array_distinct(F.flatten(F.collect_list(name))).alias(name)
+    mt = registered_measure_type(f.expression)
+    if mt is not None:
+        return mt.reagg(f, name, schema)
     return None
 
 
@@ -150,4 +191,7 @@ def finalize(measure: MeasureDesc, col: Column | None = None) -> Column:
     c = col if col is not None else F.col(measure.name)
     if f.expression == "COUNT_DISTINCT" and (f.returntype or "").startswith("hllc"):
         return F.hll_sketch_estimate(c)
+    mt = registered_measure_type(f.expression)
+    if mt is not None:
+        return mt.finalize(f, c)
     return c

@@ -51,7 +51,13 @@ class FunctionDesc:
     extra_params: tuple[str, ...] = ()
 
     def __post_init__(self) -> None:
-        if self.expression not in MEASURE_EXPRESSIONS:
+        if self.expression in MEASURE_EXPRESSIONS:
+            return
+        # user-pluggable measure types (MeasureTypeFactory parity); late
+        # import — the registry lives with the aggregator implementations
+        from kylin_on_parquet_v2_spark.cube.measures import registered_measure_type
+
+        if registered_measure_type(self.expression) is None:
             raise ValueError(f"unknown measure expression {self.expression}")
 
 
