@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import os
 import tempfile
+from collections import OrderedDict
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -28,7 +29,16 @@ from kylin_on_parquet_v2_spark.session import get_spark, register_views
 
 
 class OlapEngine:
-    def __init__(self, spark: SparkSession | None = None, storage_dir: str | None = None):
+    def __init__(
+        self,
+        spark: SparkSession | None = None,
+        storage_dir: str | None = None,
+        transformers: list | None = None,
+        max_result_rows: int | None = None,
+        result_cache_size: int = 0,
+    ):
+        from kylin_on_parquet_v2_spark.query.transformers import default_transformers
+
         self.spark = spark or get_spark()
         self.storage_dir = storage_dir or os.path.join(
             tempfile.gettempdir(), "kylin_on_parquet_v2_spark"
@@ -38,6 +48,20 @@ class OlapEngine:
         #: route taken by the last sql() call (None => pushdown); for tests
         #: and EXPLAIN-style introspection.
         self.last_route: Route | None = None
+        #: SQL massage chain (QueryUtil.massageSql parity): applied in order
+        #: before analysis; pass transformers=[] to disable.
+        self.transformers = (
+            list(transformers)
+            if transformers is not None
+            else default_transformers(max_result_rows)
+        )
+        #: opt-in LRU result cache (QueryService.queryAndUpdateCache parity):
+        #: keyed by massaged SQL + routing flags, invalidated on cube build.
+        #: Caching MATERIALIZES the result (the reference caches collected
+        #: result sets too), so it suits repeated dashboard-style queries.
+        self.result_cache_size = result_cache_size
+        self._cache: "OrderedDict[tuple, tuple]" = OrderedDict()
+        self._cache_epoch = 0
 
     # -- metadata / build ----------------------------------------------------
 
@@ -51,6 +75,10 @@ class OlapEngine:
         model = self.models[desc.model_name]
         inst = CubeBuilder(self.spark, model, desc, self.storage_dir).build()
         self.cubes[desc.name] = inst
+        # new data => every cached result is stale (the reference clears its
+        # query cache on segment/cube state changes the same way)
+        self._cache_epoch += 1
+        self._cache.clear()
         return inst
 
     # -- query ---------------------------------------------------------------
@@ -68,13 +96,21 @@ class OlapEngine:
         answered from a declared hllc sketch measure (accuracy-bounded, the
         reference's hllc semantics) when the column is not a dimension.
         """
+        for t in self.transformers:
+            query = t(query)
+        cache_key = (query, use_cube, approx_distinct, self._cache_epoch)
+        if self.result_cache_size and not validate and cache_key in self._cache:
+            schema, rows, route = self._cache.pop(cache_key)
+            self._cache[cache_key] = (schema, rows, route)  # LRU touch
+            self.last_route = route
+            return self.spark.createDataFrame(rows, schema)
         df = self.spark.sql(query)
         self.last_route = None
         if not use_cube or not self.cubes:
-            return df
+            return self._maybe_cache(cache_key, df)
         digest = extract_digest(df)
         if digest is None:
-            return df
+            return self._maybe_cache(cache_key, df)
         # realization choice (RealizationChooser parity): among all cubes
         # that can answer, prefer exact-match hits, then the narrowest
         # cuboid (fewest dims => fewest layout rows scanned)
@@ -84,7 +120,7 @@ class OlapEngine:
             if route is not None:
                 candidates.append((inst, route))
         if not candidates:
-            return df
+            return self._maybe_cache(cache_key, df)
         inst, route = min(
             candidates, key=lambda c: (not c[1].exact, c[1].cuboid.n_dims)
         )
@@ -92,7 +128,18 @@ class OlapEngine:
         if validate:
             self._assert_same(routed, df)
         self.last_route = route
-        return routed
+        return self._maybe_cache(cache_key, routed)
+
+    def _maybe_cache(self, key: tuple, df: DataFrame) -> DataFrame:
+        """Fill the LRU result cache (materializes the result — the
+        reference also caches collected result sets, QueryService:463-560)."""
+        if not self.result_cache_size:
+            return df
+        rows = df.collect()
+        self._cache[key] = (df.schema, rows, self.last_route)
+        while len(self._cache) > self.result_cache_size:
+            self._cache.popitem(last=False)
+        return self.spark.createDataFrame(rows, df.schema)
 
     def explain(self, query: str, approx_distinct: bool = False) -> str:
         """Human-readable routing decision + physical plan for ``query``."""

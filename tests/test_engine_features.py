@@ -1,0 +1,88 @@
+"""Engine facade features: SQL transformer chain (QueryUtil.massageSql
+parity) and the opt-in LRU result cache (QueryService result cache parity)."""
+
+from __future__ import annotations
+
+import pytest
+
+from kylin_on_parquet_v2_spark.datasets import TPCH_CUBE, TPCH_MODEL
+from kylin_on_parquet_v2_spark.query.engine import OlapEngine
+from kylin_on_parquet_v2_spark.query.transformers import (
+    ForcedLimitTransformer,
+    strip_trailing_semicolon,
+    unwrap_odbc_escapes,
+)
+from tests.conftest import SF_SMOKE
+
+
+def test_transformer_units():
+    assert strip_trailing_semicolon("select 1 ;  ") == "select 1"
+    assert unwrap_odbc_escapes("select {fn UCASE(x)} from t") == "select UCASE(x) from t"
+    assert (
+        unwrap_odbc_escapes("select {fn CONCAT({fn UCASE(a)}, b)} from t")
+        == "select CONCAT(UCASE(a), b) from t"
+    )
+    assert unwrap_odbc_escapes("where d = {d '2024-01-02'}") == "where d = DATE '2024-01-02'"
+    assert (
+        unwrap_odbc_escapes("where t = {ts '2024-01-02 03:04:05'}")
+        == "where t = TIMESTAMP '2024-01-02 03:04:05'"
+    )
+    fl = ForcedLimitTransformer(7)
+    assert fl("select * from t").endswith("LIMIT 7")
+    assert fl("select * from t limit 3") == "select * from t limit 3"
+    assert fl("insert into t values (1)") == "insert into t values (1)"
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tmp_path_factory):
+    eng = OlapEngine(
+        spark,
+        storage_dir=str(tmp_path_factory.mktemp("cubes_feat")),
+        max_result_rows=1000,
+        result_cache_size=8,
+    )
+    eng.register_sources(SF_SMOKE)
+    eng.add_model(TPCH_MODEL)
+    eng.build_cube(TPCH_CUBE)
+    return eng
+
+
+def test_odbc_escapes_run_end_to_end(engine):
+    rows = engine.sql(
+        "select {fn UCASE(l_returnflag)} as rf, count(*) as n "
+        "from lineitem group by l_returnflag ;"
+    ).collect()
+    assert {r.rf for r in rows} <= {"A", "N", "R"}
+
+
+def test_forced_limit_applied(engine):
+    df = engine.sql("select l_orderkey from lineitem")
+    assert df.count() == 1000  # unbounded select got the forced LIMIT
+
+
+def test_result_cache_hits_and_preserves_route(engine):
+    sql = "select l_returnflag, sum(l_quantity) as s from lineitem group by l_returnflag"
+    first = engine.sql(sql).collect()
+    assert engine.last_route is not None
+    assert len(engine._cache) >= 1
+    # poison last_route, then hit the cache: route must be restored
+    engine.last_route = None
+    second = engine.sql(sql).collect()
+    assert engine.last_route is not None
+    assert sorted(map(tuple, first)) == sorted(map(tuple, second))
+
+
+def test_result_cache_invalidated_on_build(engine):
+    sql = "select count(*) as n from lineitem"
+    engine.sql(sql)
+    assert engine._cache
+    engine.build_cube(TPCH_CUBE)
+    assert not engine._cache  # epoch bumped, cache cleared
+
+
+def test_cache_lru_bound(spark, tmp_path):
+    eng = OlapEngine(spark, storage_dir=str(tmp_path), result_cache_size=2)
+    eng.register_sources(SF_SMOKE)
+    for i in range(4):
+        eng.sql(f"select {i} as k")
+    assert len(eng._cache) == 2
