@@ -25,6 +25,7 @@ def _modules():
         functions_more,
         functions_string,
         grouping,
+        joins_more,
         measures,
         pipeline,
         setops,
@@ -41,6 +42,7 @@ def _modules():
         grouping,
         setops,
         subquery,
+        joins_more,
         functions_string,
         functions_date,
         functions_misc,
@@ -82,15 +84,13 @@ _PRIORITY = [
     "raw_detail_values",
     "json_extract_props",
     "theta_join",
+    "asof_join_events",
+    "range_join_binned",
+    "right_outer_join_agg",
+    "full_outer_join_agg",
     "mass_in_filter",
     "sum0_null_to_zero",
     "window_range_frame",
-    "udf_pandas_vectorized",
-    "string_encode_funcs",
-    "sessionize_events",
-    "pivot_event_types",
-    "array_functions",
-    "subquery_sql_text",
     "multi_distinct",
     "dedup_exact",
     "dedup_minhash_signatures",
