@@ -101,6 +101,7 @@ _PRIORITY = [
     "similarity_neardup_pairs",
     "similarity_neardup_exact",
     "similarity_ann_lsh",
+    "similarity_ann_ivf",
     "text_quality_features",
     "text_language_id",
     "text_fingerprint",

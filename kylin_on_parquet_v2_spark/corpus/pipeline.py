@@ -104,6 +104,16 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ann_lsh_topk(emb, queries, k=5).orderBy("query_id", "rn")
 
 
+def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN — corpus partitioned into inverted lists, each query probes
+    its n_probe nearest lists via a hash join (never a full scan).
+    Approximate by design => rows-only; true-cosine invariant in tests."""
+    views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return S.ann_ivf_topk(emb, queries, k=5).orderBy("query_id", "rn")
+
+
 def text_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     views(spark, sf_dir)
     return T.quality_features(spark.table("documents")).orderBy("doc_id")
@@ -161,6 +171,7 @@ QUERIES = {
     "similarity_neardup_pairs": similarity_neardup_pairs,
     "similarity_neardup_exact": similarity_neardup_exact,
     "similarity_ann_lsh": similarity_ann_lsh,
+    "similarity_ann_ivf": similarity_ann_ivf,
     "text_quality_features": text_quality_features,
     "text_language_id": text_language_id,
     "text_fingerprint": text_fingerprint,

@@ -174,6 +174,114 @@ def lsh_bucket(
     )
 
 
+def ivf_centroids(n_lists: int = 16, dim: int = 64, seed: int = 7) -> list[list[float]]:
+    """Deterministic seeded centroids (a production build would k-means
+    them; the assignment/probing mechanics are identical)."""
+    import random
+
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_lists)]
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    n_lists: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+    dim: int = 64,
+) -> DataFrame:
+    """IVF coarse quantization: assign each vector to its nearest centroid.
+
+    Centroids are deterministic seeded pseudo-random unit-ish vectors folded
+    into the plan as literals (metadata-sized, like :func:`lsh_planes`) — a
+    production build would k-means them, but assignment/probing mechanics
+    (the part that matters for the Spark plan) are identical. Assignment is
+    a pure-expression argmax over ``n_lists`` dot products: map-side, no
+    shuffle, no UDF.
+    """
+    cents = ivf_centroids(n_lists, dim, seed)
+    # ONE array of (score, -i) structs, argmax via sort of a 16-element
+    # array — NEVER a chained when() over a growing tree (each when embeds
+    # copies of its operands, an exponential expression blowup; same lesson
+    # as element_at-inside-transform)
+    scores = F.array(
+        *[
+            F.struct(
+                (dot(F.col(vec_col), F.array(*[F.lit(x) for x in c]))
+                 / norm(F.array(*[F.lit(x) for x in c]))).alias("s"),
+                F.lit(-i).alias("ni"),  # ties -> lowest centroid index
+            )
+            for i, c in enumerate(cents)
+        ]
+    )
+    best = F.element_at(F.reverse(F.array_sort(scores)), 1)
+    return corpus.select(
+        F.col(id_col), F.col(vec_col), (-best["ni"]).cast("int").alias("ivf_list")
+    )
+
+
+def ann_ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+    dim: int = 64,
+) -> DataFrame:
+    """IVF approximate top-k: exact search over the query's ``n_probe``
+    nearest inverted lists only.
+
+    The scale shape of a vector index: the corpus is partitioned once into
+    ``n_lists`` inverted lists (one map-side pass), each query probes
+    n_probe/n_lists of the corpus via an equi (hash) join on the list id —
+    never a full scan, never a nested-loop join. Recall < 1 by design;
+    returned scores are always true cosines (asserted in tests).
+    """
+    cents = ivf_centroids(n_lists, dim, seed)
+    cb = ivf_assign(corpus, n_lists, id_col, vec_col, seed, dim).select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec"), "ivf_list"
+    )
+    # query side: rank ALL centroid scores, keep top n_probe (explode of a
+    # metadata-sized array — the query set is small by definition)
+    scores = F.array(
+        *[
+            F.struct(
+                (dot(F.col(vec_col), F.array(*[F.lit(x) for x in c])) / norm(F.array(*[F.lit(x) for x in c]))).alias("s"),
+                F.lit(i).alias("i"),
+            )
+            for i, c in enumerate(cents)
+        ]
+    )
+    probes = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), scores.alias("__sc"))
+        .select(
+            "query_id",
+            "qvec",
+            F.explode(F.slice(F.reverse(F.array_sort("__sc")), 1, n_probe)).alias("__p"),
+        )
+        .select("query_id", "qvec", F.col("__p.i").alias("ivf_list"))
+    )
+    scored = (
+        cb.join(F.broadcast(probes), "ivf_list")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "cand_id", "cos", "rn")
+    )
+
+
 def ann_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -117,6 +117,40 @@ def test_ann_lsh_results_are_true_cosines(spark):
         assert truth[(r.query_id, r.cand_id)] == r.cos
 
 
+def test_ann_ivf_results_are_true_cosines(spark):
+    """IVF trades recall, never precision: every returned score must equal
+    the brute-force cosine, and every candidate must come from a probed
+    inverted list."""
+    emb = spark.table("embeddings").filter(F.col("vec_id") < 200)
+    queries = emb.filter(F.col("vec_id") < 5)
+    ivf = S.ann_ivf_topk(emb, queries, k=5)
+    brute = S.brute_force_topk(emb, queries, k=10**6)
+    truth = {(r.query_id, r.cand_id): r.cos for r in brute.collect()}
+    rows = ivf.collect()
+    assert rows, "expected IVF candidates"
+    for r in rows:
+        assert truth[(r.query_id, r.cand_id)] == r.cos
+
+
+def test_ivf_assignment_is_nearest_centroid(spark):
+    """Each vector's list must be the argmax centroid cosine (ties by
+    lowest index) — the coarse quantizer is exact over its centroids."""
+    emb = spark.table("embeddings").filter(F.col("vec_id") < 50)
+    assigned = {r.vec_id: r.ivf_list for r in S.ivf_assign(emb).collect()}
+    cents = S.ivf_centroids()
+
+    def cos(a, b):
+        import math
+
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
+
+    for r in emb.collect():
+        scores = [cos(list(r.embedding), c) for c in cents]
+        best = max(range(16), key=lambda i: (scores[i], -i))
+        assert assigned[r.vec_id] == best, (r.vec_id, scores)
+
+
 def test_lsh_neardup_pairs_subset_of_bruteforce(spark):
     """Scale path sanity: near-dup pairs found within LSH buckets are a
     subset of brute-force pairs, with identical cosine values."""
