@@ -90,8 +90,8 @@ _PRIORITY = [
     "full_outer_join_agg",
     "mass_in_filter",
     "sum0_null_to_zero",
+    "session_window_agg",
     "window_range_frame",
-    "multi_distinct",
     "dedup_exact",
     "dedup_minhash_signatures",
     "dedup_minhash_lsh_pairs",

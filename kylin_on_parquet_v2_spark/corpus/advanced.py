@@ -158,6 +158,28 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window aggregation (the exact API Structured
+    Streaming's session windows use — F.session_window works identically on
+    batch): per user, sessions close after a 30-minute gap; the window
+    struct carries [first_event, last_event + gap). Oracle replicates the
+    boundaries with lag + gap cumsum sessionization."""
+    views(spark, sf_dir)
+    ev = spark.table("events")
+    return (
+        ev.groupBy(F.session_window(F.col("ts"), "30 minutes"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            "user_id",
+            F.unix_millis(F.col("session_window.start").cast("timestamp")).alias("session_start_ms"),
+            F.unix_millis(F.col("session_window.end").cast("timestamp")).alias("session_end_ms"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("user_id", "session_start_ms")
+    )
+
+
 def pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot (conditional-aggregation expansion) — §2 'common OLAP pattern';
     fixed value list keeps the schema static (mandatory at scale: a dynamic
@@ -212,6 +234,7 @@ QUERIES = {
     "udf_pandas_vectorized": udf_pandas_vectorized,
     "string_encode_funcs": string_encode_funcs,
     "sessionize_events": sessionize_events,
+    "session_window_agg": session_window_agg,
     "pivot_event_types": pivot_event_types,
 }
 
@@ -275,6 +298,29 @@ ORACLES = {
                sha256(n_name) as sha
         from nation
         order by n_nationkey
+    """,
+    "session_window_agg": """
+        with g as (
+            select user_id, ts, value,
+                   case when lag(ts) over (partition by user_id order by ts) is null
+                             or epoch_us(ts) - epoch_us(lag(ts) over (partition by user_id order by ts)) >= 1800 * 1000000
+                        then 1 else 0 end as new_session
+            from events
+        ),
+        s as (
+            select user_id, ts, value,
+                   sum(new_session) over (partition by user_id order by ts
+                                          rows between unbounded preceding and current row) as sid
+            from g
+        )
+        select user_id,
+               epoch_ms(min(ts)) as session_start_ms,
+               epoch_ms(max(ts)) + 1800 * 1000 as session_end_ms,
+               count(*) as n_events,
+               round(sum(value), 2) as sum_value
+        from s
+        group by user_id, sid
+        order by user_id, session_start_ms
     """,
     "sessionize_events": """
         select user_id,

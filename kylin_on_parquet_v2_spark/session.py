@@ -124,11 +124,15 @@ def _read_source(spark: SparkSession, path: str) -> DataFrame:
             if str(fld.type) == "timestamp[ns]" and fld.name in df.columns:
                 from pyspark.sql import functions as F
 
+                # INTEGER division ns->us: `/` promotes to double, whose
+                # 53-bit mantissa cannot hold int64 nanos exactly — the
+                # rounding slid some timestamps by a few microseconds off
+                # the oracle's exact conversion
                 df = df.withColumn(
                     fld.name,
-                    F.timestamp_micros((F.col(fld.name) / 1000).cast("long")).cast(
-                        "timestamp_ntz"
-                    ),
+                    F.timestamp_micros(
+                        F.expr(f"`{fld.name}` div 1000")
+                    ).cast("timestamp_ntz"),
                 )
     except Exception:
         pass  # best-effort: plain read already succeeded
