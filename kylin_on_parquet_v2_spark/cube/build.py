@@ -39,6 +39,22 @@ from kylin_on_parquet_v2_spark.metadata.cube import CubeDesc
 from kylin_on_parquet_v2_spark.metadata.model import DataModel
 
 SEGMENT_COL = "__segment__"
+
+
+def _parquet_rows(path: str) -> int:
+    """Total rows under a layout dir from parquet FOOTER metadata — no scan,
+    no Spark job (cheap even for thousands of layouts)."""
+    total = 0
+    try:
+        import pyarrow.parquet as pq
+
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    total += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+    except Exception:
+        return 0
+    return total
 #: Hive-style shard partition dir per layout (FilePruner.pruneShards parity):
 #: __shard__ = pmod(hash(shard_col), n) — an equality filter on the shard
 #: column prunes whole shard dirs before file listing, and rows stay
@@ -55,6 +71,10 @@ class CubeInstance:
     storage_dir: str
     scheduler: CuboidScheduler
     layouts: dict[int, str] = field(default_factory=dict)  # cuboid_id -> path
+    #: cuboid_id -> layout row count (parquet footer metadata, no scan) —
+    #: the router's cost signal (reference RealizationChooser/Cuboid cost:
+    #: fewest rows scanned wins, not fewest dims)
+    layout_rows: dict[int, int] = field(default_factory=dict)
     segmented: bool = False
     #: column -> hosting table (fact + lookups), resolved at build time; used
     #: by the router for derived-dimension recovery (DerivedProcess parity)
@@ -87,6 +107,7 @@ class CubeInstance:
             "measures": [m.name for m in self.desc.measures],
             "segmented": self.segmented,
             "layouts": {str(k): v for k, v in self.layouts.items()},
+            "layout_rows": {str(k): v for k, v in self.layout_rows.items()},
             "snapshots": self.snapshots,
             "computed_columns": self.computed_canon,
         }
@@ -213,6 +234,7 @@ class CubeBuilder:
             with ThreadPoolExecutor(max_workers=self.build_parallelism) as pool:
                 for cuboid_id, path in pool.map(lambda cp: _one(*cp), wave):
                     inst.layouts[cuboid_id] = path
+                    inst.layout_rows[cuboid_id] = _parquet_rows(path)
                     # persisted parent for the next layer: re-reading the
                     # written layout truncates lineage (the reference builds
                     # children from persisted parents too)

@@ -75,13 +75,23 @@ class CuboidScheduler:
 
     # -- routing / build-order queries --------------------------------------
 
-    def find_best_match(self, needed: frozenset[str]) -> Cuboid | None:
-        """Smallest cuboid whose dims cover ``needed`` (fewest dims, then
-        lowest id for determinism) — reference ``findBestMatchCuboid``."""
+    def find_best_match(
+        self, needed: frozenset[str], rows: dict[int, int] | None = None
+    ) -> Cuboid | None:
+        """Cheapest cuboid whose dims cover ``needed`` — by measured layout
+        ROW COUNT when available (the real scan cost; a 2-dim cuboid over
+        correlated dims can hold more rows than a 3-dim one), else fewest
+        dims, then lowest id for determinism — reference
+        ``findBestMatchCuboid`` + the Cuboid cost model."""
         candidates = [c for c in self.cuboids.values() if c.covers(needed)]
         if not candidates:
             return None
-        return min(candidates, key=lambda c: (c.n_dims, c.cuboid_id))
+
+        def cost(c: Cuboid) -> tuple:
+            r = (rows or {}).get(c.cuboid_id, 0)
+            return (r if r > 0 else float("inf"), c.n_dims, c.cuboid_id)
+
+        return min(candidates, key=cost)
 
     def spanning_tree(self) -> list[tuple[Cuboid, Cuboid | None]]:
         """(cuboid, parent) pairs in build order (parents first).

@@ -121,9 +121,15 @@ class OlapEngine:
                 candidates.append((inst, route))
         if not candidates:
             return self._maybe_cache(cache_key, df)
-        inst, route = min(
-            candidates, key=lambda c: (not c[1].exact, c[1].cuboid.n_dims)
-        )
+        def _cost(c: tuple[CubeInstance, Route]) -> tuple:
+            # exact-match hits first, then FEWEST LAYOUT ROWS (the real scan
+            # cost — RealizationChooser/Cuboid cost parity); dim count only
+            # as the tiebreak/fallback when row metadata is absent
+            inst_, route_ = c
+            rows = inst_.layout_rows.get(route_.cuboid.cuboid_id, 0)
+            return (not route_.exact, rows if rows > 0 else float("inf"), route_.cuboid.n_dims)
+
+        inst, route = min(candidates, key=_cost)
         routed = execute_route(digest, inst, route, self.spark)
         if validate:
             self._assert_same(routed, df)

@@ -349,7 +349,7 @@ def plan_route(
     if digest.grouping_sets is not None and not digest.aggs:
         return None  # aggregate-free grouping sets: rare shape, pushdown
 
-    cuboid = inst.scheduler.find_best_match(frozenset(needed))
+    cuboid = inst.scheduler.find_best_match(frozenset(needed), inst.layout_rows)
     if cuboid is None or cuboid.cuboid_id not in inst.layouts:
         return None
     exact = (

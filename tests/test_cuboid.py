@@ -67,6 +67,21 @@ def test_best_match_smallest_superset():
     assert set(hit2.dims) == {"a", "b", "c"}
 
 
+def test_best_match_prefers_fewest_rows():
+    """With measured row counts, the chooser picks the cheapest SCAN, not
+    the fewest dims — correlated dims can make a wider cuboid smaller."""
+    sched = CuboidScheduler(_cube("abcd"))
+    bc = sched._make(frozenset(("b", "c"))).cuboid_id
+    abc = sched._make(frozenset(("a", "b", "c"))).cuboid_id
+    rows = {bc: 1000, abc: 10}
+    hit = sched.find_best_match(frozenset(("b", "c")), rows)
+    assert set(hit.dims) == {"a", "b", "c"}
+    # exact-dims cuboid can never lose: any cover holds >= its rows
+    rows_eq = {bc: 10, abc: 10}
+    hit2 = sched.find_best_match(frozenset(("b", "c")), rows_eq)
+    assert set(hit2.dims) == {"b", "c"}
+
+
 def test_spanning_tree_parents_first():
     sched = CuboidScheduler(_cube("abc"))
     seen = set()
