@@ -76,6 +76,7 @@ _PRIORITY = [
     "cube_routed_topn_rewrite",
     "cube_routed_bitmap_distinct",
     "cube_routed_topn_measure",
+    "cube_routed_percentile_sketch",
     "percentile_approx_sketch",
     "intersect_count_retention",
     "intersect_count_funnel",
@@ -88,7 +89,6 @@ _PRIORITY = [
     "range_join_binned",
     "right_outer_join_agg",
     "full_outer_join_agg",
-    "mass_in_filter",
     "sum0_null_to_zero",
     "session_window_agg",
     "window_range_frame",

@@ -141,6 +141,32 @@ def cube_routed_topn_measure(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("l_suppkey", F.round("total_qty", 2).alias("total_qty"))
 
 
+def cube_routed_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx served from the MERGEABLE histogram sketch measure
+    (fixed-bin counts, bin-wise-sum re-aggregation — the deterministic
+    stand-in for the reference's t-digest PercentileCounter). The oracle
+    replicates the identical histogram in DuckDB, so the check is exact
+    even though the percentile itself is approximate (within bin width)."""
+    eng = engine(spark, sf_dir)
+    df = eng.sql(
+        """
+        select l_returnflag,
+               percentile_approx(l_quantity, 0.5) as p50,
+               percentile_approx(l_quantity, 0.9) as p90
+        from lineitem
+        group by l_returnflag
+        order by l_returnflag
+        """
+    )
+    route = eng.last_route
+    assert route is not None, "expected route for cube_routed_percentile_sketch"
+    return df.select(
+        "l_returnflag",
+        F.round("p50", 2).alias("p50"),
+        F.round("p90", 2).alias("p90"),
+    )
+
+
 def cube_routed_snowflake(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snowflake aggregate routed onto a cuboid with re-aggregation + AVG
     decomposition (SUM/COUNT)."""
@@ -317,6 +343,7 @@ QUERIES = {
     "cube_routed_rollup": cube_routed_rollup,
     "cube_routed_bitmap_distinct": cube_routed_bitmap_distinct,
     "cube_routed_topn_measure": cube_routed_topn_measure,
+    "cube_routed_percentile_sketch": cube_routed_percentile_sketch,
     "cube_routed_snowflake": cube_routed_snowflake,
     "cube_routed_filter_dim": cube_routed_filter_dim,
     "cube_routed_global": cube_routed_global,
@@ -375,6 +402,26 @@ ORACLES = {
         group by l_suppkey
         order by sum(l_quantity) desc, l_suppkey
         limit 10
+    """,
+    "cube_routed_percentile_sketch": """
+        with b as (
+            select l_returnflag,
+                   cast(least(greatest(floor(l_quantity / 0.5), 0), 99) as int) as bin
+            from lineitem
+        ),
+        c as (select l_returnflag, bin, count(*) as n from b group by 1, 2),
+        cum as (
+            select l_returnflag, bin,
+                   sum(n) over (partition by l_returnflag order by bin) as cum,
+                   sum(n) over (partition by l_returnflag) as total
+            from c
+        )
+        select l_returnflag,
+               round(min(case when cum >= 0.5 * total then (bin + 0.5) * 0.5 end), 2) as p50,
+               round(min(case when cum >= 0.9 * total then (bin + 0.5) * 0.5 end), 2) as p90
+        from cum
+        group by l_returnflag
+        order by l_returnflag
     """,
     "cube_routed_rollup": """
         select l_returnflag, l_linestatus,

@@ -83,6 +83,71 @@ def _hll_lgk(func: FunctionDesc) -> int:
     return 12
 
 
+def hist_spec(func: FunctionDesc) -> tuple[int, float, float] | None:
+    """Parse a mergeable-histogram percentile returntype ``hist(bins,lo,hi)``.
+
+    The reference stores a t-digest (PercentileCounter); PySpark exposes no
+    union-able digest, so our re-aggregatable percentile state is a
+    fixed-bin equi-width histogram over DECLARED bounds — deterministic
+    (oracle-replayable) and exactly mergeable (bin-wise sum). Accuracy is
+    (hi-lo)/bins, declared up front like the reference declares digest
+    compression."""
+    rt = func.returntype or ""
+    if rt.startswith("hist(") and rt.endswith(")"):
+        try:
+            bins, lo, hi = rt[5:-1].split(",")
+            return int(bins), float(lo), float(hi)
+        except ValueError:
+            pass
+    return None
+
+
+def hist_build(func: FunctionDesc, name: str) -> Column:
+    """array<long> of per-bin counts; values clamp into the edge bins."""
+    bins, lo, hi = hist_spec(func)
+    w = (hi - lo) / bins
+    b = F.least(
+        F.greatest(F.floor((F.col(func.parameter) - F.lit(lo)) / F.lit(w)), F.lit(0)),
+        F.lit(bins - 1),
+    )
+    return F.array(
+        *[
+            F.sum(F.when(b == i, 1).otherwise(0)).cast("long")
+            for i in range(bins)
+        ]
+    ).alias(name)
+
+
+def hist_reagg(func: FunctionDesc, name: str) -> Column:
+    """Bin-wise sum of layout histograms — exact merge."""
+    bins, _lo, _hi = hist_spec(func)
+    zeros = F.array(*[F.lit(0).cast("long") for _ in range(bins)])
+    return F.aggregate(
+        F.collect_list(name),
+        zeros,
+        lambda acc, x: F.zip_with(acc, x, lambda a, c: a + c),
+    ).alias(name)
+
+
+def hist_percentile(func: FunctionDesc, col: Column, q: float) -> Column:
+    """Percentile-q from a histogram column: first bin where the cumulative
+    count reaches q * total, reported at the bin midpoint. Pure expressions
+    (O(bins^2) adds — metadata-sized), deterministic on every engine."""
+    bins, lo, hi = hist_spec(func)
+    w = (hi - lo) / bins
+    total = F.aggregate(col, F.lit(0).cast("long"), lambda a, c: a + c)
+    cums = F.transform(
+        F.sequence(F.lit(1), F.lit(bins)),
+        lambda i: F.struct(
+            i.alias("i"),
+            F.aggregate(F.slice(col, F.lit(1), i), F.lit(0).cast("long"), lambda a, c: a + c).alias("cum"),
+        ),
+    )
+    target = (F.lit(q) * total.cast("double"))
+    first = F.element_at(F.filter(cums, lambda s: s["cum"].cast("double") >= target), 1)
+    return F.lit(lo) + (first["i"].cast("double") - F.lit(0.5)) * F.lit(w)
+
+
 def topn_k(func: FunctionDesc) -> int:
     rt = func.returntype or ""
     if rt.startswith("topn(") and rt.endswith(")"):
@@ -125,7 +190,9 @@ def build_agg(measure: MeasureDesc, schema: StructType | None = None) -> Column 
         # cuboid level in CubeBuilder, not as a single agg Column.
         return None
     if f.expression == "PERCENTILE_APPROX":
-        return None  # exact-match only; no union-able sketch in PySpark
+        if hist_spec(f) is not None:
+            return hist_build(f, name)  # mergeable histogram sketch
+        return None  # exact-match only otherwise
     if f.expression == "EXTENDED_COLUMN":
         return F.first(col, ignorenulls=True).alias(name)
     if f.expression == "RAW":
@@ -172,6 +239,8 @@ def reagg_from_layout(measure: MeasureDesc, schema: StructType | None = None) ->
             # (PreciseCountDistinct.scala bitmap-union parity)
             return F.array_distinct(F.flatten(F.collect_list(name))).alias(name)
         return None
+    if f.expression == "PERCENTILE_APPROX" and hist_spec(f) is not None:
+        return hist_reagg(f, name)
     if f.expression == "EXTENDED_COLUMN":
         return F.first(name, ignorenulls=True).alias(name)
     if f.expression == "RAW":

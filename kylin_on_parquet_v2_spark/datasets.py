@@ -91,6 +91,13 @@ TPCH_CUBE = CubeDesc(
             "topn_suppkey_qty",
             FunctionDesc("TOP_N", "l_quantity", "topn(50)", extra_params=("l_suppkey",)),
         ),
+        # mergeable percentile sketch: fixed-bin histogram over the declared
+        # domain (l_quantity is 1..50); accuracy = bin width 0.5. The
+        # deterministic replacement for the reference's t-digest
+        # (PercentileMeasureType) — re-aggregates exactly (bin-wise sum).
+        MeasureDesc(
+            "hist_qty", FunctionDesc("PERCENTILE_APPROX", "l_quantity", "hist(100,0,50)")
+        ),
         # expression measures over model computed columns
         MeasureDesc("sum_revenue", FunctionDesc("SUM", "revenue")),
         MeasureDesc("count_revenue", FunctionDesc("COUNT", "revenue")),

@@ -23,6 +23,14 @@ from pyspark.sql import DataFrame
 _AGG_RE = re.compile(
     r"^(sum|min|max|count|avg)\(\s*(distinct\s+)?(.+?)\s*\)$", re.IGNORECASE | re.DOTALL
 )
+# percentile_approx(col, CAST(q AS DOUBLE), accuracy, ...) — Spark's resolved
+# call; digested so the router can serve it from a mergeable histogram
+# sketch measure (the reference rewrites percentile onto PercentileCounter
+# state the same way, PercentileMeasureType.java:35-110)
+_PCT_RE = re.compile(
+    r"^percentile_approx\(\s*([\w.]+)\s*,\s*(?:cast\(\s*)?([0-9.]+)(?:bd|d)?\s*(?:as\s+double\s*\))?\s*(?:,.*)?\)$",
+    re.IGNORECASE | re.DOTALL,
+)
 _QUALIFIED = re.compile(r"\b(\w+)\.(\w+)\b")
 _EQ_PAIR = re.compile(r"\(?\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*\)?")
 
@@ -39,6 +47,9 @@ class AggCall:
     #: the flat table; OLAPAggregateRel.java:528-600 rewrites agg calls
     #: over them onto measures)
     expr_sql: str | None = None
+    #: percentile fraction for func == "PERCENTILE" (kept LAST — call sites
+    #: construct AggCall positionally through expr_sql)
+    q: float | None = None
 
 
 def canonical_expr_sql(sql: str) -> str:
@@ -345,6 +356,21 @@ def _extract(plan) -> SqlDigest | None:  # noqa: C901 — one dispatch walk
             # aliased group column?
             if _cls(child) == "AttributeReference" and child.name() in digest.group_cols:
                 digest.select.append(SelectItem(name=alias, group_col=child.name()))
+                continue
+            pm = _PCT_RE.match(child_sql.replace("`", ""))
+            if pm and len(_attr_names(child)) == 1:
+                digest.select.append(
+                    SelectItem(
+                        name=alias,
+                        agg=AggCall(
+                            func="PERCENTILE",
+                            column=pm.group(1).split(".")[-1],
+                            distinct=False,
+                            alias=alias,
+                            q=float(pm.group(2)),
+                        ),
+                    )
+                )
                 continue
             return None
         func = m.group(1).upper()

@@ -220,6 +220,19 @@ def _bitmap_measure_for(col: str, inst: CubeInstance) -> MeasureDesc | None:
     return None
 
 
+def _hist_measure_for(col: str, inst: CubeInstance) -> MeasureDesc | None:
+    from kylin_on_parquet_v2_spark.cube.measures import hist_spec
+
+    for m in inst.desc.measures:
+        if (
+            m.function.expression == "PERCENTILE_APPROX"
+            and m.function.parameter == col
+            and hist_spec(m.function) is not None
+        ):
+            return m
+    return None
+
+
 def _plan_topn_route(digest: SqlDigest, inst: CubeInstance) -> Route | None:
     """``SELECT g..., r, SUM(m) ... GROUP BY g..., r ORDER BY SUM(m) DESC
     LIMIT k`` rewritten onto a stored TopN measure whose rank dim is ``r``
@@ -327,6 +340,11 @@ def plan_route(
                 approx[agg.alias] = _hll_measure_for(agg.column, inst).name
             elif not _need(agg.column):
                 return None
+        elif agg.func == "PERCENTILE":
+            # served from a mergeable histogram sketch measure
+            # (PercentileMeasureType parity; accuracy declared by the bins)
+            if _hist_measure_for(agg.column, inst) is None:
+                return None
         elif agg.func == "AVG":
             # AVG = SUM(col)/COUNT(col) — COUNT(col), not COUNT(*): SQL AVG
             # ignores NULLs, so dividing by the row count silently understates
@@ -357,7 +375,7 @@ def plan_route(
         and not derived
         and digest.grouping_sets is None
         and set(cuboid.dims) == set(digest.group_cols)
-        and not any(a.distinct or a.func == "AVG" for a in digest.aggs)
+        and not any(a.distinct or a.func in ("AVG", "PERCENTILE") for a in digest.aggs)
     )
     return Route(
         cube=inst.desc.name,
@@ -465,6 +483,14 @@ def execute_route(digest: SqlDigest, inst: CubeInstance, route: Route, spark) ->
                     )
                 else:
                     agg_cols.append(F.countDistinct(agg.column).alias(item.name))
+            elif agg.func == "PERCENTILE":
+                from kylin_on_parquet_v2_spark.cube import measures as M
+
+                m = _hist_measure_for(agg.column, inst)
+                merged = M.hist_reagg(m.function, m.name)
+                agg_cols.append(
+                    M.hist_percentile(m.function, merged, agg.q).alias(item.name)
+                )
             elif agg.func == "AVG":
                 s = _measure_for(AggCall("SUM", agg.column, False, "", agg.expr_sql), inst)
                 c = _measure_for(AggCall("COUNT", agg.column, False, "", agg.expr_sql), inst)

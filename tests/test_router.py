@@ -290,6 +290,28 @@ def test_global_aggregate_hits_zero_dim_cuboid(engine):
     assert route is not None and route.cuboid.dims == ()
 
 
+def test_percentile_from_histogram_sketch(engine):
+    """percentile_approx routes to the mergeable histogram measure; the
+    answer is within one bin width (the declared accuracy) of exact, and no
+    fact scan appears in the plan."""
+    sql = """select l_returnflag, percentile_approx(l_quantity, 0.5) as p50
+             from lineitem group by l_returnflag"""
+    df = engine.sql(sql)
+    route = engine.last_route
+    assert route is not None
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "lineitem.parquet" not in plan, plan
+    exact = {
+        r.l_returnflag: r.p
+        for r in engine.pushdown(
+            "select l_returnflag, percentile(l_quantity, 0.5) as p "
+            "from lineitem group by l_returnflag"
+        ).collect()
+    }
+    for r in df.collect():
+        assert abs(r.p50 - exact[r.l_returnflag]) <= 0.5, r  # bin width
+
+
 def test_approx_distinct_via_hll_measure(engine):
     """COUNT(DISTINCT l_suppkey): not a dimension, but the cube declares an
     hllc measure on it — approx routing is opt-in and accuracy-bounded."""
