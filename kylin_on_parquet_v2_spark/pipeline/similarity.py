@@ -13,6 +13,8 @@ zip_with) so results are bit-reproducible against the DuckDB oracle.
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 — resolves pandas_udf type hints under
+# `from __future__ import annotations` (stringized hints need module globals)
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -193,31 +195,51 @@ def ivf_assign(
 ) -> DataFrame:
     """IVF coarse quantization: assign each vector to its nearest centroid.
 
-    Centroids are deterministic seeded pseudo-random unit-ish vectors folded
-    into the plan as literals (metadata-sized, like :func:`lsh_planes`) — a
-    production build would k-means them, but assignment/probing mechanics
-    (the part that matters for the Spark plan) are identical. Assignment is
-    a pure-expression argmax over ``n_lists`` dot products: map-side, no
-    shuffle, no UDF.
+    Centroids are deterministic seeded pseudo-random vectors (a production
+    build would k-means them; assignment/probing mechanics are identical).
+
+    Assignment is an Arrow-batched pandas UDF doing one numpy matmul per
+    batch — dense (rows x dim) @ (dim x lists) linear algebra is the one
+    place expressions lose: higher-order-function folds evaluate lambdas
+    per array element interpreted, ~16 x dim evals/row, while the
+    vectorized matmul is a single BLAS call. Map-side, no shuffle; numpy
+    argmax breaks score ties toward the lowest centroid index.
     """
-    cents = ivf_centroids(n_lists, dim, seed)
-    # ONE array of (score, -i) structs, argmax via sort of a 16-element
-    # array — NEVER a chained when() over a growing tree (each when embeds
-    # copies of its operands, an exponential expression blowup; same lesson
-    # as element_at-inside-transform)
-    scores = F.array(
-        *[
-            F.struct(
-                (dot(F.col(vec_col), F.array(*[F.lit(x) for x in c]))
-                 / norm(F.array(*[F.lit(x) for x in c]))).alias("s"),
-                F.lit(-i).alias("ni"),  # ties -> lowest centroid index
-            )
-            for i, c in enumerate(cents)
-        ]
-    )
-    best = F.element_at(F.reverse(F.array_sort(scores)), 1)
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    cents = np.asarray(ivf_centroids(n_lists, dim, seed), dtype=np.float64)
+    # vector norm divides out of the argmax; centroid norms do not
+    cents_t = (cents / np.linalg.norm(cents, axis=1, keepdims=True)).T
+
+    @pandas_udf("int")
+    def _assign(v: pd.Series) -> pd.Series:
+        mat = np.vstack(v.to_numpy()).astype(np.float64)
+        return pd.Series(np.argmax(mat @ cents_t, axis=1).astype("int32"))
+
     return corpus.select(
-        F.col(id_col), F.col(vec_col), (-best["ni"]).cast("int").alias("ivf_list")
+        F.col(id_col), F.col(vec_col), _assign(F.col(vec_col)).alias("ivf_list")
+    )
+
+
+def _centroid_scores(vec: Column, cents: list[list[float]]) -> Column:
+    """array<struct<s, ni>> of (centroid score, -index) for ``vec``.
+
+    The centroid matrix is ONE nested-array literal walked by a single
+    transform lambda — never per-centroid unrolled expressions (16 copies
+    of a 64-term dot product made whole-stage codegen the dominant cost),
+    and never a chained when() argmax (exponential operand copies; same
+    lesson as element_at-inside-transform). ni is negated so a descending
+    sort breaks score ties toward the lowest centroid index.
+    """
+    matrix = F.array(*[F.array(*[F.lit(x) for x in c]) for c in cents])
+    return F.zip_with(
+        matrix,
+        F.sequence(F.lit(0), F.lit(len(cents) - 1)),
+        lambda c, i: F.struct(
+            (dot(vec, c) / norm(c)).alias("s"),
+            (-i).alias("ni"),
+        ),
     )
 
 
@@ -241,21 +263,12 @@ def ann_ivf_topk(
     never a full scan, never a nested-loop join. Recall < 1 by design;
     returned scores are always true cosines (asserted in tests).
     """
-    cents = ivf_centroids(n_lists, dim, seed)
     cb = ivf_assign(corpus, n_lists, id_col, vec_col, seed, dim).select(
         F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec"), "ivf_list"
     )
     # query side: rank ALL centroid scores, keep top n_probe (explode of a
     # metadata-sized array — the query set is small by definition)
-    scores = F.array(
-        *[
-            F.struct(
-                (dot(F.col(vec_col), F.array(*[F.lit(x) for x in c])) / norm(F.array(*[F.lit(x) for x in c]))).alias("s"),
-                F.lit(i).alias("i"),
-            )
-            for i, c in enumerate(cents)
-        ]
-    )
+    scores = _centroid_scores(F.col(vec_col), ivf_centroids(n_lists, dim, seed))
     probes = (
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), scores.alias("__sc"))
         .select(
@@ -263,7 +276,7 @@ def ann_ivf_topk(
             "qvec",
             F.explode(F.slice(F.reverse(F.array_sort("__sc")), 1, n_probe)).alias("__p"),
         )
-        .select("query_id", "qvec", F.col("__p.i").alias("ivf_list"))
+        .select("query_id", "qvec", (-F.col("__p.ni")).cast("int").alias("ivf_list"))
     )
     scored = (
         cb.join(F.broadcast(probes), "ivf_list")

@@ -148,7 +148,12 @@ def test_ivf_assignment_is_nearest_centroid(spark):
     for r in emb.collect():
         scores = [cos(list(r.embedding), c) for c in cents]
         best = max(range(16), key=lambda i: (scores[i], -i))
-        assert assigned[r.vec_id] == best, (r.vec_id, scores)
+        # float-fold vs BLAS summation order may differ in the last ulp —
+        # accept the assignment when its score is indistinguishable
+        assert (
+            assigned[r.vec_id] == best
+            or abs(scores[assigned[r.vec_id]] - scores[best]) < 1e-9
+        ), (r.vec_id, scores)
 
 
 def test_lsh_neardup_pairs_subset_of_bruteforce(spark):
