@@ -155,7 +155,10 @@ class OlapEngine:
             f"route: cube={route.cube} cuboid={route.cuboid.dims} "
             f"exact={route.exact} derived={[lk.table for lk in route.derived]} "
             f"segment_filters={route.segment_filters} "
-            f"approx_distinct={route.approx_distinct}"
+            f"shard_eq={route.shard_eq} "
+            f"approx_distinct={route.approx_distinct} "
+            f"bitmap_distinct={route.bitmap_distinct} "
+            f"topn={route.topn}"
             if route is not None
             else "route: none (pushdown — plain spark.sql)"
         )
