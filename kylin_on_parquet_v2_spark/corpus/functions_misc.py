@@ -20,8 +20,10 @@ def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         F.abs(-x).alias("abs_x"),
         (F.floor(x * 10 + 0.5) / 10).alias("round_x"),
-        F.ceil(x).alias("ceil_x"),
-        F.floor(x).alias("floor_x"),
+        # cast to double: Spark ceil/floor return BIGINT while DuckDB returns
+        # DOUBLE — identical values hash differently as int64 vs float64
+        F.ceil(x).cast("double").alias("ceil_x"),
+        F.floor(x).cast("double").alias("floor_x"),
         F.sign(x - 30000).cast("double").alias("sign_x"),
         (F.col("l_quantity") % 7).alias("mod_x"),
         F.round(F.sqrt(x), 6).alias("sqrt_x"),

@@ -159,12 +159,22 @@ def extended_column_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def raw_detail_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RAW measure: detail values preserved through aggregation
-    (RawMeasureType.java:48-200) — sorted list per group."""
+    (RawMeasureType.java:48-200) — sorted list per group, emitted as a
+    comma-joined string so cross-engine canonicalizers can sort/hash the
+    column (raw array<bigint> is unhashable in a pandas sort)."""
     views(spark, sf_dir)
     sup = spark.table("supplier")
     return (
         sup.groupBy("s_nationkey")
-        .agg(F.array_sort(F.collect_list("s_suppkey")).alias("supp_keys"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("s_suppkey")),
+                    lambda v: v.cast("string"),
+                ),
+                ",",
+            ).alias("supp_keys")
+        )
         .orderBy("s_nationkey")
     )
 
@@ -266,7 +276,7 @@ ORACLES = {
     """,
     "raw_detail_values": """
         select s_nationkey,
-               list_sort(list(s_suppkey)) as supp_keys
+               array_to_string(list_sort(list(s_suppkey)), ',') as supp_keys
         from supplier
         group by s_nationkey
         order by s_nationkey

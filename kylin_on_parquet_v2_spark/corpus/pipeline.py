@@ -386,9 +386,9 @@ ORACLES = {
                     when doc_id % 3 = 1 then 'audio'
                     else 'video' end as media_type,
                count(*) as n_assets,
-               sum(octet_length(encode(text))) as total_bytes,
-               min(octet_length(encode(text))) as min_bytes,
-               max(octet_length(encode(text))) as max_bytes
+               cast(sum(octet_length(encode(text))) as bigint) as total_bytes,
+               cast(min(octet_length(encode(text))) as bigint) as min_bytes,
+               cast(max(octet_length(encode(text))) as bigint) as max_bytes
         from documents
         group by 1
         order by media_type

@@ -41,9 +41,11 @@ from kylin_on_parquet_v2_spark.metadata.model import DataModel
 SEGMENT_COL = "__segment__"
 
 
-def _parquet_rows(path: str) -> int:
+def _parquet_rows(path: str) -> int | None:
     """Total rows under a layout dir from parquet FOOTER metadata — no scan,
-    no Spark job (cheap even for thousands of layouts)."""
+    no Spark job (cheap even for thousands of layouts). ``None`` on footer
+    read failure: 'unknown' must stay distinguishable from a MEASURED 0 rows
+    (an empty layout is the cheapest scan; unknown falls back to dim count)."""
     total = 0
     try:
         import pyarrow.parquet as pq
@@ -53,13 +55,55 @@ def _parquet_rows(path: str) -> int:
                 if f.endswith(".parquet"):
                     total += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
     except Exception:
-        return 0
+        return None
     return total
+def join_null_safe(left: DataFrame, right: DataFrame, keys: list[str], how: str = "left") -> DataFrame:
+    """Equi-join on ``keys`` with NULL-safe equality (``<=>``).
+
+    A name-list join uses plain ``=`` and drops NULL==NULL key matches, so a
+    group keyed by a NULL dimension value silently loses its joined measure
+    state (stored bitmap/TopN lists) — COUNT DISTINCT coalesces to 0 and the
+    NULL-keyed group vanishes from TopN results. ``<=>`` is still an
+    equi-join key for Spark's hash joins, so the plan shape is unchanged.
+    Output keeps the LEFT side's key columns.
+    """
+    if not keys:
+        return left.crossJoin(right)
+    renamed = right
+    for k in keys:
+        renamed = renamed.withColumnRenamed(k, f"__r_{k}")
+    cond = None
+    for k in keys:
+        c = left[k].eqNullSafe(renamed[f"__r_{k}"])
+        cond = c if cond is None else (cond & c)
+    return left.join(renamed, cond, how).drop(*[f"__r_{k}" for k in keys])
+
+
 #: Hive-style shard partition dir per layout (FilePruner.pruneShards parity):
 #: __shard__ = pmod(hash(shard_col), n) — an equality filter on the shard
 #: column prunes whole shard dirs before file listing, and rows stay
 #: co-located by the shard key for query-time groupBy/join.
 SHARD_COL = "__shard__"
+
+
+def with_shard_partition(df: DataFrame, desc: CubeDesc) -> tuple[DataFrame, list[str]]:
+    """Materialize the ``__shard__`` partition column when the layout hosts
+    the shard key (CubeBuildJob.java:326-357 + FilePruner.pruneShards
+    :287-373): (a) an equality filter on the shard column becomes native
+    partition pruning, (b) rows stay co-located by the shard key.
+
+    Shared by the build's layout writes AND the segment-merge staging write —
+    a merged segment missing the shard dirs would leave one parquet root with
+    inconsistent partition-directory depth (Spark's conflicting-partition-
+    structure error, and shard pruning would silently skip merged data).
+    """
+    if desc.shard_by and desc.shard_by in df.columns:
+        df = df.withColumn(
+            SHARD_COL,
+            F.pmod(F.hash(F.col(desc.shard_by)), F.lit(desc.shard_buckets)),
+        )
+        return df, [SHARD_COL]
+    return df, []
 
 
 @dataclass
@@ -234,7 +278,9 @@ class CubeBuilder:
             with ThreadPoolExecutor(max_workers=self.build_parallelism) as pool:
                 for cuboid_id, path in pool.map(lambda cp: _one(*cp), wave):
                     inst.layouts[cuboid_id] = path
-                    inst.layout_rows[cuboid_id] = _parquet_rows(path)
+                    n = _parquet_rows(path)
+                    if n is not None:  # absent key == unknown cost downstream
+                        inst.layout_rows[cuboid_id] = n
                     # persisted parent for the next layer: re-reading the
                     # written layout truncates lineage (the reference builds
                     # children from persisted parents too)
@@ -331,10 +377,11 @@ class CubeBuilder:
         """Attach per-group bitmap columns to the plain-measure aggregate.
         Both sides are the same groupBy keys, so AQE plans a co-partitioned
         join; a group absent from a bitmap side (all-NULL column) keeps an
-        empty bag."""
+        empty bag. NULL-safe on the keys: a group keyed by a NULL dimension
+        value must keep its stored bitmap/TopN state."""
         out = base
         for bm in bitmaps:
-            out = out.join(bm, keys, "left") if keys else out.crossJoin(bm)
+            out = join_null_safe(out, bm, keys, "left")
         return out
 
     def _agg_from_flat(self, flat: DataFrame, cuboid: Cuboid, segmented: bool) -> DataFrame:
@@ -390,17 +437,7 @@ class CubeBuilder:
     write_partitions = 8
 
     def _write_layout(self, df: DataFrame, path: str, segmented: bool) -> None:
-        parts: list[str] = []
-        if self.desc.shard_by and self.desc.shard_by in df.columns:
-            # Shard parity (CubeBuildJob.java:326-357 + FilePruner.pruneShards
-            # :287-373): materialize the shard id as a Hive partition dir so
-            # (a) an equality filter on the shard column becomes native
-            # partition pruning, and (b) rows are co-located by the shard key.
-            df = df.withColumn(
-                SHARD_COL,
-                F.pmod(F.hash(F.col(self.desc.shard_by)), F.lit(self.desc.shard_buckets)),
-            )
-            parts.append(SHARD_COL)
+        df, parts = with_shard_partition(df, self.desc)
         if segmented:
             parts.insert(0, SEGMENT_COL)
         if parts:

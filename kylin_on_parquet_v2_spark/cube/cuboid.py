@@ -88,8 +88,11 @@ class CuboidScheduler:
             return None
 
         def cost(c: Cuboid) -> tuple:
-            r = (rows or {}).get(c.cuboid_id, 0)
-            return (r if r > 0 else float("inf"), c.n_dims, c.cuboid_id)
+            # missing metadata (absent key) = unknown -> sorts last, falls
+            # back to dim count; a MEASURED 0 rows is the cheapest possible
+            # scan and must sort FIRST, not behind every populated layout
+            r = (rows or {}).get(c.cuboid_id)
+            return (float("inf") if r is None else r, c.n_dims, c.cuboid_id)
 
         return min(candidates, key=cost)
 

@@ -19,7 +19,11 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from kylin_on_parquet_v2_spark.cube import measures as M
-from kylin_on_parquet_v2_spark.cube.build import SEGMENT_COL, CubeInstance
+from kylin_on_parquet_v2_spark.cube.build import (
+    SEGMENT_COL,
+    CubeInstance,
+    with_shard_partition,
+)
 
 
 #: target parquet file size for merged segments (Spark's default
@@ -76,9 +80,17 @@ def merge_segments(
         keys = list(cuboid.dims)
         merged = df.groupBy(*keys).agg(*aggs) if aggs else df.select(*keys).dropDuplicates()
         n_files = max(1, _segment_bytes(path, segments) // max(1, target_file_bytes))
+        # Re-apply the shard partition dirs the original layout write used:
+        # the merged segment must keep the same partition-directory depth
+        # (and shard co-location) as unmerged segments under this root.
+        merged, parts = with_shard_partition(merged, inst.desc)
         # stage the merged segment, then atomically swap the old dirs out
         staging = os.path.join(path, f"_staging_{SEGMENT_COL}={new_segment}")
-        merged.repartition(n_files).write.mode("overwrite").parquet(staging)
+        if parts:
+            writer = merged.repartition(n_files, *[F.col(c) for c in parts])
+            writer.write.mode("overwrite").partitionBy(*parts).parquet(staging)
+        else:
+            merged.repartition(n_files).write.mode("overwrite").parquet(staging)
         for seg in segments:
             seg_dir = os.path.join(path, f"{SEGMENT_COL}={seg}")
             if os.path.exists(seg_dir):

@@ -126,8 +126,9 @@ class OlapEngine:
             # cost — RealizationChooser/Cuboid cost parity); dim count only
             # as the tiebreak/fallback when row metadata is absent
             inst_, route_ = c
-            rows = inst_.layout_rows.get(route_.cuboid.cuboid_id, 0)
-            return (not route_.exact, rows if rows > 0 else float("inf"), route_.cuboid.n_dims)
+            # absent row metadata = unknown (sorts last); measured 0 = cheapest
+            rows = inst_.layout_rows.get(route_.cuboid.cuboid_id)
+            return (not route_.exact, float("inf") if rows is None else rows, route_.cuboid.n_dims)
 
         inst, route = min(candidates, key=_cost)
         routed = execute_route(digest, inst, route, self.spark)

@@ -543,28 +543,32 @@ def execute_route(digest: SqlDigest, inst: CubeInstance, route: Route, spark) ->
         # values were all NULL has an empty bag => coalesce to 0, matching
         # COUNT DISTINCT semantics).
         from kylin_on_parquet_v2_spark.cube import dictionary as GD
+        from kylin_on_parquet_v2_spark.cube.build import join_null_safe
 
         for item, mname in bitmap_items:
             counts = GD.bitmap_count(df, digest.group_cols, mname, item.name)
             if result is None:
                 result = counts
-            elif digest.group_cols:
-                result = result.join(counts, digest.group_cols, "left")
             else:
-                result = result.crossJoin(counts)
+                # NULL-safe: a NULL-valued group key must recover its count
+                result = join_null_safe(result, counts, digest.group_cols, "left")
             result = result.withColumn(
                 item.name, F.coalesce(F.col(item.name), F.lit(0)).cast("long")
             )
         # Project by source group column, aliasing to the query's output name
         # (a bare item.name lookup breaks on `SELECT col AS c ... GROUP BY col`).
-        result = result.select(
-            *[
-                F.col(item.group_col).alias(item.name)
-                if item.group_col is not None
-                else F.col(item.name)
-                for item in digest.select
-            ]
-        )
+        # Grouping-set branches already projected output names per set —
+        # `SELECT d AS x ... GROUP BY ROLLUP(d)` has column `x`, not `d` —
+        # so re-projecting by source name there would raise AnalysisException.
+        if digest.grouping_sets is None:
+            result = result.select(
+                *[
+                    F.col(item.group_col).alias(item.name)
+                    if item.group_col is not None
+                    else F.col(item.name)
+                    for item in digest.select
+                ]
+            )
 
     if digest.having_sql is not None:
         result = result.filter(F.expr(digest.having_sql))

