@@ -56,13 +56,22 @@ def _modules():
 
 
 # The driver's correctness harness checks the FIRST 50 ``queries()`` entries
-# only (round-1 verdict: 35 risky queries fell past the cap). Order the merged
-# corpus so the least-conventional surface — routed cubes, measure sketches,
-# pipeline/dedup/similarity, streaming — sits inside that window, and demote
-# the conventional scalar-function batches (all green in round 1 and still
-# covered by in-repo DuckDB parity tests) to the tail.
+# only. Rotate the window each round so every contract query eventually gets a
+# driver check (round-3 verdict item 2): r04 pulls in the 8 queries never seen
+# by any driver window (array_functions, mass_in_filter, multi_distinct,
+# pivot_event_types, sessionize_events, string_encode_funcs, subquery_sql_text,
+# udf_pandas_vectorized), demoting 8 queries already green in two independent
+# driver windows (r01 + r03). Everything stays covered every round by the
+# driver-calibrated in-repo parity suite (tests/test_entry_oracle_parity.py).
 _PRIORITY = [
-    "math_functions",  # round-1's one hash FAIL; keep its fix driver-visible
+    "array_functions",  # never driver-checked before r04
+    "mass_in_filter",
+    "multi_distinct",
+    "pivot_event_types",
+    "sessionize_events",
+    "string_encode_funcs",
+    "subquery_sql_text",
+    "udf_pandas_vectorized",
     "cube_routed_having",
     "cube_routed_having_hidden",
     "cube_routed_q1",
@@ -83,15 +92,8 @@ _PRIORITY = [
     "hll_approx_distinct",
     "extended_column_first",
     "raw_detail_values",
-    "json_extract_props",
-    "theta_join",
     "asof_join_events",
     "range_join_binned",
-    "right_outer_join_agg",
-    "full_outer_join_agg",
-    "sum0_null_to_zero",
-    "session_window_agg",
-    "window_range_frame",
     "dedup_exact",
     "dedup_minhash_signatures",
     "dedup_minhash_lsh_pairs",

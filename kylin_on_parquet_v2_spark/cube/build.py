@@ -57,26 +57,6 @@ def _parquet_rows(path: str) -> int | None:
     except Exception:
         return None
     return total
-def join_null_safe(left: DataFrame, right: DataFrame, keys: list[str], how: str = "left") -> DataFrame:
-    """Equi-join on ``keys`` with NULL-safe equality (``<=>``).
-
-    A name-list join uses plain ``=`` and drops NULL==NULL key matches, so a
-    group keyed by a NULL dimension value silently loses its joined measure
-    state (stored bitmap/TopN lists) — COUNT DISTINCT coalesces to 0 and the
-    NULL-keyed group vanishes from TopN results. ``<=>`` is still an
-    equi-join key for Spark's hash joins, so the plan shape is unchanged.
-    Output keeps the LEFT side's key columns.
-    """
-    if not keys:
-        return left.crossJoin(right)
-    renamed = right
-    for k in keys:
-        renamed = renamed.withColumnRenamed(k, f"__r_{k}")
-    cond = None
-    for k in keys:
-        c = left[k].eqNullSafe(renamed[f"__r_{k}"])
-        cond = c if cond is None else (cond & c)
-    return left.join(renamed, cond, how).drop(*[f"__r_{k}" for k in keys])
 
 
 #: Hive-style shard partition dir per layout (FilePruner.pruneShards parity):
@@ -104,6 +84,48 @@ def with_shard_partition(df: DataFrame, desc: CubeDesc) -> tuple[DataFrame, list
         )
         return df, [SHARD_COL]
     return df, []
+
+
+def join_null_safe(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    how: str = "left",
+    nullable_keys: set[str] | None = None,
+) -> DataFrame:
+    """Equi-join on ``keys``, NULL-safe (``<=>``) where a key can be NULL.
+
+    A name-list join uses plain ``=`` and drops NULL==NULL key matches, so a
+    group keyed by a NULL dimension value silently loses its joined measure
+    state (stored bitmap/TopN lists) — COUNT DISTINCT coalesces to 0 and the
+    NULL-keyed group vanishes from TopN results. ``<=>`` is still an
+    equi-join key for Spark's hash joins — but its extracted key expressions
+    (coalesce + isnull) no longer match the children's groupBy hash
+    partitioning, so each ``<=>`` key costs an avoidable re-shuffle of both
+    sides. ``nullable_keys`` (measured NULL presence, not parquet's
+    always-optional schema flag) limits ``<=>`` to keys that actually carry
+    NULLs; ``None`` means "unknown — treat every key as nullable" (the safe
+    default for query-time callers). Output keeps the LEFT side's key columns.
+    """
+    if not keys:
+        return left.crossJoin(right)
+    if nullable_keys is None:
+        nullable_keys = set(keys)
+    if not (set(keys) & nullable_keys):
+        # all keys proven NULL-free: name-list join reuses the children's
+        # existing hash partitioning (no extra exchange), keys kept once
+        return left.join(right, on=keys, how=how)
+    renamed = right
+    for k in keys:
+        renamed = renamed.withColumnRenamed(k, f"__r_{k}")
+    cond = None
+    for k in keys:
+        if k in nullable_keys:
+            c = left[k].eqNullSafe(renamed[f"__r_{k}"])
+        else:
+            c = left[k] == renamed[f"__r_{k}"]
+        cond = c if cond is None else (cond & c)
+    return left.join(renamed, cond, how).drop(*[f"__r_{k}" for k in keys])
 
 
 @dataclass
@@ -230,6 +252,7 @@ class CubeBuilder:
             d.write.mode("overwrite").parquet(dict_path)
             flat = GD.encode_column(flat, self.spark.read.parquet(dict_path), param)
         flat.persist()
+        self._measure_key_nullability(flat, inst.segmented)
         self._prepare_measure_bases(flat)
         try:
             self._build_layers(flat, cube_dir, inst)
@@ -279,8 +302,13 @@ class CubeBuilder:
                 for cuboid_id, path in pool.map(lambda cp: _one(*cp), wave):
                     inst.layouts[cuboid_id] = path
                     n = _parquet_rows(path)
-                    if n is not None:  # absent key == unknown cost downstream
+                    if n is not None:
                         inst.layout_rows[cuboid_id] = n
+                    else:
+                        # absent key == unknown cost downstream; on a rebuild
+                        # a stale previous count must not survive a failed
+                        # footer read
+                        inst.layout_rows.pop(cuboid_id, None)
                     # persisted parent for the next layer: re-reading the
                     # written layout truncates lineage (the reference builds
                     # children from persisted parents too)
@@ -326,6 +354,27 @@ class CubeBuilder:
     #: full flat data is ever made no matter how many layouts the lattice has
     _topn_base: dict[str, DataFrame]
     _bitmap_base: dict[str, DataFrame]
+
+    #: group-key columns with at least one NULL in the flat table, measured
+    #: once per build; joins on NULL-free keys skip ``<=>`` (no re-shuffle)
+    _null_keys: set[str] = frozenset()
+
+    def _measure_key_nullability(self, flat: DataFrame, segmented: bool) -> None:
+        """One agg over the (persisted) flat table: which group-key columns
+        actually contain NULLs? Parquet schemas mark every column optional,
+        so schema nullability is useless — measure instead. The cost is one
+        map-side-combinable count over cached data, repaid by dropping the
+        extra exchanges ``<=>`` forces on every bitmap/TopN attach join."""
+        cols = [c for c in self.desc.dimensions if c in flat.columns]
+        if segmented and SEGMENT_COL in flat.columns:
+            cols.append(SEGMENT_COL)
+        if not cols:
+            self._null_keys = set()
+            return
+        row = flat.select(
+            [F.count(F.when(F.col(c).isNull(), 1)).alias(c) for c in cols]
+        ).first()
+        self._null_keys = {c for c in cols if row[c] > 0}
 
     def _prepare_measure_bases(self, flat: DataFrame) -> None:
         dims = list(self.desc.dimensions)
@@ -378,10 +427,11 @@ class CubeBuilder:
         Both sides are the same groupBy keys, so AQE plans a co-partitioned
         join; a group absent from a bitmap side (all-NULL column) keeps an
         empty bag. NULL-safe on the keys: a group keyed by a NULL dimension
-        value must keep its stored bitmap/TopN state."""
+        value must keep its stored bitmap/TopN state. Keys measured NULL-free
+        at build start take the plain name-list join (no extra exchange)."""
         out = base
         for bm in bitmaps:
-            out = join_null_safe(out, bm, keys, "left")
+            out = join_null_safe(out, bm, keys, "left", nullable_keys=self._null_keys)
         return out
 
     def _agg_from_flat(self, flat: DataFrame, cuboid: Cuboid, segmented: bool) -> DataFrame:

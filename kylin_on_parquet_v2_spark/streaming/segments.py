@@ -24,9 +24,11 @@ def _normalize_ts(df: DataFrame, ts_col: str) -> DataFrame:
     dt = field.get(ts_col)
     if dt is not None and dt.simpleString() == "bigint":
         # Keep LTZ (session tz is pinned to UTC): Spark watermarks reject
-        # TIMESTAMP_NTZ event-time columns.
+        # TIMESTAMP_NTZ event-time columns. INTEGER division ns->us: `/`
+        # promotes int64 nanos to double whose 53-bit mantissa rounds
+        # timestamps near window boundaries off by ±1 µs (see session.py).
         return df.withColumn(
-            ts_col, F.timestamp_micros((F.col(ts_col) / 1000).cast("long"))
+            ts_col, F.timestamp_micros(F.expr(f"`{ts_col}` div 1000"))
         )
     if dt is not None and dt.simpleString() == "timestamp_ntz":
         return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))

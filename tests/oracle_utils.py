@@ -54,17 +54,27 @@ def _normalize_dtypes(pdf: pd.DataFrame) -> pd.DataFrame:
         elif kind == "float32":
             s = s.astype("float64")
         elif kind.startswith("datetime64"):
-            # unify ns/us (tz-naive); driver hash tolerates unit drift
-            s = s.dt.as_unit("us") if hasattr(s, "dt") else s
+            # unify ns/us and strip tz; driver hash tolerates unit drift,
+            # and a tz-aware astype would raise instead of diffing readably
+            if hasattr(s, "dt"):
+                if getattr(s.dtype, "tz", None) is not None:
+                    s = s.dt.tz_localize(None)
+                s = s.dt.as_unit("us")
         elif kind == "object" and len(s) > 0:
             non_null = s.dropna()
             if len(non_null) > 0:
                 head = non_null.iloc[0]
-                if isinstance(head, _dt.date) and not isinstance(head, _dt.datetime):
-                    # Spark DATE -> object of datetime.date; DuckDB -> datetime64
-                    s = pd.to_datetime(s).astype("datetime64[us]")
-                elif isinstance(head, _dt.datetime):
-                    s = pd.to_datetime(s).astype("datetime64[us]")
+                try:
+                    if isinstance(head, _dt.date) and not isinstance(head, _dt.datetime):
+                        # Spark DATE -> object of datetime.date; DuckDB -> datetime64
+                        s = pd.to_datetime(s).astype("datetime64[us]")
+                    elif isinstance(head, _dt.datetime):
+                        converted = pd.to_datetime(s, utc=True).dt.tz_localize(None)
+                        s = converted.astype("datetime64[us]")
+                except (TypeError, ValueError):
+                    # mixed-type object column: leave as-is and let the value
+                    # comparison produce a readable diff instead of raising
+                    s = pdf[col]
         out[col] = s
     return pd.DataFrame(out)
 

@@ -73,6 +73,44 @@ def test_checkpoint_resume_is_exactly_once(spark, tmp_path):
     assert {r.event_id for r in got.collect()} == {1, 2}
 
 
+def test_nanos_within_1us_of_window_boundary(spark, tmp_path):
+    """Adversarial ns->us conversion fixture: an event 1 ns BEFORE an hour
+    boundary must land in the earlier window. Float division (`/ 1000`)
+    promotes int64 nanos to double, whose 53-bit mantissa rounds
+    1704106799999999999 ns up to 1704106800000000.0 us — flipping the event
+    into the NEXT window. Integer `div 1000` keeps it exact."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # 2024-01-01 10:59:59.999999999 UTC and 11:00:00.000000000 UTC, as ns
+    before = 1704106799999999999
+    at = 1704106800000000000
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.to_datetime([before, at], unit="ns"),
+            "event_type": ["click", "click"],
+            "value": [1.0, 2.0],
+        }
+    )
+    table = pa.Table.from_pandas(pdf, preserve_index=False)
+    assert str(table.schema.field("ts").type) == "timestamp[ns]"
+    pq.write_table(table, os.path.join(src, "part-0.parquet"))
+
+    from kylin_on_parquet_v2_spark.streaming.segments import run_windowed_to_memory
+
+    got = run_windowed_to_memory(
+        spark, src, "boundary_ns_test", ts_col="ts", window="1 hour"
+    )
+    by_window = {r.window_start: r.n for r in got.collect()}
+    assert by_window == {
+        "2024-01-01 10:00:00": 1,  # the -1 ns event stays in the 10:00 window
+        "2024-01-01 11:00:00": 1,
+    }
+
+
 def test_watermark_drops_too_late_events(spark, tmp_path):
     """Two micro-batches: batch 2 carries one acceptably-late event (inside
     the 1h watermark -> merged into its original window) and one hopelessly
