@@ -18,9 +18,12 @@ def views(spark: SparkSession, sf_dir: str) -> None:
 
 
 def engine(spark: SparkSession, sf_dir: str) -> OlapEngine:
-    """Engine with the standard TPC-H cubes built (cached per sf_dir):
-    the wide star cube and the month-segmented cube."""
+    """Engine with the standard cubes built (cached per sf_dir): the wide
+    TPC-H star cube, the month-segmented cube, and the events behavior cube
+    (bitmap user_id for INTERSECT_COUNT routing)."""
     from kylin_on_parquet_v2_spark.datasets import (
+        EVENTS_CUBE,
+        EVENTS_MODEL,
         TPCH_CUBE,
         TPCH_CUBE_SEG,
         TPCH_MODEL,
@@ -38,7 +41,9 @@ def engine(spark: SparkSession, sf_dir: str) -> OlapEngine:
     eng.register_sources(sf_dir)
     eng.add_model(TPCH_MODEL)
     eng.add_model(TPCH_MODEL_SEG)
+    eng.add_model(EVENTS_MODEL)
     eng.build_cube(TPCH_CUBE)
     eng.build_cube(TPCH_CUBE_SEG)
+    eng.build_cube(EVENTS_CUBE)
     _ENGINES[key] = eng
     return eng

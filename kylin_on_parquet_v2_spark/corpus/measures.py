@@ -74,49 +74,48 @@ def topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def intersect_count_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INTERSECT_COUNT: users present in multiple event cohorts
-    (sql_intersect_count/query00.sql shape) via conditional exact distincts."""
-    views(spark, sf_dir)
-    ev = spark.table("events")
-    return ev.agg(
-        F.countDistinct(F.when(F.col("event_type") == "view", F.col("user_id"))).alias(
-            "view_users"
-        ),
-        F.countDistinct(F.when(F.col("event_type") == "click", F.col("user_id"))).alias(
-            "click_users"
-        ),
-        F.countDistinct(F.when(F.col("event_type") == "purchase", F.col("user_id"))).alias(
-            "purchase_users"
-        ),
-        F.count_distinct(
-            F.when(F.col("event_type").isin("view", "click"), F.col("user_id"))
-        ).alias("view_or_click"),
+    """INTERSECT_COUNT cohort counts (sql_intersect_count/query00.sql shape):
+    conditional exact distincts ROUTED onto the events cube's stored bitmap
+    measure — cohort-filter the layout rows on the event_type dimension,
+    re-OR the word bags, count. No fact scan (AggregatePlan.scala:68-92)."""
+    from kylin_on_parquet_v2_spark.corpus.base import engine
+
+    eng = engine(spark, sf_dir)
+    df = eng.sql(
+        """
+        select count(distinct case when event_type = 'view' then user_id end) as view_users,
+               count(distinct case when event_type = 'click' then user_id end) as click_users,
+               count(distinct case when event_type = 'purchase' then user_id end) as purchase_users,
+               count(distinct case when event_type in ('view','click') then user_id end) as view_or_click
+        from events
+        """
     )
+    route = eng.last_route
+    assert route is not None, "expected bitmap route for intersect_count_retention"
+    assert route.bitmap_cond, route
+    return df
 
 
 def intersect_count_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """True intersection (view ∩ click ∩ purchase) — per-user cohort flags
-    then conjunction, the IntersectBitmapCounter semantics."""
-    views(spark, sf_dir)
-    ev = spark.table("events")
-    per_user = ev.groupBy("user_id").agg(
-        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("saw"),
-        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("clicked"),
-        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("bought"),
+    """True intersection (view ∩ click [∩ purchase]) through the reference's
+    ``intersect_count(col, filter_col, array(...))`` UDAF spelling
+    (IntersectCount.scala), ROUTED onto the stored bitmap: per-cohort word
+    bags bit_and-ed together (IntersectBitmapCounter semantics)."""
+    from kylin_on_parquet_v2_spark.corpus.base import engine
+
+    eng = engine(spark, sf_dir)
+    df = eng.sql(
+        """
+        select intersect_count(user_id, event_type, array('view','click')) as view_and_click,
+               intersect_count(user_id, event_type, array('view','click','purchase')) as full_funnel,
+               intersect_count(user_id, event_type, array('view')) as view_users
+        from events
+        """
     )
-    return per_user.agg(
-        F.sum(F.when((F.col("saw") == 1) & (F.col("clicked") == 1), 1).otherwise(0))
-        .cast("long")
-        .alias("view_and_click"),
-        F.sum(
-            F.when(
-                (F.col("saw") == 1) & (F.col("clicked") == 1) & (F.col("bought") == 1), 1
-            ).otherwise(0)
-        )
-        .cast("long")
-        .alias("full_funnel"),
-        F.count(F.lit(1)).alias("total_users"),
-    )
+    route = eng.last_route
+    assert route is not None, "expected bitmap route for intersect_count_funnel"
+    assert route.bitmap_intersect, route
+    return df
 
 
 def hll_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -256,7 +255,7 @@ ORACLES = {
     "intersect_count_funnel": """
         select cast(sum(case when saw = 1 and clicked = 1 then 1 else 0 end) as bigint) as view_and_click,
                cast(sum(case when saw = 1 and clicked = 1 and bought = 1 then 1 else 0 end) as bigint) as full_funnel,
-               count(*) as total_users
+               cast(sum(saw) as bigint) as view_users
         from (
             select user_id,
                    max(case when event_type = 'view' then 1 else 0 end) as saw,

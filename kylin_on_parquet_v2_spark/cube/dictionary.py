@@ -123,3 +123,40 @@ def bitmap_count(df: DataFrame, keys: list[str], name: str, alias: str) -> DataF
     )
     grouped = words.groupBy(*keys) if keys else words.groupBy()
     return grouped.agg(F.sum(F.bit_count("__mask")).alias(alias))
+
+
+def bitmap_intersect_count(
+    df: DataFrame,
+    keys: list[str],
+    name: str,
+    filter_col: str,
+    values_sql: list[str],
+    alias: str,
+) -> DataFrame:
+    """INTERSECT_COUNT from stored word bags: the exact size of the
+    intersection of per-cohort value sets (reference
+    ``IntersectBitmapCounter.scala`` — Roaring ``and`` across cohort bitmaps;
+    here word-wise ``bit_and``).
+
+    ``values_sql`` are literal SQLs selecting the cohorts on ``filter_col``
+    (deduplicated by the caller). Per (group, cohort, word-chunk) the bags
+    are OR-merged exactly as in :func:`bitmap_count`; a chunk then survives
+    only if ALL cohorts contain it (count == n — ``bit_and`` over a partial
+    cohort set would overcount), and the intersection cardinality is the sum
+    of ``bit_count(bit_and(masks))``. Two shuffles over cohort-filtered
+    layout rows — never a fact scan."""
+    n = len(values_sql)
+    in_list = ", ".join(values_sql)
+    cohorts = (
+        df.filter(F.expr(f"`{filter_col}` IN ({in_list})"))
+        .select(*keys, filter_col, F.explode(name).alias("__w"))
+        .groupBy(*keys, filter_col, F.col("__w.__bkt").alias("__bkt"))
+        .agg(F.bit_or("__w.__mask").alias("__mask"))
+    )
+    inter = (
+        cohorts.groupBy(*keys, "__bkt")
+        .agg(F.bit_and("__mask").alias("__m"), F.count(F.lit(1)).alias("__nc"))
+        .filter(F.col("__nc") == n)
+    )
+    grouped = inter.groupBy(*keys) if keys else inter.groupBy()
+    return grouped.agg(F.sum(F.bit_count("__m")).alias(alias))

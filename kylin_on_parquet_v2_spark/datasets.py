@@ -137,6 +137,23 @@ TPCH_MODEL_SEG = DataModel(
     partition_column="l_shipdate",
 )
 
+#: Behavior-analysis cube over the events stream table: one dimension
+#: (event_type) + a precise bitmap distinct on user_id. This is the layout
+#: INTERSECT_COUNT retention/funnel queries route onto — per-cohort word
+#: bags bit_and-ed together (reference sql_intersect_count corpus +
+#: IntersectBitmapCounter.scala).
+EVENTS_MODEL = DataModel(name="events_star", fact_table="events")
+
+EVENTS_CUBE = CubeDesc(
+    name="events_cube",
+    model_name="events_star",
+    dimensions=("event_type",),
+    measures=(
+        MeasureDesc("_count", FunctionDesc("COUNT")),
+        MeasureDesc("bm_user", FunctionDesc("COUNT_DISTINCT", "user_id", "bitmap")),
+    ),
+)
+
 TPCH_CUBE_SEG = CubeDesc(
     name="tpch_cube_seg",
     model_name="tpch_star_seg",

@@ -33,6 +33,13 @@ _PCT_RE = re.compile(
 )
 _QUALIFIED = re.compile(r"\b(\w+)\.(\w+)\b")
 _EQ_PAIR = re.compile(r"\(?\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*\)?")
+# count(DISTINCT CASE WHEN <cond> THEN <col> END) — the conditional-distinct
+# spelling of INTERSECT_COUNT cohorts (reference corpus
+# sql_intersect_count/query00.sql digests to this shape); no ELSE branch, so
+# non-matching rows contribute NULL (ignored by DISTINCT)
+_CASE_DISTINCT_RE = re.compile(
+    r"^CASE\s+WHEN\s+(.+?)\s+THEN\s+([\w.`]+)\s+END$", re.IGNORECASE | re.DOTALL
+)
 
 
 @dataclass
@@ -50,6 +57,14 @@ class AggCall:
     #: percentile fraction for func == "PERCENTILE" (kept LAST — call sites
     #: construct AggCall positionally through expr_sql)
     q: float | None = None
+    #: conditional distinct: ``count(distinct case when <cond> then col end)``
+    #: — the cohort filter condition (unqualified SQL) and its columns
+    cond_sql: str | None = None
+    cond_cols: frozenset[str] = frozenset()
+    #: func == "INTERSECT_COUNT": the cohort filter column and the cohort
+    #: literal SQLs (``intersect_count(col, filter_col, array(...))``)
+    filter_col: str | None = None
+    values: tuple[str, ...] = ()
 
 
 def canonical_expr_sql(sql: str) -> str:
@@ -151,6 +166,38 @@ def _attr_names(jexpr) -> set[str]:
     while it.hasNext():
         names.add(it.next().name())
     return names
+
+
+def _intersect_call(jexpr) -> tuple[str, str, tuple[str, ...]] | None:
+    """``intersect_count(col, filter_col, array(lit, ...))`` (the registered
+    pandas UDAF — reference ``IntersectCount.scala`` spelling) ->
+    (value column, filter column, deduplicated cohort literal SQLs).
+    Extracted from the expression TREE, not its SQL string: PythonUDAF.sql()
+    renders array literals unquoted, which is ambiguous to reparse."""
+    try:
+        if _cls(jexpr) != "AggregateExpression":
+            return None
+        fn = jexpr.aggregateFunction()
+        if _cls(fn) != "PythonUDAF" or str(fn.name()) != "intersect_count":
+            return None
+        args = _seq(fn.children())
+        if len(args) != 3:
+            return None
+        if _cls(args[0]) != "AttributeReference" or _cls(args[1]) != "AttributeReference":
+            return None
+        if _cls(args[2]) != "CreateArray":
+            return None
+        vals: list[str] = []
+        for lit in _seq(args[2].children()):
+            if _cls(lit) != "Literal":
+                return None
+            if lit.sql() not in vals:  # executor requires distinct cohorts
+                vals.append(lit.sql())
+        if not vals:
+            return None
+        return str(args[0].name()), str(args[1].name()), tuple(vals)
+    except Exception:
+        return None
 
 
 def _relation_name(node) -> str | None:
@@ -372,16 +419,44 @@ def _extract(plan) -> SqlDigest | None:  # noqa: C901 — one dispatch walk
                     )
                 )
                 continue
+            ic = _intersect_call(child)
+            if ic is not None:
+                vcol, fcol, vals = ic
+                digest.select.append(
+                    SelectItem(
+                        name=alias,
+                        agg=AggCall(
+                            func="INTERSECT_COUNT",
+                            column=vcol,
+                            distinct=False,
+                            alias=alias,
+                            filter_col=fcol,
+                            values=vals,
+                        ),
+                    )
+                )
+                continue
             return None
         func = m.group(1).upper()
         distinct = bool(m.group(2))
         arg = m.group(3).strip()
         refs = _attr_names(child)
         expr_canon = None
+        cond_sql = None
+        cond_cols: frozenset[str] = frozenset()
         if arg == "1" and func == "COUNT":
             col = None
         elif len(refs) == 1 and _QUALIFIED.fullmatch(arg):
             col = arg.split(".")[-1]
+        elif distinct and func == "COUNT" and (cm := _CASE_DISTINCT_RE.match(arg)):
+            # conditional distinct — the per-cohort INTERSECT_COUNT spelling:
+            # count(distinct case when <cond over dims> then col end)
+            cond_raw = cm.group(1)
+            col = cm.group(2).replace("`", "").split(".")[-1]
+            cond_cols = frozenset(mm.group(2) for mm in _QUALIFIED.finditer(cond_raw))
+            cond_sql = _unqualify(cond_raw.replace("`", ""), cond_cols)
+            if cond_sql is None or not cond_cols:
+                return None
         elif not distinct and refs:
             # agg over an expression: keep its canonical form so the router
             # can match it against a declared computed-column measure
@@ -400,6 +475,8 @@ def _extract(plan) -> SqlDigest | None:  # noqa: C901 — one dispatch walk
                     distinct=distinct,
                     alias=alias,
                     expr_sql=expr_canon,
+                    cond_sql=cond_sql,
+                    cond_cols=cond_cols,
                 ),
             )
         )

@@ -38,8 +38,10 @@ class OlapEngine:
         result_cache_size: int = 0,
     ):
         from kylin_on_parquet_v2_spark.query.transformers import default_transformers
+        from kylin_on_parquet_v2_spark.udafs import register_udafs
 
         self.spark = spark or get_spark()
+        register_udafs(self.spark)
         self.storage_dir = storage_dir or os.path.join(
             tempfile.gettempdir(), "kylin_on_parquet_v2_spark"
         )
@@ -159,6 +161,8 @@ class OlapEngine:
             f"shard_eq={route.shard_eq} "
             f"approx_distinct={route.approx_distinct} "
             f"bitmap_distinct={route.bitmap_distinct} "
+            f"bitmap_cond={route.bitmap_cond} "
+            f"bitmap_intersect={route.bitmap_intersect} "
             f"topn={route.topn}"
             if route is not None
             else "route: none (pushdown — plain spark.sql)"

@@ -53,6 +53,17 @@ class Route:
     #: stored dictionary-id bitmap (PreciseCountDistinct parity) — on by
     #: default, unlike the accuracy-trading hll path
     bitmap_distinct: dict[str, str] = field(default_factory=dict)
+    #: alias -> (bitmap measure name, cohort condition SQL): conditional
+    #: distinct ``count(distinct case when cond then col end)`` served from
+    #: the stored bitmap — layout rows are cohort-filtered on dimension
+    #: columns, then the word bags re-OR and count exactly
+    bitmap_cond: dict[str, tuple[str, str]] = field(default_factory=dict)
+    #: alias -> (bitmap measure name, filter column, cohort literal SQLs):
+    #: INTERSECT_COUNT served by bit_and-ing per-cohort word bags
+    #: (IntersectCount.scala / IntersectBitmapCounter.scala parity)
+    bitmap_intersect: dict[str, tuple[str, str, tuple[str, ...]]] = field(
+        default_factory=dict
+    )
     #: (sum alias, measure name, rank column) when the query is served by a
     #: stored TopN measure (TopNMeasureType.java:411-441 rewrite): the layout
     #: row's array<struct<key,val>> is exploded instead of scanning the rank
@@ -308,6 +319,8 @@ def plan_route(
     derived: dict[str, JoinTable] = {}
     approx: dict[str, str] = {}
     bitmap: dict[str, str] = {}
+    bitmap_cond: dict[str, tuple[str, str]] = {}
+    bitmap_intersect: dict[str, tuple[str, str, tuple[str, ...]]] = {}
 
     def _need(col: str) -> bool:
         """Register a column the layout must provide; True if coverable."""
@@ -326,9 +339,35 @@ def plan_route(
             return None
 
     for agg in digest.aggs:
-        if agg.distinct:
+        if agg.func == "INTERSECT_COUNT":
+            # intersect_count(col, filter_col, array(...)): EXACT from the
+            # stored bitmap — per-cohort word bags bit_and-ed together
+            # (AggregatePlan.scala:68-92 routes the same call onto
+            # PreciseCountDistinct state)
+            bm = _bitmap_measure_for(agg.column, inst)
+            if (
+                bm is None
+                or digest.grouping_sets is not None
+                or agg.filter_col is None
+                or not agg.values
+                or not _need(agg.filter_col)
+            ):
+                return None
+            bitmap_intersect[agg.alias] = (bm.name, agg.filter_col, agg.values)
+        elif agg.distinct:
             if agg.func != "COUNT" or agg.column is None:
                 return None
+            if agg.cond_sql is not None:
+                # conditional distinct: cohort filter must land on layout
+                # columns; count then comes exactly from the filtered bags
+                bm = _bitmap_measure_for(agg.column, inst)
+                if bm is None or digest.grouping_sets is not None:
+                    return None
+                for c in agg.cond_cols:
+                    if not _need(c):
+                        return None
+                bitmap_cond[agg.alias] = (bm.name, agg.cond_sql)
+                continue
             bm = _bitmap_measure_for(agg.column, inst)
             if agg.column in dims:
                 needed.add(agg.column)  # exact distinct from dimensions
@@ -375,7 +414,10 @@ def plan_route(
         and not derived
         and digest.grouping_sets is None
         and set(cuboid.dims) == set(digest.group_cols)
-        and not any(a.distinct or a.func in ("AVG", "PERCENTILE") for a in digest.aggs)
+        and not any(
+            a.distinct or a.func in ("AVG", "PERCENTILE", "INTERSECT_COUNT")
+            for a in digest.aggs
+        )
     )
     return Route(
         cube=inst.desc.name,
@@ -385,6 +427,8 @@ def plan_route(
         segment_filters=_fold_segment_filters(digest, inst),
         approx_distinct=approx,
         bitmap_distinct=bitmap,
+        bitmap_cond=bitmap_cond,
+        bitmap_intersect=bitmap_intersect,
         shard_eq=_fold_shard_filter(digest, inst, cuboid),
     )
 
@@ -466,11 +510,20 @@ def execute_route(digest: SqlDigest, inst: CubeInstance, route: Route, spark) ->
     else:
         agg_cols: list[Column] = []
         bitmap_items: list[tuple] = []  # (SelectItem, bitmap measure name)
+        # (SelectItem, measure, cond_sql) / (SelectItem, measure, fcol, vals)
+        cond_items: list[tuple] = []
+        intersect_items: list[tuple] = []
         for item in digest.select:
             if item.group_col is not None:
                 continue
             agg = item.agg
-            if agg.distinct:
+            if item.name in route.bitmap_cond:
+                mname, cond = route.bitmap_cond[item.name]
+                cond_items.append((item, mname, cond))
+            elif item.name in route.bitmap_intersect:
+                mname, fcol, vals = route.bitmap_intersect[item.name]
+                intersect_items.append((item, mname, fcol, vals))
+            elif agg.distinct:
                 if item.name in route.bitmap_distinct:
                     # exact count from the stored word-bag bitmap: needs its
                     # own explode->bit_or pipeline, joined back post-agg
@@ -531,7 +584,7 @@ def execute_route(digest: SqlDigest, inst: CubeInstance, route: Route, spark) ->
         elif agg_cols:
             grouped = df.groupBy(*digest.group_cols) if digest.group_cols else df.groupBy()
             result = grouped.agg(*agg_cols)
-        elif bitmap_items and not digest.group_cols:
+        elif (bitmap_items or cond_items or intersect_items) and not digest.group_cols:
             result = None  # global query whose only aggs are bitmap counts
         else:
             # SELECT DISTINCT / group-cols-only output: GroupedData.agg()
@@ -545,8 +598,30 @@ def execute_route(digest: SqlDigest, inst: CubeInstance, route: Route, spark) ->
         from kylin_on_parquet_v2_spark.cube import dictionary as GD
         from kylin_on_parquet_v2_spark.cube.build import join_null_safe
 
-        for item, mname in bitmap_items:
-            counts = GD.bitmap_count(df, digest.group_cols, mname, item.name)
+        bitmap_pipelines: list[tuple] = [
+            (item, GD.bitmap_count(df, digest.group_cols, mname, item.name))
+            for item, mname in bitmap_items
+        ]
+        bitmap_pipelines += [
+            # cohort-filtered bags: cond references layout/derived columns
+            (
+                item,
+                GD.bitmap_count(
+                    df.filter(F.expr(cond)), digest.group_cols, mname, item.name
+                ),
+            )
+            for item, mname, cond in cond_items
+        ]
+        bitmap_pipelines += [
+            (
+                item,
+                GD.bitmap_intersect_count(
+                    df, digest.group_cols, mname, fcol, list(vals), item.name
+                ),
+            )
+            for item, mname, fcol, vals in intersect_items
+        ]
+        for item, counts in bitmap_pipelines:
             if result is None:
                 result = counts
             else:

@@ -1,0 +1,44 @@
+"""Engine-registered SQL aggregate functions.
+
+``intersect_count(col, filter_col, array(v1, v2, ...))`` — the reference's
+retention/funnel UDAF (``kylin-spark-common/.../udaf/IntersectCount.scala``,
+``IntersectBitmapCounter.scala``): per group, the size of the intersection of
+the per-cohort distinct value sets {col | filter_col = v}.
+
+Two execution paths:
+- pushdown: the Arrow-batched pandas GROUPED_AGG UDAF below (set
+  intersection per group — correct at any scale Spark can group, but ships
+  column data into Python);
+- routed: the query router rewrites the call onto a stored bitmap measure
+  and never evaluates the UDAF — word bags are bit_and-ed JVM-side
+  (``cube/dictionary.py::bitmap_intersect_count``), reference
+  ``AggregatePlan.scala:68-92``.
+
+Spark restriction worth knowing: a pandas GROUPED_AGG UDAF cannot share an
+Aggregate with non-pandas aggregate functions (INVALID_PANDAS_UDF_PLACEMENT),
+so pushdown queries mixing ``intersect_count`` with e.g. ``count(distinct)``
+must split; routed execution has no such limit.
+"""
+
+from __future__ import annotations
+
+import pandas as pd  # module-level: pandas_udf type-hint inference needs it
+
+from pyspark.sql import SparkSession
+
+
+def register_udafs(spark: SparkSession) -> None:
+    """Idempotently register engine UDAFs on ``spark``."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def intersect_count(col: pd.Series, filt: pd.Series, values: pd.Series) -> int:
+        inter: set | None = None
+        for v in values.iloc[0]:
+            cohort = set(col[(filt == v) & col.notna()])
+            inter = cohort if inter is None else (inter & cohort)
+            if not inter:
+                break
+        return len(inter) if inter is not None else 0
+
+    spark.udf.register("intersect_count", intersect_count)
