@@ -95,12 +95,20 @@ def streaming_segment_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def streaming_hybrid_union(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Real-time + historical union query: stream-ingested segments unioned
-    with the batch source, aggregated — equals 2x the batch answer."""
+    """Real-time + historical union (reference HybridInstance): the batch
+    store covers the OLDER half of the segment range, the realtime store
+    covers EVERYTHING (segments continuously absorbed into batch overlap by
+    design) — hybrid_union bounds the realtime side to after the batch
+    boundary, so the union equals the plain per-type answer over events,
+    never a double count (TableScanPlan.scala:58-62 split)."""
     views(spark, sf_dir)
     seg_dir = _ingest_dir(spark, sf_dir)
     realtime = spark.read.parquet(seg_dir)
-    batch = spark.table("events")
+    segs = sorted(
+        r[0] for r in realtime.select(SEGMENT_COL).distinct().collect()
+    )
+    split = segs[len(segs) // 2]  # batch store owns segments <= split
+    batch = realtime.filter(F.col(SEGMENT_COL) <= split)
     unioned = hybrid_union(realtime, batch)
     return (
         unioned.groupBy("event_type")
@@ -168,8 +176,8 @@ ORACLES = {
     """,
     "streaming_hybrid_union": """
         select event_type,
-               count(*) * 2 as n,
-               round(sum(value) * 2, 2) as sum_value
+               count(*) as n,
+               round(sum(value), 2) as sum_value
         from events
         group by event_type
         order by event_type

@@ -209,6 +209,20 @@ def _fold_shard_filter(digest: SqlDigest, inst: CubeInstance, cuboid: Cuboid) ->
     return None
 
 
+def _pins_single_segment(segment_filters: list[str]) -> bool:
+    """True when the folded segment predicates provably select exactly ONE
+    segment dir: a lower and an upper bound on the same segment value.
+
+    The exact-match skip (project-only, zero query-time aggregation) is
+    normally off for segmented cubes because a group's row repeats once per
+    segment — but with a single pinned segment the repetition cannot occur
+    (GTCubeStorageQueryBase.java:164-186 ``isNeedStorageAggregation``: the
+    skip requires the scan not to span storage partitions)."""
+    lo = {s.split("'")[1] for s in segment_filters if ">=" in s}
+    hi = {s.split("'")[1] for s in segment_filters if "<=" in s}
+    return bool(lo) and lo == hi and len(lo) == 1
+
+
 def _hll_measure_for(col: str, inst: CubeInstance) -> MeasureDesc | None:
     for m in inst.desc.measures:
         if (
@@ -409,8 +423,12 @@ def plan_route(
     cuboid = inst.scheduler.find_best_match(frozenset(needed), inst.layout_rows)
     if cuboid is None or cuboid.cuboid_id not in inst.layouts:
         return None
+    seg_filters = _fold_segment_filters(digest, inst)
     exact = (
-        not inst.segmented
+        # segmented layouts repeat a group's row once per segment, so the
+        # project-only skip needs either no segmentation or a single pinned
+        # segment (GTCubeStorageQueryBase isNeedStorageAggregation parity)
+        (not inst.segmented or _pins_single_segment(seg_filters))
         and not derived
         and digest.grouping_sets is None
         and set(cuboid.dims) == set(digest.group_cols)
@@ -424,7 +442,7 @@ def plan_route(
         cuboid=cuboid,
         exact=exact,
         derived=list(derived.values()),
-        segment_filters=_fold_segment_filters(digest, inst),
+        segment_filters=seg_filters,
         approx_distinct=approx,
         bitmap_distinct=bitmap,
         bitmap_cond=bitmap_cond,

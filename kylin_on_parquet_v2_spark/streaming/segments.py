@@ -129,8 +129,33 @@ def run_windowed_to_memory(
     return spark.table(query_name)
 
 
-def hybrid_union(realtime_segments: DataFrame, batch_segments: DataFrame) -> DataFrame:
+def hybrid_union(
+    realtime_segments: DataFrame,
+    batch_segments: DataFrame,
+    ts_col: str = "ts",
+) -> DataFrame:
     """Real-time + historical union (reference HybridInstance,
-    TableScanPlan.scala:58-62): one logical table over both stores."""
+    TableScanPlan.scala:58-62): one logical table over both stores.
+
+    The stores OVERLAP by design — batch segments continuously absorb
+    streamed data — so the realtime side is bounded to strictly AFTER the
+    batch store's coverage end (the reference splits the scan at the last
+    batch segment boundary). A blind union would double-count every metric
+    over the absorbed range.
+
+    When both sides carry ``__segment__``, the boundary is the batch store's
+    max segment value and the split is segment-aligned (a partition-column
+    comparison, so the realtime scan prunes whole segment dirs); otherwise
+    it falls back to the batch side's max event time.
+    """
     cols = [c for c in batch_segments.columns if c in realtime_segments.columns]
-    return realtime_segments.select(*cols).unionByName(batch_segments.select(*cols))
+    rt = realtime_segments
+    if SEGMENT_COL in cols:
+        boundary = batch_segments.agg(F.max(SEGMENT_COL)).first()[0]
+        if boundary is not None:
+            rt = rt.filter(F.col(SEGMENT_COL) > boundary)
+    elif ts_col in cols:
+        boundary = batch_segments.agg(F.max(ts_col)).first()[0]
+        if boundary is not None:
+            rt = rt.filter(F.col(ts_col) > F.lit(boundary))
+    return rt.select(*cols).unionByName(batch_segments.select(*cols))

@@ -106,6 +106,36 @@ def test_exact_match_is_project_only(engine):
     assert engine.last_route.exact
 
 
+def test_single_pinned_segment_exact_skip(engine):
+    """Round-3 verdict item 5: when the folded segment filters pin exactly
+    ONE segment and the cuboid dims equal the group cols, the segmented cube
+    may take the project-only exact path — no HashAggregate at query time
+    (GTCubeStorageQueryBase.java:164-186 isNeedStorageAggregation)."""
+    sql = """select l_shipdate, l_returnflag, sum(l_quantity) as s
+             from lineitem
+             where l_shipdate = date '1995-03-15'
+             group by l_shipdate, l_returnflag"""
+    df = engine.sql(sql, validate=True)
+    route = engine.last_route
+    assert route is not None and route.cube == "tpch_cube_seg", route
+    assert route.exact, route
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" not in plan and "SortAggregate" not in plan, plan
+
+
+def test_multi_segment_query_still_reaggregates(engine):
+    """A range spanning >1 segment must NOT take the exact skip — layout
+    rows repeat per segment and the projection would emit duplicates."""
+    sql = """select l_shipdate, l_returnflag, sum(l_quantity) as s
+             from lineitem
+             where l_shipdate >= date '1995-03-01' and l_shipdate <= date '1995-04-30'
+             group by l_shipdate, l_returnflag"""
+    engine.sql(sql, validate=True)
+    route = engine.last_route
+    if route is not None and route.cube == "tpch_cube_seg":
+        assert not route.exact, route
+
+
 def test_segment_pruning_in_plan(engine):
     """Date bounds must become PartitionFilters on __segment__ — whole
     segment dirs skipped before file listing (FilePruner parity)."""

@@ -111,6 +111,37 @@ def test_nanos_within_1us_of_window_boundary(spark, tmp_path):
     }
 
 
+def test_hybrid_union_never_double_counts(spark, tmp_path):
+    """HybridInstance split semantics (TableScanPlan.scala:58-62): rows the
+    batch store absorbed must NOT be re-contributed by the realtime side.
+    Batch owns segments <= 01-02; realtime covers ALL segments (full
+    overlap on the first two days) plus a newer one; the union must equal
+    the realtime row set exactly, not overlap-doubled."""
+    from kylin_on_parquet_v2_spark.streaming.segments import hybrid_union
+
+    rt_rows = [
+        (1, dt.datetime(2024, 1, 1, 10), "click", 1.0, "2024-01-01-00"),
+        (2, dt.datetime(2024, 1, 2, 10), "view", 2.0, "2024-01-02-00"),
+        (3, dt.datetime(2024, 1, 3, 10), "click", 3.0, "2024-01-03-00"),
+    ]
+    schema = f"event_id long, ts timestamp, event_type string, value double, {SEGMENT_COL} string"
+    realtime = spark.createDataFrame(rt_rows, schema)
+    batch = spark.createDataFrame(rt_rows[:2], schema)  # absorbed older half
+    got = hybrid_union(realtime, batch)
+    assert got.count() == 3  # 2 batch + 1 realtime-only; overlap excluded
+    assert {r.event_id for r in got.collect()} == {1, 2, 3}
+
+    # timestamp fallback when neither side is segment-partitioned
+    rt2 = realtime.drop(SEGMENT_COL)
+    b2 = batch.drop(SEGMENT_COL)
+    got2 = hybrid_union(rt2, b2)
+    assert got2.count() == 3
+
+    # empty batch store: realtime passes through whole
+    empty = spark.createDataFrame([], schema)
+    assert hybrid_union(realtime, empty).count() == 3
+
+
 def test_watermark_drops_too_late_events(spark, tmp_path):
     """Two micro-batches: batch 2 carries one acceptably-late event (inside
     the 1h watermark -> merged into its original window) and one hopelessly
