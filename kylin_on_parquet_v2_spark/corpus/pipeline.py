@@ -96,8 +96,9 @@ def similarity_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN — approximate by design => rows-only check; recall
-    vs brute force is asserted in tests."""
+    """LSH-bucketed ANN — approximate vs brute force, but fully
+    deterministic: the seeded plane literals replay in DuckDB, so this IS
+    oracle-checked (recall vs brute force additionally asserted in tests)."""
     views(spark, sf_dir)
     emb = spark.table("embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
@@ -150,8 +151,9 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched mapInPandas decode (fake decoder) — Python-side features
-    => rows-only check; determinism is asserted in tests."""
+    """Arrow-batched mapInPandas decode — the deterministic fake decoder's
+    byte arithmetic is replayed in the DuckDB oracle (hex-extracted payload
+    bytes), so the full decode pipeline is oracle-checked."""
     views(spark, sf_dir)
     assets = MM.synthesize_assets(spark.table("documents"))
     return (
@@ -213,6 +215,14 @@ _COS = (
     "(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * "
     "sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6)"
 )
+
+
+def _hex_byte(col: str, i: int) -> str:
+    """DuckDB expression for byte ``i`` (0-based) of a padded hex string."""
+    hexd = "'0123456789ABCDEF'"
+    c1 = f"substring({col}, {2 * i + 1}, 1)"
+    c2 = f"substring({col}, {2 * i + 2}, 1)"
+    return f"((strpos({hexd}, {c1}) - 1) * 16 + (strpos({hexd}, {c2}) - 1))"
 
 
 def _lsh_bucket_sql() -> str:
@@ -322,7 +332,25 @@ ORACLES = {
           and {_COS} >= 0.3
         order by id_a, id_b
     """,
-    # similarity_ann_lsh: rows-only (approximate by design)
+    # similarity_ann_lsh is oracle-checkable DESPITE being approximate: the
+    # approximation is entirely in the deterministic bucket assignment
+    # (seeded plane literals replayed by _lsh_bucket_sql), after which both
+    # engines do exact cosine within buckets — same machinery the green
+    # similarity_neardup_pairs oracle uses.
+    "similarity_ann_lsh": f"""
+        with bk as (
+            select vec_id, embedding, {_lsh_bucket_sql()} as bucket
+            from embeddings
+        )
+        select query_id, cand_id, cos, rn from (
+            select a.vec_id as query_id, b.vec_id as cand_id, {_COS} as cos,
+                   row_number() over (partition by a.vec_id
+                                      order by {_COS} desc, b.vec_id) as rn
+            from bk a join bk b on a.bucket = b.bucket and a.vec_id != b.vec_id
+            where a.vec_id < 20
+        ) t where rn <= 5
+        order by query_id, rn
+    """,
     "text_quality_features": f"""
         with t as (
             select doc_id, text,
@@ -393,5 +421,34 @@ ORACLES = {
         group by 1
         order by media_type
     """,
-    # multimodal_decode_features: rows-only (Python-side fake decoder)
+    # multimodal_decode_features is oracle-checkable DESPITE the Python-side
+    # decoder: the deterministic fake is pure byte arithmetic
+    # (64 + byte % 192 etc., pipeline/multimodal.py::fake_decode), replayed
+    # in DuckDB by extracting payload bytes from the hex() of the encoded
+    # text (DuckDB 1.0 has no blob indexing; two hex chars = one byte).
+    "multimodal_decode_features": f"""
+        with a as (
+            select doc_id as asset_id,
+                   case when doc_id % 3 = 0 then 'image'
+                        when doc_id % 3 = 1 then 'audio'
+                        else 'video' end as media_type,
+                   cast(octet_length(encode(text)) as bigint) as byte_len,
+                   rpad(upper(hex(encode(text))), 16, '0') as h
+            from documents
+        ),
+        b as (
+            select asset_id, media_type, byte_len,
+                   {_hex_byte('h', 0)} as b0,
+                   {_hex_byte('h', 1)} as b1,
+                   {_hex_byte('h', 2)} as b2
+            from a
+        )
+        select asset_id, media_type, byte_len,
+               cast(64 + b0 % 192 as int) as width,
+               cast(64 + b1 % 192 as int) as height,
+               cast(case when media_type = 'image' then 1
+                         else 1 + b2 % 30 end as int) as n_frames
+        from b
+        order by asset_id
+    """,
 }
