@@ -24,14 +24,13 @@ Scale notes:
 
 from __future__ import annotations
 
-import json
 import os
-import shutil
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kylin_on_parquet_v2_spark import fs as FS
 from kylin_on_parquet_v2_spark.cube import dictionary as GD
 from kylin_on_parquet_v2_spark.cube import measures as M
 from kylin_on_parquet_v2_spark.cube.cuboid import Cuboid, CuboidScheduler
@@ -40,23 +39,11 @@ from kylin_on_parquet_v2_spark.metadata.model import DataModel
 
 SEGMENT_COL = "__segment__"
 
-
-def _parquet_rows(path: str) -> int | None:
-    """Total rows under a layout dir from parquet FOOTER metadata — no scan,
-    no Spark job (cheap even for thousands of layouts). ``None`` on footer
-    read failure: 'unknown' must stay distinguishable from a MEASURED 0 rows
-    (an empty layout is the cheapest scan; unknown falls back to dim count)."""
-    total = 0
-    try:
-        import pyarrow.parquet as pq
-
-        for root, _dirs, files in os.walk(path):
-            for f in files:
-                if f.endswith(".parquet"):
-                    total += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
-    except Exception:
-        return None
-    return total
+#: layout row counts from parquet footers, via the storage shim (object-store
+#: deployable); ``None`` on failure: 'unknown' must stay distinguishable from
+#: a MEASURED 0 rows (an empty layout is the cheapest scan; unknown falls
+#: back to dim count)
+_parquet_rows = FS.parquet_rows
 
 
 #: Hive-style shard partition dir per layout (FilePruner.pruneShards parity):
@@ -152,6 +139,12 @@ class CubeInstance:
     #: agg-over-expression calls onto computed-column measures
     #: (CreateFlatTable.scala:43-95 / OLAPAggregateRel.java:528-600)
     computed_canon: dict[str, str] = field(default_factory=dict)
+    #: MERGED segment dir value -> inclusive END value (the max original
+    #: segment it absorbed). The reference tracks a TSRange per segment and
+    #: prunes by range overlap; we track only merged dirs (an unmerged dir's
+    #: range is itself) so segment-filter folding can relax a lower bound
+    #: that lands inside a merged range instead of wrongly pruning it.
+    segment_ranges: dict[str, str] = field(default_factory=dict)
 
     def layout_df(self, spark: SparkSession, cuboid: Cuboid) -> DataFrame:
         return spark.read.parquet(self.layouts[cuboid.cuboid_id])
@@ -176,9 +169,26 @@ class CubeInstance:
             "layout_rows": {str(k): v for k, v in self.layout_rows.items()},
             "snapshots": self.snapshots,
             "computed_columns": self.computed_canon,
+            "segment_ranges": self.segment_ranges,
         }
-        with open(self.meta_path(), "w") as fh:
-            json.dump(meta, fh, indent=2)
+        FS.write_json(self.meta_path(), meta)
+
+    def segments(self, spark: SparkSession) -> list[str]:
+        """Current segment values, from the base layout's partition dirs
+        (sorted ascending — segment values are date strings)."""
+        if not self.segmented or not self.layouts:
+            return []
+        base_id = max(
+            self.layouts, key=lambda cid: self.scheduler.cuboids[cid].n_dims
+        )
+        base = self.layouts[base_id]
+        fs = FS.fs_for(base, spark)
+        prefix = f"{SEGMENT_COL}="
+        return sorted(
+            d[len(prefix):]
+            for d in fs.listdir(base)
+            if d.startswith(prefix)
+        )
 
 
 class CubeBuilder:
@@ -201,9 +211,10 @@ class CubeBuilder:
             # exact-only, so segmented cubes must not declare them
             raise ValueError("TOP_N measures are not supported on segmented cubes")
         cube_dir = os.path.join(self.storage_dir, self.desc.name)
-        if overwrite and os.path.exists(cube_dir):
-            shutil.rmtree(cube_dir)
-        os.makedirs(cube_dir, exist_ok=True)
+        layout_fs = FS.fs_for(cube_dir, self.spark)
+        if overwrite and layout_fs.exists(cube_dir):
+            layout_fs.rmtree(cube_dir)
+        layout_fs.makedirs(cube_dir)
 
         column_tables: dict[str, str] = {}
         for c in self.spark.table(self.model.fact_table).columns:

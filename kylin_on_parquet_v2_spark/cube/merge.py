@@ -13,11 +13,11 @@ one, which is also the small-files compaction path at 100 TB.
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
+from kylin_on_parquet_v2_spark import fs as FS
 from kylin_on_parquet_v2_spark.cube import measures as M
 from kylin_on_parquet_v2_spark.cube.build import (
     SEGMENT_COL,
@@ -31,16 +31,13 @@ from kylin_on_parquet_v2_spark.cube.build import (
 TARGET_FILE_BYTES = 128 * 1024 * 1024
 
 
-def _segment_bytes(path: str, segments: list[str]) -> int:
+def _segment_bytes(spark: SparkSession, path: str, segments: list[str]) -> int:
     """On-disk bytes of the segment dirs being merged (upper bound on the
     merged output — re-aggregation only shrinks it)."""
-    total = 0
-    for seg in segments:
-        seg_dir = os.path.join(path, f"{SEGMENT_COL}={seg}")
-        if os.path.isdir(seg_dir):
-            for root, _dirs, files in os.walk(seg_dir):
-                total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
-    return total
+    return sum(
+        FS.dir_bytes(os.path.join(path, f"{SEGMENT_COL}={seg}"), spark)
+        for seg in segments
+    )
 
 
 def merge_segments(
@@ -79,7 +76,7 @@ def merge_segments(
                 aggs.append(c)
         keys = list(cuboid.dims)
         merged = df.groupBy(*keys).agg(*aggs) if aggs else df.select(*keys).dropDuplicates()
-        n_files = max(1, _segment_bytes(path, segments) // max(1, target_file_bytes))
+        n_files = max(1, _segment_bytes(spark, path, segments) // max(1, target_file_bytes))
         # Re-apply the shard partition dirs the original layout write used:
         # the merged segment must keep the same partition-directory depth
         # (and shard co-location) as unmerged segments under this root.
@@ -87,15 +84,63 @@ def merge_segments(
         # stage the merged segment, then atomically swap the old dirs out
         staging = os.path.join(path, f"_staging_{SEGMENT_COL}={new_segment}")
         if parts:
-            writer = merged.repartition(n_files, *[F.col(c) for c in parts])
+            # Repartitioning by the shard column alone caps non-empty
+            # partitions at shard_buckets regardless of n_files — with skew
+            # or n_files > buckets, a merged file could blow past the size
+            # target (the >2 GB single-file risk). A salt over the dims
+            # spreads each shard across ceil(n_files / buckets) partitions
+            # while partitionBy still routes rows to the right shard dir.
+            k = max(1, -(-n_files // max(1, inst.desc.shard_buckets)))
+            salt = F.pmod(F.hash(*[F.col(c) for c in keys]), F.lit(k)) if keys else F.lit(0)
+            writer = merged.repartition(n_files, *[F.col(c) for c in parts], salt)
             writer.write.mode("overwrite").partitionBy(*parts).parquet(staging)
         else:
             merged.repartition(n_files).write.mode("overwrite").parquet(staging)
+        fs = FS.fs_for(path, spark)
         for seg in segments:
             seg_dir = os.path.join(path, f"{SEGMENT_COL}={seg}")
-            if os.path.exists(seg_dir):
-                shutil.rmtree(seg_dir)
+            if fs.exists(seg_dir):
+                fs.rmtree(seg_dir)
         final = os.path.join(path, f"{SEGMENT_COL}={new_segment}")
-        if os.path.exists(final):
-            shutil.rmtree(final)
-        os.rename(staging, final)
+        if fs.exists(final):
+            fs.rmtree(final)
+        fs.rename(staging, final)
+
+    # Range bookkeeping (reference: per-segment TSRange): the merged dir's
+    # coverage END is the max absorbed segment (or a previously-merged
+    # range's end) — segment-filter folding needs it to keep lower-bound
+    # pruning sound over merged dirs.
+    end = max(inst.segment_ranges.get(s, s) for s in segments)
+    for s in segments:
+        inst.segment_ranges.pop(s, None)
+    if end != new_segment:
+        inst.segment_ranges[new_segment] = end
+    inst.save_meta()
+
+
+def maybe_auto_merge(
+    spark: SparkSession, inst: CubeInstance, threshold: int | None = None
+) -> str | None:
+    """Threshold-triggered auto-merge (reference ``CubeDesc.java:180``
+    autoMergeTimeRanges + ``CubeManager`` merge scheduling, count-based
+    here): when the cube has accumulated ``threshold`` segments (default
+    from ``desc.auto_merge_segments``), merge all but the NEWEST into one —
+    the newest segment keeps receiving appends (streaming ingest), so it is
+    left out of the merge the same way the reference never merges the
+    building segment.
+
+    Returns the merged segment value, or None when below threshold /
+    disabled. Idempotent: after a merge the count drops to 2, so repeated
+    ingest+check cycles keep the segment count bounded by ``threshold``.
+    """
+    if threshold is None:
+        threshold = inst.desc.auto_merge_segments
+    if not threshold or not inst.segmented:
+        return None
+    segs = inst.segments(spark)
+    if len(segs) < threshold or len(segs) < 3:
+        return None
+    to_merge = segs[:-1]
+    new_segment = to_merge[0]
+    merge_segments(spark, inst, to_merge, new_segment)
+    return new_segment

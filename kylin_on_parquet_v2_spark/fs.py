@@ -1,0 +1,186 @@
+"""Layout-storage filesystem shim.
+
+All driver-side layout/metadata IO — parquet row counts from footers,
+segment-dir listing, merge staging/swap, meta JSON — goes through this one
+interface so a deployment whose ``storage_dir`` is an object store
+(``s3a://``, ``abfs://``, ``hdfs://``) works unchanged: paths carrying a URI
+scheme route through the Hadoop FileSystem of the active SparkSession's JVM,
+bare paths use the local OS. (DataFrame reads/writes already accept any
+scheme natively — only the driver-side bookkeeping needed the shim.)
+
+Reference parity: the reference engine does all layout IO through
+``HadoopUtil.getWorkingFileSystem`` (``kylin.env.hdfs-working-dir`` is
+HDFS/S3 in production); ``PathManager`` composes the same
+``{storage}/{cube}/cuboid=...`` scheme this repo uses.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+from collections.abc import Iterator
+
+_SCHEME_RE = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.-]*://|^file:/")
+
+
+class LocalFS:
+    """POSIX implementation — the test/bench path."""
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(path)
+
+    def listdir(self, path: str) -> list[str]:
+        return os.listdir(path)
+
+    def makedirs(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+
+    def rmtree(self, path: str) -> None:
+        shutil.rmtree(path)
+
+    def rename(self, src: str, dst: str) -> None:
+        os.rename(src, dst)
+
+    def file_sizes(self, path: str) -> Iterator[tuple[str, int]]:
+        # skip dotfiles (.crc checksum sidecars etc.) to match the Hadoop
+        # local FileSystem, whose ChecksumFileSystem hides them; '_'-prefixed
+        # entries (__segment__= dirs, 0-byte _SUCCESS) stay visible on both
+        for root, dirs, files in os.walk(path):
+            dirs[:] = [d for d in dirs if not d.startswith(".")]
+            for f in files:
+                if f.startswith("."):
+                    continue
+                p = os.path.join(root, f)
+                yield p, os.path.getsize(p)
+
+    def parquet_file_rows(self, path: str) -> int:
+        import pyarrow.parquet as pq
+
+        return pq.ParquetFile(path).metadata.num_rows
+
+    def read_text(self, path: str) -> str:
+        with open(path) as fh:
+            return fh.read()
+
+    def write_text(self, path: str, text: str) -> None:
+        with open(path, "w") as fh:
+            fh.write(text)
+
+
+class HadoopFS:
+    """Hadoop FileSystem implementation (s3a/abfs/hdfs/file URIs) through
+    the active SparkSession's JVM — no extra Python deps; parquet footers
+    are read with parquet-hadoop (already on Spark's classpath)."""
+
+    def __init__(self, spark=None):
+        if spark is None:
+            from pyspark.sql import SparkSession
+
+            spark = SparkSession.getActiveSession()
+            if spark is None:
+                raise RuntimeError("HadoopFS needs an active SparkSession")
+        self._jvm = spark._jvm
+        self._conf = spark._jsc.hadoopConfiguration()
+
+    def _path(self, path: str):
+        return self._jvm.org.apache.hadoop.fs.Path(path)
+
+    def _fs(self, path: str):
+        return self._path(path).getFileSystem(self._conf)
+
+    def exists(self, path: str) -> bool:
+        return bool(self._fs(path).exists(self._path(path)))
+
+    def listdir(self, path: str) -> list[str]:
+        stats = self._fs(path).listStatus(self._path(path))
+        return [st.getPath().getName() for st in stats]
+
+    def makedirs(self, path: str) -> None:
+        self._fs(path).mkdirs(self._path(path))
+
+    def rmtree(self, path: str) -> None:
+        self._fs(path).delete(self._path(path), True)
+
+    def rename(self, src: str, dst: str) -> None:
+        if not self._fs(src).rename(self._path(src), self._path(dst)):
+            raise OSError(f"rename failed: {src} -> {dst}")
+
+    def file_sizes(self, path: str) -> Iterator[tuple[str, int]]:
+        it = self._fs(path).listFiles(self._path(path), True)
+        while it.hasNext():
+            st = it.next()
+            yield st.getPath().toString(), int(st.getLen())
+
+    def parquet_file_rows(self, path: str) -> int:
+        jvm = self._jvm
+        in_file = jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            self._path(path), self._conf
+        )
+        reader = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(in_file)
+        try:
+            return int(reader.getRecordCount())
+        finally:
+            reader.close()
+
+    def read_text(self, path: str) -> str:
+        stream = self._fs(path).open(self._path(path))
+        try:
+            return str(
+                self._jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+            )
+        finally:
+            stream.close()
+
+    def write_text(self, path: str, text: str) -> None:
+        out = self._fs(path).create(self._path(path), True)
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+
+
+def fs_for(path: str, spark=None) -> LocalFS | HadoopFS:
+    """Backend for ``path``: URI scheme -> Hadoop FS, bare path -> local."""
+    if _SCHEME_RE.match(path):
+        return HadoopFS(spark)
+    return LocalFS()
+
+
+# -- layout-level helpers (shared by build / merge / routing cost) ----------
+
+
+def parquet_rows(path: str, spark=None) -> int | None:
+    """Total rows under a layout dir from parquet FOOTER metadata — no data
+    scan, no Spark job (cheap even for thousands of layouts). ``None`` on
+    failure: 'unknown' stays distinguishable from a MEASURED 0 rows."""
+    try:
+        fs = fs_for(path, spark)
+        if not fs.exists(path):
+            # a missing layout must read as UNKNOWN, not measured-empty —
+            # 0 would make cost-based routing prefer a nonexistent layout
+            return None
+        total = 0
+        for p, _sz in fs.file_sizes(path):
+            if p.endswith(".parquet"):
+                total += fs.parquet_file_rows(p)
+        return total
+    except Exception:
+        return None
+
+
+def dir_bytes(path: str, spark=None) -> int:
+    """Total on-disk bytes under ``path`` (0 if absent)."""
+    fs = fs_for(path, spark)
+    if not fs.exists(path):
+        return 0
+    return sum(sz for _p, sz in fs.file_sizes(path))
+
+
+def read_json(path: str, spark=None) -> dict:
+    return json.loads(fs_for(path, spark).read_text(path))
+
+
+def write_json(path: str, obj: dict, spark=None) -> None:
+    fs_for(path, spark).write_text(path, json.dumps(obj, indent=2))

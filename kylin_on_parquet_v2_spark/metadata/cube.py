@@ -126,6 +126,11 @@ class CubeDesc:
     #: cuboids are additionally partitioned by segment when the model declares
     #: a partition column; granularity is a Spark date_trunc unit.
     segment_granularity: str = "month"
+    #: auto-merge threshold (reference CubeDesc.java:180 autoMergeTimeRanges,
+    #: count-based here): when a segmented cube accumulates this many
+    #: segments, ``maybe_auto_merge`` folds all but the newest into one.
+    #: None disables auto-merge.
+    auto_merge_segments: int | None = None
 
     def __post_init__(self) -> None:
         names = [m.name for m in self.measures]

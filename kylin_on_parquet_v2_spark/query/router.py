@@ -181,9 +181,18 @@ def _fold_segment_filters(digest: SqlDigest, inst: CubeInstance) -> list[str]:
             seg = d
         s = seg.isoformat()
         if op in (">=", ">", "="):
+            # MERGED dirs are named by their range START; a lower bound
+            # landing inside a merged range must relax to that start or the
+            # dir (which still holds in-range rows) would be wrongly pruned.
+            # Upper bounds need no adjustment: a straddling merged dir's
+            # start is <= the bound, so it stays included (row filter trims).
+            for start, end in inst.segment_ranges.items():
+                if start <= s <= end:
+                    s = start
+                    break
             out.append(f"{SEGMENT_COL} >= '{s}'")
         if op in ("<=", "<", "="):
-            out.append(f"{SEGMENT_COL} <= '{s}'")
+            out.append(f"{SEGMENT_COL} <= '{seg.isoformat()}'")
     return out
 
 

@@ -1,0 +1,79 @@
+"""Storage shim tests (round-3 verdict item 9): layout IO must work through
+one interface for both bare local paths and URI-scheme paths (object-store
+deployability). The Hadoop backend is exercised against ``file:`` URIs —
+the same FileSystem API surface s3a/abfs/hdfs implement."""
+
+from __future__ import annotations
+
+import os
+
+from kylin_on_parquet_v2_spark import fs as FS
+
+
+def test_fs_for_dispatch(spark):
+    assert isinstance(FS.fs_for("/tmp/x"), FS.LocalFS)
+    assert isinstance(FS.fs_for("file:/tmp/x", spark), FS.HadoopFS)
+    assert isinstance(FS.fs_for("s3a://bucket/x", spark), FS.HadoopFS)
+
+
+def test_local_roundtrip(tmp_path):
+    fs = FS.LocalFS()
+    d = str(tmp_path / "a")
+    fs.makedirs(d)
+    assert fs.exists(d)
+    FS.write_json(os.path.join(d, "m.json"), {"k": 1})
+    assert FS.read_json(os.path.join(d, "m.json")) == {"k": 1}
+    fs.rename(d, str(tmp_path / "b"))
+    assert not fs.exists(d) and fs.exists(str(tmp_path / "b"))
+    fs.rmtree(str(tmp_path / "b"))
+    assert not fs.exists(str(tmp_path / "b"))
+
+
+def test_hadoop_backend_on_file_uri(spark, tmp_path):
+    fs = FS.HadoopFS(spark)
+    d = f"file:{tmp_path}/h/x"
+    fs.makedirs(d)
+    assert fs.exists(d)
+    fs.write_text(d + "/m.json", '{"k": 2}')
+    assert FS.read_json(d + "/m.json", spark) == {"k": 2}
+    assert "m.json" in fs.listdir(d)
+    fs.rename(d + "/m.json", d + "/n.json")
+    assert fs.listdir(d) == ["n.json"]
+    sizes = dict(fs.file_sizes(d))
+    assert len(sizes) == 1 and next(iter(sizes.values())) == len('{"k": 2}')
+    fs.rmtree(d)
+    assert not fs.exists(d)
+
+
+def test_parquet_rows_both_backends(spark, tmp_path):
+    p = str(tmp_path / "t.parquet")
+    spark.range(123).coalesce(1).write.parquet(p)
+    assert FS.parquet_rows(p) == 123
+    assert FS.parquet_rows(f"file:{p}", spark) == 123
+    assert FS.parquet_rows(str(tmp_path / "missing")) is None
+    assert FS.dir_bytes(p) > 0
+    assert FS.dir_bytes(f"file:{p}", spark) == FS.dir_bytes(p)
+
+
+def test_cube_build_and_route_on_uri_storage(spark, tmp_path):
+    """End-to-end: cube build + routed query with the storage dir addressed
+    through the Hadoop FileSystem (file: URI stands in for s3a/abfs) — the
+    object-store deployment shape."""
+    from kylin_on_parquet_v2_spark.query.engine import OlapEngine
+    from kylin_on_parquet_v2_spark.session import register_views
+    from tests.conftest import SF_SMOKE
+
+    from kylin_on_parquet_v2_spark.datasets import TPCH_CUBE, TPCH_MODEL
+
+    register_views(spark, SF_SMOKE)
+    eng = OlapEngine(spark, storage_dir=f"file:{tmp_path}/cubes")
+    eng.add_model(TPCH_MODEL)
+    inst = eng.build_cube(TPCH_CUBE)
+    assert inst.layout_rows, "footer row counts must work through the shim"
+    df = eng.sql(
+        """select l_returnflag, sum(l_quantity) as s, count(*) as n
+           from lineitem group by l_returnflag order by l_returnflag""",
+        validate=True,
+    )
+    assert eng.last_route is not None
+    assert df.count() > 0

@@ -84,6 +84,82 @@ def test_merge_writes_size_based_files(spark, tmp_path):
     assert len(files) > 1, files
 
 
+def test_auto_merge_fires_at_threshold_and_keeps_answers(spark, tmp_path):
+    """Round-3 verdict item 8 (CubeDesc.java:180 auto-merge): ingest crosses
+    the declared threshold -> merge fires, answers unchanged, segment dirs
+    and file count drop, and the newest segment is left un-merged."""
+    from dataclasses import replace
+
+    from kylin_on_parquet_v2_spark.cube.merge import maybe_auto_merge
+    from kylin_on_parquet_v2_spark.query.engine import OlapEngine
+
+    register_views(spark, SF_SMOKE)
+    desc = replace(TPCH_CUBE_SEG, name="tpch_seg_am", auto_merge_segments=4)
+    eng = OlapEngine(spark, storage_dir=str(tmp_path))
+    eng.add_model(TPCH_MODEL_SEG)
+    inst = eng.build_cube(desc)
+
+    segs_before = inst.segments(spark)
+    assert len(segs_before) >= 4, segs_before
+    base = inst.layouts[max(inst.layouts)]
+
+    def n_files():
+        return sum(
+            1 for root, _d, files in os.walk(base) for f in files if f.endswith(".parquet")
+        )
+
+    def totals():
+        return {
+            r.l_returnflag: (r.n, r.q)
+            for r in spark.read.parquet(base)
+            .groupBy("l_returnflag")
+            .agg(F.sum("_count").alias("n"), F.round(F.sum("sum_qty"), 2).alias("q"))
+            .collect()
+        }
+
+    before, files_before = totals(), n_files()
+    merged = maybe_auto_merge(spark, inst)
+    assert merged == segs_before[0]
+    segs_after = inst.segments(spark)
+    assert segs_after == [segs_before[0], segs_before[-1]]  # newest kept out
+    assert totals() == before
+    assert n_files() < files_before
+    # range bookkeeping: the merged dir declares its absorbed coverage end
+    assert inst.segment_ranges[merged] == segs_before[-2]
+    # below threshold now -> idempotent no-op
+    assert maybe_auto_merge(spark, inst) is None
+
+
+def test_lower_bound_pruning_sound_after_merge(spark, tmp_path):
+    """A date lower bound landing INSIDE a merged segment's range must relax
+    to the merged dir's start (reference prunes by TSRange overlap) — naive
+    folding would prune the merged dir and silently drop in-range rows."""
+    from dataclasses import replace
+
+    from kylin_on_parquet_v2_spark.cube.merge import maybe_auto_merge
+    from kylin_on_parquet_v2_spark.query.engine import OlapEngine
+
+    register_views(spark, SF_SMOKE)
+    desc = replace(TPCH_CUBE_SEG, name="tpch_seg_am2", auto_merge_segments=4)
+    eng = OlapEngine(spark, storage_dir=str(tmp_path))
+    eng.add_model(TPCH_MODEL_SEG)
+    inst = eng.build_cube(desc)
+    segs = inst.segments(spark)
+    merged = maybe_auto_merge(spark, inst)
+    assert merged is not None
+    # pick a bound strictly inside the merged range (second absorbed month)
+    inside = segs[1]
+    sql = f"""select l_returnflag, sum(l_quantity) as s, count(*) as n
+              from lineitem
+              where l_shipdate >= date '{inside}'
+              group by l_returnflag order by l_returnflag"""
+    eng.sql(sql, validate=True)  # routed == pushdown proves no dropped rows
+    route = eng.last_route
+    assert route is not None and route.cube == desc.name, route
+    lower = [p for p in route.segment_filters if ">=" in p]
+    assert lower and f"'{merged}'" in lower[0], route.segment_filters
+
+
 def test_stateful_running_totals_across_batches(spark, tmp_path):
     src = str(tmp_path / "src")
     os.makedirs(src)
