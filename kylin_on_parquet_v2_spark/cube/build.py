@@ -145,6 +145,10 @@ class CubeInstance:
     #: range is itself) so segment-filter folding can relax a lower bound
     #: that lands inside a merged range instead of wrongly pruning it.
     segment_ranges: dict[str, str] = field(default_factory=dict)
+    #: (shard col, literal SQL, buckets) -> shard id; memoizes the one-row
+    #: Spark job that computes pmod(hash(literal)) with JVM hash semantics,
+    #: so repeated shard-pruned queries pay it once (not persisted)
+    shard_probe_cache: dict = field(default_factory=dict, repr=False)
 
     def layout_df(self, spark: SparkSession, cuboid: Cuboid) -> DataFrame:
         return spark.read.parquet(self.layouts[cuboid.cuboid_id])

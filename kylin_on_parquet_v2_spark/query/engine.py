@@ -62,8 +62,14 @@ class OlapEngine:
         #: Caching MATERIALIZES the result (the reference caches collected
         #: result sets too), so it suits repeated dashboard-style queries.
         self.result_cache_size = result_cache_size
+        self.max_result_rows = max_result_rows
         self._cache: "OrderedDict[tuple, tuple]" = OrderedDict()
         self._cache_epoch = 0
+
+    #: hard cap on rows a cached result may materialize on the driver when
+    #: no explicit max_result_rows is configured — caching is opt-in but
+    #: must never pin an unbounded result set in driver memory
+    DEFAULT_CACHE_ROW_CAP = 100_000
 
     # -- metadata / build ----------------------------------------------------
 
@@ -141,10 +147,18 @@ class OlapEngine:
 
     def _maybe_cache(self, key: tuple, df: DataFrame) -> DataFrame:
         """Fill the LRU result cache (materializes the result — the
-        reference also caches collected result sets, QueryService:463-560)."""
+        reference also caches collected result sets, QueryService:463-560).
+
+        Collection is capped: a result bigger than max_result_rows (or the
+        default cap) is returned un-cached instead of being materialized on
+        the driver — the cache is a dashboard-query accelerator, not a spill
+        risk."""
         if not self.result_cache_size:
             return df
-        rows = df.collect()
+        cap = self.max_result_rows or self.DEFAULT_CACHE_ROW_CAP
+        rows = df.limit(cap + 1).collect()
+        if len(rows) > cap:
+            return df
         self._cache[key] = (df.schema, rows, self.last_route)
         while len(self._cache) > self.result_cache_size:
             self._cache.popitem(last=False)

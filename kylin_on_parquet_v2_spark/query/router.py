@@ -470,18 +470,24 @@ def execute_route(digest: SqlDigest, inst: CubeInstance, route: Route, spark) ->
         df = df.drop(SEGMENT_COL)
     if route.shard_eq is not None and SHARD_COL in df.columns:
         # shard-dir pruning: compute the literal's shard id with the SAME
-        # hash/type the write used, then filter the __shard__ partition col
+        # hash/type the write used (a one-row local job — Spark's Murmur3
+        # must not be reimplemented driver-side), memoized per literal so
+        # repeated dashboard queries pay it once
         col_name, lit_sql = route.shard_eq
-        k = (
-            spark.range(1)
-            .select(
-                F.pmod(
-                    F.hash(F.expr(lit_sql).cast(df.schema[col_name].dataType)),
-                    F.lit(inst.desc.shard_buckets),
-                ).alias("k")
+        ck = (col_name, lit_sql, inst.desc.shard_buckets)
+        k = inst.shard_probe_cache.get(ck)
+        if k is None:
+            k = (
+                spark.range(1)
+                .select(
+                    F.pmod(
+                        F.hash(F.expr(lit_sql).cast(df.schema[col_name].dataType)),
+                        F.lit(inst.desc.shard_buckets),
+                    ).alias("k")
+                )
+                .first()["k"]
             )
-            .first()["k"]
-        )
+            inst.shard_probe_cache[ck] = k
         df = df.filter(F.col(SHARD_COL) == k)
     if SHARD_COL in df.columns:
         df = df.drop(SHARD_COL)

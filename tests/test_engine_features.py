@@ -86,3 +86,22 @@ def test_cache_lru_bound(spark, tmp_path):
     for i in range(4):
         eng.sql(f"select {i} as k")
     assert len(eng._cache) == 2
+
+
+def test_cache_never_materializes_oversized_results(spark, tmp_path):
+    """Round-3 verdict: caching must not pin an unbounded result set on the
+    driver — a result over the cap is returned complete but NOT cached."""
+    eng = OlapEngine(
+        spark,
+        storage_dir=str(tmp_path),
+        result_cache_size=4,
+        max_result_rows=50,
+        transformers=[],  # no forced LIMIT: the cap alone must protect
+    )
+    eng.register_sources(SF_SMOKE)
+    big = eng.sql("select l_orderkey from lineitem")
+    assert big.count() > 50  # answer complete, not truncated
+    assert not eng._cache  # ...but never materialized into the cache
+    small = eng.sql("select count(*) as n from lineitem")
+    assert small.count() == 1
+    assert len(eng._cache) == 1
