@@ -394,9 +394,12 @@ def plan_route(
             bm = _bitmap_measure_for(agg.column, inst)
             if agg.column in dims:
                 needed.add(agg.column)  # exact distinct from dimensions
-            elif bm is not None and digest.grouping_sets is None:
+            elif bm is not None:
                 # EXACT distinct from the stored dictionary-id bitmap —
-                # no accuracy trade, so no opt-in needed
+                # no accuracy trade, so no opt-in needed. Works under
+                # grouping sets too: each set re-counts the bags at its own
+                # granularity (bit_or is idempotent, so coarser re-OR of the
+                # same bags stays exact — PreciseCountDistinct re-agg parity)
                 bitmap[agg.alias] = bm.name
             elif approx_distinct and _hll_measure_for(agg.column, inst) is not None:
                 approx[agg.alias] = _hll_measure_for(agg.column, inst).name
@@ -588,17 +591,36 @@ def execute_route(digest: SqlDigest, inst: CubeInstance, route: Route, spark) ->
                 if agg.func == "COUNT":
                     col = col.cast("long")  # COUNT re-agg is SUM of stored counts
                 agg_cols.append(col.alias(item.name))
+        from kylin_on_parquet_v2_spark.cube import dictionary as GD
+        from kylin_on_parquet_v2_spark.cube.build import join_null_safe
+
         if digest.grouping_sets is not None:
             # ROLLUP/CUBE/GROUPING SETS: one cuboid aggregation per grouping
             # set, unioned back with typed NULLs for the aggregated-away
             # columns (AggregateMultipleExpandRule.java:45-120 parity). Every
             # branch re-aggregates the SAME layout scan; Spark caches the
-            # shuffle exchange across the union branches.
+            # shuffle exchange across the union branches. Bitmap distincts
+            # re-count the word bags per set (bit_or idempotence keeps the
+            # coarser re-OR exact).
             types = dict(df.dtypes)
             branches = []
             for gset in digest.grouping_sets:
-                grouped = df.groupBy(*gset) if gset else df.groupBy()
-                branch = grouped.agg(*agg_cols)
+                if agg_cols:
+                    grouped = df.groupBy(*gset) if gset else df.groupBy()
+                    branch = grouped.agg(*agg_cols)
+                elif gset:
+                    branch = df.select(*gset).dropDuplicates()
+                else:
+                    branch = None  # grand-total set with only bitmap aggs
+                for item, mname in bitmap_items:
+                    counts = GD.bitmap_count(df, list(gset), mname, item.name)
+                    if branch is None:
+                        branch = counts
+                    else:
+                        branch = join_null_safe(branch, counts, list(gset), "left")
+                    branch = branch.withColumn(
+                        item.name, F.coalesce(F.col(item.name), F.lit(0)).cast("long")
+                    )
                 sel = []
                 for item in digest.select:
                     if item.group_col is not None:
@@ -627,42 +649,41 @@ def execute_route(digest: SqlDigest, inst: CubeInstance, route: Route, spark) ->
         # Exact bitmap distincts: one explode -> bit_or-per-word -> bit_count
         # pipeline per item, joined back on the group keys (a group whose
         # values were all NULL has an empty bag => coalesce to 0, matching
-        # COUNT DISTINCT semantics).
-        from kylin_on_parquet_v2_spark.cube import dictionary as GD
-        from kylin_on_parquet_v2_spark.cube.build import join_null_safe
-
-        bitmap_pipelines: list[tuple] = [
-            (item, GD.bitmap_count(df, digest.group_cols, mname, item.name))
-            for item, mname in bitmap_items
-        ]
-        bitmap_pipelines += [
-            # cohort-filtered bags: cond references layout/derived columns
-            (
-                item,
-                GD.bitmap_count(
-                    df.filter(F.expr(cond)), digest.group_cols, mname, item.name
-                ),
-            )
-            for item, mname, cond in cond_items
-        ]
-        bitmap_pipelines += [
-            (
-                item,
-                GD.bitmap_intersect_count(
-                    df, digest.group_cols, mname, fcol, list(vals), item.name
-                ),
-            )
-            for item, mname, fcol, vals in intersect_items
-        ]
-        for item, counts in bitmap_pipelines:
-            if result is None:
-                result = counts
-            else:
-                # NULL-safe: a NULL-valued group key must recover its count
-                result = join_null_safe(result, counts, digest.group_cols, "left")
-            result = result.withColumn(
-                item.name, F.coalesce(F.col(item.name), F.lit(0)).cast("long")
-            )
+        # COUNT DISTINCT semantics). Grouping-set queries already counted
+        # per set above.
+        if digest.grouping_sets is None:
+            bitmap_pipelines: list[tuple] = [
+                (item, GD.bitmap_count(df, digest.group_cols, mname, item.name))
+                for item, mname in bitmap_items
+            ]
+            bitmap_pipelines += [
+                # cohort-filtered bags: cond references layout/derived columns
+                (
+                    item,
+                    GD.bitmap_count(
+                        df.filter(F.expr(cond)), digest.group_cols, mname, item.name
+                    ),
+                )
+                for item, mname, cond in cond_items
+            ]
+            bitmap_pipelines += [
+                (
+                    item,
+                    GD.bitmap_intersect_count(
+                        df, digest.group_cols, mname, fcol, list(vals), item.name
+                    ),
+                )
+                for item, mname, fcol, vals in intersect_items
+            ]
+            for item, counts in bitmap_pipelines:
+                if result is None:
+                    result = counts
+                else:
+                    # NULL-safe: a NULL-keyed group must recover its count
+                    result = join_null_safe(result, counts, digest.group_cols, "left")
+                result = result.withColumn(
+                    item.name, F.coalesce(F.col(item.name), F.lit(0)).cast("long")
+                )
         # Project by source group column, aliasing to the query's output name
         # (a bare item.name lookup breaks on `SELECT col AS c ... GROUP BY col`).
         # Grouping-set branches already projected output names per set —

@@ -112,7 +112,11 @@ def run_windowed_to_memory(
     schema: StructType | None = None,
 ) -> DataFrame:
     """Drive the windowed aggregation over a finite source to completion
-    (complete output mode -> memory sink) and return the result table."""
+    (complete output mode -> memory sink) and return the result table.
+
+    HARNESS-ONLY: complete-mode + memory sink exist to make a finite
+    streaming run oracle-comparable; the production path is the
+    append-mode/foreachBatch Parquet writer in :func:`ingest_segments`."""
     if schema is None:
         schema = spark.read.parquet(source_dir).schema
     stream = spark.readStream.schema(schema).parquet(source_dir)

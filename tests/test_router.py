@@ -399,6 +399,23 @@ def test_grouping_sets_scan_layouts_not_fact(engine):
     assert scans and all("lineitem.parquet" not in ln for ln in scans), plan
 
 
+def test_bitmap_distinct_under_rollup(engine):
+    """COUNT(DISTINCT non-dim col) under ROLLUP routed via the stored
+    bitmap: every grouping set re-counts the word bags at its own
+    granularity (bit_or idempotence keeps the coarser re-OR exact)."""
+    df = engine.sql(
+        """select l_returnflag, l_linestatus,
+                  count(distinct l_partkey) as nd, count(*) as n
+           from lineitem
+           group by rollup(l_returnflag, l_linestatus)""",
+        validate=True,
+    )
+    route = engine.last_route
+    assert route is not None and route.bitmap_distinct == {"nd": "bm_partkey"}, route
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "lineitem" not in plan  # layouts only, never the fact view
+
+
 def test_grouping_on_grouping_id_falls_back(engine):
     """GROUPING()/GROUPING_ID() outputs reference spark_grouping_id — an
     unrecognized select shape must fall back to pushdown, not misroute."""

@@ -118,6 +118,7 @@ def _seg_inst():
         segmented=True,
         model=SimpleNamespace(partition_column="l_shipdate"),
         desc=SimpleNamespace(segment_granularity="day"),
+        segment_ranges={},
     )
 
 
