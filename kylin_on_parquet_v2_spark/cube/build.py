@@ -501,7 +501,9 @@ class CubeBuilder:
     #: from layout bytes / 64 MB (ResultPlan.scala:42 split target)
     write_partitions = 8
 
-    def _write_layout(self, df: DataFrame, path: str, segmented: bool) -> None:
+    def _write_layout(
+        self, df: DataFrame, path: str, segmented: bool, mode: str = "overwrite"
+    ) -> None:
         df, parts = with_shard_partition(df, self.desc)
         if segmented:
             parts.insert(0, SEGMENT_COL)
@@ -516,7 +518,116 @@ class CubeBuilder:
             # every cuboid writes one tiny file per shuffle partition (the
             # classic small-files problem, multiplied by the lattice size)
             writer = df.coalesce(self.write_partitions)
-        w = writer.write.mode("overwrite")
+        w = writer.write.mode(mode)
         if parts:
             w = w.partitionBy(*parts)
         w.parquet(path)
+
+    # -- incremental segment build -------------------------------------------
+
+    def build_increment(
+        self, inst: CubeInstance, segments: list[str] | None = None
+    ) -> list[str]:
+        """Build ONLY new segments and append them to the existing layouts
+        (reference: per-segment cubing jobs — ``CubeSegment`` +
+        ``CubeBuildJob`` build one TSRange at a time; history is never
+        re-cubed when a day of data lands).
+
+        - New segment values are auto-detected from the source (values not
+          already materialized as a dir nor covered by a merged range), or
+          passed explicitly.
+        - Global dictionaries are EXTENDED, never rebuilt
+          (NGlobalDictionaryV2 versioned append): existing ids stay valid,
+          so previously written word-bag bitmaps keep their meaning, and
+          new values take ids above the current max.
+        - Layout writes are dynamic-partition APPENDS of the new segment
+          dirs; existing segment dirs are untouched bytes-on-disk.
+
+        Returns the segment values built ([] when the source has nothing
+        new). Requires an unchanged CubeDesc (schema changes need a full
+        rebuild)."""
+        if not inst.segmented:
+            raise ValueError("incremental build requires a segmented cube")
+        cube_dir = os.path.join(self.storage_dir, self.desc.name)
+        flat = self._flat_with_segment()
+        if segments is None:
+            dirs = set(inst.segments(self.spark))
+            ranges = dict(inst.segment_ranges)
+
+            def covered(s: str) -> bool:
+                return s in dirs or any(
+                    start <= s <= end for start, end in ranges.items()
+                )
+
+            vals = [r[0] for r in flat.select(SEGMENT_COL).distinct().collect()]
+            segments = sorted(s for s in vals if not covered(s))
+        if not segments:
+            return []
+        needed = set(self.desc.dimensions) | {SEGMENT_COL}
+        for m in self.desc.measures:
+            if m.function.parameter:
+                needed.add(m.function.parameter)
+            needed.update(m.function.extra_params)
+        flat_new = flat.filter(F.col(SEGMENT_COL).isin(segments))
+        flat_new = flat_new.select(*[c for c in flat_new.columns if c in needed])
+        layout_fs = FS.fs_for(cube_dir, self.spark)
+        for m in self._bitmap_measures():
+            param = m.function.parameter
+            dict_path = os.path.join(cube_dir, "dict", param)
+            extended = GD.extend_global_dict(
+                self.spark.read.parquet(dict_path), flat_new, param
+            )
+            # extended is checkpointed, so the staging swap of its own
+            # source is safe; the swap keeps readers of the old dict valid
+            staging = dict_path + "_staging"
+            extended.write.mode("overwrite").parquet(staging)
+            layout_fs.rmtree(dict_path)
+            layout_fs.rename(staging, dict_path)
+            flat_new = GD.encode_column(
+                flat_new, self.spark.read.parquet(dict_path), param
+            )
+        flat_new.persist()
+        self._measure_key_nullability(flat_new, True)
+        self._prepare_measure_bases(flat_new)
+        try:
+            self._append_layers(flat_new, inst, segments)
+        finally:
+            self._release_measure_bases()
+            flat_new.unpersist()
+        inst.save_meta()
+        return segments
+
+    def _append_layers(
+        self, flat_new: DataFrame, inst: CubeInstance, segments: list[str]
+    ) -> None:
+        """Same spanning-tree walk as the full build, but every layout write
+        APPENDS the new segment dirs and parents are re-read pruned to the
+        new segments (partition pruning — old dirs are never scanned)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        tree = self.scheduler.spanning_tree()
+        built: dict[int, DataFrame] = {}
+        layers: dict[int, list] = {}
+        for cuboid, parent in tree:
+            layers.setdefault(cuboid.n_dims, []).append((cuboid, parent))
+
+        def _one(cuboid: Cuboid, parent: Cuboid | None) -> tuple[int, str]:
+            if parent is None:
+                df = self._agg_from_flat(flat_new, cuboid, True)
+            else:
+                df = self._agg_from_parent(built[parent.cuboid_id], cuboid, True)
+            path = inst.layouts[cuboid.cuboid_id]
+            self._write_layout(df, path, True, mode="append")
+            return cuboid.cuboid_id, path
+
+        for size in sorted(layers, reverse=True):
+            with ThreadPoolExecutor(max_workers=self.build_parallelism) as pool:
+                for cuboid_id, path in pool.map(lambda cp: _one(*cp), layers[size]):
+                    n = _parquet_rows(path)
+                    if n is not None:
+                        inst.layout_rows[cuboid_id] = n
+                    else:
+                        inst.layout_rows.pop(cuboid_id, None)
+                    built[cuboid_id] = self.spark.read.parquet(path).filter(
+                        F.col(SEGMENT_COL).isin(segments)
+                    )

@@ -80,6 +80,54 @@ def build_global_dict(df: DataFrame, col: str, n_buckets: int = DICT_BUCKETS) ->
         vals.unpersist()
 
 
+def extend_global_dict(
+    existing: DataFrame, df: DataFrame, col: str, n_buckets: int = DICT_BUCKETS
+) -> DataFrame:
+    """Append NEW values to a global dictionary without touching existing
+    ids (NGlobalDictionaryV2 versioned append, ``NBucketDictionary``
+    absolute-vs-relative offsets): ids already handed out stay valid — the
+    word-bag bitmaps of previously built segments keep meaning the same
+    values — and new values take dense ids starting at the current max + 1,
+    assigned with the same parallel per-bucket window as the initial build.
+
+    Returns the EXTENDED dictionary (old mappings + new rows)."""
+    new_vals = (
+        df.select(F.col(col).alias("value"))
+        .where(F.col("value").isNotNull())
+        .distinct()
+        .join(existing.select("value"), "value", "left_anti")
+        .withColumn("__b", F.pmod(F.xxhash64("value"), F.lit(n_buckets)).cast("int"))
+    )
+    new_vals.persist()
+    try:
+        if not new_vals.take(1):
+            return existing
+        base = existing.agg(F.max("did")).first()[0]
+        offset = 0 if base is None else int(base) + 1
+        counts = {
+            r["__b"]: r["n"]
+            for r in new_vals.groupBy("__b").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        offsets: list[int] = []
+        acc = offset
+        for b in range(n_buckets):
+            offsets.append(acc)
+            acc += counts.get(b, 0)
+        off_map = F.create_map(
+            *[x for b, off in enumerate(offsets) for x in (F.lit(b), F.lit(off))]
+        )
+        w = Window.partitionBy("__b").orderBy("value")
+        appended = new_vals.select(
+            "value",
+            (F.element_at(off_map, F.col("__b")) + F.row_number().over(w) - 1).alias(
+                "did"
+            ),
+        )
+        return existing.unionByName(appended).localCheckpoint(eager=True)
+    finally:
+        new_vals.unpersist()
+
+
 def encode_column(flat: DataFrame, dictionary: DataFrame, col: str) -> DataFrame:
     """Left-join the dictionary id onto the flat table (DFTableEncoder
     parity). NULL values stay NULL (COUNT DISTINCT ignores them)."""

@@ -89,6 +89,24 @@ class OlapEngine:
         self._cache.clear()
         return inst
 
+    def refresh_cube(self, name: str, segments: list[str] | None = None) -> list[str]:
+        """Incrementally cube NEW source segments (reference per-segment
+        build loop: detect new TSRanges -> segment cubing job -> auto-merge
+        check). History is never re-cubed; dictionaries extend in place.
+        Returns the segment values built ([] when nothing new landed)."""
+        from kylin_on_parquet_v2_spark.cube.merge import maybe_auto_merge
+
+        inst = self.cubes[name]
+        model = self.models[inst.desc.model_name]
+        built = CubeBuilder(self.spark, model, inst.desc, self.storage_dir).build_increment(
+            inst, segments
+        )
+        if built:
+            self._cache_epoch += 1
+            self._cache.clear()
+            maybe_auto_merge(self.spark, inst)
+        return built
+
     # -- query ---------------------------------------------------------------
 
     def sql(
