@@ -167,6 +167,25 @@ def cube_routed_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def cube_routed_multi_col_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column COUNT(DISTINCT a, b) routed: distinct dimension TUPLES
+    counted over layout rows (DimCountDistinct generalized to composite
+    keys; SQL semantics — rows with any NULL column excluded)."""
+    eng = engine(spark, sf_dir)
+    df = eng.sql(
+        """
+        select o_orderstatus,
+               count(distinct l_returnflag, l_linestatus) as nd_combo,
+               count(*) as n
+        from lineitem join orders on l_orderkey = o_orderkey
+        group by o_orderstatus
+        order by o_orderstatus
+        """
+    )
+    assert eng.last_route is not None, "expected route for multi-col distinct"
+    return df
+
+
 def cube_routed_snowflake(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snowflake aggregate routed onto a cuboid with re-aggregation + AVG
     decomposition (SUM/COUNT)."""
@@ -336,6 +355,7 @@ def cube_routed_having_hidden(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "cube_routed_multi_col_distinct": cube_routed_multi_col_distinct,
     "cube_routed_having": cube_routed_having,
     "cube_routed_having_hidden": cube_routed_having_hidden,
     "cube_routed_q1": cube_routed_q1,
@@ -353,6 +373,16 @@ QUERIES = {
 }
 
 ORACLES = {
+    "cube_routed_multi_col_distinct": """
+        select o_orderstatus,
+               count(distinct case when l_returnflag is not null
+                                    and l_linestatus is not null
+                                   then (l_returnflag, l_linestatus) end) as nd_combo,
+               count(*) as n
+        from lineitem join orders on l_orderkey = o_orderkey
+        group by o_orderstatus
+        order by o_orderstatus
+    """,
     "cube_routed_having": """
         select p_brand, round(sum(l_quantity), 2) as sum_qty
         from lineitem join part on l_partkey = p_partkey

@@ -65,6 +65,8 @@ class AggCall:
     #: literal SQLs (``intersect_count(col, filter_col, array(...))``)
     filter_col: str | None = None
     values: tuple[str, ...] = ()
+    #: multi-column ``count(distinct a, b, ...)`` — the bare columns
+    columns: tuple[str, ...] = ()
 
 
 def canonical_expr_sql(sql: str) -> str:
@@ -444,10 +446,21 @@ def _extract(plan) -> SqlDigest | None:  # noqa: C901 — one dispatch walk
         expr_canon = None
         cond_sql = None
         cond_cols: frozenset[str] = frozenset()
+        multi_cols: tuple[str, ...] = ()
         if arg == "1" and func == "COUNT":
             col = None
         elif len(refs) == 1 and _QUALIFIED.fullmatch(arg):
             col = arg.split(".")[-1]
+        elif (
+            distinct
+            and func == "COUNT"
+            and "," in arg
+            and all(_QUALIFIED.fullmatch(p.strip()) for p in arg.split(","))
+        ):
+            # multi-column count(distinct a, b): distinct tuples over rows
+            # where EVERY column is non-null (SQL semantics)
+            col = None
+            multi_cols = tuple(p.strip().split(".")[-1] for p in arg.split(","))
         elif distinct and func == "COUNT" and (cm := _CASE_DISTINCT_RE.match(arg)):
             # conditional distinct — the per-cohort INTERSECT_COUNT spelling:
             # count(distinct case when <cond over dims> then col end)
@@ -477,6 +490,7 @@ def _extract(plan) -> SqlDigest | None:  # noqa: C901 — one dispatch walk
                     expr_sql=expr_canon,
                     cond_sql=cond_sql,
                     cond_cols=cond_cols,
+                    columns=multi_cols,
                 ),
             )
         )

@@ -378,7 +378,16 @@ def plan_route(
                 return None
             bitmap_intersect[agg.alias] = (bm.name, agg.filter_col, agg.values)
         elif agg.distinct:
-            if agg.func != "COUNT" or agg.column is None:
+            if agg.func != "COUNT":
+                return None
+            if agg.columns:
+                # multi-column distinct tuples: exact when every column is a
+                # layout (or derived) column — DimCountDistinct generalized
+                for c in agg.columns:
+                    if not _need(c):
+                        return None
+                continue
+            if agg.column is None:
                 return None
             if agg.cond_sql is not None:
                 # conditional distinct: cohort filter must land on layout
@@ -560,7 +569,16 @@ def execute_route(digest: SqlDigest, inst: CubeInstance, route: Route, spark) ->
                 mname, fcol, vals = route.bitmap_intersect[item.name]
                 intersect_items.append((item, mname, fcol, vals))
             elif agg.distinct:
-                if item.name in route.bitmap_distinct:
+                if agg.columns:
+                    # multi-column distinct over layout rows (SQL semantics:
+                    # rows with any NULL column excluded — Spark's native
+                    # count_distinct over several columns does exactly that)
+                    agg_cols.append(
+                        F.count_distinct(
+                            *[F.col(c) for c in agg.columns]
+                        ).alias(item.name)
+                    )
+                elif item.name in route.bitmap_distinct:
                     # exact count from the stored word-bag bitmap: needs its
                     # own explode->bit_or pipeline, joined back post-agg
                     bitmap_items.append((item, route.bitmap_distinct[item.name]))

@@ -399,6 +399,25 @@ def test_grouping_sets_scan_layouts_not_fact(engine):
     assert scans and all("lineitem.parquet" not in ln for ln in scans), plan
 
 
+def test_multi_column_distinct_routes(engine):
+    """count(distinct a, b) over dimension columns routes and matches
+    pushdown (composite-key DimCountDistinct)."""
+    df = engine.sql(
+        """select count(distinct l_returnflag, l_linestatus) as nd
+           from lineitem""",
+        validate=True,
+    )
+    assert engine.last_route is not None
+    assert df.collect()[0].nd > 0
+
+
+def test_multi_column_distinct_non_dim_falls_back(engine):
+    engine.sql(
+        "select count(distinct l_returnflag, l_partkey) as nd from lineitem"
+    )
+    assert engine.last_route is None  # l_partkey is not a dimension
+
+
 def test_bitmap_distinct_under_rollup(engine):
     """COUNT(DISTINCT non-dim col) under ROLLUP routed via the stored
     bitmap: every grouping set re-counts the word bags at its own
