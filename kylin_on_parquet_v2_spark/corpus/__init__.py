@@ -72,6 +72,9 @@ _PRIORITY = [
     "string_encode_funcs",
     "subquery_sql_text",
     "udf_pandas_vectorized",
+    "cube_routed_window_rank",  # new in r04: window-over-aggregate routing
+    "cube_routed_window_share",
+    "cube_routed_window_lag",
     "cube_routed_having",
     "cube_routed_having_hidden",
     "cube_routed_q1",

@@ -354,7 +354,85 @@ def cube_routed_having_hidden(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("p_brand", F.round("sum_qty", 2).alias("sum_qty"))
 
 
+def cube_routed_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window function over the cube-served aggregate (OLAPWindowRel parity:
+    the reference executes window calls ABOVE OLAPAggregateRel, so its whole
+    sql_window corpus runs on cubes — `query/.../relnode/OLAPWindowRel.java`).
+    The rank is computed over the routed per-(region, nation) sums; the
+    route is asserted, proving windows no longer force pushdown."""
+    eng = engine(spark, sf_dir)
+    df = eng.sql(
+        """
+        select r_name, n_name,
+               sum(l_quantity) as sum_qty,
+               rank() over (partition by r_name order by sum(l_quantity) desc) as rnk
+        from lineitem
+          join orders on l_orderkey = o_orderkey
+          join customer on o_custkey = c_custkey
+          join nation on c_nationkey = n_nationkey
+          join region on n_regionkey = r_regionkey
+        group by r_name, n_name
+        order by r_name, rnk, n_name
+        """
+    )
+    assert eng.last_route is not None, "expected cuboid route for window_rank"
+    return df.select(
+        "r_name", "n_name", F.round("sum_qty", 2).alias("sum_qty"), "rnk"
+    )
+
+
+def cube_routed_window_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-total over an EXACT cuboid hit: the window aggregate
+    sum(sum(x)) over () and the post-window scalar division are replayed
+    above a project-only layout scan (zero query-time aggregation + window
+    post-processing — the dashboard 'percent of total' shape)."""
+    eng = engine(spark, sf_dir)
+    df = eng.sql(
+        """
+        select l_returnflag, l_linestatus,
+               sum(l_quantity) as sum_qty,
+               sum(l_quantity) / sum(sum(l_quantity)) over () as share,
+               row_number() over (partition by l_returnflag
+                                  order by sum(l_quantity) desc) as rn
+        from lineitem
+        group by l_returnflag, l_linestatus
+        order by l_returnflag, l_linestatus
+        """
+    )
+    route = eng.last_route
+    assert route is not None and route.exact, "expected exact route for window_share"
+    return df.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.round("sum_qty", 2).alias("sum_qty"),
+        F.round("share", 6).alias("share"),
+        "rn",
+    )
+
+
+def cube_routed_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() over the routed aggregate — exercises the frame-clause strip on
+    re-parse (Catalyst renders lag's implied frame in a form the SQL parser
+    rejects; digest._fix_frame_sql drops it)."""
+    eng = engine(spark, sf_dir)
+    df = eng.sql(
+        """
+        select l_returnflag, l_linestatus, count(*) as n,
+               lag(count(*)) over (partition by l_returnflag
+                                   order by l_linestatus) as prev_n
+        from lineitem
+        group by l_returnflag, l_linestatus
+        order by l_returnflag, l_linestatus
+        """
+    )
+    assert eng.last_route is not None, "expected cuboid route for window_lag"
+    return df
+
+
 QUERIES = {
+    "cube_routed_window_rank": cube_routed_window_rank,
+    "cube_routed_window_share": cube_routed_window_share,
+    "cube_routed_window_lag": cube_routed_window_lag,
     "cube_routed_multi_col_distinct": cube_routed_multi_col_distinct,
     "cube_routed_having": cube_routed_having,
     "cube_routed_having_hidden": cube_routed_having_hidden,
@@ -373,6 +451,36 @@ QUERIES = {
 }
 
 ORACLES = {
+    "cube_routed_window_rank": """
+        select r_name, n_name,
+               round(sum(l_quantity), 2) as sum_qty,
+               rank() over (partition by r_name order by sum(l_quantity) desc) as rnk
+        from lineitem
+          join orders on l_orderkey = o_orderkey
+          join customer on o_custkey = c_custkey
+          join nation on c_nationkey = n_nationkey
+          join region on n_regionkey = r_regionkey
+        group by r_name, n_name
+        order by r_name, rnk, n_name
+    """,
+    "cube_routed_window_share": """
+        select l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) as sum_qty,
+               round(sum(l_quantity) / sum(sum(l_quantity)) over (), 6) as share,
+               row_number() over (partition by l_returnflag
+                                  order by sum(l_quantity) desc) as rn
+        from lineitem
+        group by l_returnflag, l_linestatus
+        order by l_returnflag, l_linestatus
+    """,
+    "cube_routed_window_lag": """
+        select l_returnflag, l_linestatus, count(*) as n,
+               lag(count(*)) over (partition by l_returnflag
+                                   order by l_linestatus) as prev_n
+        from lineitem
+        group by l_returnflag, l_linestatus
+        order by l_returnflag, l_linestatus
+    """,
     "cube_routed_multi_col_distinct": """
         select o_orderstatus,
                count(distinct case when l_returnflag is not null

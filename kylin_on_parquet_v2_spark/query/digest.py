@@ -40,6 +40,26 @@ _EQ_PAIR = re.compile(r"\(?\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*\)?")
 _CASE_DISTINCT_RE = re.compile(
     r"^CASE\s+WHEN\s+(.+?)\s+THEN\s+([\w.`]+)\s+END$", re.IGNORECASE | re.DOTALL
 )
+# Catalyst renders lag/lead frames as e.g. "ROWS BETWEEN -1 FOLLOWING AND
+# -1 FOLLOWING", which the SQL parser refuses on re-parse — normalize the
+# negative bounds back to the PRECEDING/FOLLOWING spelling it accepts.
+_NEG_FOLLOWING = re.compile(r"-(\d+)\s+FOLLOWING", re.IGNORECASE)
+_NEG_PRECEDING = re.compile(r"-(\d+)\s+PRECEDING", re.IGNORECASE)
+# Frame-fixed window functions: the parser REJECTS an explicit frame for
+# these ("Cannot specify window frame for lag function"), yet the analyzed
+# expression renders one — drop the frame clause on re-parse.
+_FRAME_FIXED = re.compile(
+    r"^(lag|lead|ntile|row_number|rank|dense_rank|percent_rank|cume_dist)\s*\(",
+    re.IGNORECASE,
+)
+_TRAILING_FRAME = re.compile(r"\s+(ROWS|RANGE)\s+BETWEEN\s+[^()]+\)$", re.IGNORECASE)
+
+
+def _fix_frame_sql(sql: str) -> str:
+    if _FRAME_FIXED.match(sql):
+        return _TRAILING_FRAME.sub(")", sql)
+    sql = _NEG_FOLLOWING.sub(r"\1 PRECEDING", sql)
+    return _NEG_PRECEDING.sub(r"\1 FOLLOWING", sql)
 
 
 @dataclass
@@ -133,6 +153,17 @@ class SqlDigest:
     #: with count(*) not selected — Spark's Project-over-Filter-over-Aggregate
     #: "extended aggregate" shape); dropped from the routed output at the end
     hidden: list[str] = field(default_factory=list)
+    #: window functions evaluated over the aggregate's output (the
+    #: reference's OLAPWindowRel — `query/.../relnode/OLAPWindowRel.java`
+    #: executes window calls ABOVE the cube-served aggregate, so windows
+    #: never block a cuboid route). One group of (name, expr_sql) per
+    #: Window node, in evaluation order (innermost first); expr_sql is the
+    #: re-parseable OVER() call referencing aggregate-output names.
+    window_exprs: list[list[tuple[str, str]]] = field(default_factory=list)
+    #: projection layers applied above the windows (scalar expressions over
+    #: agg + window outputs, e.g. ``bal / total AS share``), each a full
+    #: selectExpr list of (output name, sql), evaluation order
+    window_projects: list[list[tuple[str, str]]] = field(default_factory=list)
 
     @property
     def aggs(self) -> list[AggCall]:
@@ -287,6 +318,61 @@ def _extract(plan) -> SqlDigest | None:  # noqa: C901 — one dispatch walk
             asc = "ASC" in str(so.direction().sql()).upper()
             digest.sort.append((colname, asc))
         node = node.child()
+    # Window functions over the aggregate: Project+ over Window+ over
+    # [Filter] Aggregate (Spark stacks one Window node per distinct window
+    # spec and adds hidden `_w0`-style aggregate outputs the windows order
+    # by). Windows are pure post-processing of the aggregate's result rows,
+    # so they never affect WHICH cuboid can serve the query — the router
+    # replays them with selectExpr above the routed aggregate
+    # (OLAPWindowRel parity: windows sit above OLAPAggregateRel).
+    probe = node
+    projs = []
+    while _cls(probe) == "Project":
+        projs.append(probe)
+        probe = probe.child()
+    if projs and _cls(probe) == "Window":
+        layers: list[list[tuple[str, str]]] = []
+        for pr in projs:
+            layer: list[tuple[str, str]] = []
+            seen: set[str] = set()
+            for e in _seq(pr.projectList()):
+                cls = _cls(e)
+                if cls == "AttributeReference":
+                    name, sql = str(e.name()), f"`{e.name()}`"
+                elif cls == "Alias":
+                    refs = _attr_names(e)
+                    usql = _unqualify(e.child().sql(), refs)
+                    if usql is None:
+                        return None
+                    name, sql = str(e.name()), usql
+                else:
+                    return None
+                if name in seen:  # Spark emits duplicate passthrough attrs
+                    continue
+                seen.add(name)
+                layer.append((name, sql))
+            layers.append(layer)
+        wgroups: list[list[tuple[str, str]]] = []
+        while _cls(probe) == "Window":
+            grp: list[tuple[str, str]] = []
+            for e in _seq(probe.windowExpressions()):
+                if _cls(e) != "Alias":
+                    return None
+                refs = _attr_names(e)
+                usql = _unqualify(e.child().sql(), refs)
+                if usql is None:
+                    return None
+                grp.append((str(e.name()), _fix_frame_sql(usql)))
+            wgroups.append(grp)
+            probe = probe.child()
+        if _cls(probe) not in ("Aggregate", "Filter"):
+            return None  # window over a non-aggregate: plain Spark handles it
+        # evaluation order is bottom-up: innermost Window first, then the
+        # projection layers from the inside out
+        digest.window_exprs = list(reversed(wgroups))
+        digest.window_projects = list(reversed(layers))
+        node = probe
+
     # HAVING over aggregates NOT in the select list: Spark plans
     # Project[visible] over Filter[hidden-agg refs] over Aggregate[... +
     # hidden aliases]. Record the visible set; the hidden aggregate outputs

@@ -721,6 +721,17 @@ def execute_route(digest: SqlDigest, inst: CubeInstance, route: Route, spark) ->
         result = result.filter(F.expr(digest.having_sql))
     if digest.hidden:
         result = result.drop(*digest.hidden)  # HAVING-only aggregates
+    # Window functions replayed ABOVE the routed aggregate (OLAPWindowRel
+    # parity — reference executes window calls over the cube-served rows,
+    # OLAPWindowRel.java): each Window node's calls appended innermost
+    # first, then the scalar projection layers (which also drop hidden
+    # `_w0`-style ordering aggregates from the final output).
+    for grp in digest.window_exprs:
+        result = result.selectExpr(
+            "*", *[f"{sql} AS `{name}`" for name, sql in grp]
+        )
+    for layer in digest.window_projects:
+        result = result.selectExpr(*[f"{sql} AS `{name}`" for name, sql in layer])
     if digest.sort:
         result = result.orderBy(
             *[F.col(c).asc() if asc else F.col(c).desc() for c, asc in digest.sort]

@@ -466,3 +466,81 @@ def test_sort_limit_preserved(engine):
     routed = [tuple(r) for r in engine.sql(sql).collect()]
     flat = [tuple(r) for r in engine.pushdown(sql).collect()]
     assert routed == flat
+
+
+# -- window functions over the routed aggregate (OLAPWindowRel parity) -------
+
+WINDOWED_ROUTED = [
+    # ranking over the aggregate's output, partitioned by a group column
+    """select l_returnflag, l_linestatus, sum(l_quantity) as s,
+              rank() over (partition by l_returnflag order by sum(l_quantity) desc) as rnk
+       from lineitem group by l_returnflag, l_linestatus""",
+    # hidden `_w0` ordering aggregate (sum not in the select list)
+    """select l_returnflag, count(*) as n,
+              row_number() over (order by sum(l_extendedprice) desc) as rn
+       from lineitem group by l_returnflag""",
+    # window aggregate + post-window scalar projection (share of total)
+    """select l_returnflag, sum(l_quantity) as s,
+              sum(l_quantity) / sum(sum(l_quantity)) over () as share
+       from lineitem group by l_returnflag""",
+    # lag/lead: Catalyst renders an explicit frame the parser rejects —
+    # digest strips it (frame-fixed function)
+    """select l_returnflag, l_linestatus, count(*) as n,
+              lag(count(*)) over (partition by l_returnflag order by l_linestatus) as p,
+              lead(count(*)) over (partition by l_returnflag order by l_linestatus) as nx
+       from lineitem group by l_returnflag, l_linestatus""",
+    # several distinct window specs => stacked Window nodes, replayed
+    # innermost-first
+    """select l_returnflag, l_linestatus, sum(l_quantity) as s,
+              rank() over (order by sum(l_quantity) desc) as rnk,
+              ntile(2) over (partition by l_returnflag order by l_linestatus) as bucket,
+              avg(sum(l_quantity)) over (partition by l_returnflag) as seg_avg
+       from lineitem group by l_returnflag, l_linestatus""",
+    # explicit running frame over the aggregate rows
+    """select l_returnflag, l_linestatus, sum(l_quantity) as s,
+              sum(sum(l_quantity)) over (partition by l_returnflag
+                                         order by l_linestatus
+                                         rows between unbounded preceding
+                                         and current row) as running
+       from lineitem group by l_returnflag, l_linestatus""",
+    # window + HAVING below it (HAVING filters groups BEFORE the window)
+    """select p_brand, sum(l_quantity) as s,
+              rank() over (order by sum(l_quantity) desc) as rnk
+       from lineitem join part on l_partkey = p_partkey
+       group by p_brand having sum(l_quantity) > 100""",
+    # window + ORDER BY a window output + LIMIT
+    """select p_brand, sum(l_quantity) as s,
+              rank() over (order by sum(l_quantity) desc) as rnk
+       from lineitem join part on l_partkey = p_partkey
+       group by p_brand order by rnk, p_brand limit 5""",
+]
+
+
+@pytest.mark.parametrize("sql", WINDOWED_ROUTED)
+def test_window_over_aggregate_routes(engine, sql):
+    engine.sql(sql, validate=True)  # raises on mismatch vs plain Spark
+    assert engine.last_route is not None, f"expected a cuboid route for: {sql}"
+
+
+def test_window_over_exact_hit_stays_exact(engine):
+    """Windows are post-processing: they must not demote a project-only
+    exact cuboid hit to a re-aggregation."""
+    engine.sql(
+        """select l_returnflag, l_linestatus, sum(l_quantity) as s,
+                  rank() over (order by sum(l_quantity) desc) as rnk
+           from lineitem group by l_returnflag, l_linestatus""",
+        validate=True,
+    )
+    assert engine.last_route is not None and engine.last_route.exact
+
+
+def test_window_over_non_aggregate_falls_back(engine):
+    """A window directly over detail rows has no aggregate to route —
+    pushdown answers it."""
+    df = engine.sql(
+        """select l_orderkey, l_quantity,
+                  row_number() over (partition by l_orderkey order by l_linenumber) as rn
+           from lineitem limit 10"""
+    )
+    assert engine.last_route is None
+    assert df.collect() is not None
