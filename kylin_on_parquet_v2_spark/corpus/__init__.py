@@ -75,6 +75,7 @@ _PRIORITY = [
     "cube_routed_window_rank",  # new in r04: window-over-aggregate routing
     "cube_routed_window_share",
     "cube_routed_window_lag",
+    "dedup_clusters",  # new in r04: connected-components dup grouping
     "cube_routed_having",
     "cube_routed_having_hidden",
     "cube_routed_q1",

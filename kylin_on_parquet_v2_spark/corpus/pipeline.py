@@ -54,6 +54,15 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_pairs(spark.table("documents")).orderBy("doc_a", "doc_b")
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the LSH candidate-pair graph (min-label
+    propagation); the oracle replays the same graph with a recursive CTE
+    (min id reachable = component id). Proves the iterative DataFrame loop
+    converges to the exact component labelling."""
+    views(spark, sf_dir)
+    return D.duplicate_clusters(spark.table("documents")).orderBy("doc_id")
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     views(spark, sf_dir)
     return D.simhash(spark.table("documents")).orderBy("doc_id")
@@ -167,6 +176,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_signatures": dedup_minhash_signatures,
     "dedup_minhash_lsh_pairs": dedup_minhash_lsh_pairs,
+    "dedup_clusters": dedup_clusters,
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "similarity_bruteforce_topk": similarity_bruteforce_topk,
@@ -269,6 +279,35 @@ ORACLES = {
         from banded a join banded b
           on a.bucket = b.bucket and a.doc_id < b.doc_id
         order by doc_a, doc_b
+    """,
+    "dedup_clusters": f"""
+        with recursive sig as (
+            select doc_id, {_MH_COLS}
+            from ({_SHINGLES3})
+            group by doc_id
+        ),
+        banded as (
+            select doc_id, '0|' || mh0 || '|' || mh1 as bucket from sig
+            union all select doc_id, '1|' || mh2 || '|' || mh3 from sig
+            union all select doc_id, '2|' || mh4 || '|' || mh5 from sig
+            union all select doc_id, '3|' || mh6 || '|' || mh7 from sig
+        ),
+        pairs as (
+            select distinct a.doc_id as doc_a, b.doc_id as doc_b
+            from banded a join banded b
+              on a.bucket = b.bucket and a.doc_id < b.doc_id
+        ),
+        edges as (
+            select doc_a as src, doc_b as dst from pairs
+            union all select doc_b, doc_a from pairs
+        ),
+        walk(id, label) as (
+            select src, src from edges
+            union
+            select e.dst, w.label from walk w join edges e on e.src = w.id
+        )
+        select id as doc_id, min(label) as cluster_id
+        from walk group by id order by doc_id
     """,
     "dedup_simhash": _simhash_oracle(),
     "dedup_ngram_jaccard": f"""

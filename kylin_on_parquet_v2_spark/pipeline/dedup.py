@@ -206,3 +206,75 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def duplicate_clusters(
+    docs: DataFrame | None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    pairs: DataFrame | None = None,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over the near-duplicate candidate graph:
+    (doc_id, cluster_id) for every document touching at least one candidate
+    pair, cluster_id = the smallest doc id in its component.
+
+    The step a real dedup pipeline needs AFTER pair generation: candidate
+    pairs are edges, and the keep-one-per-group decision operates on whole
+    components (a~b, b~c => {a,b,c} dedup to one representative even though
+    a~c was never emitted).
+
+    Algorithm: min-label propagation. Every node starts labelled with its
+    own id; each round every node takes the min of its label and its
+    neighbors' labels; converged when no label changes. Rounds needed =
+    graph diameter, and near-dup components are short chains (boilerplate
+    mega-clusters are star-shaped through shared buckets), so convergence
+    is a handful of rounds in practice with ``max_iterations`` as the
+    safety bound.
+
+    Scale shape (100 TB): each round is one shuffle (groupBy on the edge
+    source) plus an id-keyed join — no driver-side graph, no all-pairs.
+    ``localCheckpoint`` truncates the lineage each round; without it the
+    plan doubles per iteration and Catalyst analysis time explodes. For
+    graphs with continent-sized diameters the two-phase star contraction of
+    Kiveris et al. ("Connected Components in MapReduce and Beyond", SoCC
+    '14) halves round count; unnecessary for dedup graphs.
+
+    ``pairs`` overrides the default LSH candidate source (reuse any pair
+    generator: simhash bands, embedding buckets, ngram jaccard).
+    """
+    if pairs is None:
+        pairs = minhash_lsh_pairs(docs, text_col, id_col)
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .dropDuplicates()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+            .withColumnRenamed("src", "id")
+        )
+        new_labels = (
+            labels.withColumnRenamed("label", "old_label")
+            .join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("old_label"), F.coalesce(F.col("nlabel"), F.col("old_label"))
+                ).alias("label"),
+                F.col("old_label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = new_labels.filter(F.col("label") != F.col("old_label")).limit(1).count()
+        labels = new_labels.select("id", "label")
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))

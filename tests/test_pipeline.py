@@ -209,3 +209,31 @@ def test_metadata_query_prunes_payload(spark, tmp_path):
     scan_lines = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert scan_lines, plan
     assert all("payload" not in ln for ln in scan_lines), scan_lines
+
+
+def test_duplicate_clusters_chain_converges(spark):
+    """A 5-node chain needs multiple propagation rounds (diameter 4): every
+    node must still end up labelled with the chain's minimum id, and a
+    disjoint pair must keep its own label."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], ["doc_a", "doc_b"]
+    )
+    got = {
+        (r["doc_id"], r["cluster_id"])
+        for r in D.duplicate_clusters(None, pairs=pairs).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (5, 1), (10, 10), (11, 10)}
+
+
+def test_duplicate_clusters_iteration_cap(spark):
+    """max_iterations bounds the rounds: a chain longer than the cap stays
+    partially propagated (documents the safety bound's semantics)."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], ["doc_a", "doc_b"]
+    )
+    got = dict(
+        (r["doc_id"], r["cluster_id"])
+        for r in D.duplicate_clusters(None, pairs=pairs, max_iterations=2).collect()
+    )
+    assert got[2] == 1
+    assert got[8] > 1  # cap hit before the min label walked the whole chain
