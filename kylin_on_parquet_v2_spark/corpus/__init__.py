@@ -76,6 +76,7 @@ _PRIORITY = [
     "cube_routed_window_share",
     "cube_routed_window_lag",
     "dedup_clusters",  # new in r04: connected-components dup grouping
+    "cube_routed_dim_minmax",  # new in r04: dimension-as-measure min/max
     "cube_routed_having",
     "cube_routed_having_hidden",
     "cube_routed_q1",

@@ -429,7 +429,32 @@ def cube_routed_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def cube_routed_dim_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIN/MAX over a dimension column with NO declared measure
+    (FunctionDesc.isDimensionAsMetric — the reference serves min/max on
+    rowkey columns straight from the dimension values): l_shipdate is a
+    dimension of the segmented cube, so its per-group min/max re-aggregates
+    from the layout's distinct values without any stored measure."""
+    eng = engine(spark, sf_dir)
+    df = eng.sql(
+        """
+        select l_returnflag,
+               min(l_shipdate) as first_ship,
+               max(l_shipdate) as last_ship,
+               count(*) as n
+        from lineitem
+        group by l_returnflag
+        order by l_returnflag
+        """
+    )
+    route = eng.last_route
+    assert route is not None, "expected cuboid route for dim_minmax"
+    assert route.dim_served, "expected dimension-as-measure serving"
+    return df
+
+
 QUERIES = {
+    "cube_routed_dim_minmax": cube_routed_dim_minmax,
     "cube_routed_window_rank": cube_routed_window_rank,
     "cube_routed_window_share": cube_routed_window_share,
     "cube_routed_window_lag": cube_routed_window_lag,
@@ -451,6 +476,15 @@ QUERIES = {
 }
 
 ORACLES = {
+    "cube_routed_dim_minmax": """
+        select l_returnflag,
+               min(l_shipdate) as first_ship,
+               max(l_shipdate) as last_ship,
+               count(*) as n
+        from lineitem
+        group by l_returnflag
+        order by l_returnflag
+    """,
     "cube_routed_window_rank": """
         select r_name, n_name,
                round(sum(l_quantity), 2) as sum_qty,

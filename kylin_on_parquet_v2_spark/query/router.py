@@ -73,6 +73,11 @@ class Route:
     #: shard key — folded into a __shard__ partition predicate at execution
     #: (FilePruner.pruneShards parity; prunes whole shard dirs)
     shard_eq: tuple[str, str] | None = None
+    #: alias -> dimension column: MIN/MAX answered from the dimension values
+    #: themselves, no declared measure needed (FunctionDesc.isDimensionAsMetric
+    #: — min/max over the layout's distinct dim values equals min/max over
+    #: the raw rows)
+    dim_served: dict[str, str] = field(default_factory=dict)
 
 
 def _match_joins(digest: SqlDigest, inst: CubeInstance) -> bool:
@@ -344,6 +349,7 @@ def plan_route(
     bitmap: dict[str, str] = {}
     bitmap_cond: dict[str, tuple[str, str]] = {}
     bitmap_intersect: dict[str, tuple[str, str, tuple[str, ...]]] = {}
+    dim_served: dict[str, str] = {}
 
     def _need(col: str) -> bool:
         """Register a column the layout must provide; True if coverable."""
@@ -430,7 +436,22 @@ def plan_route(
                 return None
         else:
             if _measure_for(agg, inst) is None:
-                return None
+                # MIN/MAX over a dimension (or derived) column need no
+                # declared measure: every distinct value survives in the
+                # layout, so min/max over the per-group dim values equals
+                # min/max over the raw rows (the reference's
+                # FunctionDesc.isDimensionAsMetric / DimensionAsMeasure —
+                # GTCubeStorageQueryBase.java:300-320 serves these from the
+                # rowkey). NOT sound for SUM/COUNT/AVG, which need row
+                # multiplicities the collapsed layout no longer has.
+                if (
+                    agg.func in ("MIN", "MAX")
+                    and agg.column is not None
+                    and _need(agg.column)
+                ):
+                    dim_served[agg.alias] = agg.column
+                else:
+                    return None
 
     if digest.having_sql is not None:
         # HAVING refs must be select outputs (post-agg filter is then sound)
@@ -469,6 +490,7 @@ def plan_route(
         bitmap_cond=bitmap_cond,
         bitmap_intersect=bitmap_intersect,
         shard_eq=_fold_shard_filter(digest, inst, cuboid),
+        dim_served=dim_served,
     )
 
 
@@ -548,6 +570,10 @@ def execute_route(digest: SqlDigest, inst: CubeInstance, route: Route, spark) ->
         for item in digest.select:
             if item.group_col is not None:
                 out_cols.append(F.col(item.group_col).alias(item.name))
+            elif item.name in route.dim_served:
+                # exact hit + dim-served MIN/MAX: the column is a group key,
+                # so its per-group min/max IS the value itself
+                out_cols.append(F.col(route.dim_served[item.name]).alias(item.name))
             else:
                 m = _measure_for(item.agg, inst)
                 out_cols.append(F.col(m.name).alias(item.name))
@@ -602,6 +628,11 @@ def execute_route(digest: SqlDigest, inst: CubeInstance, route: Route, spark) ->
                 s = _measure_for(AggCall("SUM", agg.column, False, "", agg.expr_sql), inst)
                 c = _measure_for(AggCall("COUNT", agg.column, False, "", agg.expr_sql), inst)
                 agg_cols.append((F.sum(s.name) / F.sum(c.name)).alias(item.name))
+            elif item.name in route.dim_served:
+                # dimension-as-measure: min/max straight over the layout's
+                # dim values (no stored measure involved)
+                fn = F.min if agg.func == "MIN" else F.max
+                agg_cols.append(fn(route.dim_served[item.name]).alias(item.name))
             else:
                 m = _measure_for(agg, inst)
                 fn = {"COUNT": F.sum, "SUM": F.sum, "MIN": F.min, "MAX": F.max}[agg.func]

@@ -544,3 +544,60 @@ def test_window_over_non_aggregate_falls_back(engine):
     )
     assert engine.last_route is None
     assert df.collect() is not None
+
+
+# -- dimension-as-measure (FunctionDesc.isDimensionAsMetric parity) ----------
+
+def test_min_max_on_dimension_routes_without_measure(engine):
+    """MIN/MAX over a dimension column route with no declared measure: the
+    layout keeps every distinct value, so per-group min/max over dim values
+    equals min/max over raw rows."""
+    engine.sql(
+        """select l_returnflag, min(l_shipdate) as a, max(l_shipdate) as b
+           from lineitem group by l_returnflag""",
+        validate=True,
+    )
+    route = engine.last_route
+    assert route is not None and route.dim_served == {"a": "l_shipdate", "b": "l_shipdate"}
+
+
+def test_min_on_derived_dimension_routes(engine):
+    """Derived columns recovered from the snapshot also serve min/max."""
+    engine.sql(
+        """select l_returnflag, min(n_name) as first_nation
+           from lineitem
+             join orders on l_orderkey = o_orderkey
+             join customer on o_custkey = c_custkey
+             join nation on c_nationkey = n_nationkey
+           group by l_returnflag""",
+        validate=True,
+    )
+    route = engine.last_route
+    assert route is not None and route.dim_served
+
+
+def test_sum_on_dimension_does_not_route(engine):
+    """SUM needs row multiplicities the collapsed layout lost — a column
+    that is ONLY a dimension (c_nationkey in the segmented cube, no SUM
+    measure anywhere) must NOT serve it."""
+    df = engine.sql(
+        """select l_returnflag, sum(c_nationkey) as s
+           from lineitem
+             join orders on l_orderkey = o_orderkey
+             join customer on o_custkey = c_custkey
+           group by l_returnflag"""
+    )
+    assert engine.last_route is None
+    assert df.collect() is not None
+
+
+def test_min_on_dim_in_group_stays_exact(engine):
+    """min(col) when col is itself a group key on an exact hit projects the
+    dimension value — still a project-only plan."""
+    engine.sql(
+        """select l_returnflag, l_linestatus, min(l_linestatus) as m, sum(l_quantity) as s
+           from lineitem group by l_returnflag, l_linestatus""",
+        validate=True,
+    )
+    route = engine.last_route
+    assert route is not None and route.dim_served.get("m") == "l_linestatus"
