@@ -77,6 +77,9 @@ _PRIORITY = [
     "cube_routed_window_lag",
     "dedup_clusters",  # new in r04: connected-components dup grouping
     "cube_routed_dim_minmax",  # new in r04: dimension-as-measure min/max
+    "lateral_explode_tokens",  # new in r04: UDTF surface (LATERAL VIEW)
+    "unpivot_metrics",  # new in r04: ANSI UNPIVOT wide->long
+    "streaming_dedup",  # new in r04: at-least-once redelivery dedup
     "cube_routed_having",
     "cube_routed_having_hidden",
     "cube_routed_q1",

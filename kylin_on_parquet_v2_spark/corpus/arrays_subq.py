@@ -69,10 +69,45 @@ def multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lateral_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDTF surface: LATERAL VIEW explode() — the table-generating operator
+    the reference lacks entirely (SURVEY §2 notes its only UDTF is the
+    internal TopN unpack); Spark's Generate node makes it native. Token
+    frequency over the corpus: explode is map-side, one groupBy shuffle."""
+    views(spark, sf_dir)
+    return spark.sql(
+        r"""
+        select tok, count(*) as n, count(distinct doc_id) as nd
+        from documents
+        lateral view explode(split(regexp_replace(trim(lower(text)), '\\s+', ' '), ' ')) t as tok
+        group by tok
+        order by n desc, tok
+        limit 20
+        """
+    )
+
+
+def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI UNPIVOT (wide->long): the inverse of pivot_event_types; Spark
+    plans it as an Expand (same machinery as grouping sets), so rows fan
+    out map-side with no shuffle before the aggregate."""
+    views(spark, sf_dir)
+    return spark.sql(
+        """
+        select l_returnflag, metric, round(sum(val), 2) as total
+        from lineitem unpivot (val for metric in (l_quantity, l_extendedprice, l_discount))
+        group by l_returnflag, metric
+        order by l_returnflag, metric
+        """
+    )
+
+
 QUERIES = {
     "array_functions": array_functions,
     "subquery_sql_text": subquery_sql_text,
     "multi_distinct": multi_distinct,
+    "lateral_explode_tokens": lateral_explode_tokens,
+    "unpivot_metrics": unpivot_metrics,
 }
 
 ORACLES = {
@@ -108,5 +143,22 @@ ORACLES = {
         from lineitem
         group by l_linestatus
         order by l_linestatus
+    """,
+    "lateral_explode_tokens": r"""
+        select tok, count(*) as n, count(distinct doc_id) as nd
+        from (select doc_id,
+                     unnest(string_split(
+                         regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) as tok
+              from documents)
+        group by tok
+        order by n desc, tok
+        limit 20
+    """,
+    "unpivot_metrics": """
+        select l_returnflag, metric, round(sum(val), 2) as total
+        from (unpivot lineitem on l_quantity, l_extendedprice, l_discount
+              into name metric value val)
+        group by l_returnflag, metric
+        order by l_returnflag, metric
     """,
 }

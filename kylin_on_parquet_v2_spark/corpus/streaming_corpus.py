@@ -148,7 +148,49 @@ def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+_DUP_SRC_DIRS: dict[str, str] = {}
+
+
+def _dup_source_dir(sf_dir: str) -> str:
+    """A source dir delivering the SAME events file twice (two filenames) —
+    the at-least-once redelivery scenario streaming dedup must absorb."""
+    key = os.path.abspath(sf_dir)
+    if key in _DUP_SRC_DIRS:
+        return _DUP_SRC_DIRS[key]
+    src = os.path.join(
+        tempfile.gettempdir(), "kylin_stream_dup_source", key.strip("/").replace("/", "_")
+    )
+    os.makedirs(src, exist_ok=True)
+    for name in ("events.parquet", "events_redelivered.parquet"):
+        link = os.path.join(src, name)
+        if not os.path.exists(link):
+            os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    _DUP_SRC_DIRS[key] = src
+    return src
+
+
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once counts from at-least-once delivery: the fixture file is
+    delivered twice, streaming dropDuplicates on event_id collapses the
+    redelivery, and the aggregate must equal the batch answer over a SINGLE
+    copy (the oracle never sees the duplicate)."""
+    views(spark, sf_dir)
+    from kylin_on_parquet_v2_spark.streaming.segments import run_dedup_to_memory
+
+    name = "stream_dedup_" + os.path.basename(os.path.abspath(sf_dir)).replace(".", "_")
+    detail = run_dedup_to_memory(spark, _dup_source_dir(sf_dir), query_name=name)
+    return (
+        detail.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
+    "streaming_dedup": streaming_dedup,
     "streaming_window_counts": streaming_window_counts,
     "streaming_segment_ingest": streaming_segment_ingest,
     "streaming_hybrid_union": streaming_hybrid_union,
@@ -156,6 +198,14 @@ QUERIES = {
 }
 
 ORACLES = {
+    "streaming_dedup": """
+        select event_type,
+               count(*) as n,
+               round(sum(value), 2) as sum_value
+        from events
+        group by event_type
+        order by event_type
+    """,
     "streaming_window_counts": """
         select strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') as window_start,
                event_type,

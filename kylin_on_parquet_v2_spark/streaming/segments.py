@@ -163,3 +163,45 @@ def hybrid_union(
         if boundary is not None:
             rt = rt.filter(F.col(ts_col) > F.lit(boundary))
     return rt.select(*cols).unionByName(batch_segments.select(*cols))
+
+
+def run_dedup_to_memory(
+    spark: SparkSession,
+    source_dir: str,
+    query_name: str,
+    key_cols: tuple[str, ...] = ("event_id",),
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming ingestion dedup: dropDuplicates keyed on the event id, the
+    standard guard against at-least-once redelivery (a Kafka consumer that
+    re-reads a partition after a failure re-emits rows; the reference's
+    realtime receivers face the same redelivery window).
+
+    Stateful dedup keeps one state entry per key; the watermark bounds how
+    long state lives — a duplicate arriving with event time older than the
+    watermark horizon is already outside the redelivery window by contract.
+    At 100 TB the state store is the scale limit, so key state must expire:
+    keep the watermark tight (redelivery happens in seconds, not days).
+
+    HARNESS-ONLY driver: finite source -> append-mode memory sink, so the
+    deduped detail rows are batch-queryable for the oracle comparison; the
+    production path writes through foreachBatch like ingest_segments.
+    """
+    schema = spark.read.parquet(source_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+    stream = _normalize_ts(stream, ts_col)
+    deduped = stream.withWatermark(ts_col, watermark).dropDuplicates(list(key_cols))
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(query_name)

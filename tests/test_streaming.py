@@ -15,6 +15,7 @@ from kylin_on_parquet_v2_spark.streaming.segments import (
     ingest_segments,
     windowed_aggregate,
 )
+from tests.conftest import SF_SMOKE
 
 
 def _write_events(spark, path, rows):
@@ -192,3 +193,18 @@ def test_watermark_drops_too_late_events(spark, tmp_path):
     # the hopelessly late event must NOT have updated the 00:00 window
     assert by_window["2024-01-01 00:00:00"] == 1
     assert all(r.sum_value != 99.0 for r in updates)
+
+
+def test_streaming_dedup_absorbs_redelivery(spark):
+    """The doubled source really delivers 2x rows; streaming dropDuplicates
+    on event_id must emit each exactly once (guards against a vacuous
+    oracle: if the dup source ever stopped duplicating, this fails)."""
+    from kylin_on_parquet_v2_spark.corpus.streaming_corpus import _dup_source_dir
+    from kylin_on_parquet_v2_spark.streaming.segments import run_dedup_to_memory
+
+    src = _dup_source_dir(SF_SMOKE)
+    raw = spark.read.parquet(src)
+    single = spark.read.parquet(SF_SMOKE + "/events.parquet")
+    assert raw.count() == 2 * single.count()
+    deduped = run_dedup_to_memory(spark, src, query_name="dedup_redelivery_test")
+    assert deduped.count() == single.count()
