@@ -174,8 +174,46 @@ class CubeInstance:
             "snapshots": self.snapshots,
             "computed_columns": self.computed_canon,
             "segment_ranges": self.segment_ranges,
+            "column_tables": self.column_tables,
         }
         FS.write_json(self.meta_path(), meta)
+
+    @classmethod
+    def load(
+        cls, desc: CubeDesc, model: DataModel, storage_dir: str, spark=None
+    ) -> "CubeInstance | None":
+        """Reopen a previously built cube from its persisted metadata — the
+        reference's CubeManager.loadAllCubeInstance path (cube instances
+        survive server restarts; `core-cube/.../CubeManager.java` reloads
+        CubeInstance JSON from the metadata store). Returns None when no
+        meta exists or it describes a different cube shape (stale dir after
+        a CubeDesc edit => caller rebuilds)."""
+        inst = cls(
+            desc=desc,
+            model=model,
+            storage_dir=storage_dir,
+            scheduler=CuboidScheduler(desc),
+        )
+        if not FS.fs_for(inst.meta_path(), spark).exists(inst.meta_path()):
+            return None
+        meta = FS.read_json(inst.meta_path(), spark)
+        if meta.get("cube") != desc.name or meta.get("model") != model.name:
+            return None
+        if meta.get("dimensions") != list(desc.dimensions) or meta.get("measures") != [
+            m.name for m in desc.measures
+        ]:
+            return None  # CubeDesc changed since the build: layouts are stale
+        inst.segmented = bool(meta.get("segmented", False))
+        inst.layouts = {int(k): v for k, v in meta.get("layouts", {}).items()}
+        inst.layout_rows = {int(k): v for k, v in meta.get("layout_rows", {}).items()}
+        inst.snapshots = dict(meta.get("snapshots", {}))
+        inst.computed_canon = dict(meta.get("computed_columns", {}))
+        inst.segment_ranges = dict(meta.get("segment_ranges", {}))
+        inst.column_tables = dict(meta.get("column_tables", {}))
+        known = set(inst.scheduler.cuboids)
+        if not inst.layouts or not set(inst.layouts) <= known:
+            return None  # lattice mismatch (aggregation groups changed)
+        return inst
 
     def segments(self, spark: SparkSession) -> list[str]:
         """Current segment values, from the base layout's partition dirs

@@ -89,6 +89,25 @@ class OlapEngine:
         self._cache.clear()
         return inst
 
+    def load_cube(self, desc: CubeDesc, build_if_missing: bool = False) -> CubeInstance:
+        """Reopen an already-built cube from its persisted metadata instead
+        of re-cubing (CubeManager restart semantics: layouts + snapshots +
+        dictionaries all live in the storage dir, so a new engine process
+        serves routed queries immediately). With ``build_if_missing`` the
+        call degrades to :meth:`build_cube` when no (or stale) meta exists."""
+        model = self.models[desc.model_name]
+        inst = CubeInstance.load(desc, model, self.storage_dir, self.spark)
+        if inst is None:
+            if build_if_missing:
+                return self.build_cube(desc)
+            raise FileNotFoundError(
+                f"no usable cube_meta.json for '{desc.name}' under {self.storage_dir}"
+            )
+        self.cubes[desc.name] = inst
+        self._cache_epoch += 1
+        self._cache.clear()
+        return inst
+
     def refresh_cube(self, name: str, segments: list[str] | None = None) -> list[str]:
         """Incrementally cube NEW source segments (reference per-segment
         build loop: detect new TSRanges -> segment cubing job -> auto-merge
