@@ -245,13 +245,23 @@ def duplicate_clusters(
     """
     if pairs is None:
         pairs = minhash_lsh_pairs(docs, text_col, id_col)
-    edges = pairs.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    # materialize the edge list ONCE: every propagation round joins against
+    # it, and without this the whole upstream pair pipeline (shingle ->
+    # minhash -> LSH self-join) would re-execute per round
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    # round 0 fused into initialization: label = min(own id, min neighbor)
+    # from the same aggregation that enumerates the nodes
     labels = (
-        edges.select(F.col("src").alias("id"))
-        .dropDuplicates()
-        .withColumn("label", F.col("id"))
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("nmin"))
+        .select(
+            F.col("src").alias("id"),
+            F.least(F.col("src"), F.col("nmin")).alias("label"),
+        )
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iterations):
