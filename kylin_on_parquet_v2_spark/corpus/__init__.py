@@ -80,6 +80,7 @@ _PRIORITY = [
     "lateral_explode_tokens",  # new in r04: UDTF surface (LATERAL VIEW)
     "unpivot_metrics",  # new in r04: ANSI UNPIVOT wide->long
     "streaming_dedup",  # new in r04: at-least-once redelivery dedup
+    "similarity_ann_ivf_trained",  # new in r04: k-means-trained quantizer
     "cube_routed_having",
     "cube_routed_having_hidden",
     "cube_routed_q1",

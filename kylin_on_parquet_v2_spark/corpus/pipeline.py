@@ -124,6 +124,18 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ann_ivf_topk(emb, queries, k=5).orderBy("query_id", "rn")
 
 
+def similarity_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with a TRAINED coarse quantizer: two distributed spherical
+    k-means iterations refine the seeded centroids before the probe join.
+    Deterministic but float-training-dependent => rows-only; determinism,
+    quantizer-improvement, and true-cosine invariants live in tests."""
+    views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    cents = S.train_ivf_centroids(emb, iters=2)
+    queries = emb.filter(F.col("vec_id") < 20)
+    return S.ann_ivf_topk(emb, queries, k=5, centroids=cents).orderBy("query_id", "rn")
+
+
 def text_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     views(spark, sf_dir)
     return T.quality_features(spark.table("documents")).orderBy("doc_id")
@@ -184,6 +196,7 @@ QUERIES = {
     "similarity_neardup_exact": similarity_neardup_exact,
     "similarity_ann_lsh": similarity_ann_lsh,
     "similarity_ann_ivf": similarity_ann_ivf,
+    "similarity_ann_ivf_trained": similarity_ann_ivf_trained,
     "text_quality_features": text_quality_features,
     "text_language_id": text_language_id,
     "text_fingerprint": text_fingerprint,

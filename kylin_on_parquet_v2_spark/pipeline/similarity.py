@@ -185,6 +185,55 @@ def ivf_centroids(n_lists: int = 16, dim: int = 64, seed: int = 7) -> list[list[
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_lists)]
 
 
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_lists: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+    dim: int = 64,
+) -> list[list[float]]:
+    """Distributed spherical k-means for the IVF coarse quantizer — the
+    "production build would k-means them" step, done Spark-side.
+
+    Each Lloyd iteration: (1) assign every vector to its nearest centroid
+    map-side (the SAME Arrow-batched numpy matmul the query path uses — no
+    shuffle), (2) recompute centroids as per-list means via ONE groupBy
+    with ``dim`` avg() columns (map-side partial aggregation; no explode,
+    so the shuffle carries n_lists x dim doubles, not rows x dim). Only
+    the k x dim centroid matrix ever reaches the driver — the same thing a
+    FAISS index holds in RAM — so the training loop is insensitive to
+    corpus row count. Assignment is by cosine (vector norms divide out of
+    the argmax and centroid norms are divided at assignment), making the
+    per-list mean + renormalized assignment a spherical k-means update.
+
+    Deterministic: seeded init, fixed iteration count, argmax ties toward
+    the lowest list id. A list that captures no vectors keeps its previous
+    centroid (standard Lloyd degeneracy handling).
+    """
+    cents = ivf_centroids(n_lists, dim, seed)
+    for _ in range(iters):
+        assigned = ivf_assign(
+            corpus, n_lists, id_col, vec_col, seed, dim, centroids=cents
+        )
+        means = (
+            assigned.groupBy("ivf_list")
+            .agg(
+                *[
+                    F.avg(F.element_at(F.col(vec_col), i + 1).cast("double")).alias(f"c{i}")
+                    for i in range(dim)
+                ]
+            )
+            .collect()
+        )
+        new = [list(c) for c in cents]
+        for r in means:
+            new[r["ivf_list"]] = [float(r[f"c{i}"]) for i in range(dim)]
+        cents = new
+    return cents
+
+
 def ivf_assign(
     corpus: DataFrame,
     n_lists: int = 16,
@@ -192,6 +241,7 @@ def ivf_assign(
     vec_col: str = "embedding",
     seed: int = 7,
     dim: int = 64,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF coarse quantization: assign each vector to its nearest centroid.
 
@@ -208,7 +258,10 @@ def ivf_assign(
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
-    cents = np.asarray(ivf_centroids(n_lists, dim, seed), dtype=np.float64)
+    cents = np.asarray(
+        centroids if centroids is not None else ivf_centroids(n_lists, dim, seed),
+        dtype=np.float64,
+    )
     # vector norm divides out of the argmax; centroid norms do not
     cents_t = (cents / np.linalg.norm(cents, axis=1, keepdims=True)).T
 
@@ -253,9 +306,11 @@ def ann_ivf_topk(
     vec_col: str = "embedding",
     seed: int = 7,
     dim: int = 64,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: exact search over the query's ``n_probe``
-    nearest inverted lists only.
+    nearest inverted lists only. ``centroids`` plugs in a trained
+    quantizer (:func:`train_ivf_centroids`); default is the seeded one.
 
     The scale shape of a vector index: the corpus is partitioned once into
     ``n_lists`` inverted lists (one map-side pass), each query probes
@@ -263,12 +318,13 @@ def ann_ivf_topk(
     never a full scan, never a nested-loop join. Recall < 1 by design;
     returned scores are always true cosines (asserted in tests).
     """
-    cb = ivf_assign(corpus, n_lists, id_col, vec_col, seed, dim).select(
+    cents = centroids if centroids is not None else ivf_centroids(n_lists, dim, seed)
+    cb = ivf_assign(corpus, n_lists, id_col, vec_col, seed, dim, centroids=cents).select(
         F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec"), "ivf_list"
     )
     # query side: rank ALL centroid scores, keep top n_probe (explode of a
     # metadata-sized array — the query set is small by definition)
-    scores = _centroid_scores(F.col(vec_col), ivf_centroids(n_lists, dim, seed))
+    scores = _centroid_scores(F.col(vec_col), cents)
     probes = (
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), scores.alias("__sc"))
         .select(

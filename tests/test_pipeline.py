@@ -237,3 +237,49 @@ def test_duplicate_clusters_iteration_cap(spark):
     )
     assert got[2] == 1
     assert got[8] > 1  # cap hit before the min label walked the whole chain
+
+
+def test_kmeans_training_is_deterministic(spark):
+    """Two training runs over the same corpus must produce bit-identical
+    centroids (seeded init, fixed iterations, deterministic tie-breaks)."""
+    emb = spark.table("embeddings").filter(F.col("vec_id") < 200)
+    a = S.train_ivf_centroids(emb, iters=2)
+    b = S.train_ivf_centroids(emb, iters=2)
+    assert a == b
+
+
+def test_kmeans_improves_quantizer(spark):
+    """Lloyd iterations must not worsen the spherical quantization
+    objective: mean best-centroid cosine after training >= seeded init."""
+    import math
+
+    emb = spark.table("embeddings").filter(F.col("vec_id") < 200)
+    rows = [list(r.embedding) for r in emb.collect()]
+
+    def objective(cents):
+        def cos(a, b):
+            d = sum(x * y for x, y in zip(a, b))
+            na = math.sqrt(sum(x * x for x in a))
+            nb = math.sqrt(sum(y * y for y in b))
+            return d / (na * nb)
+
+        return sum(max(cos(v, c) for c in cents) for v in rows) / len(rows)
+
+    seeded = objective(S.ivf_centroids())
+    trained = objective(S.train_ivf_centroids(emb, iters=3))
+    assert trained >= seeded - 1e-12, (seeded, trained)
+
+
+def test_ann_ivf_trained_results_are_true_cosines(spark):
+    """The trained-quantizer path keeps the IVF invariant: recall may
+    change, returned scores are exact cosines."""
+    emb = spark.table("embeddings").filter(F.col("vec_id") < 200)
+    queries = emb.filter(F.col("vec_id") < 5)
+    cents = S.train_ivf_centroids(emb, iters=2)
+    ivf = S.ann_ivf_topk(emb, queries, k=5, centroids=cents)
+    brute = S.brute_force_topk(emb, queries, k=10**6)
+    truth = {(r.query_id, r.cand_id): r.cos for r in brute.collect()}
+    rows = ivf.collect()
+    assert rows, "expected IVF candidates from the trained quantizer"
+    for r in rows:
+        assert truth[(r.query_id, r.cand_id)] == r.cos
