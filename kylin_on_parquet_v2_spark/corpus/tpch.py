@@ -135,7 +135,65 @@ def outer_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order priority checking), adapted to the fixture's
+    columns: EXISTS decorrelates to a left-semi join, then count by
+    priority. (The fixture has no l_commitdate/l_receiptdate; the late-line
+    predicate uses l_shipdate > o_orderdate instead.)"""
+    views(spark, sf_dir)
+    return spark.sql(
+        """
+        select o_orderpriority, count(*) as order_count
+        from orders
+        where o_orderdate >= date '1996-01-01'
+          and exists (select 1 from lineitem
+                      where l_orderkey = o_orderkey and l_shipdate > o_orderdate)
+        group by o_orderpriority
+        order by o_orderpriority
+        """
+    )
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top 20 customers by returned-item revenue — 3-way
+    join, filter on the fact, group by customer attributes, top-k."""
+    views(spark, sf_dir)
+    return spark.sql(
+        """
+        select c_custkey, c_name, n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue
+        from customer
+          join orders on c_custkey = o_custkey
+          join lineitem on l_orderkey = o_orderkey
+          join nation on c_nationkey = n_nationkey
+        where l_returnflag = 'R'
+        group by c_custkey, c_name, n_name
+        order by revenue desc, c_custkey
+        limit 20
+        """
+    )
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share — conditional aggregate over a
+    join, one output row (the classic CASE-inside-SUM ratio)."""
+    views(spark, sf_dir)
+    return spark.sql(
+        """
+        select round(100.0 * sum(case when p_type = 'PROMO'
+                                      then l_extendedprice * (1 - l_discount)
+                                      else 0.0 end)
+                     / sum(l_extendedprice * (1 - l_discount)), 4) as promo_pct
+        from lineitem join part on l_partkey = p_partkey
+        where l_shipdate >= date '1997-03-01' and l_shipdate < date '1997-04-01'
+        """
+    )
+
+
 QUERIES = {
+    "q4_order_priority": q4_order_priority,
+    "q10_returned_items": q10_returned_items,
+    "q14_promo_revenue": q14_promo_revenue,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_nation_revenue": q5_nation_revenue,
@@ -146,6 +204,35 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q4_order_priority": """
+        select o_orderpriority, count(*) as order_count
+        from orders
+        where o_orderdate >= date '1996-01-01'
+          and exists (select 1 from lineitem
+                      where l_orderkey = o_orderkey and l_shipdate > o_orderdate)
+        group by o_orderpriority
+        order by o_orderpriority
+    """,
+    "q10_returned_items": """
+        select c_custkey, c_name, n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue
+        from customer
+          join orders on c_custkey = o_custkey
+          join lineitem on l_orderkey = o_orderkey
+          join nation on c_nationkey = n_nationkey
+        where l_returnflag = 'R'
+        group by c_custkey, c_name, n_name
+        order by revenue desc, c_custkey
+        limit 20
+    """,
+    "q14_promo_revenue": """
+        select round(100.0 * sum(case when p_type = 'PROMO'
+                                      then l_extendedprice * (1 - l_discount)
+                                      else 0.0 end)
+                     / sum(l_extendedprice * (1 - l_discount)), 4) as promo_pct
+        from lineitem join part on l_partkey = p_partkey
+        where l_shipdate >= date '1997-03-01' and l_shipdate < date '1997-04-01'
+    """,
     "q1_pricing_summary": """
         select l_returnflag, l_linestatus,
                round(sum(l_quantity), 2) as sum_qty,
