@@ -144,3 +144,36 @@ def maybe_auto_merge(
     new_segment = to_merge[0]
     merge_segments(spark, inst, to_merge, new_segment)
     return new_segment
+
+
+def apply_retention(
+    spark: SparkSession, inst: CubeInstance, keep: int | None = None
+) -> list[str]:
+    """Drop segment dirs older than the newest ``keep`` (reference
+    CubeDesc retentionRange + CubeManager's retired-segment cleanup when a
+    new segment comes READY; count-based here, matching the count-based
+    auto-merge). Returns the dropped segment values.
+
+    Storage-level semantics: a dropped segment's rows simply stop existing
+    for every cuboid, so full-range queries answer over the retained range
+    only — identical to the reference, where retired segments leave the
+    queryable set atomically. Dropping whole partition dirs is a metadata
+    operation per layout (no data rewrite)."""
+    if keep is None:
+        keep = inst.desc.retention_segments
+    if not keep or not inst.segmented:
+        return []
+    segs = inst.segments(spark)
+    drop = segs[:-keep] if len(segs) > keep else []
+    if not drop:
+        return []
+    for path in inst.layouts.values():
+        fs = FS.fs_for(path, spark)
+        for seg in drop:
+            seg_dir = os.path.join(path, f"{SEGMENT_COL}={seg}")
+            if fs.exists(seg_dir):
+                fs.rmtree(seg_dir)
+    for seg in drop:
+        inst.segment_ranges.pop(seg, None)
+    inst.save_meta()
+    return drop

@@ -131,6 +131,12 @@ class CubeDesc:
     #: segments, ``maybe_auto_merge`` folds all but the newest into one.
     #: None disables auto-merge.
     auto_merge_segments: int | None = None
+    #: retention policy (reference CubeDesc retentionRange, count-based
+    #: here like auto_merge_segments): keep only the newest N segment dirs;
+    #: older ones are dropped from storage on refresh. None keeps history
+    #: forever. The cube then answers only over the retained range — the
+    #: reference's retention has identical visible semantics.
+    retention_segments: int | None = None
 
     def __post_init__(self) -> None:
         names = [m.name for m in self.measures]

@@ -113,7 +113,7 @@ class OlapEngine:
         build loop: detect new TSRanges -> segment cubing job -> auto-merge
         check). History is never re-cubed; dictionaries extend in place.
         Returns the segment values built ([] when nothing new landed)."""
-        from kylin_on_parquet_v2_spark.cube.merge import maybe_auto_merge
+        from kylin_on_parquet_v2_spark.cube.merge import apply_retention, maybe_auto_merge
 
         inst = self.cubes[name]
         model = self.models[inst.desc.model_name]
@@ -124,6 +124,9 @@ class OlapEngine:
             self._cache_epoch += 1
             self._cache.clear()
             maybe_auto_merge(self.spark, inst)
+            # retention after merge (reference order: new segment READY ->
+            # retired segments leave the queryable set)
+            apply_retention(self.spark, inst)
         return built
 
     # -- query ---------------------------------------------------------------
