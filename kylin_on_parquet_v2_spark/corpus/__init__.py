@@ -81,6 +81,7 @@ _PRIORITY = [
     "unpivot_metrics",  # new in r04: ANSI UNPIVOT wide->long
     "streaming_dedup",  # new in r04: at-least-once redelivery dedup
     "similarity_ann_ivf_trained",  # new in r04: k-means-trained quantizer
+    "cube_routed_month_series",  # new in r04: expression group-by routing
     "cube_routed_having",
     "cube_routed_having_hidden",
     "cube_routed_q1",

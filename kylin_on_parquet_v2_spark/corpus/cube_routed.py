@@ -453,7 +453,29 @@ def cube_routed_dim_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def cube_routed_month_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY over EXPRESSIONS of a dimension (year/month of l_shipdate)
+    routed onto the day-grained layout — the dashboard time-series shape.
+    The reference materializes time hierarchies as extra dimensions; here
+    any deterministic scalar expression of dim columns re-groups exactly
+    from the layout's distinct values."""
+    eng = engine(spark, sf_dir)
+    df = eng.sql(
+        """
+        select year(l_shipdate) as y, month(l_shipdate) as m,
+               sum(l_quantity) as sum_qty, count(*) as n
+        from lineitem
+        group by year(l_shipdate), month(l_shipdate)
+        order by y, m
+        """
+    )
+    route = eng.last_route
+    assert route is not None, "expected cuboid route for month_series"
+    return df.select("y", "m", F.round("sum_qty", 2).alias("sum_qty"), "n")
+
+
 QUERIES = {
+    "cube_routed_month_series": cube_routed_month_series,
     "cube_routed_dim_minmax": cube_routed_dim_minmax,
     "cube_routed_window_rank": cube_routed_window_rank,
     "cube_routed_window_share": cube_routed_window_share,
@@ -476,6 +498,13 @@ QUERIES = {
 }
 
 ORACLES = {
+    "cube_routed_month_series": """
+        select year(l_shipdate) as y, month(l_shipdate) as m,
+               round(sum(l_quantity), 2) as sum_qty, count(*) as n
+        from lineitem
+        group by year(l_shipdate), month(l_shipdate)
+        order by y, m
+    """,
     "cube_routed_dim_minmax": """
         select l_returnflag,
                min(l_shipdate) as first_ship,

@@ -164,6 +164,13 @@ class SqlDigest:
     #: agg + window outputs, e.g. ``bal / total AS share``), each a full
     #: selectExpr list of (output name, sql), evaluation order
     window_projects: list[list[tuple[str, str]]] = field(default_factory=list)
+    #: grouping EXPRESSIONS (``group by month(d)`` — the reference models
+    #: these as time-hierarchy dimensions; we evaluate the expression over
+    #: the layout's dim values and group on it): synthesized name ->
+    #: (unqualified expr sql, base columns the layout must provide). The
+    #: names also appear in group_cols, so downstream grouping/projection
+    #: logic is untouched.
+    group_exprs: dict[str, tuple[str, frozenset[str]]] = field(default_factory=dict)
 
     @property
     def aggs(self) -> list[AggCall]:
@@ -467,11 +474,22 @@ def _extract(plan) -> SqlDigest | None:  # noqa: C901 — one dispatch walk
         ):
             below = below.child()
     else:
-        # Group-by columns: plain attributes only (expressions => pushdown).
+        # Group-by columns: plain attributes, or deterministic scalar
+        # expressions over attributes (``group by month(d)`` — any pure
+        # function of dim columns re-groups exactly from the layout's
+        # distinct dim values; the reference's time hierarchies are the
+        # special case it materializes as extra dimensions).
         for g in gexprs:
-            if _cls(g) != "AttributeReference":
+            if _cls(g) == "AttributeReference":
+                digest.group_cols.append(g.name())
+                continue
+            refs = _attr_names(g)
+            gsql = _unqualify(g.sql(), refs) if refs else None
+            if gsql is None:
                 return None
-            digest.group_cols.append(g.name())
+            gname = f"__g{len(digest.group_exprs)}"
+            digest.group_exprs[gname] = (gsql, frozenset(refs))
+            digest.group_cols.append(gname)
 
     # Select list.
     for e in _seq(agg_node.aggregateExpressions()):
@@ -492,6 +510,18 @@ def _extract(plan) -> SqlDigest | None:  # noqa: C901 — one dispatch walk
             if _cls(child) == "AttributeReference" and child.name() in digest.group_cols:
                 digest.select.append(SelectItem(name=alias, group_col=child.name()))
                 continue
+            # selected grouping EXPRESSION (same resolved sql as a grouping
+            # expr => same synthesized name)
+            if digest.group_exprs:
+                refs = _attr_names(child)
+                usql = _unqualify(child_sql, refs) if refs else None
+                gname = next(
+                    (n for n, (gs, _) in digest.group_exprs.items() if gs == usql),
+                    None,
+                )
+                if gname is not None:
+                    digest.select.append(SelectItem(name=alias, group_col=gname))
+                    continue
             pm = _PCT_RE.match(child_sql.replace("`", ""))
             if pm and len(_attr_names(child)) == 1:
                 digest.select.append(

@@ -364,7 +364,13 @@ def plan_route(
         return False
 
     for col in list(digest.group_cols) + sorted(digest.filter_cols):
-        if not _need(col):
+        if col in digest.group_exprs:
+            # grouping expression: the layout must provide its BASE columns;
+            # the expression itself is evaluated over the layout rows
+            for c in sorted(digest.group_exprs[col][1]):
+                if not _need(c):
+                    return None
+        elif not _need(col):
             return None
 
     for agg in digest.aggs:
@@ -543,6 +549,12 @@ def execute_route(digest: SqlDigest, inst: CubeInstance, route: Route, spark) ->
 
     if digest.filter_sql:
         df = df.filter(F.expr(digest.filter_sql))
+
+    # grouping expressions (group by month(d), ...) evaluated over the
+    # layout's dim values — the synthesized __g columns then flow through
+    # the ordinary groupBy/projection paths below
+    for gname, (gsql, _bases) in digest.group_exprs.items():
+        df = df.withColumn(gname, F.expr(gsql))
 
     out_cols: list[Column] = []
     if route.topn is not None:

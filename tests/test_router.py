@@ -601,3 +601,51 @@ def test_min_on_dim_in_group_stays_exact(engine):
     )
     route = engine.last_route
     assert route is not None and route.dim_served.get("m") == "l_linestatus"
+
+
+# -- grouping expressions over dimensions (time-hierarchy generalization) ----
+
+GROUP_EXPR_ROUTED = [
+    # classic time series: year/month of a day-grained dimension
+    """select year(l_shipdate) as y, month(l_shipdate) as m,
+              sum(l_quantity) as s, count(*) as n
+       from lineitem group by year(l_shipdate), month(l_shipdate)""",
+    # expression + plain dim in the same grouping
+    """select date_trunc('month', l_shipdate) as mon, l_returnflag, count(*) as n
+       from lineitem group by date_trunc('month', l_shipdate), l_returnflag""",
+    # grouping expression NOT in the select list
+    "select sum(l_quantity) as s from lineitem group by year(l_shipdate)",
+    # expression grouping + dimension filter
+    """select month(l_shipdate) as m, count(*) as n from lineitem
+       where l_returnflag = 'A' group by month(l_shipdate)""",
+    # non-temporal expression of a dim works the same way
+    """select substring(l_returnflag, 1, 1) as c, count(*) as n
+       from lineitem group by substring(l_returnflag, 1, 1)""",
+]
+
+
+@pytest.mark.parametrize("sql", GROUP_EXPR_ROUTED)
+def test_group_expression_routes(engine, sql):
+    engine.sql(sql, validate=True)
+    assert engine.last_route is not None, f"expected a cuboid route for: {sql}"
+
+
+def test_group_expression_over_non_dim_falls_back(engine):
+    """An expression over a non-dimension column cannot be recovered from
+    any layout — pushdown answers it."""
+    df = engine.sql(
+        "select round(l_quantity) as q, count(*) as n from lineitem group by round(l_quantity)"
+    )
+    assert engine.last_route is None
+    assert df.collect() is not None
+
+
+def test_group_expression_with_window_routes(engine):
+    """Expression grouping composes with window replay."""
+    engine.sql(
+        """select year(l_shipdate) as y, sum(l_quantity) as s,
+                  rank() over (order by sum(l_quantity) desc) as rnk
+           from lineitem group by year(l_shipdate)""",
+        validate=True,
+    )
+    assert engine.last_route is not None
