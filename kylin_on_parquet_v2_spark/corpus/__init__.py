@@ -82,6 +82,7 @@ _PRIORITY = [
     "streaming_dedup",  # new in r04: at-least-once redelivery dedup
     "similarity_ann_ivf_trained",  # new in r04: k-means-trained quantizer
     "cube_routed_month_series",  # new in r04: expression group-by routing
+    "dedup_filtered_corpus",  # new in r04: dedup pipeline endpoint
     "cube_routed_having",
     "cube_routed_having_hidden",
     "cube_routed_q1",

@@ -63,6 +63,22 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.duplicate_clusters(spark.table("documents")).orderBy("doc_id")
 
 
+def dedup_filtered_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's endpoint: per-source stats of the corpus AFTER
+    collapsing each near-duplicate cluster to its representative — a
+    broadcast anti-join of the loser list against the full corpus (map-side
+    at scale). Oracle replays clusters via the recursive CTE and
+    anti-joins the same loser set."""
+    views(spark, sf_dir)
+    docs = spark.table("documents")
+    kept = D.dedup_filter(docs)
+    return (
+        kept.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("sum_chars"))
+        .orderBy("source")
+    )
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     views(spark, sf_dir)
     return D.simhash(spark.table("documents")).orderBy("doc_id")
@@ -189,6 +205,7 @@ QUERIES = {
     "dedup_minhash_signatures": dedup_minhash_signatures,
     "dedup_minhash_lsh_pairs": dedup_minhash_lsh_pairs,
     "dedup_clusters": dedup_clusters,
+    "dedup_filtered_corpus": dedup_filtered_corpus,
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "similarity_bruteforce_topk": similarity_bruteforce_topk,
@@ -321,6 +338,42 @@ ORACLES = {
         )
         select id as doc_id, min(label) as cluster_id
         from walk group by id order by doc_id
+    """,
+    "dedup_filtered_corpus": f"""
+        with recursive sig as (
+            select doc_id, {_MH_COLS}
+            from ({_SHINGLES3})
+            group by doc_id
+        ),
+        banded as (
+            select doc_id, '0|' || mh0 || '|' || mh1 as bucket from sig
+            union all select doc_id, '1|' || mh2 || '|' || mh3 from sig
+            union all select doc_id, '2|' || mh4 || '|' || mh5 from sig
+            union all select doc_id, '3|' || mh6 || '|' || mh7 from sig
+        ),
+        pairs as (
+            select distinct a.doc_id as doc_a, b.doc_id as doc_b
+            from banded a join banded b
+              on a.bucket = b.bucket and a.doc_id < b.doc_id
+        ),
+        edges as (
+            select doc_a as src, doc_b as dst from pairs
+            union all select doc_b, doc_a from pairs
+        ),
+        walk(id, label) as (
+            select src, src from edges
+            union
+            select e.dst, w.label from walk w join edges e on e.src = w.id
+        ),
+        losers as (
+            select id from walk group by id having min(label) <> id
+        )
+        select source, count(*) as n_docs,
+               cast(sum(n_chars) as bigint) as sum_chars
+        from documents
+        where doc_id not in (select id from losers)
+        group by source
+        order by source
     """,
     "dedup_simhash": _simhash_oracle(),
     "dedup_ngram_jaccard": f"""

@@ -288,3 +288,24 @@ def duplicate_clusters(
         if changed == 0:
             break
     return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
+
+
+def dedup_filter(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    clusters: DataFrame | None = None,
+) -> DataFrame:
+    """The dedup pipeline's endpoint: the corpus with near-duplicate
+    clusters collapsed to one representative each (the cluster's minimum
+    id). Unpaired documents pass through untouched.
+
+    One broadcast-sized anti-join against the non-representative member
+    list — cluster metadata is tiny relative to the corpus (bounded by the
+    number of PAIRED docs), so at 100 TB this is a map-side filter over
+    the full corpus scan, not a shuffle of it.
+    """
+    if clusters is None:
+        clusters = duplicate_clusters(docs, text_col, id_col)
+    losers = clusters.filter(F.col(id_col) != F.col("cluster_id")).select(id_col)
+    return docs.join(F.broadcast(losers), id_col, "left_anti")
