@@ -161,3 +161,88 @@ def test_segment_pruned_routes_equal_pushdown(spark, sql):
     route = eng.last_route
     assert route is not None and route.cube == TPCH_CUBE_SEG.name, sql
     assert route.segment_filters, sql
+
+
+WINDOW_EXPRS = [
+    "rank() over (order by {m} desc) as rnk",
+    "row_number() over (order by {m} desc) as rn",
+    "lag({m}) over (order by {g}) as prev",
+    "{m} / sum({m}) over () as share",
+    "dense_rank() over (partition by {g} order by {m}) as dr",
+]
+
+
+@st.composite
+def windowed_agg_query(draw):
+    """Random window calls stacked over a routable aggregate — any
+    divergence between the replayed windows and Spark's own execution of
+    the same query is a correctness bug."""
+    group = draw(
+        st.lists(
+            st.sampled_from(["l_returnflag", "l_linestatus"]),
+            min_size=1,
+            max_size=2,
+            unique=True,
+        )
+    )
+    base = draw(st.sampled_from(["sum(l_quantity)", "count(*)", "max(l_extendedprice)"]))
+    wins = draw(st.lists(st.sampled_from(WINDOW_EXPRS), min_size=1, max_size=3, unique=True))
+    sel = group + [f"{base} as m"] + [w.format(m=base, g=group[0]) for w in wins]
+    return (
+        f"select {', '.join(sel)} from lineitem group by {', '.join(group)}"
+    )
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(sql=windowed_agg_query())
+def test_windowed_routes_equal_pushdown(spark, sql):
+    eng = _engine(spark)
+    eng.sql(sql, validate=True)
+    assert eng.last_route is not None, f"expected route for: {sql}"
+
+
+GROUP_EXPRS = [
+    "substring(l_returnflag, 1, 1)",
+    "concat(l_returnflag, '-', l_linestatus)",
+    "case when l_returnflag = 'A' then 'x' else 'y' end",
+    "upper(l_linestatus)",
+]
+
+
+@st.composite
+def group_expr_query(draw):
+    """Random scalar expressions of dims in the GROUP BY (the generalized
+    time-hierarchy path), mixed with plain dims and min/max-on-dim."""
+    gexpr = draw(st.sampled_from(GROUP_EXPRS))
+    plain = draw(st.lists(st.sampled_from(["l_returnflag", "l_linestatus"]),
+                          min_size=0, max_size=1, unique=True))
+    measures = draw(
+        st.lists(
+            st.sampled_from(
+                ["count(*) as n", "sum(l_quantity) as sq",
+                 "min(l_linestatus) as mnd", "max(l_returnflag) as mxd"]
+            ),
+            min_size=1,
+            max_size=2,
+            unique=True,
+        )
+    )
+    groups = [gexpr] + plain
+    sel = [f"{gexpr} as ge"] + plain + measures
+    return f"select {', '.join(sel)} from lineitem group by {', '.join(groups)}"
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(sql=group_expr_query())
+def test_group_expr_routes_equal_pushdown(spark, sql):
+    eng = _engine(spark)
+    eng.sql(sql, validate=True)
+    assert eng.last_route is not None, f"expected route for: {sql}"
