@@ -83,6 +83,7 @@ _PRIORITY = [
     "similarity_ann_ivf_trained",  # new in r04: k-means-trained quantizer
     "cube_routed_month_series",  # new in r04: expression group-by routing
     "dedup_filtered_corpus",  # new in r04: dedup pipeline endpoint
+    "streaming_stream_join",  # new in r04: event-time-bounded join
     "cube_routed_having",
     "cube_routed_having_hidden",
     "cube_routed_q1",

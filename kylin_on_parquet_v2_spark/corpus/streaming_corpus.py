@@ -189,7 +189,28 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream event-time-bounded inner join (click->purchase
+    attribution within 1 hour) driven to completion; the oracle is the
+    identical batch join — the strongest parity a stateful streaming join
+    can claim."""
+    views(spark, sf_dir)
+    from kylin_on_parquet_v2_spark.streaming.segments import run_stream_join_to_memory
+
+    name = "stream_join_" + os.path.basename(os.path.abspath(sf_dir)).replace(".", "_")
+    joined = run_stream_join_to_memory(spark, _stream_source_dir(sf_dir), query_name=name)
+    return (
+        joined.groupBy("l_user")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.sum("r_value"), 2).alias("sum_value"),
+        )
+        .orderBy("l_user")
+    )
+
+
 QUERIES = {
+    "streaming_stream_join": streaming_stream_join,
     "streaming_dedup": streaming_dedup,
     "streaming_window_counts": streaming_window_counts,
     "streaming_segment_ingest": streaming_segment_ingest,
@@ -198,6 +219,16 @@ QUERIES = {
 }
 
 ORACLES = {
+    "streaming_stream_join": """
+        select l.user_id as l_user, count(*) as n_pairs,
+               round(sum(r.value), 2) as sum_value
+        from events l join events r
+          on l.user_id = r.user_id
+         and l.event_type = 'click' and r.event_type = 'purchase'
+         and r.ts >= l.ts and r.ts <= l.ts + interval 1 hour
+        group by l.user_id
+        order by l_user
+    """,
     "streaming_dedup": """
         select event_type,
                count(*) as n,

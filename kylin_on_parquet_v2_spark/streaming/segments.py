@@ -205,3 +205,69 @@ def run_dedup_to_memory(
     q.processAllAvailable()
     q.stop()
     return spark.table(query_name)
+
+
+def run_stream_join_to_memory(
+    spark: SparkSession,
+    source_dir: str,
+    query_name: str,
+    left_type: str = "click",
+    right_type: str = "purchase",
+    within: str = "1 hour",
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join with event-time bounds: match each
+    ``left_type`` event to the same user's ``right_type`` events occurring
+    within ``within`` AFTER it (the click->purchase attribution shape).
+
+    Beyond the reference: its realtime layer has no joins at all
+    (stream-core aggregates single streams) — Structured Streaming's
+    state-store join provides this natively. Both sides carry watermarks
+    and the join condition bounds right's event time to
+    [left.ts, left.ts + within], which is what lets the state store expire
+    rows: without the time bound the state would grow forever, the scale
+    limit of any stream-stream join.
+
+    HARNESS-ONLY driver: finite source -> append memory sink; the oracle
+    is the identical batch join over the same file.
+    """
+    schema = spark.read.parquet(source_dir).schema
+    stream = _normalize_ts(
+        spark.readStream.schema(schema).parquet(source_dir), ts_col
+    )
+    left = (
+        stream.filter(F.col("event_type") == left_type)
+        .select(
+            F.col("event_id").alias("l_id"),
+            F.col("user_id").alias("l_user"),
+            F.col(ts_col).alias("l_ts"),
+        )
+        .withWatermark("l_ts", watermark)
+    )
+    right = (
+        stream.filter(F.col("event_type") == right_type)
+        .select(
+            F.col("event_id").alias("r_id"),
+            F.col("user_id").alias("r_user"),
+            F.col(ts_col).alias("r_ts"),
+            F.col("value").alias("r_value"),
+        )
+        .withWatermark("r_ts", watermark)
+    )
+    joined = left.join(
+        right,
+        F.expr(
+            f"l_user = r_user AND r_ts >= l_ts AND r_ts <= l_ts + interval {within}"
+        ),
+        "inner",
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(query_name)
