@@ -84,6 +84,9 @@ _PRIORITY = [
     "cube_routed_month_series",  # new in r04: expression group-by routing
     "dedup_filtered_corpus",  # new in r04: dedup pipeline endpoint
     "streaming_stream_join",  # new in r04: event-time-bounded join
+    "q4_order_priority",  # new in r04: TPC-H shape widening
+    "q10_returned_items",
+    "q14_promo_revenue",
     "cube_routed_having",
     "cube_routed_having_hidden",
     "cube_routed_q1",
