@@ -217,7 +217,8 @@ class OlapEngine:
             f"bitmap_distinct={route.bitmap_distinct} "
             f"bitmap_cond={route.bitmap_cond} "
             f"bitmap_intersect={route.bitmap_intersect} "
-            f"topn={route.topn}"
+            f"topn={route.topn} "
+            f"dim_served={route.dim_served}"
             if route is not None
             else "route: none (pushdown — plain spark.sql)"
         )

@@ -163,12 +163,15 @@ def test_segment_pruned_routes_equal_pushdown(spark, sql):
     assert route.segment_filters, sql
 
 
+# Every OVER() ordering must be TOTAL (tie-broken by the full group key):
+# lag/row_number over an ordering with duplicate keys is legitimately
+# non-deterministic — routed and pushdown can both be right yet differ.
 WINDOW_EXPRS = [
-    "rank() over (order by {m} desc) as rnk",
-    "row_number() over (order by {m} desc) as rn",
-    "lag({m}) over (order by {g}) as prev",
+    "rank() over (order by {m} desc, {gall}) as rnk",
+    "row_number() over (order by {m} desc, {gall}) as rn",
+    "lag({m}) over (order by {gall}) as prev",
     "{m} / sum({m}) over () as share",
-    "dense_rank() over (partition by {g} order by {m}) as dr",
+    "dense_rank() over (partition by {g} order by {m}, {gall}) as dr",
 ]
 
 
@@ -187,7 +190,10 @@ def windowed_agg_query(draw):
     )
     base = draw(st.sampled_from(["sum(l_quantity)", "count(*)", "max(l_extendedprice)"]))
     wins = draw(st.lists(st.sampled_from(WINDOW_EXPRS), min_size=1, max_size=3, unique=True))
-    sel = group + [f"{base} as m"] + [w.format(m=base, g=group[0]) for w in wins]
+    gall = ", ".join(group)
+    sel = group + [f"{base} as m"] + [
+        w.format(m=base, g=group[0], gall=gall) for w in wins
+    ]
     return (
         f"select {', '.join(sel)} from lineitem group by {', '.join(group)}"
     )
