@@ -44,6 +44,14 @@ class CuboidScheduler:
         for dims in self._enumerate():
             c = self._make(dims)
             self.cuboids[c.cuboid_id] = c
+        if cube.cuboid_ids is not None:
+            # planner-pruned lattice (CuboidRecommender output applied):
+            # keep only the recommended ids, plus the base cuboid (fallback
+            # realization — every query stays coverable) and the 0-dim
+            # grand total
+            base_id = sum(1 << i for i in range(len(cube.dimensions)))
+            keep = set(cube.cuboid_ids) | {base_id, 0}
+            self.cuboids = {i: c for i, c in self.cuboids.items() if i in keep}
 
     # -- enumeration ---------------------------------------------------------
 

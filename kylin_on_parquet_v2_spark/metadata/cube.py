@@ -137,6 +137,10 @@ class CubeDesc:
     #: forever. The cube then answers only over the retained range — the
     #: reference's retention has identical visible semantics.
     retention_segments: int | None = None
+    #: planner-pruned lattice: when set, only these cuboid ids (plus the
+    #: base and 0-dim cuboids, always kept) are scheduled/built — the
+    #: apply step of CuboidRecommender's output (cube/planner.py).
+    cuboid_ids: tuple[int, ...] | None = None
 
     def __post_init__(self) -> None:
         names = [m.name for m in self.measures]

@@ -176,6 +176,26 @@ class SqlDigest:
     def aggs(self) -> list[AggCall]:
         return [s.agg for s in self.select if s.agg is not None]
 
+    def needed_cols(self) -> frozenset[str]:
+        """The column set a serving layout must provide as dimensions
+        (grouping bases, filters, distinct/cohort columns) — the unit the
+        cube planner's workload statistics count (CuboidStats parity)."""
+        cols: set[str] = set()
+        for c in self.group_cols:
+            if c in self.group_exprs:
+                cols |= set(self.group_exprs[c][1])
+            else:
+                cols.add(c)
+        cols |= set(self.filter_cols)
+        for a in self.aggs:
+            if a.distinct and a.column is not None:
+                cols.add(a.column)
+            cols |= set(a.columns)
+            cols |= set(a.cond_cols)
+            if a.filter_col is not None:
+                cols.add(a.filter_col)
+        return frozenset(cols)
+
 
 def _cls(node) -> str:
     return node.getClass().getSimpleName()

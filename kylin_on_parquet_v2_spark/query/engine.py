@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import os
 import tempfile
-from collections import OrderedDict
+from collections import Counter, OrderedDict
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -65,6 +65,11 @@ class OlapEngine:
         self.max_result_rows = max_result_rows
         self._cache: "OrderedDict[tuple, tuple]" = OrderedDict()
         self._cache_epoch = 0
+        #: workload statistics for the cube planner (CuboidStats parity):
+        #: needed-dim-set -> how many queries asked for it. Recorded for
+        #: every digestible query, routed or not — the planner weighs
+        #: candidate cuboids by real query frequency (PBPUS weighting).
+        self.workload: Counter = Counter()
 
     #: hard cap on rows a cached result may materialize on the driver when
     #: no explicit max_result_rows is configured — caching is opt-in but
@@ -129,6 +134,43 @@ class OlapEngine:
             apply_retention(self.spark, inst)
         return built
 
+    def recommend_cuboids(
+        self,
+        name: str,
+        budget_rows: int | None = None,
+        max_cuboids: int | None = None,
+    ) -> list[int]:
+        """Cube-planner recommendation from the recorded workload
+        (CuboidRecommender.getRecommendCuboidList parity): BPUS greedy over
+        this cube's lattice, weighted by real query frequencies. Derived
+        columns in recorded queries are mapped to their host FKs first —
+        the same translation the router applies. Apply the result by
+        rebuilding with ``dataclasses.replace(desc,
+        cuboid_ids=tuple(ids))``."""
+        from kylin_on_parquet_v2_spark.cube.planner import recommend_cuboids
+        from kylin_on_parquet_v2_spark.query.router import _derived_host
+
+        inst = self.cubes[name]
+        dims = set(inst.desc.dimensions)
+        wl: Counter = Counter()
+        for q, n in self.workload.items():
+            mapped: set[str] = set()
+            ok = True
+            for c in q:
+                if c in dims:
+                    mapped.add(c)
+                else:
+                    host = _derived_host(c, inst)
+                    if host is None:
+                        ok = False
+                        break
+                    mapped.update(host.join.foreign_key)
+            if ok:
+                wl[frozenset(mapped)] += n
+        return recommend_cuboids(
+            inst.scheduler, wl, inst.layout_rows, budget_rows, max_cuboids
+        )
+
     # -- query ---------------------------------------------------------------
 
     def sql(
@@ -159,6 +201,7 @@ class OlapEngine:
         digest = extract_digest(df)
         if digest is None:
             return self._maybe_cache(cache_key, df)
+        self.workload[digest.needed_cols()] += 1
         # realization choice (RealizationChooser parity): among all cubes
         # that can answer, prefer exact-match hits, then the narrowest
         # cuboid (fewest dims => fewest layout rows scanned)
