@@ -70,6 +70,11 @@ class OlapEngine:
         #: every digestible query, routed or not — the planner weighs
         #: candidate cuboids by real query frequency (PBPUS weighting).
         self.workload: Counter = Counter()
+        #: query-serving metrics (the reference reports cuboid hit ratios
+        #: through QueryMetrics/QueryMetricsFacade): how many queries took
+        #: a cuboid route (and of those, exact project-only hits), fell
+        #: back to pushdown, or were undigestible; plus per-cube hits.
+        self.metrics: Counter = Counter()
 
     #: hard cap on rows a cached result may materialize on the driver when
     #: no explicit max_result_rows is configured — caching is opt-in but
@@ -200,6 +205,7 @@ class OlapEngine:
             return self._maybe_cache(cache_key, df)
         digest = extract_digest(df)
         if digest is None:
+            self.metrics["undigestible"] += 1
             return self._maybe_cache(cache_key, df)
         self.workload[digest.needed_cols()] += 1
         # realization choice (RealizationChooser parity): among all cubes
@@ -211,7 +217,9 @@ class OlapEngine:
             if route is not None:
                 candidates.append((inst, route))
         if not candidates:
+            self.metrics["pushdown"] += 1
             return self._maybe_cache(cache_key, df)
+
         def _cost(c: tuple[CubeInstance, Route]) -> tuple:
             # exact-match hits first, then FEWEST LAYOUT ROWS (the real scan
             # cost — RealizationChooser/Cuboid cost parity); dim count only
@@ -222,6 +230,10 @@ class OlapEngine:
             return (not route_.exact, float("inf") if rows is None else rows, route_.cuboid.n_dims)
 
         inst, route = min(candidates, key=_cost)
+        self.metrics["routed"] += 1
+        if route.exact:
+            self.metrics["exact_hits"] += 1
+        self.metrics[f"cube:{route.cube}"] += 1
         routed = execute_route(digest, inst, route, self.spark)
         if validate:
             self._assert_same(routed, df)

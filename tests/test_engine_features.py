@@ -105,3 +105,44 @@ def test_cache_never_materializes_oversized_results(spark, tmp_path):
     small = eng.sql("select count(*) as n from lineitem")
     assert small.count() == 1
     assert len(eng._cache) == 1
+
+
+def test_query_metrics_track_hit_ratio(spark, tmp_path):
+    """QueryMetrics parity: routed / exact / pushdown / undigestible counts
+    accumulate so a deployment can watch its cuboid hit ratio."""
+    from kylin_on_parquet_v2_spark.datasets import TPCH_CUBE, TPCH_MODEL
+    from kylin_on_parquet_v2_spark.query.engine import OlapEngine
+    from tests.conftest import SF_SMOKE
+
+    eng = OlapEngine(spark, storage_dir=str(tmp_path))
+    eng.register_sources(SF_SMOKE)
+    eng.add_model(TPCH_MODEL)
+    eng.build_cube(TPCH_CUBE)
+
+    # exact hit
+    eng.sql(
+        """select l_returnflag, l_linestatus, sum(l_quantity) as s, count(*) as n
+           from lineitem group by l_returnflag, l_linestatus"""
+    )
+    # routed, not exact (dim filter widens the cuboid past the group cols)
+    eng.sql(
+        """select l_linestatus, sum(l_quantity) as s from lineitem
+           where l_returnflag = 'A' group by l_linestatus"""
+    )
+    # digestible but unroutable (non-dim filter)
+    eng.sql(
+        "select l_returnflag, count(*) as n from lineitem where l_quantity > 30 group by l_returnflag"
+    )
+    # undigestible (window over detail rows)
+    eng.sql(
+        """select l_orderkey, row_number() over (partition by l_orderkey order by l_linenumber) as rn
+           from lineitem limit 5"""
+    )
+    m = eng.metrics
+    assert m["routed"] == 2
+    assert m["exact_hits"] == 1
+    assert m["pushdown"] == 1
+    assert m["undigestible"] == 1
+    assert m[f"cube:{TPCH_CUBE.name}"] == 2
+    # the same queries fed the planner workload
+    assert sum(eng.workload.values()) == 3
