@@ -66,13 +66,39 @@ def date_group_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def date_month_arithmetic(spark, sf_dir):
+    """Month-clamped date arithmetic: add_months / last_day / date_add
+    (the reference's date +/- interval month semantics,
+    SparderRexVisitor.scala:155-253)."""
+    views(spark, sf_dir)
+    return spark.sql(
+        """
+        select o_orderkey,
+               add_months(o_orderdate, 3) as plus3,
+               last_day(o_orderdate) as eom,
+               date_add(o_orderdate, 45) as plus45d
+        from orders where o_orderkey < 500
+        order by o_orderkey
+        """
+    )
+
+
 QUERIES = {
+    "date_month_arithmetic": date_month_arithmetic,
     "date_extract_parts": date_extract_parts,
     "date_arithmetic": date_arithmetic,
     "date_group_by_month": date_group_by_month,
 }
 
 ORACLES = {
+    "date_month_arithmetic": """
+        select o_orderkey,
+               cast(o_orderdate + interval 3 month as date) as plus3,
+               last_day(o_orderdate) as eom,
+               cast(o_orderdate as date) + 45 as plus45d
+        from orders where o_orderkey < 500
+        order by o_orderkey
+    """,
     "date_extract_parts": """
         select o_orderkey,
                year(o_orderdate) as yr,

@@ -81,7 +81,36 @@ def single_row_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def intersect_all_pairs(spark, sf_dir):
+    """INTERSECT ALL — multiset semantics (duplicates kept to the min
+    multiplicity); native here, pushdown-only in the reference."""
+    views(spark, sf_dir)
+    return spark.sql(
+        """
+        select l_returnflag, l_linestatus from lineitem where l_quantity > 45
+        intersect all
+        select l_returnflag, l_linestatus from lineitem where l_discount > 0.08
+        order by 1, 2
+        """
+    )
+
+
+def except_all_pairs(spark, sf_dir):
+    """EXCEPT ALL — multiset difference (per-row multiplicity subtraction)."""
+    views(spark, sf_dir)
+    return spark.sql(
+        """
+        select l_returnflag, l_linestatus from lineitem where l_quantity > 45
+        except all
+        select l_returnflag, l_linestatus from lineitem where l_discount > 0.08
+        order by 1, 2
+        """
+    )
+
+
 QUERIES = {
+    "intersect_all_pairs": intersect_all_pairs,
+    "except_all_pairs": except_all_pairs,
     "union_all_halves": union_all_halves,
     "union_distinct_nations": union_distinct_nations,
     "intersect_nations": intersect_nations,
@@ -91,6 +120,18 @@ QUERIES = {
 }
 
 ORACLES = {
+    "intersect_all_pairs": """
+        select l_returnflag, l_linestatus from lineitem where l_quantity > 45
+        intersect all
+        select l_returnflag, l_linestatus from lineitem where l_discount > 0.08
+        order by 1, 2
+    """,
+    "except_all_pairs": """
+        select l_returnflag, l_linestatus from lineitem where l_quantity > 45
+        except all
+        select l_returnflag, l_linestatus from lineitem where l_discount > 0.08
+        order by 1, 2
+    """,
     "union_all_halves": """
         select o_orderstatus, count(*) as n from (
             select o_orderstatus, o_orderkey from orders where o_totalprice >= 100000

@@ -92,7 +92,26 @@ def window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("s_suppkey")
 
 
+def window_nth_value(spark, sf_dir):
+    """nth_value over an unbounded frame + first_value running — the last
+    uncovered ranking-family functions."""
+    views(spark, sf_dir)
+    return spark.sql(
+        """
+        select o_orderkey, o_totalprice,
+               nth_value(o_totalprice, 2) over (partition by o_orderpriority
+                                                order by o_orderkey
+                                                rows between unbounded preceding
+                                                and unbounded following) as second_price,
+               first_value(o_orderpriority) over (order by o_orderkey) as fst
+        from orders where o_orderkey < 500
+        order by o_orderkey
+        """
+    )
+
+
 QUERIES = {
+    "window_nth_value": window_nth_value,
     "window_ranking": window_ranking,
     "window_offsets": window_offsets,
     "window_agg_frames": window_agg_frames,
@@ -100,6 +119,16 @@ QUERIES = {
 }
 
 ORACLES = {
+    "window_nth_value": """
+        select o_orderkey, o_totalprice,
+               nth_value(o_totalprice, 2) over (partition by o_orderpriority
+                                                order by o_orderkey
+                                                rows between unbounded preceding
+                                                and unbounded following) as second_price,
+               first_value(o_orderpriority) over (order by o_orderkey) as fst
+        from orders where o_orderkey < 500
+        order by o_orderkey
+    """,
     "window_ranking": """
         select * from (
             select o_orderkey, o_orderpriority,
