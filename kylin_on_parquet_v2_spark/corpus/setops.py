@@ -108,7 +108,49 @@ def except_all_pairs(spark, sf_dir):
     )
 
 
+def ordinal_group_order(spark, sf_dir):
+    """GROUP BY / ORDER BY ordinals (reference corpus sql_ordinal/):
+    Catalyst resolves the ordinals to attributes during analysis, so the
+    digested plan is identical to the spelled-out query — it still takes
+    an exact cuboid route."""
+    from kylin_on_parquet_v2_spark.corpus.base import engine
+
+    eng = engine(spark, sf_dir)
+    df = eng.sql(
+        """
+        select l_returnflag, l_linestatus, sum(l_quantity) as s, count(*) as n
+        from lineitem group by 1, 2 order by 1, 2
+        """
+    )
+    assert eng.last_route is not None and eng.last_route.exact
+    from pyspark.sql import functions as F
+
+    return df.select(
+        "l_returnflag", "l_linestatus", F.round("s", 2).alias("s"), "n"
+    )
+
+
+def dynamic_params(spark, sf_dir):
+    """Prepared-statement parameters (reference corpus sql_dynamic/ +
+    PreparedState): positional ? markers bound in the parser, so by
+    analysis time the plan equals the spelled-out query and still routes."""
+    from kylin_on_parquet_v2_spark.corpus.base import engine
+
+    eng = engine(spark, sf_dir)
+    df = eng.sql(
+        """
+        select l_linestatus, count(*) as n
+        from lineitem where l_returnflag = ? group by l_linestatus order by l_linestatus
+        """,
+        params=["A"],
+    )
+    assert eng.last_route is not None
+    return df
+
+
 QUERIES = {
+    "dynamic_params": dynamic_params,
+    "ordinal_group_order": ordinal_group_order,
     "intersect_all_pairs": intersect_all_pairs,
     "except_all_pairs": except_all_pairs,
     "union_all_halves": union_all_halves,
@@ -120,6 +162,14 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dynamic_params": """
+        select l_linestatus, count(*) as n
+        from lineitem where l_returnflag = 'A' group by l_linestatus order by l_linestatus
+    """,
+    "ordinal_group_order": """
+        select l_returnflag, l_linestatus, round(sum(l_quantity), 2) as s, count(*) as n
+        from lineitem group by 1, 2 order by 1, 2
+    """,
     "intersect_all_pairs": """
         select l_returnflag, l_linestatus from lineitem where l_quantity > 45
         intersect all

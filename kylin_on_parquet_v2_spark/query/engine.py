@@ -184,22 +184,33 @@ class OlapEngine:
         use_cube: bool = True,
         validate: bool = False,
         approx_distinct: bool = False,
+        params: list | dict | None = None,
     ) -> DataFrame:
         """Answer ``query``; serve from a cuboid when provably equivalent.
 
         ``approx_distinct=True`` additionally lets COUNT(DISTINCT col) be
         answered from a declared hllc sketch measure (accuracy-bounded, the
         reference's hllc semantics) when the column is not a dimension.
+
+        ``params`` binds prepared-statement parameters (the reference's
+        PreparedState path, corpus sql_dynamic/): a list for positional
+        ``?`` markers or a dict for ``:name`` markers. Binding happens in
+        the parser, so parameters are literals by analysis time and the
+        digest/routing path is identical to the spelled-out query — a
+        parameterized dashboard query still takes its cuboid route.
         """
         for t in self.transformers:
             query = t(query)
-        cache_key = (query, use_cube, approx_distinct, self._cache_epoch)
+        pkey = tuple(params) if isinstance(params, list) else (
+            tuple(sorted(params.items())) if isinstance(params, dict) else None
+        )
+        cache_key = (query, pkey, use_cube, approx_distinct, self._cache_epoch)
         if self.result_cache_size and not validate and cache_key in self._cache:
             schema, rows, route = self._cache.pop(cache_key)
             self._cache[cache_key] = (schema, rows, route)  # LRU touch
             self.last_route = route
             return self.spark.createDataFrame(rows, schema)
-        df = self.spark.sql(query)
+        df = self.spark.sql(query, args=params) if params is not None else self.spark.sql(query)
         self.last_route = None
         if not use_cube or not self.cubes:
             return self._maybe_cache(cache_key, df)
