@@ -43,6 +43,57 @@ def unwrap_odbc_escapes(sql: str) -> str:
     return sql
 
 
+_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def quote_identifiers_to_backticks(sql: str) -> str:
+    """ANSI double-quoted identifiers -> Spark backticks (the dialect
+    Tableau and other BI clients emit — reference corpus ``sql_tableau/``;
+    QueryUtil's converter chain does the same normalization).
+
+    Token-walks the text so double quotes inside single-quoted string
+    literals are left alone, and only converts a double-quoted token that
+    actually looks like an identifier — doubled-quote escape sequences
+    inside quoted tokens never parse as one and pass through untouched."""
+    out: list[str] = []
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch == "'":  # single-quoted literal: copy verbatim, '' escapes
+            j = i + 1
+            while j < n:
+                if sql[j] == "'":
+                    if j + 1 < n and sql[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            out.append(sql[i : j + 1])
+            i = j + 1
+        elif ch == '"':
+            j = i + 1
+            body: list[str] = []
+            while j < n:
+                if sql[j] == '"':
+                    if j + 1 < n and sql[j + 1] == '"':
+                        body.append('"')
+                        j += 2
+                        continue
+                    break
+                body.append(sql[j])
+                j += 1
+            token = "".join(body)
+            if j < n and _IDENT.match(token):
+                out.append(f"`{token}`")
+            else:  # not an identifier (or unterminated): leave as-is
+                out.append(sql[i : j + 1])
+            i = j + 1
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
+
+
 _HAS_LIMIT = re.compile(r"\blimit\s+\d+", re.IGNORECASE)
 _IS_SELECT = re.compile(r"^\s*(select|with)\b", re.IGNORECASE)
 
@@ -61,7 +112,11 @@ class ForcedLimitTransformer:
 
 
 def default_transformers(max_result_rows: int | None = None) -> list[QueryTransformer]:
-    chain: list[QueryTransformer] = [strip_trailing_semicolon, unwrap_odbc_escapes]
+    chain: list[QueryTransformer] = [
+        strip_trailing_semicolon,
+        unwrap_odbc_escapes,
+        quote_identifiers_to_backticks,
+    ]
     if max_result_rows is not None:
         chain.append(ForcedLimitTransformer(max_result_rows))
     return chain

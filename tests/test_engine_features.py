@@ -146,3 +146,36 @@ def test_query_metrics_track_hit_ratio(spark, tmp_path):
     assert m[f"cube:{TPCH_CUBE.name}"] == 2
     # the same queries fed the planner workload
     assert sum(eng.workload.values()) == 3
+
+
+def test_tableau_quoted_identifiers_route(spark, tmp_path):
+    """sql_tableau parity: ANSI double-quoted identifiers (what Tableau
+    emits) convert to backticks before parsing, and the query still takes
+    its cuboid route; double quotes inside string literals survive."""
+    from kylin_on_parquet_v2_spark.datasets import TPCH_CUBE, TPCH_MODEL
+    from kylin_on_parquet_v2_spark.query.engine import OlapEngine
+    from kylin_on_parquet_v2_spark.query.transformers import (
+        quote_identifiers_to_backticks,
+    )
+    from tests.conftest import SF_SMOKE
+
+    assert (
+        quote_identifiers_to_backticks('select "a" from "t" where x = \'say ""hi""\'')
+        == "select `a` from `t` where x = 'say \"\"hi\"\"'"
+    )
+    eng = OlapEngine(spark, storage_dir=str(tmp_path))
+    eng.register_sources(SF_SMOKE)
+    eng.add_model(TPCH_MODEL)
+    eng.build_cube(TPCH_CUBE)
+    df = eng.sql(
+        'select "lineitem"."l_returnflag" as "rf", sum("lineitem"."l_quantity") as "s" '
+        'from "lineitem" group by "lineitem"."l_returnflag"'
+    )
+    assert eng.last_route is not None
+    flat = {
+        (r["rf"], r["s"])
+        for r in eng.pushdown(
+            "select l_returnflag as rf, sum(l_quantity) as s from lineitem group by l_returnflag"
+        ).collect()
+    }
+    assert {(r["rf"], r["s"]) for r in df.collect()} == flat
