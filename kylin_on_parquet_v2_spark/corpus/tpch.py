@@ -190,7 +190,103 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q7_SQL = """
+    select n1.n_name as supp_nation, n2.n_name as cust_nation,
+           cast(extract(year from l_shipdate) as int) as l_year,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue
+    from lineitem
+      join supplier on s_suppkey = l_suppkey
+      join orders on o_orderkey = l_orderkey
+      join customer on c_custkey = o_custkey
+      join nation n1 on s_nationkey = n1.n_nationkey
+      join nation n2 on c_nationkey = n2.n_nationkey
+    where (n1.n_name = 'NATION_1' and n2.n_name = 'NATION_2')
+       or (n1.n_name = 'NATION_2' and n2.n_name = 'NATION_1')
+    group by supp_nation, cust_nation, l_year
+    order by supp_nation, cust_nation, l_year
+"""
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): the nation dimension joined TWICE
+    under different roles (supplier vs customer side), a disjunctive filter
+    over the pair, and a group over an extracted year expression. Exercises
+    dimension-table aliasing — the same snowflake arm reached through two
+    FKs must not collapse into one join."""
+    views(spark, sf_dir)
+    return spark.sql(_Q7_SQL)
+
+
+_Q12_SQL = """
+    select l_linestatus,
+           cast(sum(case when o_orderpriority in ('1-URGENT', '2-HIGH')
+                         then 1 else 0 end) as bigint) as high_line_count,
+           cast(sum(case when o_orderpriority not in ('1-URGENT', '2-HIGH')
+                         then 1 else 0 end) as bigint) as low_line_count
+    from orders join lineitem on o_orderkey = l_orderkey
+    where l_shipdate >= date '1996-01-01' and l_shipdate < date '1997-01-01'
+    group by l_linestatus
+    order by l_linestatus
+"""
+
+
+def q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping modes / priority): CASE-inside-SUM pivoted
+    counts over a fact-to-fact join with a date range. (The fixture has no
+    l_shipmode, so l_linestatus plays the mode column.)"""
+    views(spark, sf_dir)
+    return spark.sql(_Q12_SQL)
+
+
+_Q18_SQL = """
+    select c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           round(sum(l_quantity), 2) as total_qty
+    from customer
+      join orders on c_custkey = o_custkey
+      join lineitem on o_orderkey = l_orderkey
+    where o_orderkey in (
+        select l_orderkey from lineitem
+        group by l_orderkey having sum(l_quantity) > 200)
+    group by c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    order by o_totalprice desc, o_orderkey
+    limit 20
+"""
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): IN over a grouped HAVING
+    subquery on the fact itself (decorrelates to a semi-join against an
+    aggregate), then a 3-way join + group + top-k."""
+    views(spark, sf_dir)
+    return spark.sql(_Q18_SQL)
+
+
+_Q19_SQL = """
+    select round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue
+    from lineitem join part on p_partkey = l_partkey
+    where (p_brand = 'Brand#12' and p_size between 1 and 15
+           and l_quantity between 1 and 11)
+       or (p_brand = 'Brand#23' and p_size between 10 and 30
+           and l_quantity between 10 and 20)
+       or (p_brand = 'Brand#34' and p_size between 20 and 50
+           and l_quantity between 20 and 30)
+"""
+
+
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue): a disjunction of conjunctive
+    ranges spanning BOTH join sides — the classic test that OR-of-ANDs
+    still partially pushes (each disjunct's single-side conjuncts reach the
+    scans as derived filters) while the join stays a plain equi-join."""
+    views(spark, sf_dir)
+    return spark.sql(_Q19_SQL)
+
+
 QUERIES = {
+    "q7_volume_shipping": q7_volume_shipping,
+    "q12_priority_lines": q12_priority_lines,
+    "q18_large_orders": q18_large_orders,
+    "q19_discounted_revenue": q19_discounted_revenue,
     "q4_order_priority": q4_order_priority,
     "q10_returned_items": q10_returned_items,
     "q14_promo_revenue": q14_promo_revenue,
@@ -204,6 +300,10 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q7_volume_shipping": _Q7_SQL,
+    "q12_priority_lines": _Q12_SQL,
+    "q18_large_orders": _Q18_SQL,
+    "q19_discounted_revenue": _Q19_SQL,
     "q4_order_priority": """
         select o_orderpriority, count(*) as order_count
         from orders
