@@ -149,6 +149,11 @@ class CubeInstance:
     #: Spark job that computes pmod(hash(literal)) with JVM hash semantics,
     #: so repeated shard-pruned queries pay it once (not persisted)
     shard_probe_cache: dict = field(default_factory=dict, repr=False)
+    #: (lookup table, filter conjunct SQL) -> list of host-FK literals (or
+    #: None = not translatable); memoizes the snapshot probe behind the
+    #: derived-filter -> host-column IN-list translation (DerivedProcess
+    #: parity), so repeated dashboard queries pay the small lookup scan once
+    derived_in_cache: dict = field(default_factory=dict, repr=False)
 
     def layout_df(self, spark: SparkSession, cuboid: Cuboid) -> DataFrame:
         return spark.read.parquet(self.layouts[cuboid.cuboid_id])

@@ -500,6 +500,167 @@ def plan_route(
     )
 
 
+def _split_conjuncts(sql: str) -> list[str]:
+    """Split a boolean SQL expression on TOP-LEVEL ``AND`` only — paren-,
+    quote- and BETWEEN-aware (``a BETWEEN x AND y`` keeps its AND), so
+    ``f(a AND b)`` or a literal ``'x AND y'`` never splits. Paren-wrapped
+    parts are unwrapped and re-split recursively."""
+
+    def _word_at(s: str, i: int, word: str) -> bool:
+        n = len(word)
+        if s[i : i + n].upper() != word:
+            return False
+        before = s[i - 1] if i > 0 else " "
+        after = s[i + n] if i + n < len(s) else " "
+        return not (before.isalnum() or before == "_") and not (
+            after.isalnum() or after == "_"
+        )
+
+    parts: list[str] = []
+    depth = 0
+    quote: str | None = None
+    between_pending = 0
+    i = 0
+    start = 0
+    n = len(sql)
+    while i < n:
+        ch = sql[i]
+        if quote is not None:
+            if ch == quote:
+                quote = None
+            i += 1
+            continue
+        if ch in ("'", '"', "`"):
+            quote = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and _word_at(sql, i, "BETWEEN"):
+            between_pending += 1
+            i += 7
+            continue
+        elif depth == 0 and _word_at(sql, i, "AND"):
+            if between_pending:
+                between_pending -= 1
+            else:
+                parts.append(sql[start:i])
+                start = i + 3
+            i += 3
+            continue
+        i += 1
+    parts.append(sql[start:])
+    out: list[str] = []
+    for p in parts:
+        p = p.strip()
+        stripped = False
+        while _balanced(p):
+            p = p[1:-1].strip()
+            stripped = True
+        if stripped:
+            out.extend(_split_conjuncts(p))
+        else:
+            out.append(p)
+    return out
+
+
+def _balanced(s: str) -> bool:
+    """True when stripping one outer paren pair keeps the expression valid."""
+    if not (s.startswith("(") and s.endswith(")")):
+        return False
+    depth = 0
+    for i, ch in enumerate(s):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0 and i < len(s) - 1:
+                return False
+    return True
+
+
+_IDENT_RE = re.compile(r"\b[A-Za-z_][A-Za-z0-9_]*\b")
+_STRING_LIT_RE = re.compile(r"'(?:[^']|'')*'")
+
+#: Reference DerivedProcess gives up translating a derived filter once the
+#: host IN-list would exceed its threshold (IT-limit); past this point the
+#: post-join row filter alone is the better plan anyway.
+DERIVED_IN_THRESHOLD = 10_000
+
+
+def _derived_prefilter(
+    df: DataFrame, digest: SqlDigest, route: Route, inst: CubeInstance, spark
+) -> DataFrame:
+    """Translate filter conjuncts on derived (lookup) columns into host-FK
+    IN-list prefilters on the layout scan (DerivedProcess.scala:38-188
+    parity: a predicate on a snapshot column becomes a predicate on the FK
+    the cube actually stores).
+
+    Soundness: only whole top-level AND conjuncts translate — any layout row
+    surviving the full filter satisfies each conjunct, and an inner-join
+    conjunct over lookup columns holds iff the joined snapshot row holds it.
+    For LEFT recovery joins the translate is applied only when the conjunct
+    is null-REJECTING (a probe row of all-NULL lookup columns fails it):
+    unmatched cuboid rows would be dropped by the post-join filter anyway.
+    The original row filter still runs after the join, so the prefilter only
+    narrows the scan — it can push an ``In`` down to Parquet row groups (and
+    the shard/segment pruners upstream), never change the answer.
+    """
+    filter_sql = digest.filter_sql
+    assert filter_sql is not None
+    model_cols = inst.column_tables
+    for lk in route.derived:
+        if len(lk.join.foreign_key) != 1:
+            continue  # composite-key translate: stay with the post-join filter
+        fk, pk = lk.join.foreign_key[0], lk.join.primary_key[0]
+        if fk not in df.columns:
+            continue
+        for conj in _split_conjuncts(filter_sql):
+            key = (lk.table, conj)
+            if key in inst.derived_in_cache:
+                vals = inst.derived_in_cache[key]
+                if vals is not None:
+                    df = df.filter(F.col(fk).isin(vals))
+                continue
+            used = {
+                t
+                for t in _IDENT_RE.findall(_STRING_LIT_RE.sub("''", conj))
+                if t in model_cols
+            }
+            if not used or any(model_cols[t] != lk.table for t in used):
+                inst.derived_in_cache[key] = None
+                continue
+            lookup = inst.lookup_df(spark, lk.table)
+            try:
+                if lk.join.join_type == "left":
+                    null_probe = spark.createDataFrame(
+                        [tuple([None] * len(lookup.columns))], lookup.schema
+                    )
+                    if not null_probe.filter(F.expr(conj)).isEmpty():
+                        # NULL-accepting conjunct (e.g. col IS NULL): an
+                        # unmatched cuboid row passes the final filter, so
+                        # an IN-list would wrongly drop it
+                        inst.derived_in_cache[key] = None
+                        continue
+                rows = (
+                    lookup.filter(F.expr(conj))
+                    .select(pk)
+                    .distinct()
+                    .limit(DERIVED_IN_THRESHOLD + 1)
+                    .collect()
+                )
+            except Exception:
+                inst.derived_in_cache[key] = None
+                continue
+            if len(rows) > DERIVED_IN_THRESHOLD:
+                inst.derived_in_cache[key] = None
+                continue
+            vals = [r[0] for r in rows if r[0] is not None]
+            inst.derived_in_cache[key] = vals
+            df = df.filter(F.col(fk).isin(vals))
+    return df
+
+
 def execute_route(digest: SqlDigest, inst: CubeInstance, route: Route, spark) -> DataFrame:
     df = inst.layout_df(spark, route.cuboid)
     # segment pruning first: these predicates hit the partition column, so
@@ -531,6 +692,12 @@ def execute_route(digest: SqlDigest, inst: CubeInstance, route: Route, spark) ->
         df = df.filter(F.col(SHARD_COL) == k)
     if SHARD_COL in df.columns:
         df = df.drop(SHARD_COL)
+
+    # derived-filter translate FIRST (DerivedProcess parity): conjuncts on
+    # lookup columns become host-FK IN-lists pushed into the layout scan, so
+    # Parquet row-group stats can skip data before the recovery join runs
+    if route.derived and digest.filter_sql:
+        df = _derived_prefilter(df, digest, route, inst, spark)
 
     # derived-dimension recovery: broadcast-join the build-time snapshot
     # back on host FKs (snapshot, not live view: the cube's answers must be

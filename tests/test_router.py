@@ -214,6 +214,54 @@ def test_derived_filter_column(engine):
     assert route is not None and route.derived
 
 
+def test_derived_filter_translates_to_host_in_list(engine):
+    """A top-level AND conjunct on a derived column becomes a host-FK
+    IN-list applied BEFORE the recovery join (DerivedProcess.scala:38-188
+    translate): the snapshot probe resolves which c_nationkey values can
+    satisfy ``n_name = 'NATION_5'``, and the layout scan is narrowed to
+    them (PushedFilters In) — the post-join row filter still runs, so the
+    answer is asserted identical to pushdown."""
+    sql = """select l_returnflag, count(*) as n from lineitem
+             join orders on l_orderkey = o_orderkey
+             join customer on o_custkey = c_custkey
+             join nation on c_nationkey = n_nationkey
+             where n_name = 'NATION_5' and l_shipdate >= date '1994-01-01'
+             group by l_returnflag"""
+    df = engine.sql(sql, validate=True)
+    route = engine.last_route
+    assert route is not None and route.derived
+    inst = engine.cubes[route.cube]
+    cached = {
+        k: v for k, v in inst.derived_in_cache.items() if k[0] == "nation"
+    }
+    assert any(v is not None for v in cached.values()), cached
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # a 1-value IN-list folds to EqualTo; either spelling proves the
+    # translated filter reached the CUBOID scan's PushedFilters
+    assert "In(c_nationkey" in plan or "EqualTo(c_nationkey" in plan, plan
+
+
+def test_derived_filter_or_condition_not_translated(engine):
+    """An OR mixing lookup and fact columns is NOT translatable — the whole
+    disjunction stays a post-join row filter (cached as None), and the
+    answer still matches pushdown."""
+    sql = """select l_returnflag, count(*) as n from lineitem
+             join orders on l_orderkey = o_orderkey
+             join customer on o_custkey = c_custkey
+             join nation on c_nationkey = n_nationkey
+             where (n_name = 'NATION_5' or l_returnflag = 'A')
+               and l_shipdate >= date '1994-01-01'
+             group by l_returnflag"""
+    engine.sql(sql, validate=True)
+    route = engine.last_route
+    assert route is not None and route.derived
+    inst = engine.cubes[route.cube]
+    # no nation cache entry may carry values derived from the disjunction
+    for (tbl, conj), vals in inst.derived_in_cache.items():
+        if tbl == "nation" and "OR" in conj.upper():
+            assert vals is None, (conj, vals)
+
+
 def test_having_routed(engine):
     """HAVING over a select alias routes and filters post-aggregation."""
     sql = """select l_returnflag, sum(l_quantity) as s from lineitem
