@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from kylin_on_parquet_v2_spark.corpus.base import views
 from kylin_on_parquet_v2_spark.pipeline import dedup as D
 from kylin_on_parquet_v2_spark.pipeline import multimodal as MM
+from kylin_on_parquet_v2_spark.pipeline import sampling as SP
 from kylin_on_parquet_v2_spark.pipeline import similarity as S
 from kylin_on_parquet_v2_spark.pipeline import text as T
 
@@ -200,7 +201,48 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MIX_RATES = {"en": 0.6, "de": 0.4, "fr": 0.25, "es": 0.1}  # zh dropped
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum sampling (corpus mixing): each language
+    keeps its own rate via a multiplicative-hash threshold on doc_id —
+    stable across reruns/repartitions (unlike df.sample), replayed exactly
+    by the oracle. The curation op behind 'mix 60% en, 40% de, ...'."""
+    views(spark, sf_dir)
+    kept = SP.stratified_sample(
+        spark.table("documents"), "lang", _MIX_RATES, "doc_id"
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("lang")
+    )
+
+
+def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing: contiguous-fill binning of documents
+    into ~2000-token training shards per source (prefix-sum window, no
+    sequential scan). Output: per-bin document and token totals."""
+    views(spark, sf_dir)
+    packed = SP.pack_token_budget(spark.table("documents"), budget=2000)
+    return (
+        packed.groupBy("source", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("bin_tokens"),
+        )
+        .orderBy("source", "bin_id")
+    )
+
+
 QUERIES = {
+    "sample_stratified": sample_stratified,
+    "pack_token_budget": pack_token_budget,
     "dedup_exact": dedup_exact,
     "dedup_minhash_signatures": dedup_minhash_signatures,
     "dedup_minhash_lsh_pairs": dedup_minhash_lsh_pairs,
@@ -277,7 +319,42 @@ def _lsh_bucket_sql() -> str:
         )
     return " || ".join(bits)
 
+# the multiplicative hash is plain bigint arithmetic — replayed verbatim
+_HASH_BUCKET = "((doc_id % 2147483647) * 2654435761) % 4294967296"
+_MIX_CASE = "case lang " + " ".join(
+    f"when '{lang}' then {int(rate * 4294967296)}"
+    for lang, rate in sorted(_MIX_RATES.items())
+) + " else 0 end"
+
 ORACLES = {
+    "sample_stratified": f"""
+        select lang, count(*) as n_kept,
+               min(doc_id) as min_doc, max(doc_id) as max_doc
+        from documents
+        where {_HASH_BUCKET} < {_MIX_CASE}
+        group by lang
+        order by lang
+    """,
+    "pack_token_budget": f"""
+        with toks as (
+            select source, doc_id,
+                   len(string_split({_NORM}, ' ')) as n_tokens
+            from documents
+        ), cum as (
+            select source, doc_id, n_tokens,
+                   sum(n_tokens) over (partition by source order by doc_id
+                       rows between unbounded preceding and current row)
+                       as cum_tokens
+            from toks
+        )
+        select source,
+               cast(floor((cum_tokens - n_tokens) / 2000.0) as bigint) as bin_id,
+               count(*) as n_docs,
+               cast(sum(n_tokens) as bigint) as bin_tokens
+        from cum
+        group by source, bin_id
+        order by source, bin_id
+    """,
     "dedup_exact": f"""
         select md5({_NORM}) as digest,
                min(doc_id) as canonical_id,

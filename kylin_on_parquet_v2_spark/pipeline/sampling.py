@@ -1,0 +1,103 @@
+"""Training-data curation operators: deterministic hash sampling (per-stratum
+rates / corpus mixing) and token-budget sequence packing.
+
+Both are pure JVM-side column arithmetic — no UDFs, no shuffle beyond the one
+window/groupBy they declare — and bit-replayable by the DuckDB oracle.
+
+Scale shape (100 TB): sampling is a stateless per-row filter (predicate
+pushes to the scan, selectivity * scan cost); packing is one window per
+stratum partition — the shuffle key is the stratum, so skewed strata are the
+limit, and the contiguous-fill bin rule needs no global coordination beyond
+that one partition sort (each executor bins its stratum independently).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from kylin_on_parquet_v2_spark.pipeline.text import token_count
+
+#: Knuth multiplicative-hash constants. Chosen over md5/xxhash on purpose:
+#: the mix is plain bigint arithmetic, so the SAME expression runs on Spark
+#: and on the DuckDB oracle (and any other engine) with identical results —
+#: reproducible sampling is a feature, not an accident, in a training
+#: pipeline (re-running the job must select the same documents).
+_MOD_PRIME = 2_147_483_647
+_KNUTH = 2_654_435_761
+_HASH_SPACE = 4_294_967_296  # 2^32
+
+
+def hash_bucket(key: Column) -> Column:
+    """Deterministic uniform bucket in [0, 2^32) from an integer key.
+
+    ``pmod(key, p) * K mod 2^32`` — the pre-mod keeps the product inside
+    int64 for any bigint key (p * K < 2^63), so no overflow wrap differences
+    between engines.
+    """
+    return F.pmod(F.pmod(key, F.lit(_MOD_PRIME)) * F.lit(_KNUTH), F.lit(_HASH_SPACE))
+
+
+def hash_sample(df: DataFrame, key_col: str, rate: float) -> DataFrame:
+    """Keep a deterministic ``rate`` fraction of rows keyed by ``key_col``.
+
+    Unlike ``df.sample()`` (seed-dependent on partition layout), the decision
+    is a pure function of the key: stable across reruns, repartitions and
+    engines — the property a 100 TB curation job needs for resumability.
+    """
+    return df.filter(hash_bucket(F.col(key_col)) < int(rate * _HASH_SPACE))
+
+
+def stratified_sample(
+    df: DataFrame, stratum_col: str, rates: dict[str, float], key_col: str
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the "data mixing" op: each
+    stratum (language, source, quality tier) keeps its own rate. Strata
+    absent from ``rates`` are dropped (rate 0). One stateless filter, no
+    shuffle; the predicate reaches the Parquet scan.
+    """
+    thresh = F.lit(0)
+    for value, rate in sorted(rates.items()):
+        thresh = F.when(
+            F.col(stratum_col) == value, F.lit(int(rate * _HASH_SPACE))
+        ).otherwise(thresh)
+    return df.filter(hash_bucket(F.col(key_col)) < thresh)
+
+
+def pack_token_budget(
+    docs: DataFrame,
+    budget: int,
+    stratum_col: str = "source",
+    order_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Assign documents to training shards ("bins") of ~``budget`` tokens by
+    contiguous fill: within each stratum, documents in ``order_col`` order
+    accumulate into a bin until the budget is crossed, then the next bin
+    starts. bin = floor(tokens_before_this_doc / budget) — the standard
+    distributed packing rule: it needs only a prefix sum (one window over
+    the stratum partition), not the sequential first-fit scan, so every
+    stratum bins independently and deterministically.
+
+    Returns one row per document: stratum, order key, token count, bin id.
+    """
+    w = (
+        Window.partitionBy(stratum_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tok = token_count(F.col(text_col))
+    return (
+        docs.select(
+            F.col(stratum_col),
+            F.col(order_col),
+            tok.alias("n_tokens"),
+        )
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .withColumn(
+            "bin_id",
+            F.floor((F.col("cum_tokens") - F.col("n_tokens")) / F.lit(budget)).cast(
+                "long"
+            ),
+        )
+    )

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from kylin_on_parquet_v2_spark.pipeline import dedup as D
 from kylin_on_parquet_v2_spark.pipeline import multimodal as MM
+from kylin_on_parquet_v2_spark.pipeline import sampling as SP
 from kylin_on_parquet_v2_spark.pipeline import similarity as S
 from kylin_on_parquet_v2_spark.session import register_views
 from tests.conftest import SF_SMOKE
@@ -283,3 +284,56 @@ def test_ann_ivf_trained_results_are_true_cosines(spark):
     assert rows, "expected IVF candidates from the trained quantizer"
     for r in rows:
         assert truth[(r.query_id, r.cand_id)] == r.cos
+
+
+def test_hash_sample_deterministic_under_repartition(spark):
+    """The sampling decision is a pure function of the key — the kept set
+    must be identical across partition layouts (df.sample is not)."""
+    docs = spark.table("documents")
+    a = {r.doc_id for r in SP.hash_sample(docs, "doc_id", 0.3).select("doc_id").collect()}
+    b = {
+        r.doc_id
+        for r in SP.hash_sample(docs.repartition(17), "doc_id", 0.3)
+        .select("doc_id")
+        .collect()
+    }
+    assert a == b and a, (len(a), len(b))
+    # monotone: a higher rate keeps a superset
+    c = {r.doc_id for r in SP.hash_sample(docs, "doc_id", 0.6).select("doc_id").collect()}
+    assert a <= c
+
+
+def test_stratified_sample_rates_within_tolerance(spark):
+    """Each stratum's kept fraction tracks its configured rate; absent
+    strata are dropped entirely."""
+    docs = spark.table("documents")
+    rates = {"en": 0.5, "de": 0.2}
+    kept = SP.stratified_sample(docs, "lang", rates, "doc_id")
+    totals = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    got = {r.lang: r.n for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert set(got) <= set(rates)
+    for lang, rate in rates.items():
+        frac = got.get(lang, 0) / totals[lang]
+        assert abs(frac - rate) < 0.15, (lang, frac, rate)
+
+
+def test_pack_token_budget_bins_are_contiguous_and_bounded(spark):
+    """Bins fill contiguously in order-key order: bin ids are non-decreasing,
+    every bin but the last crosses the budget once (bin_tokens >= budget -
+    max_doc_tokens is the contiguous-fill guarantee), and no document
+    is lost."""
+    docs = spark.table("documents")
+    budget = 1500
+    packed = SP.pack_token_budget(docs, budget=budget).collect()
+    assert len(packed) == docs.count()
+    by_src: dict[str, list] = {}
+    for r in sorted(packed, key=lambda r: (r.source, r.doc_id)):
+        by_src.setdefault(r.source, []).append(r)
+    for src, rows in by_src.items():
+        bins = [r.bin_id for r in rows]
+        assert bins == sorted(bins), f"{src}: bin ids must be non-decreasing"
+        # each doc's bin = tokens-before // budget
+        cum = 0
+        for r in rows:
+            assert r.bin_id == cum // budget, (src, r.doc_id)
+            cum += r.n_tokens
