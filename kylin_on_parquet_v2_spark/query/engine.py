@@ -213,10 +213,12 @@ class OlapEngine:
         df = self.spark.sql(query, args=params) if params is not None else self.spark.sql(query)
         self.last_route = None
         if not use_cube or not self.cubes:
+            self._set_pool("heavy")
             return self._maybe_cache(cache_key, df)
         digest = extract_digest(df)
         if digest is None:
             self.metrics["undigestible"] += 1
+            self._set_pool("heavy")
             return self._maybe_cache(cache_key, df)
         self.workload[digest.needed_cols()] += 1
         # realization choice (RealizationChooser parity): among all cubes
@@ -229,6 +231,7 @@ class OlapEngine:
                 candidates.append((inst, route))
         if not candidates:
             self.metrics["pushdown"] += 1
+            self._set_pool("heavy")
             return self._maybe_cache(cache_key, df)
 
         def _cost(c: tuple[CubeInstance, Route]) -> tuple:
@@ -242,6 +245,7 @@ class OlapEngine:
 
         inst, route = min(candidates, key=_cost)
         self.metrics["routed"] += 1
+        self._set_pool("vip" if route.exact else "light")
         if route.exact:
             self.metrics["exact_hits"] += 1
         self.metrics[f"cube:{route.cube}"] += 1
@@ -250,6 +254,17 @@ class OlapEngine:
             self._assert_same(routed, df)
         self.last_route = route
         return self._maybe_cache(cache_key, routed)
+
+    def _set_pool(self, pool: str) -> None:
+        """Scheduler pool by query weight (ResultPlan.scala:66-83 parity —
+        the reference picks vip/heavy/light pools from the query's expected
+        cost). Exact cuboid hits are the cheapest scans (vip), routed
+        re-aggregations light, full pushdown scans heavy. The local property
+        is thread-scoped, so concurrent query threads each tag their own
+        jobs; a no-op under FIFO scheduling, and with
+        ``spark.scheduler.mode=FAIR`` (+ a pool XML) it keeps dashboard
+        queries responsive while big pushdown scans run."""
+        self.spark.sparkContext.setLocalProperty("spark.scheduler.pool", pool)
 
     def _maybe_cache(self, key: tuple, df: DataFrame) -> DataFrame:
         """Fill the LRU result cache (materializes the result — the
