@@ -7,6 +7,7 @@ Usage:
     python -m kylin_on_parquet_v2_spark.cli --explain "select ..."
     python -m kylin_on_parquet_v2_spark.cli --no-cube "select ..."  # pushdown only
     python -m kylin_on_parquet_v2_spark.cli --build-only            # build cubes, exit
+    python -m kylin_on_parquet_v2_spark.cli --serve --port 7070     # REST endpoint
 """
 
 from __future__ import annotations
@@ -31,11 +32,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--approx-distinct", action="store_true", help="allow hllc answers")
     p.add_argument("--explain", action="store_true", help="print route + physical plan")
     p.add_argument("--build-only", action="store_true", help="build cubes and exit")
+    p.add_argument("--serve", action="store_true", help="start the HTTP query server")
+    p.add_argument("--port", type=int, default=7070, help="HTTP port for --serve")
     p.add_argument("-n", "--rows", type=int, default=50, help="max rows to print")
     args = p.parse_args(argv)
 
-    if not args.sql and not args.build_only:
-        p.error("provide SQL or --build-only")
+    if not args.sql and not args.build_only and not args.serve:
+        p.error("provide SQL, --build-only, or --serve")
 
     from kylin_on_parquet_v2_spark.datasets import (
         TPCH_CUBE,
@@ -64,6 +67,11 @@ def main(argv: list[str] | None = None) -> int:
         eng.build_cube(TPCH_CUBE_SEG)
         print(f"[cubes ready in {time.perf_counter() - t0:.1f}s]", file=sys.stderr)
     if args.build_only:
+        return 0
+    if args.serve:
+        from kylin_on_parquet_v2_spark.server import serve
+
+        serve(eng, port=args.port)
         return 0
 
     if args.explain:

@@ -1,0 +1,166 @@
+"""HTTP query endpoint: the reference's REST surface re-expressed over the
+engine facade.
+
+Reference parity: ``server-base/.../rest/service/QueryService.java`` —
+``POST /api/query`` (doQueryWithCache :374-461) is the reference's main user
+entry point; the response carries the result rows plus routing metadata
+(which realization answered, whether the query hit a cube or fell through to
+pushdown). Cube/metrics listings mirror the REST controllers' read side.
+
+Deliberately stdlib-only (http.server): the surface is the contract, not the
+web stack. One engine serves all requests; query execution is single-flight
+behind a lock — the reference serializes per-query state the same way
+(OLAPContext is thread-local there; ``last_route`` is engine-global here).
+Spark job tagging still works per-request because the scheduler pool is set
+inside the locked section.
+"""
+
+from __future__ import annotations
+
+import base64
+import datetime as _dt
+import decimal
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any
+
+from kylin_on_parquet_v2_spark.query.engine import OlapEngine
+
+#: server-side result cap (QueryUtil.appendLimitOffsetToSql parity — the
+#: reference force-appends a LIMIT so a runaway SELECT cannot flood the
+#: REST worker); requests may lower it, never raise it
+MAX_RESULT_ROWS = 10_000
+
+
+def _json_cell(v: Any) -> Any:
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        return v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    if isinstance(v, (bytes, bytearray)):
+        return base64.b64encode(bytes(v)).decode("ascii")
+    if isinstance(v, list):
+        return [_json_cell(x) for x in v]
+    if isinstance(v, dict):
+        return {k: _json_cell(x) for k, x in v.items()}
+    return v
+
+
+def _route_info(route) -> dict | None:
+    if route is None:
+        return None
+    return {
+        "cube": route.cube,
+        "cuboid_dims": list(route.cuboid.dims),
+        "exact": route.exact,
+        "derived": [lk.table for lk in route.derived],
+        "segment_filters": list(route.segment_filters),
+        "shard_eq": list(route.shard_eq) if route.shard_eq else None,
+        "bitmap_distinct": dict(route.bitmap_distinct),
+        "topn": bool(route.topn),
+    }
+
+
+class _Handler(BaseHTTPRequestHandler):
+    engine: OlapEngine  # set by make_server
+    lock: threading.Lock
+
+    # silence per-request stderr logging
+    def log_message(self, fmt: str, *args) -> None:  # noqa: A003
+        pass
+
+    def _reply(self, code: int, payload: dict) -> None:
+        body = json.dumps(payload).encode("utf-8")
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self) -> None:  # noqa: N802
+        eng = self.engine
+        if self.path == "/health":
+            self._reply(200, {"status": "ok"})
+        elif self.path == "/api/cubes":
+            with self.lock:
+                cubes = [
+                    {
+                        "name": inst.desc.name,
+                        "model": inst.model.name,
+                        "dimensions": list(inst.desc.dimensions),
+                        "measures": [m.name for m in inst.desc.measures],
+                        "segmented": inst.segmented,
+                        "n_layouts": len(inst.layouts),
+                    }
+                    for inst in eng.cubes.values()
+                ]
+            self._reply(200, {"cubes": cubes})
+        elif self.path == "/api/metrics":
+            with self.lock:
+                self._reply(200, {"metrics": dict(eng.metrics)})
+        else:
+            self._reply(404, {"error": f"unknown path {self.path}"})
+
+    def do_POST(self) -> None:  # noqa: N802
+        if self.path != "/api/query":
+            self._reply(404, {"error": f"unknown path {self.path}"})
+            return
+        try:
+            length = int(self.headers.get("Content-Length", "0"))
+            req = json.loads(self.rfile.read(length) or b"{}")
+            sql = req["sql"]
+        except (KeyError, ValueError) as exc:
+            self._reply(400, {"error": f"bad request: {exc}"})
+            return
+        limit = min(int(req.get("limit", MAX_RESULT_ROWS)), MAX_RESULT_ROWS)
+        started = _dt.datetime.now()
+        try:
+            with self.lock:
+                df = self.engine.sql(
+                    sql,
+                    use_cube=bool(req.get("use_cube", True)),
+                    approx_distinct=bool(req.get("approx_distinct", False)),
+                    params=req.get("params"),
+                )
+                rows = df.limit(limit).collect()
+                route = self.engine.last_route
+        except Exception as exc:  # surfaced as the reference's SQLException path
+            self._reply(400, {"error": str(exc).split("\n", 1)[0]})
+            return
+        ms = (_dt.datetime.now() - started).total_seconds() * 1000
+        self._reply(
+            200,
+            {
+                "columns": df.columns,
+                "rows": [[_json_cell(v) for v in r] for r in rows],
+                "row_count": len(rows),
+                "route": _route_info(route),
+                "is_pushdown": route is None,
+                "duration_ms": round(ms, 1),
+            },
+        )
+
+
+def make_server(
+    engine: OlapEngine, host: str = "127.0.0.1", port: int = 0
+) -> ThreadingHTTPServer:
+    """Create (but don't start) the HTTP server bound to ``host:port``
+    (port 0 = ephemeral). Callers own the lifecycle::
+
+        srv = make_server(engine)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        ...
+        srv.shutdown()
+    """
+    handler = type(
+        "BoundHandler", (_Handler,), {"engine": engine, "lock": threading.Lock()}
+    )
+    return ThreadingHTTPServer((host, port), handler)
+
+
+def serve(engine: OlapEngine, host: str = "127.0.0.1", port: int = 7070) -> None:
+    """Blocking entry point (the reference's default REST port is 7070)."""
+    srv = make_server(engine, host, port)
+    print(f"query server listening on http://{host}:{srv.server_address[1]}")
+    srv.serve_forever()

@@ -1,0 +1,105 @@
+"""REST query-endpoint tests (QueryService.java:374-461 parity surface)."""
+
+from __future__ import annotations
+
+import json
+import threading
+import urllib.request
+
+import pytest
+
+from kylin_on_parquet_v2_spark.datasets import TPCH_CUBE, TPCH_MODEL
+from kylin_on_parquet_v2_spark.query.engine import OlapEngine
+from kylin_on_parquet_v2_spark.server import make_server
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def served(spark, tmp_path_factory):
+    eng = OlapEngine(spark, storage_dir=str(tmp_path_factory.mktemp("cubes")))
+    eng.register_sources(SF_SMOKE)
+    eng.add_model(TPCH_MODEL)
+    eng.build_cube(TPCH_CUBE)
+    srv = make_server(eng)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    yield eng, base
+    srv.shutdown()
+
+
+def _post(base: str, payload: dict) -> tuple[int, dict]:
+    req = urllib.request.Request(
+        f"{base}/api/query",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def _get(base: str, path: str) -> tuple[int, dict]:
+    with urllib.request.urlopen(f"{base}{path}") as resp:
+        return resp.status, json.loads(resp.read())
+
+
+def test_query_endpoint_routes_and_matches_engine(served):
+    eng, base = served
+    sql = """select l_returnflag, sum(l_quantity) as s
+             from lineitem group by l_returnflag order by l_returnflag"""
+    code, body = _post(base, {"sql": sql})
+    assert code == 200, body
+    assert body["columns"] == ["l_returnflag", "s"]
+    assert body["route"] is not None and body["route"]["cube"] == "tpch_cube"
+    assert not body["is_pushdown"]
+    direct = [[r[0], float(r[1])] for r in eng.sql(sql).collect()]
+    got = [[r[0], float(r[1])] for r in body["rows"]]
+    assert got == direct
+
+
+def test_query_endpoint_pushdown_flag(served):
+    _, base = served
+    code, body = _post(
+        base, {"sql": "select l_returnflag, sum(l_tax) as s from lineitem group by 1"}
+    )
+    assert code == 200 and body["is_pushdown"] and body["route"] is None
+
+
+def test_query_endpoint_prepared_params(served):
+    _, base = served
+    code, body = _post(
+        base,
+        {
+            "sql": "select count(*) as n from lineitem where l_returnflag = ?",
+            "params": ["A"],
+        },
+    )
+    assert code == 200 and body["row_count"] == 1
+    assert body["rows"][0][0] > 0
+
+
+def test_query_endpoint_bad_sql_is_400(served):
+    _, base = served
+    code, body = _post(base, {"sql": "select frobnicate from nowhere"})
+    assert code == 400 and "error" in body
+
+
+def test_query_endpoint_row_cap(served):
+    _, base = served
+    code, body = _post(base, {"sql": "select * from lineitem", "limit": 7})
+    assert code == 200 and body["row_count"] == 7
+
+
+def test_cubes_and_metrics_endpoints(served):
+    _, base = served
+    code, body = _get(base, "/api/cubes")
+    assert code == 200 and body["cubes"][0]["name"] == "tpch_cube"
+    assert body["cubes"][0]["n_layouts"] > 0
+    code, body = _get(base, "/api/metrics")
+    assert code == 200 and body["metrics"].get("routed", 0) >= 1
+    code, body = _get(base, "/health")
+    assert code == 200 and body["status"] == "ok"
