@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from kylin_on_parquet_v2_spark.corpus.base import views
 from kylin_on_parquet_v2_spark.streaming.segments import (
     SEGMENT_COL,
+    _stream_shuffle,
     hybrid_union,
     ingest_segments,
     run_windowed_to_memory,
@@ -131,15 +132,16 @@ def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = spark.read.parquet(src).schema
     stream = spark.readStream.schema(schema).parquet(src)
     name = "stream_state_" + os.path.basename(os.path.abspath(sf_dir)).replace(".", "_")
-    q = (
-        running_totals(stream)
-        .writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
+    with _stream_shuffle(spark):
+        q = (
+            running_totals(stream)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
     return spark.table(name).select(
         "event_type",
         "n_total",

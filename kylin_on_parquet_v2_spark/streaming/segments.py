@@ -10,11 +10,32 @@ StreamingSegmentManager.java:178-181).
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 SEGMENT_COL = "__segment__"
+
+
+@contextmanager
+def _stream_shuffle(spark: SparkSession, n: int = 8):
+    """Pin ``spark.sql.shuffle.partitions`` low for a streaming run.
+
+    The state-store partition count is frozen from this setting at the
+    query's FIRST checkpoint and every micro-batch pays one state task per
+    partition — a batch-tuned 32 means 32 state stores per stateful op per
+    batch, pure overhead at harness data volumes. A production job sizes
+    this to key cardinality / executor count before the first start; the
+    restore in ``finally`` keeps the session's batch tuning intact.
+    """
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 def _normalize_ts(df: DataFrame, ts_col: str) -> DataFrame:
@@ -122,14 +143,15 @@ def run_windowed_to_memory(
     stream = spark.readStream.schema(schema).parquet(source_dir)
     stream = _normalize_ts(stream, ts_col)
     agg = windowed_aggregate(stream, ts_col=ts_col, window=window)
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(query_name)
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
+    with _stream_shuffle(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(query_name)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
     return spark.table(query_name)
 
 
@@ -196,14 +218,15 @@ def run_dedup_to_memory(
     )
     stream = _normalize_ts(stream, ts_col)
     deduped = stream.withWatermark(ts_col, watermark).dropDuplicates(list(key_cols))
-    q = (
-        deduped.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(query_name)
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
+    with _stream_shuffle(spark):
+        q = (
+            deduped.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(query_name)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
     return spark.table(query_name)
 
 
@@ -262,12 +285,13 @@ def run_stream_join_to_memory(
         ),
         "inner",
     )
-    q = (
-        joined.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(query_name)
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
+    with _stream_shuffle(spark):
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(query_name)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
     return spark.table(query_name)
