@@ -474,7 +474,29 @@ def cube_routed_month_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("y", "m", F.round("sum_qty", 2).alias("sum_qty"), "n")
 
 
+def cube_routed_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A cuboid query spelled through a WITH clause still routes: the
+    digest inlines CTEs with Catalyst's InlineCTE rule, mirroring the
+    reference's Calcite frontend (which inlines CTEs before OLAP
+    planning — its sql corpus uses WITH spellings freely)."""
+    eng = engine(spark, sf_dir)
+    df = eng.sql(
+        """
+        with flagged as (
+            select l_returnflag, sum(l_quantity) as sum_qty, count(*) as n
+            from lineitem
+            where l_linestatus = 'F'
+            group by l_returnflag
+        )
+        select * from flagged order by l_returnflag
+        """
+    )
+    assert eng.last_route is not None, "expected cuboid route for cube_routed_cte"
+    return df.select("l_returnflag", F.round("sum_qty", 2).alias("sum_qty"), "n")
+
+
 QUERIES = {
+    "cube_routed_cte": cube_routed_cte,
     "cube_routed_month_series": cube_routed_month_series,
     "cube_routed_dim_minmax": cube_routed_dim_minmax,
     "cube_routed_window_rank": cube_routed_window_rank,
@@ -498,6 +520,16 @@ QUERIES = {
 }
 
 ORACLES = {
+    "cube_routed_cte": """
+        with flagged as (
+            select l_returnflag, round(sum(l_quantity), 2) as sum_qty,
+                   count(*) as n
+            from lineitem
+            where l_linestatus = 'F'
+            group by l_returnflag
+        )
+        select * from flagged order by l_returnflag
+    """,
     "cube_routed_month_series": """
         select year(l_shipdate) as y, month(l_shipdate) as m,
                round(sum(l_quantity), 2) as sum_qty, count(*) as n

@@ -261,13 +261,30 @@ def _intersect_call(jexpr) -> tuple[str, str, tuple[str, ...]] | None:
 
 
 def _relation_name(node) -> str | None:
-    """SubqueryAlias over a view/relation -> alias name."""
-    if _cls(node) == "SubqueryAlias":
-        try:
-            return str(node.alias())
-        except Exception:
-            return None
-    return None
+    """SubqueryAlias over a BASE relation -> alias name.
+
+    The alias must bottom out in a real scan (View/Relation chain). An
+    alias over anything computed — a derived-table subquery, an inlined
+    CTE aggregate — is NOT a table: treating it as one would digest
+    ``from (select * from t where <inner filter>) t`` identically to the
+    unfiltered ``from t``, silently dropping the inner filter on a routed
+    answer. Those shapes return None -> undigestible -> pushdown (which is
+    always correct)."""
+    if _cls(node) != "SubqueryAlias":
+        return None
+    try:
+        name = str(node.alias())
+        probe = node.child()
+        # transparent name layers allowed below the alias
+        while _cls(probe) == "SubqueryAlias":
+            probe = probe.child()
+        # a View is a named registered relation — its body (including any
+        # projection in the view definition) IS the table the name denotes
+        if _cls(probe) in ("View", "LogicalRelation", "LocalRelation", "OneRowRelation"):
+            return name
+        return None
+    except Exception:
+        return None
 
 
 def _walk_from(node, digest: SqlDigest) -> bool:
@@ -320,6 +337,18 @@ def extract_digest(df: DataFrame) -> SqlDigest | None:
     """
     try:
         plan = df._jdf.queryExecution().analyzed()
+        if _cls(plan) == "WithCTE":
+            # WITH-clause queries: Catalyst keeps CTE defs as WithCTE/
+            # CTERelationRef in the analyzed plan. Inline them (the same
+            # InlineCTE rule the optimizer runs) so a cuboid-shaped query
+            # spelled through a CTE still routes — the reference's Calcite
+            # frontend inlines CTEs before planning, so its router never
+            # sees them either. alwaysInline: digest is read-only, and
+            # multi-referenced defs are fine to duplicate structurally.
+            jvm = df.sparkSession._jvm
+            plan = jvm.org.apache.spark.sql.catalyst.optimizer.InlineCTE(
+                True, False
+            ).apply(plan)
         return _extract(plan)
     except Exception:
         return None
@@ -352,6 +381,32 @@ def _extract(plan) -> SqlDigest | None:  # noqa: C901 — one dispatch walk
     # so they never affect WHICH cuboid can serve the query — the router
     # replays them with selectExpr above the routed aggregate
     # (OLAPWindowRel parity: windows sit above OLAPAggregateRel).
+    # Inlined-CTE passthrough: ``with t as (<agg>) select * from t``
+    # inlines to an exact-passthrough Project over SubqueryAlias over the
+    # CTE body. Both layers are transparent — same columns, same order —
+    # so skip them and digest the body. Anything that reorders, drops or
+    # computes columns fails the passthrough check and stays undigestible.
+    while _cls(node) == "Project":
+        inner = node.child()
+        hops = 0
+        while _cls(inner) == "SubqueryAlias":
+            inner = inner.child()
+            hops += 1
+        if hops == 0 or _cls(inner) in (
+            "View",
+            "LogicalRelation",
+            "LocalRelation",
+            "OneRowRelation",
+        ):
+            break  # a real table alias — the scan walk handles it
+        if not all(_cls(e) == "AttributeReference" for e in _seq(node.projectList())):
+            break
+        if [str(e.name()) for e in _seq(node.projectList())] != [
+            str(a.name()) for a in _seq(inner.output())
+        ]:
+            break
+        node = inner
+
     probe = node
     projs = []
     while _cls(probe) == "Project":

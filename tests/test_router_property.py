@@ -252,3 +252,24 @@ def test_group_expr_routes_equal_pushdown(spark, sql):
     eng = _engine(spark)
     eng.sql(sql, validate=True)
     assert eng.last_route is not None, f"expected route for: {sql}"
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(sql=agg_query(), wrap=st.sampled_from(["cte", "derived"]))
+def test_wrapped_spellings_route_and_match(spark, sql, wrap):
+    """CTE / derived-table spellings of routable aggregates must route to
+    the same answer: the digest inlines WithCTE and skips exact-passthrough
+    alias layers (and anything less than an exact passthrough falls back
+    to pushdown, never mis-routes)."""
+    eng = _engine(spark)
+    wrapped = (
+        f"with t as ({sql}) select * from t"
+        if wrap == "cte"
+        else f"select * from ({sql}) t"
+    )
+    eng.sql(wrapped, validate=True)  # raises on any divergence
+    assert eng.last_route is not None, f"expected route for: {wrapped}"
