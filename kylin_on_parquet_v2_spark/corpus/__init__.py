@@ -72,6 +72,13 @@ _PRIORITY = [
     "string_encode_funcs",
     "subquery_sql_text",
     "udf_pandas_vectorized",
+    "q7_volume_shipping",  # new in r04b: dimension-role aliasing (nation x2)
+    "q12_priority_lines",  # new in r04b: CASE-inside-SUM pivot counts
+    "q18_large_orders",  # new in r04b: IN over grouped-HAVING subquery
+    "q19_discounted_revenue",  # new in r04b: OR-of-ANDs disjunctive join
+    "sample_stratified",  # new in r04b: deterministic corpus mixing
+    "pack_token_budget",  # new in r04b: token-budget sequence packing
+    "cube_routed_cte",  # new in r04b: WITH-clause inlining before routing
     "cube_routed_window_rank",  # new in r04: window-over-aggregate routing
     "cube_routed_window_share",
     "cube_routed_window_lag",

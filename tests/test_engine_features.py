@@ -179,3 +179,4 @@ def test_tableau_quoted_identifiers_route(spark, tmp_path):
         ).collect()
     }
     assert {(r["rf"], r["s"]) for r in df.collect()} == flat
+

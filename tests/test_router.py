@@ -697,3 +697,72 @@ def test_group_expression_with_window_routes(engine):
         validate=True,
     )
     assert engine.last_route is not None
+
+
+def test_scheduler_pool_by_query_weight(engine):
+    """ResultPlan.scala:66-83 parity: the engine tags each query's jobs
+    with a scheduler pool matching its expected cost — exact cuboid hits
+    vip, routed re-aggregations light, pushdown scans heavy."""
+    sc = engine.spark.sparkContext
+    engine.sql(
+        """select l_returnflag, l_linestatus, sum(l_quantity) as s, count(*) as n
+           from lineitem group by l_returnflag, l_linestatus"""
+    )
+    assert engine.last_route is not None and engine.last_route.exact
+    assert sc.getLocalProperty("spark.scheduler.pool") == "vip"
+    # filter on a second dim forces re-aggregation from a wider cuboid
+    engine.sql(
+        """select l_returnflag, sum(l_quantity) as s from lineitem
+           where l_linestatus = 'F' group by l_returnflag"""
+    )
+    assert engine.last_route is not None and not engine.last_route.exact
+    assert sc.getLocalProperty("spark.scheduler.pool") == "light"
+    engine.sql("select l_returnflag, sum(l_tax) as s from lineitem group by l_returnflag")
+    assert engine.last_route is None
+    assert sc.getLocalProperty("spark.scheduler.pool") == "heavy"
+
+
+def test_storage_limit_pushdown_on_exact_hit(engine):
+    """Storage limit pushdown (GTCubeStorageQueryBase.java:190-196
+    StorageLimitLevel): an exact cuboid hit with LIMIT and no re-agg plans
+    as a limit directly over the layout scan — Catalyst keeps it a
+    CollectLimit/TakeOrdered, never a HashAggregate."""
+    df = engine.sql(
+        """select l_returnflag, l_linestatus, sum(l_quantity) as s
+           from lineitem group by l_returnflag, l_linestatus limit 3"""
+    )
+    assert engine.last_route is not None and engine.last_route.exact
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" not in plan, plan
+    assert "CollectLimit" in plan or "TakeOrdered" in plan, plan
+
+
+def test_cte_spelled_aggregate_routes(engine):
+    """WITH-clause spelling of a cuboid query routes like the plain form
+    (Calcite inlines CTEs before planning in the reference; our digest
+    applies Catalyst's InlineCTE rule the same way)."""
+    sql = """with t as (
+               select l_returnflag, sum(l_quantity) as s
+               from lineitem where l_linestatus = 'F' group by l_returnflag)
+             select * from t"""
+    engine.sql(sql, validate=True)
+    assert engine.last_route is not None
+
+
+def test_derived_table_inner_filter_never_routes(engine):
+    """REGRESSION (latent filter-loss bug): a derived-table subquery whose
+    INNER filter sits below the alias must NOT digest as a bare table scan
+    — treating the alias as the table would silently drop the filter from
+    the routed answer. The shape is refused -> pushdown, which answers it
+    correctly."""
+    sql = """select l_returnflag, sum(l_quantity) as s
+             from (select * from lineitem where l_quantity > 30) lineitem
+             group by l_returnflag"""
+    df = engine.sql(sql)
+    assert engine.last_route is None
+    # and the pushdown answer honors the inner filter
+    flat = {
+        (r["l_returnflag"], float(r["s"]))
+        for r in engine.pushdown(sql).collect()
+    }
+    assert {(r["l_returnflag"], float(r["s"])) for r in df.collect()} == flat
