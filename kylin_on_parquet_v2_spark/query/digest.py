@@ -354,6 +354,200 @@ def extract_digest(df: DataFrame) -> SqlDigest | None:
         return None
 
 
+@dataclass
+class JoinOfAggregates:
+    """A join of two independently-digestible aggregate subqueries — the
+    reference's multi-OLAPContext case: each star-join island accumulates
+    its own OLAPContext and is routed to its own realization
+    (OLAPContext.java:122-182 — one context per island; the enumerable join
+    above runs on the already-served results). The funnel/compare dashboard
+    shape: ``(routed agg A) join (routed agg B) on keys``."""
+
+    left: SqlDigest
+    right: SqlDigest
+    join_type: str  # inner | left
+    on: list[tuple[str, str]]  # (left output name, right output name)
+    select: list[str]  # outer projection over both sides' output names
+    sort: list[tuple[str, bool]] = field(default_factory=list)
+    limit: int | None = None
+
+
+def extract_join_digest(df: DataFrame) -> JoinOfAggregates | None:
+    """Best-effort digest of ``[Limit] [Sort] Project(Join(aggA, aggB))``
+    with disjoint output names and a conjunctive equality condition.
+    Returns None for anything else — pushdown remains the fallback."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if _cls(plan) == "WithCTE":
+            jvm = df.sparkSession._jvm
+            plan = jvm.org.apache.spark.sql.catalyst.optimizer.InlineCTE(
+                True, False
+            ).apply(plan)
+        return _extract_join(plan)
+    except Exception:
+        return None
+
+
+def _unwrap_alias(node):
+    while _cls(node) == "SubqueryAlias":
+        node = node.child()
+    return node
+
+
+def _extract_join(plan) -> JoinOfAggregates | None:
+    node = plan
+    limit = None
+    sort: list[tuple[str, bool]] = []
+    if _cls(node) == "GlobalLimit":
+        limit = int(node.limitExpr().sql())
+        node = node.child()
+        if _cls(node) == "LocalLimit":
+            node = node.child()
+    if _cls(node) == "Sort":
+        for so in _seq(node.order()):
+            child_sql = so.child().sql()
+            if not re.fullmatch(r"[`\w.]+", child_sql):
+                return None
+            sort.append(
+                (
+                    child_sql.replace("`", "").split(".")[-1],
+                    "ASC" in str(so.direction().sql()).upper(),
+                )
+            )
+        node = node.child()
+    if _cls(node) != "Project":
+        return None
+    entries = _seq(node.projectList())
+    if not all(_cls(e) == "AttributeReference" for e in entries):
+        return None
+    select = [str(e.name()) for e in entries]
+    if len(set(select)) != len(select):
+        return None
+    join = _unwrap_alias(node.child())
+    if _cls(join) != "Join":
+        return None
+    jt = str(join.joinType().sql()).strip().upper()
+    if jt not in ("INNER", "LEFT OUTER"):
+        return None
+    cond_opt = join.condition()
+    if not cond_opt.isDefined():
+        return None
+    left = _extract(_unwrap_alias(join.left()))
+    right = _extract(_unwrap_alias(join.right()))
+    if left is None or right is None:
+        return None
+    lnames = {s.name for s in left.select}
+    rnames = {s.name for s in right.select}
+    if lnames & rnames:
+        return None  # ambiguous attribute names across the two islands
+    # names are unique across the two islands (checked above), so table
+    # qualifiers are redundant — strip them before matching equality pairs
+    cond_sql = re.sub(r"\b\w+\.(?=\w)", "", cond_opt.get().sql().replace("`", ""))
+    pairs = re.findall(r"\(?\s*(\w+)\s*=\s*(\w+)\s*\)?", cond_sql)
+    residue = re.sub(r"\(?\s*\w+\s*=\s*\w+\s*\)?", "", cond_sql)
+    if not pairs or residue.replace("AND", "").strip(" ()"):
+        return None  # anything beyond conjunctive equality
+    on: list[tuple[str, str]] = []
+    for a, b in pairs:
+        if a in lnames and b in rnames:
+            on.append((a, b))
+        elif b in lnames and a in rnames:
+            on.append((b, a))
+        else:
+            return None
+    if not set(select) <= (lnames | rnames):
+        return None
+    return JoinOfAggregates(
+        left=left, right=right, join_type="left" if jt == "LEFT OUTER" else "inner",
+        on=on, select=select, sort=sort, limit=limit,
+    )
+
+
+@dataclass
+class UnionOfAggregates:
+    """UNION ALL whose branches are each independently-digestible aggregate
+    queries (reference OLAPUnionRel: each branch carries its own OLAPContext
+    and realization; UnionPlan.scala:28-44 folds the served results)."""
+
+    children: list[SqlDigest]
+    sort: list[tuple[str, bool]] = field(default_factory=list)
+    limit: int | None = None
+
+
+def extract_union_digest(df: DataFrame) -> UnionOfAggregates | None:
+    """Best-effort digest of ``[Limit] [Sort] Union(agg, agg, ...)``.
+    UNION ALL only (a Distinct above makes the result non-reconstructible
+    from per-branch routes without a final shuffle — pushdown handles it)."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if _cls(plan) == "WithCTE":
+            jvm = df.sparkSession._jvm
+            plan = jvm.org.apache.spark.sql.catalyst.optimizer.InlineCTE(
+                True, False
+            ).apply(plan)
+        node = plan
+        limit = None
+        sort: list[tuple[str, bool]] = []
+        if _cls(node) == "GlobalLimit":
+            limit = int(node.limitExpr().sql())
+            node = node.child()
+            if _cls(node) == "LocalLimit":
+                node = node.child()
+        if _cls(node) == "Sort":
+            for so in _seq(node.order()):
+                child_sql = so.child().sql()
+                if not re.fullmatch(r"[`\w.]+", child_sql):
+                    return None
+                sort.append(
+                    (
+                        child_sql.replace("`", "").split(".")[-1],
+                        "ASC" in str(so.direction().sql()).upper(),
+                    )
+                )
+            node = node.child()
+        if _cls(node) != "Union":
+            return None
+        children = []
+        for ch in _seq_children(node):
+            d = _extract(_unwrap_alias(ch))
+            if d is None or d.limit is not None or d.sort:
+                return None  # per-branch sort/limit: rare, keep pushdown
+            children.append(d)
+        if len(children) < 2:
+            return None
+        width = len(children[0].select)
+        if any(len(d.select) != width for d in children):
+            return None
+        return UnionOfAggregates(children=children, sort=sort, limit=limit)
+    except Exception:
+        return None
+
+
+def _seq_children(node) -> list:
+    it = node.children().iterator()
+    out = []
+    while it.hasNext():
+        out.append(it.next())
+    return out
+
+
+def _apply_outer_projection(digest: SqlDigest, outer_cols: list[str] | None):
+    """Apply a recorded reorder/subset projection (``select s, rf from t``
+    over an inlined CTE body) to the digest's select list. Group columns
+    stay grouped even when dropped from the output (plain projection
+    semantics); windowed digests refuse — the outer projection applies
+    ABOVE the window layers, which the router replays last."""
+    if outer_cols is None:
+        return digest
+    if digest.window_exprs or digest.window_projects or digest.hidden:
+        return None
+    by_name = {s.name: s for s in digest.select}
+    if not set(outer_cols) <= set(by_name):
+        return None
+    digest.select = [by_name[n] for n in outer_cols]
+    return digest
+
+
 def _extract(plan) -> SqlDigest | None:  # noqa: C901 — one dispatch walk
     digest = SqlDigest(tables=set(), joins=[], group_cols=[])
 
@@ -386,6 +580,7 @@ def _extract(plan) -> SqlDigest | None:  # noqa: C901 — one dispatch walk
     # CTE body. Both layers are transparent — same columns, same order —
     # so skip them and digest the body. Anything that reorders, drops or
     # computes columns fails the passthrough check and stays undigestible.
+    outer_cols: list[str] | None = None
     while _cls(node) == "Project":
         inner = node.child()
         hops = 0
@@ -399,13 +594,26 @@ def _extract(plan) -> SqlDigest | None:  # noqa: C901 — one dispatch walk
             "OneRowRelation",
         ):
             break  # a real table alias — the scan walk handles it
-        if not all(_cls(e) == "AttributeReference" for e in _seq(node.projectList())):
+        entries = _seq(node.projectList())
+        if not all(_cls(e) == "AttributeReference" for e in entries):
             break
-        if [str(e.name()) for e in _seq(node.projectList())] != [
-            str(a.name()) for a in _seq(inner.output())
-        ]:
-            break
-        node = inner
+        names = [str(e.name()) for e in entries]
+        inner_names = [str(a.name()) for a in _seq(inner.output())]
+        if names == inner_names:
+            node = inner
+            continue
+        # a pure reorder/subset of the body's outputs (``select s, rf from
+        # t``): record it once and apply to the digest's select list at the
+        # end — still only attribute references, so nothing is computed
+        if (
+            outer_cols is None
+            and len(set(names)) == len(names)
+            and set(names) <= set(inner_names)
+        ):
+            outer_cols = names
+            node = inner
+            continue
+        break
 
     probe = node
     projs = []
@@ -511,7 +719,7 @@ def _extract(plan) -> SqlDigest | None:  # noqa: C901 — one dispatch walk
             node = node.child()
         if not _walk_from(node, digest):
             return None
-        return digest
+        return _apply_outer_projection(digest, outer_cols)
 
     if _cls(node) != "Aggregate":
         return None
@@ -721,4 +929,4 @@ def _extract(plan) -> SqlDigest | None:  # noqa: C901 — one dispatch walk
 
     if not _walk_from(node, digest):
         return None
-    return digest
+    return _apply_outer_projection(digest, outer_cols)

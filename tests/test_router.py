@@ -766,3 +766,90 @@ def test_derived_table_inner_filter_never_routes(engine):
         for r in engine.pushdown(sql).collect()
     }
     assert {(r["l_returnflag"], float(r["s"])) for r in df.collect()} == flat
+
+
+def test_cte_reorder_and_subset_route(engine):
+    """Reorder/subset projections over an inlined CTE body still route:
+    the outer SELECT list is a pure attribute projection, applied to the
+    digest's select list (group columns stay grouped even when dropped
+    from the output)."""
+    reorder = """with t as (
+                   select l_returnflag, sum(l_quantity) as s
+                   from lineitem where l_linestatus = 'F' group by l_returnflag)
+                 select s, l_returnflag from t"""
+    subset = """with t as (
+                  select l_returnflag, l_linestatus, sum(l_quantity) as s
+                  from lineitem group by l_returnflag, l_linestatus)
+                select l_linestatus, s from t"""
+    for sql in (reorder, subset):
+        engine.sql(sql, validate=True)
+        assert engine.last_route is not None, sql
+
+
+def test_between_date_range_folds_segments(engine):
+    """BETWEEN on the partition column folds into BOTH segment bounds (the
+    BETWEEN-aware conjunct splitter keeps the range whole; the naive AND
+    split used to shred it into non-foldable halves)."""
+    sql = """select l_returnflag, sum(l_quantity) as s from lineitem
+             where l_shipdate between date '1995-06-01' and date '1995-08-15'
+             group by l_returnflag"""
+    df = engine.sql(sql, validate=True)
+    route = engine.last_route
+    assert route is not None and route.cube == "tpch_cube_seg"
+    assert len(route.segment_filters) == 2, route.segment_filters
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    seg_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert seg_lines and "__segment__" in seg_lines[0], plan
+
+
+def test_multi_context_join_of_aggregates_routes(engine):
+    """A join of two aggregate subqueries routes EACH island independently
+    (OLAPContext.java:122-182 — one context per star-join island; the
+    enumerable join above runs on the served results)."""
+    sql = """select a.l_returnflag, a.sum_qty, b.n_f
+             from (select l_returnflag, sum(l_quantity) as sum_qty
+                   from lineitem group by l_returnflag) a
+             join (select l_returnflag as rf2, count(*) as n_f
+                   from lineitem where l_linestatus = 'F'
+                   group by l_returnflag) b
+               on a.l_returnflag = b.rf2
+             order by a.l_returnflag"""
+    engine.sql(sql, validate=True)
+    assert len(engine.last_routes) == 2, engine.last_routes
+    assert engine.metrics["routed_multi_context"] >= 1
+
+
+def test_multi_context_requires_both_islands(engine):
+    """If one island cannot route (undeclared measure), the whole query
+    stays pushdown — no half-routed joins."""
+    sql = """select a.l_returnflag, a.sq, b.st
+             from (select l_returnflag, sum(l_quantity) as sq
+                   from lineitem group by l_returnflag) a
+             join (select l_returnflag as rf2, sum(l_tax) as st
+                   from lineitem group by l_returnflag) b
+               on a.l_returnflag = b.rf2"""
+    df = engine.sql(sql)
+    assert engine.last_route is None and df.count() > 0
+
+
+def test_union_all_of_aggregates_routes(engine):
+    """UNION ALL branches each route onto their own cuboid (OLAPUnionRel:
+    one context per branch, results folded positionally)."""
+    sql = """select l_returnflag as k, sum(l_quantity) as v
+             from lineitem group by l_returnflag
+             union all
+             select l_linestatus as k, sum(l_quantity) as v
+             from lineitem group by l_linestatus
+             order by k, v"""
+    engine.sql(sql, validate=True)
+    assert len(engine.last_routes) == 2, engine.last_routes
+
+
+def test_union_distinct_of_aggregates_stays_pushdown(engine):
+    """UNION (distinct) above aggregates needs a final dedup shuffle the
+    per-branch routes cannot reconstruct — refused, pushdown answers."""
+    sql = """select l_returnflag as k from lineitem group by l_returnflag
+             union
+             select l_linestatus as k from lineitem group by l_linestatus"""
+    df = engine.sql(sql)
+    assert engine.last_route is None and df.count() > 0
