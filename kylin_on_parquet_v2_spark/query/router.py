@@ -169,11 +169,29 @@ def _fold_segment_filters(digest: SqlDigest, inst: CubeInstance) -> list[str]:
         rf"'(\d{{4}}-\d{{2}}-\d{{2}})[^']*'\s*(?:AS\s+\w+\s*\)\s*)?\)*\s*",
         re.IGNORECASE,
     )
+    # Catalyst renders the BETWEEN predicate as the function spelling
+    # ``between(col, lo, hi)``; accept the infix form too (transformers /
+    # hand-built digests)
+    lit = r"(?:CAST\s*\(\s*)?(?:DATE|TIMESTAMP(?:_NTZ)?)\s*'(\d{4}-\d{2}-\d{2})[^']*'\s*(?:AS\s+\w+\s*\)\s*)?"
+    between_pat = re.compile(
+        rf"(?:between\(\s*{re.escape(pcol)}\s*,\s*{lit},\s*{lit}\)"
+        rf"|{re.escape(pcol)}\s+BETWEEN\s+{lit}AND\s+{lit})",
+        re.IGNORECASE,
+    )
     matches: list[tuple[str, str]] = []
-    for part in re.split(r"\bAND\b", sql, flags=re.IGNORECASE):
-        m = conjunct_pat.fullmatch(part.strip())
+    # _split_conjuncts is paren/quote/BETWEEN-aware, so a BETWEEN range on
+    # the partition column arrives as ONE conjunct and folds into both
+    # bounds (the naive AND-split used to shred it — a missed fold)
+    for part in _split_conjuncts(sql):
+        m = conjunct_pat.fullmatch(part)
         if m:
             matches.append((m.group(1), m.group(2)))
+            continue
+        b = between_pat.fullmatch(part)
+        if b:
+            lo, hi = (g for g in b.groups() if g is not None)
+            matches.append((">=", lo))
+            matches.append(("<=", hi))
     gran = inst.desc.segment_granularity
     out = []
     for op, lit in matches:
