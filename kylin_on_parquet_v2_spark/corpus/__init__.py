@@ -79,6 +79,8 @@ _PRIORITY = [
     "sample_stratified",  # new in r04b: deterministic corpus mixing
     "pack_token_budget",  # new in r04b: token-budget sequence packing
     "cube_routed_cte",  # new in r04b: WITH-clause inlining before routing
+    "cube_routed_join_contexts",  # new in r04b: per-island multi-context routing
+    "cube_routed_union_contexts",  # new in r04b: per-branch UNION ALL routing
     "cube_routed_window_rank",  # new in r04: window-over-aggregate routing
     "cube_routed_window_share",
     "cube_routed_window_lag",

@@ -495,8 +495,51 @@ def cube_routed_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("l_returnflag", F.round("sum_qty", 2).alias("sum_qty"), "n")
 
 
+def cube_routed_join_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-context routing (OLAPContext.java:122-182 — one context per
+    star-join island): a join of two aggregate subqueries routes EACH side
+    onto its own cuboid; the join runs over the served (tiny) results.
+    The compare-two-cohorts dashboard shape."""
+    eng = engine(spark, sf_dir)
+    df = eng.sql(
+        """
+        select a.l_returnflag, a.sum_qty, b.n_f
+        from (select l_returnflag, sum(l_quantity) as sum_qty
+              from lineitem group by l_returnflag) a
+        join (select l_returnflag as rf2, count(*) as n_f
+              from lineitem where l_linestatus = 'F'
+              group by l_returnflag) b
+          on a.l_returnflag = b.rf2
+        order by a.l_returnflag
+        """
+    )
+    assert len(eng.last_routes) == 2, "expected both islands routed"
+    return df.select("l_returnflag", F.round("sum_qty", 2).alias("sum_qty"), "n_f")
+
+
+def cube_routed_union_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL of two aggregates, each branch routed onto its own cuboid
+    (OLAPUnionRel parity — the reference's whole sql_union corpus runs on
+    cubes; UnionPlan.scala:28-44 folds per-context results)."""
+    eng = engine(spark, sf_dir)
+    df = eng.sql(
+        """
+        select l_returnflag as k, sum(l_quantity) as v
+        from lineitem group by l_returnflag
+        union all
+        select l_linestatus as k, sum(l_quantity) as v
+        from lineitem group by l_linestatus
+        order by k, v
+        """
+    )
+    assert len(eng.last_routes) == 2, "expected both union branches routed"
+    return df.select("k", F.round("v", 2).alias("v"))
+
+
 QUERIES = {
     "cube_routed_cte": cube_routed_cte,
+    "cube_routed_join_contexts": cube_routed_join_contexts,
+    "cube_routed_union_contexts": cube_routed_union_contexts,
     "cube_routed_month_series": cube_routed_month_series,
     "cube_routed_dim_minmax": cube_routed_dim_minmax,
     "cube_routed_window_rank": cube_routed_window_rank,
@@ -520,6 +563,26 @@ QUERIES = {
 }
 
 ORACLES = {
+    "cube_routed_union_contexts": """
+        select k, round(v, 2) as v from (
+            select l_returnflag as k, sum(l_quantity) as v
+            from lineitem group by l_returnflag
+            union all
+            select l_linestatus as k, sum(l_quantity) as v
+            from lineitem group by l_linestatus
+        ) u
+        order by k, v
+    """,
+    "cube_routed_join_contexts": """
+        select a.l_returnflag, round(a.sum_qty, 2) as sum_qty, b.n_f
+        from (select l_returnflag, sum(l_quantity) as sum_qty
+              from lineitem group by l_returnflag) a
+        join (select l_returnflag as rf2, count(*) as n_f
+              from lineitem where l_linestatus = 'F'
+              group by l_returnflag) b
+          on a.l_returnflag = b.rf2
+        order by a.l_returnflag
+    """,
     "cube_routed_cte": """
         with flagged as (
             select l_returnflag, round(sum(l_quantity), 2) as sum_qty,

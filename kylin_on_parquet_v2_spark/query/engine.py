@@ -19,11 +19,16 @@ import tempfile
 from collections import Counter, OrderedDict
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from kylin_on_parquet_v2_spark.cube.build import CubeBuilder, CubeInstance
 from kylin_on_parquet_v2_spark.metadata.cube import CubeDesc
 from kylin_on_parquet_v2_spark.metadata.model import DataModel
-from kylin_on_parquet_v2_spark.query.digest import extract_digest
+from kylin_on_parquet_v2_spark.query.digest import (
+    extract_digest,
+    extract_join_digest,
+    extract_union_digest,
+)
 from kylin_on_parquet_v2_spark.query.router import Route, execute_route, plan_route
 from kylin_on_parquet_v2_spark.session import get_spark, register_views
 
@@ -50,6 +55,9 @@ class OlapEngine:
         #: route taken by the last sql() call (None => pushdown); for tests
         #: and EXPLAIN-style introspection.
         self.last_route: Route | None = None
+        #: all routes taken by the last sql() call — multi-context queries
+        #: (join of aggregate islands) carry one per island
+        self.last_routes: list[Route] = []
         #: SQL massage chain (QueryUtil.massageSql parity): applied in order
         #: before analysis; pass transformers=[] to disable.
         self.transformers = (
@@ -212,11 +220,44 @@ class OlapEngine:
             return self.spark.createDataFrame(rows, schema)
         df = self.spark.sql(query, args=params) if params is not None else self.spark.sql(query)
         self.last_route = None
+        self.last_routes = []
         if not use_cube or not self.cubes:
             self._set_pool("heavy")
             return self._maybe_cache(cache_key, df)
         digest = extract_digest(df)
         if digest is None:
+            # multi-context: a join of two independently-routable aggregate
+            # islands (the reference's one-OLAPContext-per-island model,
+            # OLAPContext.java:122-182) — route each side, join the served
+            # results
+            jd = extract_join_digest(df)
+            try:
+                joined = (
+                    self._execute_join_digest(jd, approx_distinct)
+                    if jd is not None
+                    else None
+                )
+            except Exception:
+                joined = None  # analysis surprise — pushdown is always right
+                self.last_route, self.last_routes = None, []
+            if joined is None:
+                ud = extract_union_digest(df)
+                try:
+                    joined = (
+                        self._execute_union_digest(ud, approx_distinct)
+                        if ud is not None
+                        else None
+                    )
+                except Exception:
+                    joined = None
+                    self.last_route, self.last_routes = None, []
+            if joined is not None:
+                self.metrics["routed"] += 1
+                self.metrics["routed_multi_context"] += 1
+                self._set_pool("light")
+                if validate:
+                    self._assert_same(joined, df)
+                return self._maybe_cache(cache_key, joined)
             self.metrics["undigestible"] += 1
             self._set_pool("heavy")
             return self._maybe_cache(cache_key, df)
@@ -234,16 +275,7 @@ class OlapEngine:
             self._set_pool("heavy")
             return self._maybe_cache(cache_key, df)
 
-        def _cost(c: tuple[CubeInstance, Route]) -> tuple:
-            # exact-match hits first, then FEWEST LAYOUT ROWS (the real scan
-            # cost — RealizationChooser/Cuboid cost parity); dim count only
-            # as the tiebreak/fallback when row metadata is absent
-            inst_, route_ = c
-            # absent row metadata = unknown (sorts last); measured 0 = cheapest
-            rows = inst_.layout_rows.get(route_.cuboid.cuboid_id)
-            return (not route_.exact, float("inf") if rows is None else rows, route_.cuboid.n_dims)
-
-        inst, route = min(candidates, key=_cost)
+        inst, route = min(candidates, key=self._route_cost)
         self.metrics["routed"] += 1
         self._set_pool("vip" if route.exact else "light")
         if route.exact:
@@ -253,7 +285,89 @@ class OlapEngine:
         if validate:
             self._assert_same(routed, df)
         self.last_route = route
+        self.last_routes = [route]
         return self._maybe_cache(cache_key, routed)
+
+    @staticmethod
+    def _route_cost(c) -> tuple:
+        """Exact-match hits first, then FEWEST LAYOUT ROWS (the real scan
+        cost — RealizationChooser/Cuboid cost parity); dim count only as
+        the tiebreak/fallback when row metadata is absent (absent = unknown
+        sorts last; measured 0 = cheapest)."""
+        inst_, route_ = c
+        rows = inst_.layout_rows.get(route_.cuboid.cuboid_id)
+        return (
+            not route_.exact,
+            float("inf") if rows is None else rows,
+            route_.cuboid.n_dims,
+        )
+
+    def _execute_join_digest(self, jd, approx_distinct: bool) -> DataFrame | None:
+        """Route BOTH islands of a join-of-aggregates independently and join
+        the served results (reference: each OLAPContext picks its own
+        realization; the join above runs on already-aggregated rows — tiny
+        inputs, so Spark broadcasts one side). None unless both sides route."""
+        sides = []
+        for d in (jd.left, jd.right):
+            candidates = []
+            for inst in self.cubes.values():
+                route = plan_route(d, inst, approx_distinct=approx_distinct)
+                if route is not None:
+                    candidates.append((inst, route))
+            if not candidates:
+                return None
+            sides.append(min(candidates, key=self._route_cost))
+        (inst_l, route_l), (inst_r, route_r) = sides
+        df_l = execute_route(jd.left, inst_l, route_l, self.spark)
+        df_r = execute_route(jd.right, inst_r, route_r, self.spark)
+        cond = None
+        for a, b in jd.on:
+            c = df_l[a] == df_r[b]
+            cond = c if cond is None else (cond & c)
+        out = df_l.join(df_r, cond, jd.join_type).select(*jd.select)
+        if jd.sort:
+            out = out.orderBy(
+                *[F.col(c).asc() if asc else F.col(c).desc() for c, asc in jd.sort]
+            )
+        if jd.limit is not None:
+            out = out.limit(jd.limit)
+        for inst, route in sides:
+            self.metrics[f"cube:{route.cube}"] += 1
+        self.last_routes = [route_l, route_r]
+        self.last_route = route_l
+        return out
+
+    def _execute_union_digest(self, ud, approx_distinct: bool) -> DataFrame | None:
+        """Route every UNION ALL branch independently (OLAPUnionRel parity:
+        one context and realization per branch; UnionPlan.scala:28-44 folds
+        the served results positionally). None unless ALL branches route."""
+        dfs, routes = [], []
+        for d in ud.children:
+            candidates = []
+            for inst in self.cubes.values():
+                route = plan_route(d, inst, approx_distinct=approx_distinct)
+                if route is not None:
+                    candidates.append((inst, route))
+            if not candidates:
+                return None
+            inst, route = min(candidates, key=self._route_cost)
+            routes.append(route)
+            dfs.append(execute_route(d, inst, route, self.spark))
+        first_cols = dfs[0].columns
+        out = dfs[0]
+        for x in dfs[1:]:
+            out = out.union(x.toDF(*first_cols))  # positional, like UNION ALL
+        if ud.sort:
+            out = out.orderBy(
+                *[F.col(c).asc() if asc else F.col(c).desc() for c, asc in ud.sort]
+            )
+        if ud.limit is not None:
+            out = out.limit(ud.limit)
+        for route in routes:
+            self.metrics[f"cube:{route.cube}"] += 1
+        self.last_routes = routes
+        self.last_route = routes[0]
+        return out
 
     def _set_pool(self, pool: str) -> None:
         """Scheduler pool by query weight (ResultPlan.scala:66-83 parity —
