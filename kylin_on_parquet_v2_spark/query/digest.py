@@ -426,21 +426,48 @@ def _extract_join(plan) -> JoinOfAggregates | None:
     join = _unwrap_alias(node.child())
     if _cls(join) != "Join":
         return None
+    island = _join_island(join)
+    if island is None:
+        return None
+    if not set(select) <= set(island.select):
+        return None
+    island.select = select
+    island.sort = sort
+    island.limit = limit
+    return island
+
+
+def _island_names(x) -> list[str]:
+    return x.select if isinstance(x, JoinOfAggregates) else [s.name for s in x.select]
+
+
+def _join_island(join) -> JoinOfAggregates | None:
+    """Digest a (possibly nested) Join of aggregate islands: each side is
+    either a digestible aggregate or another Join — the reference's
+    n-context case (every island still gets its own realization; the join
+    tree above runs on served results)."""
     jt = str(join.joinType().sql()).strip().upper()
     if jt not in ("INNER", "LEFT OUTER"):
         return None
     cond_opt = join.condition()
     if not cond_opt.isDefined():
         return None
-    left = _extract(_unwrap_alias(join.left()))
-    right = _extract(_unwrap_alias(join.right()))
+
+    def _side(n):
+        n = _unwrap_alias(n)
+        if _cls(n) == "Join":
+            return _join_island(n)
+        return _extract(n)
+
+    left = _side(join.left())
+    right = _side(join.right())
     if left is None or right is None:
         return None
-    lnames = {s.name for s in left.select}
-    rnames = {s.name for s in right.select}
-    if lnames & rnames:
-        return None  # ambiguous attribute names across the two islands
-    # names are unique across the two islands (checked above), so table
+    lnames = set(_island_names(left))
+    rnames = set(_island_names(right))
+    if lnames & rnames or len(lnames) != len(_island_names(left)):
+        return None  # ambiguous attribute names across islands
+    # names are unique across the islands (checked above), so table
     # qualifiers are redundant — strip them before matching equality pairs
     cond_sql = re.sub(r"\b\w+\.(?=\w)", "", cond_opt.get().sql().replace("`", ""))
     pairs = re.findall(r"\(?\s*(\w+)\s*=\s*(\w+)\s*\)?", cond_sql)
@@ -455,11 +482,9 @@ def _extract_join(plan) -> JoinOfAggregates | None:
             on.append((b, a))
         else:
             return None
-    if not set(select) <= (lnames | rnames):
-        return None
     return JoinOfAggregates(
         left=left, right=right, join_type="left" if jt == "LEFT OUTER" else "inner",
-        on=on, select=select, sort=sort, limit=limit,
+        on=on, select=_island_names(left) + _island_names(right),
     )
 
 

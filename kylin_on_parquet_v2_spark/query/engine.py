@@ -25,6 +25,7 @@ from kylin_on_parquet_v2_spark.cube.build import CubeBuilder, CubeInstance
 from kylin_on_parquet_v2_spark.metadata.cube import CubeDesc
 from kylin_on_parquet_v2_spark.metadata.model import DataModel
 from kylin_on_parquet_v2_spark.query.digest import (
+    JoinOfAggregates,
     extract_digest,
     extract_join_digest,
     extract_union_digest,
@@ -303,39 +304,53 @@ class OlapEngine:
         )
 
     def _execute_join_digest(self, jd, approx_distinct: bool) -> DataFrame | None:
-        """Route BOTH islands of a join-of-aggregates independently and join
-        the served results (reference: each OLAPContext picks its own
-        realization; the join above runs on already-aggregated rows — tiny
-        inputs, so Spark broadcasts one side). None unless both sides route."""
-        sides = []
-        for d in (jd.left, jd.right):
-            candidates = []
-            for inst in self.cubes.values():
-                route = plan_route(d, inst, approx_distinct=approx_distinct)
-                if route is not None:
-                    candidates.append((inst, route))
-            if not candidates:
-                return None
-            sides.append(min(candidates, key=self._route_cost))
-        (inst_l, route_l), (inst_r, route_r) = sides
-        df_l = execute_route(jd.left, inst_l, route_l, self.spark)
-        df_r = execute_route(jd.right, inst_r, route_r, self.spark)
-        cond = None
-        for a, b in jd.on:
-            c = df_l[a] == df_r[b]
-            cond = c if cond is None else (cond & c)
-        out = df_l.join(df_r, cond, jd.join_type).select(*jd.select)
+        """Route every island of a (possibly nested) join-of-aggregates
+        independently and join the served results (reference: each
+        OLAPContext picks its own realization; the join tree above runs on
+        already-aggregated rows — tiny inputs, so Spark broadcasts sides).
+        None unless ALL islands route."""
+        routes: list[Route] = []
+        out = self._execute_island(jd, approx_distinct, routes)
+        if out is None:
+            return None
+        out = out.select(*jd.select)
         if jd.sort:
             out = out.orderBy(
                 *[F.col(c).asc() if asc else F.col(c).desc() for c, asc in jd.sort]
             )
         if jd.limit is not None:
             out = out.limit(jd.limit)
-        for inst, route in sides:
+        for route in routes:
             self.metrics[f"cube:{route.cube}"] += 1
-        self.last_routes = [route_l, route_r]
-        self.last_route = route_l
+        self.last_routes = routes
+        self.last_route = routes[0]
         return out
+
+    def _execute_island(self, x, approx_distinct: bool, routes: list) -> DataFrame | None:
+        """Serve one island: a nested join recurses; a leaf digest routes
+        onto its best cuboid (appending to ``routes``)."""
+        if isinstance(x, JoinOfAggregates):
+            df_l = self._execute_island(x.left, approx_distinct, routes)
+            if df_l is None:
+                return None
+            df_r = self._execute_island(x.right, approx_distinct, routes)
+            if df_r is None:
+                return None
+            cond = None
+            for a, b in x.on:
+                c = df_l[a] == df_r[b]
+                cond = c if cond is None else (cond & c)
+            return df_l.join(df_r, cond, x.join_type)
+        candidates = []
+        for inst in self.cubes.values():
+            route = plan_route(x, inst, approx_distinct=approx_distinct)
+            if route is not None:
+                candidates.append((inst, route))
+        if not candidates:
+            return None
+        inst, route = min(candidates, key=self._route_cost)
+        routes.append(route)
+        return execute_route(x, inst, route, self.spark)
 
     def _execute_union_digest(self, ud, approx_distinct: bool) -> DataFrame | None:
         """Route every UNION ALL branch independently (OLAPUnionRel parity:
@@ -417,6 +432,11 @@ class OlapEngine:
             if route is not None
             else "route: none (pushdown — plain spark.sql)"
         )
+        if len(self.last_routes) > 1:
+            head += (
+                f"\nmulti-context: {len(self.last_routes)} islands -> "
+                f"{[(r.cube, r.cuboid.dims) for r in self.last_routes]}"
+            )
         plan = df._jdf.queryExecution().executedPlan().toString()
         return head + "\n" + plan
 

@@ -853,3 +853,22 @@ def test_union_distinct_of_aggregates_stays_pushdown(engine):
              select l_linestatus as k from lineitem group by l_linestatus"""
     df = engine.sql(sql)
     assert engine.last_route is None and df.count() > 0
+
+
+def test_three_way_multi_context_join_routes(engine):
+    """Nested joins of THREE aggregate islands all route (one context per
+    island, recursive join tree over served results)."""
+    sql = """select a.l_returnflag, a.sq, b.n_f, c.n_o
+             from (select l_returnflag, sum(l_quantity) as sq
+                   from lineitem group by l_returnflag) a
+             join (select l_returnflag as rf2, count(*) as n_f
+                   from lineitem where l_linestatus = 'F'
+                   group by l_returnflag) b
+               on a.l_returnflag = b.rf2
+             join (select l_returnflag as rf3, count(*) as n_o
+                   from lineitem where l_linestatus = 'O'
+                   group by l_returnflag) c
+               on a.l_returnflag = c.rf3
+             order by a.l_returnflag"""
+    engine.sql(sql, validate=True)
+    assert len(engine.last_routes) == 3, engine.last_routes
