@@ -8,6 +8,7 @@ Usage:
     python -m kylin_on_parquet_v2_spark.cli --no-cube "select ..."  # pushdown only
     python -m kylin_on_parquet_v2_spark.cli --build-only            # build cubes, exit
     python -m kylin_on_parquet_v2_spark.cli --serve --port 7070     # REST endpoint
+    python -m kylin_on_parquet_v2_spark.cli -i                      # interactive shell
 """
 
 from __future__ import annotations
@@ -33,12 +34,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--explain", action="store_true", help="print route + physical plan")
     p.add_argument("--build-only", action="store_true", help="build cubes and exit")
     p.add_argument("--serve", action="store_true", help="start the HTTP query server")
+    p.add_argument("-i", "--interactive", action="store_true", help="SQL REPL")
     p.add_argument("--port", type=int, default=7070, help="HTTP port for --serve")
     p.add_argument("-n", "--rows", type=int, default=50, help="max rows to print")
     args = p.parse_args(argv)
 
-    if not args.sql and not args.build_only and not args.serve:
-        p.error("provide SQL, --build-only, or --serve")
+    if not args.sql and not args.build_only and not args.serve and not args.interactive:
+        p.error("provide SQL, --build-only, --serve, or --interactive")
 
     from kylin_on_parquet_v2_spark.datasets import (
         TPCH_CUBE,
@@ -73,6 +75,8 @@ def main(argv: list[str] | None = None) -> int:
 
         serve(eng, port=args.port)
         return 0
+    if args.interactive:
+        return _repl(eng, args)
 
     if args.explain:
         print(eng.explain(args.sql, approx_distinct=args.approx_distinct))
@@ -89,6 +93,51 @@ def main(argv: list[str] | None = None) -> int:
         else "pushdown (spark.sql)"
     )
     print(f"[{took:.2f}s via {via}]", file=sys.stderr)
+    return 0
+
+
+def _repl(eng, args) -> int:
+    """Line-oriented SQL shell: statements end with ';', 'explain <sql>;'
+    prints the routing decision, 'exit;' leaves. Mirrors the reference's
+    ad-hoc query console (its web UI 'Insight' tab) at terminal scale."""
+    try:
+        import readline  # noqa: F401 — line editing/history when available
+    except ImportError:
+        pass
+    print("sql> ", end="", flush=True)
+    buf: list[str] = []
+    for line in sys.stdin:
+        buf.append(line)
+        if not line.rstrip().endswith(";"):
+            print("...> ", end="", flush=True)
+            continue
+        stmt = " ".join(buf).strip().rstrip(";").strip()
+        buf = []
+        if stmt.lower() in ("exit", "quit"):
+            return 0
+        try:
+            if stmt.lower().startswith("explain "):
+                print(eng.explain(stmt[8:], approx_distinct=args.approx_distinct))
+            elif stmt:
+                t0 = time.perf_counter()
+                df = eng.sql(
+                    stmt,
+                    use_cube=not args.no_cube,
+                    approx_distinct=args.approx_distinct,
+                )
+                df.show(args.rows, truncate=False)
+                route = eng.last_route
+                via = (
+                    f"cuboid {route.cuboid.dims} of {route.cube}"
+                    if route is not None
+                    else "pushdown"
+                )
+                if len(eng.last_routes) > 1:
+                    via += f" (+{len(eng.last_routes) - 1} more islands)"
+                print(f"[{time.perf_counter() - t0:.2f}s via {via}]")
+        except Exception as exc:  # keep the shell alive on bad SQL
+            print(f"error: {str(exc).splitlines()[0] if str(exc) else exc!r}")
+        print("sql> ", end="", flush=True)
     return 0
 
 
