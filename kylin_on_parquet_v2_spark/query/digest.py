@@ -490,19 +490,23 @@ def _join_island(join) -> JoinOfAggregates | None:
 
 @dataclass
 class UnionOfAggregates:
-    """UNION ALL whose branches are each independently-digestible aggregate
-    queries (reference OLAPUnionRel: each branch carries its own OLAPContext
-    and realization; UnionPlan.scala:28-44 folds the served results)."""
+    """A set operation whose branches are each independently-digestible
+    aggregate queries (reference OLAPUnionRel: each branch carries its own
+    OLAPContext and realization; UnionPlan.scala:28-44 folds the served
+    results — UNION-distinct adds the same final dedup Calcite adds, and
+    INTERSECT/EXCEPT go beyond the reference, which pushes them down)."""
 
     children: list[SqlDigest]
+    #: union_all | union_distinct | intersect | intersect_all |
+    #: except_distinct | except_all
+    op: str = "union_all"
     sort: list[tuple[str, bool]] = field(default_factory=list)
     limit: int | None = None
 
 
 def extract_union_digest(df: DataFrame) -> UnionOfAggregates | None:
-    """Best-effort digest of ``[Limit] [Sort] Union(agg, agg, ...)``.
-    UNION ALL only (a Distinct above makes the result non-reconstructible
-    from per-branch routes without a final shuffle — pushdown handles it)."""
+    """Best-effort digest of ``[Limit] [Sort] <setop>(agg, agg, ...)`` where
+    <setop> is Union, Distinct(Union), Intersect or Except."""
     try:
         plan = df._jdf.queryExecution().analyzed()
         if _cls(plan) == "WithCTE":
@@ -530,7 +534,19 @@ def extract_union_digest(df: DataFrame) -> UnionOfAggregates | None:
                     )
                 )
             node = node.child()
-        if _cls(node) != "Union":
+        op = None
+        if _cls(node) == "Distinct" and _cls(node.child()) == "Union":
+            op = "union_distinct"
+            node = node.child()
+        elif _cls(node) == "Union":
+            op = "union_all"
+        elif _cls(node) in ("Intersect", "Except"):
+            base = "intersect" if _cls(node) == "Intersect" else "except"
+            all_form = bool(node.isAll())
+            op = f"{base}_all" if all_form else (
+                "intersect" if base == "intersect" else "except_distinct"
+            )
+        else:
             return None
         children = []
         for ch in _seq_children(node):
@@ -543,7 +559,7 @@ def extract_union_digest(df: DataFrame) -> UnionOfAggregates | None:
         width = len(children[0].select)
         if any(len(d.select) != width for d in children):
             return None
-        return UnionOfAggregates(children=children, sort=sort, limit=limit)
+        return UnionOfAggregates(children=children, op=op, sort=sort, limit=limit)
     except Exception:
         return None
 

@@ -371,7 +371,21 @@ class OlapEngine:
         first_cols = dfs[0].columns
         out = dfs[0]
         for x in dfs[1:]:
-            out = out.union(x.toDF(*first_cols))  # positional, like UNION ALL
+            x = x.toDF(*first_cols)  # positional resolution, like SQL set ops
+            if ud.op in ("union_all", "union_distinct"):
+                out = out.union(x)
+            elif ud.op == "intersect":
+                out = out.intersect(x)
+            elif ud.op == "intersect_all":
+                out = out.intersectAll(x)
+            elif ud.op == "except_distinct":
+                out = out.subtract(x)
+            elif ud.op == "except_all":
+                out = out.exceptAll(x)
+            else:
+                return None
+        if ud.op == "union_distinct":
+            out = out.distinct()
         if ud.sort:
             out = out.orderBy(
                 *[F.col(c).asc() if asc else F.col(c).desc() for c, asc in ud.sort]

@@ -845,14 +845,16 @@ def test_union_all_of_aggregates_routes(engine):
     assert len(engine.last_routes) == 2, engine.last_routes
 
 
-def test_union_distinct_of_aggregates_stays_pushdown(engine):
-    """UNION (distinct) above aggregates needs a final dedup shuffle the
-    per-branch routes cannot reconstruct — refused, pushdown answers."""
-    sql = """select l_returnflag as k from lineitem group by l_returnflag
-             union
-             select l_linestatus as k from lineitem group by l_linestatus"""
-    df = engine.sql(sql)
-    assert engine.last_route is None and df.count() > 0
+def test_setops_of_aggregates_route(engine):
+    """UNION (distinct), INTERSECT and EXCEPT of routable aggregates route
+    per-branch; the final set-op runs over the served (tiny) results —
+    beyond the reference, which pushes INTERSECT/EXCEPT down entirely."""
+    for op in ("union", "intersect", "except"):
+        sql = f"""select l_returnflag as k from lineitem group by l_returnflag
+                  {op}
+                  select l_linestatus as k from lineitem group by l_linestatus"""
+        engine.sql(sql, validate=True)
+        assert len(engine.last_routes) == 2, (op, engine.last_routes)
 
 
 def test_three_way_multi_context_join_routes(engine):
