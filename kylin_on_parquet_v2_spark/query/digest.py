@@ -564,6 +564,99 @@ def extract_union_digest(df: DataFrame) -> UnionOfAggregates | None:
         return None
 
 
+@dataclass
+class AggOverUnion:
+    """A final re-aggregation above a UNION ALL of routable aggregate
+    islands — the year-over-year dashboard shape: ``select k, sum(v) from
+    (agg-period-1 union all agg-period-2) group by k``. Each branch routes
+    to its own cuboid; the outer aggregate then runs over the served union
+    (tiny input), exactly like the reference's final Calcite aggregate over
+    per-context results."""
+
+    base: UnionOfAggregates
+    group_cols: list[str]
+    #: ordered outputs: (name, None) for a group passthrough, (name, sql)
+    #: for an aggregate expression over the union's output columns
+    select: list[tuple[str, str | None]]
+    sort: list[tuple[str, bool]] = field(default_factory=list)
+    limit: int | None = None
+
+
+def extract_agg_over_union(df: DataFrame) -> AggOverUnion | None:
+    """Best-effort digest of ``[Limit] [Sort] Aggregate(Union(agg, ...))``.
+    The outer aggregate needs no routing semantics of its own — it is
+    re-executed verbatim over the served union, so any aggregate expression
+    Spark can parse is acceptable."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if _cls(plan) == "WithCTE":
+            jvm = df.sparkSession._jvm
+            plan = jvm.org.apache.spark.sql.catalyst.optimizer.InlineCTE(
+                True, False
+            ).apply(plan)
+        node = plan
+        limit = None
+        sort: list[tuple[str, bool]] = []
+        if _cls(node) == "GlobalLimit":
+            limit = int(node.limitExpr().sql())
+            node = node.child()
+            if _cls(node) == "LocalLimit":
+                node = node.child()
+        if _cls(node) == "Sort":
+            for so in _seq(node.order()):
+                child_sql = so.child().sql()
+                if not re.fullmatch(r"[`\w.]+", child_sql):
+                    return None
+                sort.append(
+                    (
+                        child_sql.replace("`", "").split(".")[-1],
+                        "ASC" in str(so.direction().sql()).upper(),
+                    )
+                )
+            node = node.child()
+        if _cls(node) != "Aggregate":
+            return None
+        union = _unwrap_alias(node.child())
+        if _cls(union) != "Union":
+            return None
+        group_cols: list[str] = []
+        for g in _seq(node.groupingExpressions()):
+            if _cls(g) != "AttributeReference":
+                return None
+            group_cols.append(str(g.name()))
+        select: list[tuple[str, str | None]] = []
+        for e in _seq(node.aggregateExpressions()):
+            if _cls(e) == "AttributeReference":
+                if str(e.name()) not in group_cols:
+                    return None
+                select.append((str(e.name()), None))
+            elif _cls(e) == "Alias":
+                refs = _attr_names(e)
+                usql = _unqualify(e.child().sql(), refs)
+                if usql is None:
+                    return None
+                select.append((str(e.name()), usql))
+            else:
+                return None
+        children = []
+        for ch in _seq_children(union):
+            d = _extract(_unwrap_alias(ch))
+            if d is None or d.limit is not None or d.sort:
+                return None
+            children.append(d)
+        if len(children) < 2:
+            return None
+        width = len(children[0].select)
+        if any(len(c.select) != width for c in children):
+            return None
+        base = UnionOfAggregates(children=children, op="union_all")
+        return AggOverUnion(
+            base=base, group_cols=group_cols, select=select, sort=sort, limit=limit
+        )
+    except Exception:
+        return None
+
+
 def _seq_children(node) -> list:
     it = node.children().iterator()
     out = []

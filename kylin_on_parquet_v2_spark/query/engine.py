@@ -26,6 +26,7 @@ from kylin_on_parquet_v2_spark.metadata.cube import CubeDesc
 from kylin_on_parquet_v2_spark.metadata.model import DataModel
 from kylin_on_parquet_v2_spark.query.digest import (
     JoinOfAggregates,
+    extract_agg_over_union,
     extract_digest,
     extract_join_digest,
     extract_union_digest,
@@ -252,6 +253,17 @@ class OlapEngine:
                 except Exception:
                     joined = None
                     self.last_route, self.last_routes = None, []
+            if joined is None:
+                ad = extract_agg_over_union(df)
+                try:
+                    joined = (
+                        self._execute_agg_over_union(ad, approx_distinct)
+                        if ad is not None
+                        else None
+                    )
+                except Exception:
+                    joined = None
+                    self.last_route, self.last_routes = None, []
             if joined is not None:
                 self.metrics["routed"] += 1
                 self.metrics["routed_multi_context"] += 1
@@ -396,6 +408,27 @@ class OlapEngine:
             self.metrics[f"cube:{route.cube}"] += 1
         self.last_routes = routes
         self.last_route = routes[0]
+        return out
+
+    def _execute_agg_over_union(self, ad, approx_distinct: bool) -> DataFrame | None:
+        """Serve the union branches from their cuboids, then re-run the
+        outer aggregate verbatim over the served (tiny) union."""
+        base = self._execute_union_digest(ad.base, approx_distinct)
+        if base is None:
+            return None
+        aggs = [F.expr(sql).alias(n) for n, sql in ad.select if sql is not None]
+        if aggs:
+            out = base.groupBy(*ad.group_cols).agg(*aggs)
+        else:
+            # aggregate with no agg calls == SELECT DISTINCT of the groups
+            out = base.select(*ad.group_cols).distinct()
+        out = out.select(*[n for n, _ in ad.select])
+        if ad.sort:
+            out = out.orderBy(
+                *[F.col(c).asc() if asc else F.col(c).desc() for c, asc in ad.sort]
+            )
+        if ad.limit is not None:
+            out = out.limit(ad.limit)
         return out
 
     def _set_pool(self, pool: str) -> None:

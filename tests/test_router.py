@@ -874,3 +874,21 @@ def test_three_way_multi_context_join_routes(engine):
              order by a.l_returnflag"""
     engine.sql(sql, validate=True)
     assert len(engine.last_routes) == 3, engine.last_routes
+
+
+def test_agg_over_union_of_islands_routes(engine):
+    """The year-over-year shape: re-aggregation ABOVE a union of routable
+    aggregates — branches serve from cuboids, the outer aggregate re-runs
+    over the served union."""
+    sql = """select k, round(sum(v), 2) as total, count(*) as n_branches
+             from (
+               select l_returnflag as k, sum(l_quantity) as v
+               from lineitem where l_linestatus = 'F' group by l_returnflag
+               union all
+               select l_returnflag as k, sum(l_quantity) as v
+               from lineitem where l_linestatus = 'O' group by l_returnflag
+             ) u
+             group by k
+             order by k"""
+    engine.sql(sql, validate=True)
+    assert len(engine.last_routes) == 2, engine.last_routes
