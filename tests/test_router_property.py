@@ -273,3 +273,29 @@ def test_wrapped_spellings_route_and_match(spark, sql, wrap):
     )
     eng.sql(wrapped, validate=True)  # raises on any divergence
     assert eng.last_route is not None, f"expected route for: {wrapped}"
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    chain=st.sampled_from(sorted(JOIN_SETS, key=len)),
+    n_group=st.integers(min_value=1, max_value=2),
+    op=st.sampled_from(["union all", "union", "intersect", "except"]),
+    fa=st.sampled_from(FILTERS[1:3]),
+    fb=st.sampled_from(FILTERS[1:3]),
+)
+def test_setop_spellings_match_pushdown(spark, chain, n_group, op, fa, fb):
+    """Set operations over two same-shaped aggregate islands (differing
+    filters) must match pushdown whether they route per-branch or not."""
+    eng = _engine(spark)
+    cols = sorted(REACHABLE[chain])[:n_group]
+    sel = ", ".join(cols + ["sum(l_quantity) as sq", "count(*) as n"])
+    base = f"select {sel} from lineitem " + " ".join(JOIN_SETS[chain])
+    grp = " group by " + ", ".join(cols)
+    sql = f"{base} where {fa}{grp} {op} {base} where {fb}{grp}"
+    eng.sql(sql, validate=True)  # raises on any divergence
+    # per-branch routing expected for these shapes
+    assert len(eng.last_routes) == 2, (op, sql)
