@@ -367,9 +367,12 @@ class JoinOfAggregates:
     right: SqlDigest
     join_type: str  # inner | left
     on: list[tuple[str, str]]  # (left output name, right output name)
-    select: list[str]  # outer projection over both sides' output names
+    select: list[str]  # outer output names, in order
     sort: list[tuple[str, bool]] = field(default_factory=list)
     limit: int | None = None
+    #: ordered outer outputs: (name, None) = bare island column, (name, sql)
+    #: = scalar expression over island columns re-run above the served join
+    project: list[tuple[str, str | None]] | None = None
 
 
 def extract_join_digest(df: DataFrame) -> JoinOfAggregates | None:
@@ -418,10 +421,27 @@ def _extract_join(plan) -> JoinOfAggregates | None:
     if _cls(node) != "Project":
         return None
     entries = _seq(node.projectList())
-    if not all(_cls(e) == "AttributeReference" for e in entries):
-        return None
-    select = [str(e.name()) for e in entries]
-    if len(set(select)) != len(select):
+    # outputs may be bare island columns OR scalar expressions over them
+    # (``b.n / a.n as ratio`` — the compare-two-cohorts dashboard); the
+    # expression is re-run verbatim above the served join
+    select: list[str] = []
+    exprs: list[tuple[str, str | None]] = []
+    for e in entries:
+        if _cls(e) == "AttributeReference":
+            name = str(e.name())
+            select.append(name)
+            exprs.append((name, None))
+        elif _cls(e) == "Alias":
+            refs = _attr_names(e)
+            usql = _unqualify(e.child().sql(), refs)
+            if usql is None or re.search(r"\bover\s*\(", usql, re.IGNORECASE):
+                return None  # window calls need their own ordering context
+            select.extend(sorted(refs))
+            exprs.append((str(e.name()), usql))
+        else:
+            return None
+    out_names = [n for n, _ in exprs]
+    if len(set(out_names)) != len(out_names):
         return None
     join = _unwrap_alias(node.child())
     if _cls(join) != "Join":
@@ -431,7 +451,8 @@ def _extract_join(plan) -> JoinOfAggregates | None:
         return None
     if not set(select) <= set(island.select):
         return None
-    island.select = select
+    island.project = exprs
+    island.select = [n for n, _ in exprs]
     island.sort = sort
     island.limit = limit
     return island

@@ -325,7 +325,12 @@ class OlapEngine:
         out = self._execute_island(jd, approx_distinct, routes)
         if out is None:
             return None
-        out = out.select(*jd.select)
+        if jd.project:
+            out = out.selectExpr(
+                *[f"{sql} AS `{n}`" if sql else f"`{n}`" for n, sql in jd.project]
+            )
+        else:
+            out = out.select(*jd.select)
         if jd.sort:
             out = out.orderBy(
                 *[F.col(c).asc() if asc else F.col(c).desc() for c, asc in jd.sort]

@@ -892,3 +892,19 @@ def test_agg_over_union_of_islands_routes(engine):
              order by k"""
     engine.sql(sql, validate=True)
     assert len(engine.last_routes) == 2, engine.last_routes
+
+
+def test_scalar_projection_over_join_islands_routes(engine):
+    """Ratio/share dashboards: a computed projection over two routed
+    aggregate islands (``b.n / a.n``) re-runs above the served join."""
+    sql = """select a.l_returnflag,
+                    round(b.n_f / a.n_all, 4) as f_share
+             from (select l_returnflag, count(*) as n_all
+                   from lineitem group by l_returnflag) a
+             join (select l_returnflag as rf2, count(*) as n_f
+                   from lineitem where l_linestatus = 'F'
+                   group by l_returnflag) b
+               on a.l_returnflag = b.rf2
+             order by a.l_returnflag"""
+    engine.sql(sql, validate=True)
+    assert len(engine.last_routes) == 2, engine.last_routes
