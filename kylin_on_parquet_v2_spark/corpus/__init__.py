@@ -81,6 +81,8 @@ _PRIORITY = [
     "cube_routed_cte",  # new in r04b: WITH-clause inlining before routing
     "cube_routed_join_contexts",  # new in r04b: per-island multi-context routing
     "cube_routed_union_contexts",  # new in r04b: per-branch UNION ALL routing
+    "cube_routed_agg_over_union",  # new in r04b: re-agg above served union
+    "cube_routed_island_ratio",  # new in r04b: scalar projection over islands
     "cube_routed_window_rank",  # new in r04: window-over-aggregate routing
     "cube_routed_window_share",
     "cube_routed_window_lag",

@@ -536,10 +536,55 @@ def cube_routed_union_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("k", F.round("v", 2).alias("v"))
 
 
+def cube_routed_agg_over_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregation ABOVE a union of routed islands (the year-over-year
+    summarize shape): both branches serve from cuboids; the outer aggregate
+    re-runs over the served union."""
+    eng = engine(spark, sf_dir)
+    df = eng.sql(
+        """
+        select k, round(sum(v), 2) as total, count(*) as n_branches
+        from (
+          select l_returnflag as k, sum(l_quantity) as v
+          from lineitem where l_linestatus = 'F' group by l_returnflag
+          union all
+          select l_returnflag as k, sum(l_quantity) as v
+          from lineitem where l_linestatus = 'O' group by l_returnflag
+        ) u
+        group by k
+        order by k
+        """
+    )
+    assert len(eng.last_routes) == 2, "expected both union branches routed"
+    return df
+
+
+def cube_routed_island_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar projection computed over two routed islands — the share/ratio
+    dashboard (``cohort count / total count``)."""
+    eng = engine(spark, sf_dir)
+    df = eng.sql(
+        """
+        select a.l_returnflag, round(b.n_f / a.n_all, 4) as f_share
+        from (select l_returnflag, count(*) as n_all
+              from lineitem group by l_returnflag) a
+        join (select l_returnflag as rf2, count(*) as n_f
+              from lineitem where l_linestatus = 'F'
+              group by l_returnflag) b
+          on a.l_returnflag = b.rf2
+        order by a.l_returnflag
+        """
+    )
+    assert len(eng.last_routes) == 2, "expected both islands routed"
+    return df
+
+
 QUERIES = {
     "cube_routed_cte": cube_routed_cte,
     "cube_routed_join_contexts": cube_routed_join_contexts,
     "cube_routed_union_contexts": cube_routed_union_contexts,
+    "cube_routed_agg_over_union": cube_routed_agg_over_union,
+    "cube_routed_island_ratio": cube_routed_island_ratio,
     "cube_routed_month_series": cube_routed_month_series,
     "cube_routed_dim_minmax": cube_routed_dim_minmax,
     "cube_routed_window_rank": cube_routed_window_rank,
@@ -563,6 +608,28 @@ QUERIES = {
 }
 
 ORACLES = {
+    "cube_routed_agg_over_union": """
+        select k, round(sum(v), 2) as total, count(*) as n_branches
+        from (
+          select l_returnflag as k, sum(l_quantity) as v
+          from lineitem where l_linestatus = 'F' group by l_returnflag
+          union all
+          select l_returnflag as k, sum(l_quantity) as v
+          from lineitem where l_linestatus = 'O' group by l_returnflag
+        ) u
+        group by k
+        order by k
+    """,
+    "cube_routed_island_ratio": """
+        select a.l_returnflag, round(b.n_f / a.n_all, 4) as f_share
+        from (select l_returnflag, count(*) as n_all
+              from lineitem group by l_returnflag) a
+        join (select l_returnflag as rf2, count(*) as n_f
+              from lineitem where l_linestatus = 'F'
+              group by l_returnflag) b
+          on a.l_returnflag = b.rf2
+        order by a.l_returnflag
+    """,
     "cube_routed_union_contexts": """
         select k, round(v, 2) as v from (
             select l_returnflag as k, sum(l_quantity) as v
