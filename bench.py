@@ -43,6 +43,41 @@ def main() -> None:
     for wdf in register_views(spark, sf_dir).values():
         wdf.count()
 
+    # Feature-class warmup (round-4 judge finding: the corpus-order rotation
+    # moved first-use costs — Python worker spawn for the first pandas UDF,
+    # the first broadcast exchange, the first streaming micro-batch — onto
+    # whichever query ran first, producing phantom ×3 "regressions" on
+    # unchanged code). Pay each class's one-time cost HERE so per-query
+    # numbers stay comparable across window rotations.
+    import pandas as _pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _warm_udf(s: _pd.Series) -> _pd.Series:  # Python worker pool spawn
+        return s
+
+    spark.range(100).select(_warm_udf("id")).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    small = spark.range(10).withColumnRenamed("id", "k")
+    spark.range(1000).withColumnRenamed("id", "k").join(
+        F.broadcast(small), "k"
+    ).write.format("noop").mode("overwrite").save()  # broadcast exchange path
+    import tempfile as _tf
+
+    with _tf.TemporaryDirectory() as _td:  # streaming engine + state store
+        spark.range(5).write.mode("overwrite").parquet(f"{_td}/src")
+        q = (
+            spark.readStream.schema("id long")
+            .parquet(f"{_td}/src")
+            .writeStream.format("noop")
+            .option("checkpointLocation", f"{_td}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
     timings: dict[str, float] = {}
     for name, fn in entry_mod.queries().items():
         t0 = time.perf_counter()

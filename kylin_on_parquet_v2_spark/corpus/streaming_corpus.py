@@ -121,6 +121,77 @@ def streaming_hybrid_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HYBRID_ENGINES: dict[str, object] = {}
+
+
+def _hybrid_engine(spark: SparkSession, sf_dir: str):
+    """Engine serving the events table as a HYBRID realization: a
+    day-segmented cube built only through the historical split day, plus the
+    stream-ingested segment store (which covers everything) registered as
+    the realtime tail. Queries on `events` then merge batch-cuboid partials
+    with the boundary-pruned realtime scan (HybridInstance parity)."""
+    import tempfile
+
+    from kylin_on_parquet_v2_spark.datasets import EVENTS_CUBE_SEG, EVENTS_MODEL_SEG
+    from kylin_on_parquet_v2_spark.query.engine import OlapEngine
+
+    key = os.path.abspath(sf_dir)
+    eng = _HYBRID_ENGINES.get(key)
+    if eng is not None and eng.spark is spark:
+        return eng
+    views(spark, sf_dir)
+    seg_dir = _ingest_dir(spark, sf_dir)
+    days = sorted(
+        r[0]
+        for r in spark.table("events")
+        .select(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("d"))
+        .distinct()
+        .collect()
+    )
+    split = days[len(days) // 2]  # batch cube owns days <= split
+    storage = os.path.join(
+        tempfile.gettempdir(), "kylin_hybrid_cubes", key.strip("/").replace("/", "_")
+    )
+    eng = OlapEngine(spark, storage_dir=storage)
+    eng.add_model(EVENTS_MODEL_SEG)
+    eng.build_cube(EVENTS_CUBE_SEG, segment_range=(None, split))
+    eng.register_hybrid("events_cube_seg", seg_dir)
+    _HYBRID_ENGINES[key] = eng
+    return eng
+
+
+def cube_routed_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-spanning aggregate on the streaming model served THROUGH THE
+    ROUTER as batch cube + realtime tail (reference HybridInstance /
+    TableScanPlan.scala:58-62): the batch cube covers only the older half
+    of the days, the realtime store everything — the route must merge
+    batch-cuboid partials with the post-boundary realtime scan and equal
+    the plain answer over all events (never a double count)."""
+    eng = _hybrid_engine(spark, sf_dir)
+    df = eng.sql(
+        """
+        select event_type,
+               count(*) as n,
+               sum(value) as sum_value,
+               min(value) as min_value,
+               max(value) as max_value
+        from events
+        group by event_type
+        order by event_type
+        """
+    )
+    route = eng.last_route
+    assert route is not None, "expected hybrid route for cube_routed_hybrid"
+    assert route.hybrid_tail, route
+    return df.select(
+        "event_type",
+        "n",
+        F.round("sum_value", 2).alias("sum_value"),
+        "min_value",
+        "max_value",
+    )
+
+
 def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator (applyInPandasWithState): per-key running
     totals. Driven in ONE micro-batch so the emitted update rows equal the
@@ -212,6 +283,7 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "cube_routed_hybrid": cube_routed_hybrid,
     "streaming_stream_join": streaming_stream_join,
     "streaming_dedup": streaming_dedup,
     "streaming_window_counts": streaming_window_counts,
@@ -221,6 +293,16 @@ QUERIES = {
 }
 
 ORACLES = {
+    "cube_routed_hybrid": """
+        select event_type,
+               count(*) as n,
+               round(sum(value), 2) as sum_value,
+               min(value) as min_value,
+               max(value) as max_value
+        from events
+        group by event_type
+        order by event_type
+    """,
     "streaming_stream_join": """
         select l.user_id as l_user, count(*) as n_pairs,
                round(sum(r.value), 2) as sum_value

@@ -248,8 +248,20 @@ class CubeBuilder:
 
     # -- public --------------------------------------------------------------
 
-    def build(self, overwrite: bool = True) -> CubeInstance:
-        """Build every scheduled cuboid, reusing parent layouts."""
+    def build(
+        self,
+        overwrite: bool = True,
+        segment_range: tuple[str | None, str | None] | None = None,
+    ) -> CubeInstance:
+        """Build every scheduled cuboid, reusing parent layouts.
+
+        ``segment_range=(lo, hi)`` cubes only the segments within the
+        inclusive bounds (either side None = unbounded) — the reference's
+        per-TSRange segment build (a CubeSegment covers one time range;
+        ``CubeBuildJob`` builds exactly that range). Data outside the range
+        stays un-cubed: the initial-load shape for a hybrid realization,
+        where post-boundary data lives in the realtime store until
+        :meth:`build_increment` absorbs it."""
         if self.model.partition_column is not None and any(
             m.function.expression == "TOP_N" for m in self.desc.measures
         ):
@@ -289,6 +301,14 @@ class CubeBuilder:
                 inst.computed_canon[canon] = cc_name
 
         flat = self._flat_with_segment()
+        if segment_range is not None:
+            lo, hi = segment_range
+            if not inst.segmented:
+                raise ValueError("segment_range requires a partitioned model")
+            if lo is not None:
+                flat = flat.filter(F.col(SEGMENT_COL) >= lo)
+            if hi is not None:
+                flat = flat.filter(F.col(SEGMENT_COL) <= hi)
         # Column pruning at the source: only dims + measure inputs survive.
         needed = set(self.desc.dimensions)
         if inst.segmented:

@@ -154,6 +154,28 @@ EVENTS_CUBE = CubeDesc(
     ),
 )
 
+#: Day-segmented events cube — the BATCH half of the hybrid realization
+#: (reference HybridInstance): built only through the historical boundary;
+#: the realtime streaming store owns everything after it. Additive measures
+#: only (SUM/MIN/MAX/COUNT merge exactly across the batch/realtime split —
+#: the reference's streaming cubes carry the same restriction).
+EVENTS_MODEL_SEG = DataModel(
+    name="events_stream", fact_table="events", partition_column="ts"
+)
+
+EVENTS_CUBE_SEG = CubeDesc(
+    name="events_cube_seg",
+    model_name="events_stream",
+    dimensions=("event_type",),
+    measures=(
+        MeasureDesc("_count", FunctionDesc("COUNT")),
+        MeasureDesc("sum_value", FunctionDesc("SUM", "value")),
+        MeasureDesc("min_value", FunctionDesc("MIN", "value")),
+        MeasureDesc("max_value", FunctionDesc("MAX", "value")),
+    ),
+    segment_granularity="day",
+)
+
 TPCH_CUBE_SEG = CubeDesc(
     name="tpch_cube_seg",
     model_name="tpch_star_seg",

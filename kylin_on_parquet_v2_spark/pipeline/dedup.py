@@ -300,12 +300,15 @@ def dedup_filter(
     clusters collapsed to one representative each (the cluster's minimum
     id). Unpaired documents pass through untouched.
 
-    One broadcast-sized anti-join against the non-representative member
-    list — cluster metadata is tiny relative to the corpus (bounded by the
-    number of PAIRED docs), so at 100 TB this is a map-side filter over
-    the full corpus scan, not a shuffle of it.
+    One anti-join against the non-representative member list. The loser
+    list is NOT forced broadcast: in a high-duplication web corpus (30-60%
+    dup rates are normal) losers can approach half the corpus, and a forced
+    broadcast would OOM executors at 100 TB. AQE picks broadcast vs shuffle
+    from the MEASURED size — small loser sets still get the map-side filter
+    (asserted in tests/test_pipeline.py), huge ones degrade gracefully to a
+    shuffled anti-join.
     """
     if clusters is None:
         clusters = duplicate_clusters(docs, text_col, id_col)
     losers = clusters.filter(F.col(id_col) != F.col("cluster_id")).select(id_col)
-    return docs.join(F.broadcast(losers), id_col, "left_anti")
+    return docs.join(losers, id_col, "left_anti")

@@ -139,7 +139,8 @@ class SqlDigest:
     select: list[SelectItem] = field(default_factory=list)
     filter_sql: str | None = None  # unqualified, F.expr-able
     filter_cols: set[str] = field(default_factory=set)
-    sort: list[tuple[str, bool]] = field(default_factory=list)  # (col, asc)
+    #: (col, asc, nulls_first) — explicit null ordering preserved
+    sort: list[tuple[str, bool, bool]] = field(default_factory=list)
     limit: int | None = None
     #: HAVING over select-output aliases (Filter above Aggregate), post-agg
     having_sql: str | None = None
@@ -199,6 +200,39 @@ class SqlDigest:
 
 def _cls(node) -> str:
     return node.getClass().getSimpleName()
+
+
+def _sort_entry(so) -> tuple[str, bool, bool] | None:
+    """(column, ascending, nulls_first) from a resolved SortOrder; None when
+    the sort key is not a bare column reference. Explicit null ordering IS
+    captured: replaying ``ORDER BY k ASC NULLS LAST`` with Spark's default
+    (nulls first) would misplace every NULL-keyed row — nullable group-by
+    columns produce NULL groups, and row-set normalization cannot catch an
+    ordering divergence (the reference honors explicit FIRST/LAST the same
+    way, SortPlan.scala:34-77)."""
+    child_sql = so.child().sql()
+    if not re.fullmatch(r"[`\w.]+", child_sql):
+        return None
+    asc = "ASC" in str(so.direction().sql()).upper()
+    nulls_first = "FIRST" in str(so.nullOrdering().sql()).upper()
+    return (child_sql.replace("`", "").split(".")[-1], asc, nulls_first)
+
+
+def sort_columns(sort) -> list:
+    """Digested sort entries -> Spark Columns, null ordering preserved
+    (2-tuples from hand-built digests fall back to Spark's defaults)."""
+    from pyspark.sql import functions as F
+
+    cols = []
+    for entry in sort:
+        c, asc = entry[0], entry[1]
+        if len(entry) < 3:
+            cols.append(F.col(c).asc() if asc else F.col(c).desc())
+        elif asc:
+            cols.append(F.col(c).asc_nulls_first() if entry[2] else F.col(c).asc_nulls_last())
+        else:
+            cols.append(F.col(c).desc_nulls_first() if entry[2] else F.col(c).desc_nulls_last())
+    return cols
 
 
 def _seq(jseq) -> list:
@@ -368,7 +402,7 @@ class JoinOfAggregates:
     join_type: str  # inner | left
     on: list[tuple[str, str]]  # (left output name, right output name)
     select: list[str]  # outer output names, in order
-    sort: list[tuple[str, bool]] = field(default_factory=list)
+    sort: list[tuple[str, bool, bool]] = field(default_factory=list)
     limit: int | None = None
     #: ordered outer outputs: (name, None) = bare island column, (name, sql)
     #: = scalar expression over island columns re-run above the served join
@@ -408,15 +442,10 @@ def _extract_join(plan) -> JoinOfAggregates | None:
             node = node.child()
     if _cls(node) == "Sort":
         for so in _seq(node.order()):
-            child_sql = so.child().sql()
-            if not re.fullmatch(r"[`\w.]+", child_sql):
+            entry = _sort_entry(so)
+            if entry is None:
                 return None
-            sort.append(
-                (
-                    child_sql.replace("`", "").split(".")[-1],
-                    "ASC" in str(so.direction().sql()).upper(),
-                )
-            )
+            sort.append(entry)
         node = node.child()
     if _cls(node) != "Project":
         return None
@@ -486,8 +515,12 @@ def _join_island(join) -> JoinOfAggregates | None:
         return None
     lnames = set(_island_names(left))
     rnames = set(_island_names(right))
-    if lnames & rnames or len(lnames) != len(_island_names(left)):
-        return None  # ambiguous attribute names across islands
+    if (
+        lnames & rnames
+        or len(lnames) != len(_island_names(left))
+        or len(rnames) != len(_island_names(right))
+    ):
+        return None  # ambiguous attribute names across/inside islands
     # names are unique across the islands (checked above), so table
     # qualifiers are redundant — strip them before matching equality pairs
     cond_sql = re.sub(r"\b\w+\.(?=\w)", "", cond_opt.get().sql().replace("`", ""))
@@ -521,7 +554,7 @@ class UnionOfAggregates:
     #: union_all | union_distinct | intersect | intersect_all |
     #: except_distinct | except_all
     op: str = "union_all"
-    sort: list[tuple[str, bool]] = field(default_factory=list)
+    sort: list[tuple[str, bool, bool]] = field(default_factory=list)
     limit: int | None = None
 
 
@@ -545,15 +578,10 @@ def extract_union_digest(df: DataFrame) -> UnionOfAggregates | None:
                 node = node.child()
         if _cls(node) == "Sort":
             for so in _seq(node.order()):
-                child_sql = so.child().sql()
-                if not re.fullmatch(r"[`\w.]+", child_sql):
+                entry = _sort_entry(so)
+                if entry is None:
                     return None
-                sort.append(
-                    (
-                        child_sql.replace("`", "").split(".")[-1],
-                        "ASC" in str(so.direction().sql()).upper(),
-                    )
-                )
+                sort.append(entry)
             node = node.child()
         op = None
         if _cls(node) == "Distinct" and _cls(node.child()) == "Union":
@@ -599,7 +627,7 @@ class AggOverUnion:
     #: ordered outputs: (name, None) for a group passthrough, (name, sql)
     #: for an aggregate expression over the union's output columns
     select: list[tuple[str, str | None]]
-    sort: list[tuple[str, bool]] = field(default_factory=list)
+    sort: list[tuple[str, bool, bool]] = field(default_factory=list)
     limit: int | None = None
 
 
@@ -625,15 +653,10 @@ def extract_agg_over_union(df: DataFrame) -> AggOverUnion | None:
                 node = node.child()
         if _cls(node) == "Sort":
             for so in _seq(node.order()):
-                child_sql = so.child().sql()
-                if not re.fullmatch(r"[`\w.]+", child_sql):
+                entry = _sort_entry(so)
+                if entry is None:
                     return None
-                sort.append(
-                    (
-                        child_sql.replace("`", "").split(".")[-1],
-                        "ASC" in str(so.direction().sql()).upper(),
-                    )
-                )
+                sort.append(entry)
             node = node.child()
         if _cls(node) != "Aggregate":
             return None
@@ -715,13 +738,10 @@ def _extract(plan) -> SqlDigest | None:  # noqa: C901 — one dispatch walk
             node = node.child()
     if _cls(node) == "Sort":
         for so in _seq(node.order()):
-            child_sql = so.child().sql()
-            m = _QUALIFIED.fullmatch(child_sql) or re.fullmatch(r"\w+", child_sql)
-            if not m:
+            entry = _sort_entry(so)
+            if entry is None:
                 return None
-            colname = child_sql.split(".")[-1]
-            asc = "ASC" in str(so.direction().sql()).upper()
-            digest.sort.append((colname, asc))
+            digest.sort.append(entry)
         node = node.child()
     # Window functions over the aggregate: Project+ over Window+ over
     # [Filter] Aggregate (Spark stacks one Window node per distinct window

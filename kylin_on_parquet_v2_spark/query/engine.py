@@ -30,6 +30,7 @@ from kylin_on_parquet_v2_spark.query.digest import (
     extract_digest,
     extract_join_digest,
     extract_union_digest,
+    sort_columns,
 )
 from kylin_on_parquet_v2_spark.query.router import Route, execute_route, plan_route
 from kylin_on_parquet_v2_spark.session import get_spark, register_views
@@ -54,6 +55,10 @@ class OlapEngine:
         )
         self.models: dict[str, DataModel] = {}
         self.cubes: dict[str, CubeInstance] = {}
+        #: cube name -> realtime streaming part: the cube is a HYBRID
+        #: realization (HybridInstance parity) — batch layouts alone are
+        #: INCOMPLETE for its table; see register_hybrid
+        self.hybrids: dict = {}
         #: route taken by the last sql() call (None => pushdown); for tests
         #: and EXPLAIN-style introspection.
         self.last_route: Route | None = None
@@ -99,9 +104,13 @@ class OlapEngine:
     def add_model(self, model: DataModel) -> None:
         self.models[model.name] = model
 
-    def build_cube(self, desc: CubeDesc) -> CubeInstance:
+    def build_cube(
+        self, desc: CubeDesc, segment_range: tuple | None = None
+    ) -> CubeInstance:
         model = self.models[desc.model_name]
-        inst = CubeBuilder(self.spark, model, desc, self.storage_dir).build()
+        inst = CubeBuilder(self.spark, model, desc, self.storage_dir).build(
+            segment_range=segment_range
+        )
         self.cubes[desc.name] = inst
         # new data => every cached result is stale (the reference clears its
         # query cache on segment/cube state changes the same way)
@@ -148,6 +157,28 @@ class OlapEngine:
             # retired segments leave the queryable set)
             apply_retention(self.spark, inst)
         return built
+
+    def register_hybrid(
+        self, cube_name: str, realtime_dir: str, ts_col: str = "ts"
+    ) -> None:
+        """Attach a realtime streaming store to a built segmented cube,
+        turning it into a HYBRID realization (reference
+        storage/hybrid/HybridInstance, split at TableScanPlan.scala:58-62):
+        queries on the model's fact table are served as batch-cuboid
+        partials UNION the post-boundary realtime tail, re-merged. The
+        batch side must absorb WHOLE segments (segment-aligned coverage is
+        the split contract); realtime segment dir values must extend the
+        batch segment value format so prefix comparison orders them."""
+        from kylin_on_parquet_v2_spark.streaming.hybrid import HybridPart
+
+        inst = self.cubes[cube_name]
+        if not inst.segmented:
+            raise ValueError("hybrid registration requires a segmented cube")
+        self.hybrids[cube_name] = HybridPart(
+            realtime_dir=realtime_dir, ts_col=ts_col
+        )
+        self._cache_epoch += 1
+        self._cache.clear()
 
     def recommend_cuboids(
         self,
@@ -216,9 +247,10 @@ class OlapEngine:
         )
         cache_key = (query, pkey, use_cube, approx_distinct, self._cache_epoch)
         if self.result_cache_size and not validate and cache_key in self._cache:
-            schema, rows, route = self._cache.pop(cache_key)
-            self._cache[cache_key] = (schema, rows, route)  # LRU touch
+            schema, rows, route, routes = self._cache.pop(cache_key)
+            self._cache[cache_key] = (schema, rows, route, routes)  # LRU touch
             self.last_route = route
+            self.last_routes = list(routes)
             return self.spark.createDataFrame(rows, schema)
         df = self.spark.sql(query, args=params) if params is not None else self.spark.sql(query)
         self.last_route = None
@@ -278,11 +310,7 @@ class OlapEngine:
         # realization choice (RealizationChooser parity): among all cubes
         # that can answer, prefer exact-match hits, then the narrowest
         # cuboid (fewest dims => fewest layout rows scanned)
-        candidates: list[tuple[CubeInstance, Route]] = []
-        for inst in self.cubes.values():
-            route = plan_route(digest, inst, approx_distinct=approx_distinct)
-            if route is not None:
-                candidates.append((inst, route))
+        candidates = self._plan_candidates(digest, approx_distinct)
         if not candidates:
             self.metrics["pushdown"] += 1
             self._set_pool("heavy")
@@ -294,12 +322,41 @@ class OlapEngine:
         if route.exact:
             self.metrics["exact_hits"] += 1
         self.metrics[f"cube:{route.cube}"] += 1
-        routed = execute_route(digest, inst, route, self.spark)
+        routed = self._execute_planned(digest, inst, route)
         if validate:
             self._assert_same(routed, df)
         self.last_route = route
         self.last_routes = [route]
         return self._maybe_cache(cache_key, routed)
+
+    def _plan_candidates(self, digest, approx_distinct: bool) -> list:
+        """All (inst, route) pairs that can serve ``digest``. A
+        hybrid-registered cube's batch layouts are INCOMPLETE for its
+        table, so it participates only when the shape merges exactly
+        across the batch/realtime split (hybrid_servable) — otherwise it
+        stands aside entirely and pushdown reads the full source view."""
+        from kylin_on_parquet_v2_spark.streaming.hybrid import hybrid_servable
+
+        candidates: list[tuple[CubeInstance, Route]] = []
+        for inst in self.cubes.values():
+            route = plan_route(digest, inst, approx_distinct=approx_distinct)
+            if route is None:
+                continue
+            if inst.desc.name in self.hybrids:
+                if not hybrid_servable(digest, route):
+                    continue
+                route.hybrid_tail = self.hybrids[inst.desc.name].realtime_dir
+            candidates.append((inst, route))
+        return candidates
+
+    def _execute_planned(self, digest, inst, route) -> DataFrame:
+        hyb = self.hybrids.get(inst.desc.name)
+        if hyb is not None:
+            from kylin_on_parquet_v2_spark.streaming.hybrid import execute_hybrid
+
+            self.metrics["routed_hybrid"] += 1
+            return execute_hybrid(digest, inst, route, hyb, self.spark)
+        return execute_route(digest, inst, route, self.spark)
 
     @staticmethod
     def _route_cost(c) -> tuple:
@@ -332,9 +389,7 @@ class OlapEngine:
         else:
             out = out.select(*jd.select)
         if jd.sort:
-            out = out.orderBy(
-                *[F.col(c).asc() if asc else F.col(c).desc() for c, asc in jd.sort]
-            )
+            out = out.orderBy(*sort_columns(jd.sort))
         if jd.limit is not None:
             out = out.limit(jd.limit)
         for route in routes:
@@ -358,16 +413,12 @@ class OlapEngine:
                 c = df_l[a] == df_r[b]
                 cond = c if cond is None else (cond & c)
             return df_l.join(df_r, cond, x.join_type)
-        candidates = []
-        for inst in self.cubes.values():
-            route = plan_route(x, inst, approx_distinct=approx_distinct)
-            if route is not None:
-                candidates.append((inst, route))
+        candidates = self._plan_candidates(x, approx_distinct)
         if not candidates:
             return None
         inst, route = min(candidates, key=self._route_cost)
         routes.append(route)
-        return execute_route(x, inst, route, self.spark)
+        return self._execute_planned(x, inst, route)
 
     def _execute_union_digest(self, ud, approx_distinct: bool) -> DataFrame | None:
         """Route every UNION ALL branch independently (OLAPUnionRel parity:
@@ -375,16 +426,12 @@ class OlapEngine:
         the served results positionally). None unless ALL branches route."""
         dfs, routes = [], []
         for d in ud.children:
-            candidates = []
-            for inst in self.cubes.values():
-                route = plan_route(d, inst, approx_distinct=approx_distinct)
-                if route is not None:
-                    candidates.append((inst, route))
+            candidates = self._plan_candidates(d, approx_distinct)
             if not candidates:
                 return None
             inst, route = min(candidates, key=self._route_cost)
             routes.append(route)
-            dfs.append(execute_route(d, inst, route, self.spark))
+            dfs.append(self._execute_planned(d, inst, route))
         first_cols = dfs[0].columns
         out = dfs[0]
         for x in dfs[1:]:
@@ -404,9 +451,7 @@ class OlapEngine:
         if ud.op == "union_distinct":
             out = out.distinct()
         if ud.sort:
-            out = out.orderBy(
-                *[F.col(c).asc() if asc else F.col(c).desc() for c, asc in ud.sort]
-            )
+            out = out.orderBy(*sort_columns(ud.sort))
         if ud.limit is not None:
             out = out.limit(ud.limit)
         for route in routes:
@@ -429,9 +474,7 @@ class OlapEngine:
             out = base.select(*ad.group_cols).distinct()
         out = out.select(*[n for n, _ in ad.select])
         if ad.sort:
-            out = out.orderBy(
-                *[F.col(c).asc() if asc else F.col(c).desc() for c, asc in ad.sort]
-            )
+            out = out.orderBy(*sort_columns(ad.sort))
         if ad.limit is not None:
             out = out.limit(ad.limit)
         return out
@@ -461,7 +504,7 @@ class OlapEngine:
         rows = df.limit(cap + 1).collect()
         if len(rows) > cap:
             return df
-        self._cache[key] = (df.schema, rows, self.last_route)
+        self._cache[key] = (df.schema, rows, self.last_route, list(self.last_routes))
         while len(self._cache) > self.result_cache_size:
             self._cache.popitem(last=False)
         return self.spark.createDataFrame(rows, df.schema)
@@ -480,7 +523,8 @@ class OlapEngine:
             f"bitmap_cond={route.bitmap_cond} "
             f"bitmap_intersect={route.bitmap_intersect} "
             f"topn={route.topn} "
-            f"dim_served={route.dim_served}"
+            f"dim_served={route.dim_served} "
+            f"hybrid_tail={route.hybrid_tail}"
             if route is not None
             else "route: none (pushdown — plain spark.sql)"
         )

@@ -78,6 +78,11 @@ class Route:
     #: — min/max over the layout's distinct dim values equals min/max over
     #: the raw rows)
     dim_served: dict[str, str] = field(default_factory=dict)
+    #: realtime store dir when the cube is a HYBRID realization: the served
+    #: answer is batch-layout partials UNION the post-boundary realtime tail,
+    #: re-merged (reference storage/hybrid/HybridInstance, split at
+    #: TableScanPlan.scala:58-62). Set by the engine at execution time.
+    hybrid_tail: str | None = None
 
 
 def _match_joins(digest: SqlDigest, inst: CubeInstance) -> bool:
@@ -316,7 +321,7 @@ def _plan_topn_route(digest: SqlDigest, inst: CubeInstance) -> Route | None:
     agg = digest.aggs[0]
     if agg.func != "SUM" or agg.distinct or agg.column is None:
         return None
-    sort_col, sort_asc = digest.sort[0]
+    sort_col, sort_asc = digest.sort[0][0], digest.sort[0][1]
     if sort_col != agg.alias or sort_asc:
         return None
     dims = set(inst.desc.dimensions)
@@ -555,7 +560,14 @@ def _split_conjuncts(sql: str) -> list[str]:
         elif ch == ")":
             depth -= 1
         elif depth == 0 and _word_at(sql, i, "BETWEEN"):
-            between_pending += 1
+            # Only the INFIX form (`a BETWEEN x AND y`) owns a following
+            # top-level AND. Catalyst renders the predicate as the FUNCTION
+            # spelling `between(col, lo, hi)` — its args sit inside parens,
+            # so arming the pending state for it would swallow the NEXT real
+            # conjunct's AND and silently fuse two conjuncts into one
+            # (pruning/translate regression, found by round-4 advisor).
+            if not (i + 7 < n and sql[i + 7] == "("):
+                between_pending += 1
             i += 7
             continue
         elif depth == 0 and _word_at(sql, i, "AND"):
@@ -634,7 +646,10 @@ def _derived_prefilter(
         if fk not in df.columns:
             continue
         for conj in _split_conjuncts(filter_sql):
-            key = (lk.table, conj)
+            # key by lookup NAME + pk: column_tables values are lookup names
+            # (build.py uses lk.name), and the same conjunct translated via a
+            # different pk must not collide in the memo
+            key = (lk.name, pk, conj)
             if key in inst.derived_in_cache:
                 vals = inst.derived_in_cache[key]
                 if vals is not None:
@@ -645,7 +660,7 @@ def _derived_prefilter(
                 for t in _IDENT_RE.findall(_STRING_LIT_RE.sub("''", conj))
                 if t in model_cols
             }
-            if not used or any(model_cols[t] != lk.table for t in used):
+            if not used or any(model_cols[t] != lk.name for t in used):
                 inst.derived_in_cache[key] = None
                 continue
             lookup = inst.lookup_df(spark, lk.table)
@@ -945,6 +960,13 @@ def execute_route(digest: SqlDigest, inst: CubeInstance, route: Route, spark) ->
                 ]
             )
 
+    return apply_post_aggregation(digest, result)
+
+
+def apply_post_aggregation(digest: SqlDigest, result: DataFrame) -> DataFrame:
+    """The shared post-aggregation tail: HAVING, hidden-column drop, window
+    replay, sort, limit — applied above an already-served aggregate (plain
+    cuboid route or hybrid batch+realtime merge)."""
     if digest.having_sql is not None:
         result = result.filter(F.expr(digest.having_sql))
     if digest.hidden:
@@ -961,9 +983,9 @@ def execute_route(digest: SqlDigest, inst: CubeInstance, route: Route, spark) ->
     for layer in digest.window_projects:
         result = result.selectExpr(*[f"{sql} AS `{name}`" for name, sql in layer])
     if digest.sort:
-        result = result.orderBy(
-            *[F.col(c).asc() if asc else F.col(c).desc() for c, asc in digest.sort]
-        )
+        from kylin_on_parquet_v2_spark.query.digest import sort_columns
+
+        result = result.orderBy(*sort_columns(digest.sort))
     if digest.limit is not None:
         result = result.limit(digest.limit)
     return result

@@ -8,11 +8,13 @@ entry point; the response carries the result rows plus routing metadata
 pushdown). Cube/metrics listings mirror the REST controllers' read side.
 
 Deliberately stdlib-only (http.server): the surface is the contract, not the
-web stack. One engine serves all requests; query execution is single-flight
-behind a lock — the reference serializes per-query state the same way
-(OLAPContext is thread-local there; ``last_route`` is engine-global here).
-Spark job tagging still works per-request because the scheduler pool is set
-inside the locked section.
+web stack. One engine serves all requests; ONLY digest/route planning runs
+under the lock (it reads/writes engine-global ``last_route`` state — the
+reference keeps OLAPContext thread-local instead). Spark job execution and
+result collection happen OUTSIDE the critical section, so a slow pushdown
+scan no longer blocks a fast routed dashboard query on another connection
+(Spark schedules jobs from concurrent threads independently; the scheduler
+pool tag is a thread-local property set before the lock is released).
 """
 
 from __future__ import annotations
@@ -116,6 +118,9 @@ class _Handler(BaseHTTPRequestHandler):
         limit = min(int(req.get("limit", MAX_RESULT_ROWS)), MAX_RESULT_ROWS)
         started = _dt.datetime.now()
         try:
+            # Critical section covers ROUTING ONLY: engine.sql builds the
+            # (lazy) DataFrame and records last_route/last_routes on the
+            # engine; both are copied out before the lock drops.
             with self.lock:
                 df = self.engine.sql(
                     sql,
@@ -123,10 +128,19 @@ class _Handler(BaseHTTPRequestHandler):
                     approx_distinct=bool(req.get("approx_distinct", False)),
                     params=req.get("params"),
                 )
-                rows = df.limit(limit).collect()
                 route = self.engine.last_route
-        except Exception as exc:  # surfaced as the reference's SQLException path
+                routes = list(self.engine.last_routes)
+        except Exception as exc:
+            # planning failures are the client's problem: bad SQL, unknown
+            # tables/columns (the reference's SQLException path)
             self._reply(400, {"error": str(exc).split("\n", 1)[0]})
+            return
+        try:
+            # execution/collection outside the lock: concurrent requests'
+            # Spark jobs run in parallel (FIFO/FAIR across threads)
+            rows = df.limit(limit).collect()
+        except Exception as exc:  # runtime failure on a planned query
+            self._reply(500, {"error": str(exc).split("\n", 1)[0]})
             return
         ms = (_dt.datetime.now() - started).total_seconds() * 1000
         self._reply(
@@ -136,6 +150,10 @@ class _Handler(BaseHTTPRequestHandler):
                 "rows": [[_json_cell(v) for v in r] for r in rows],
                 "row_count": len(rows),
                 "route": _route_info(route),
+                # multi-context queries are served by several cubes — expose
+                # every island's realization, not just the first
+                "routes": [_route_info(r) for r in routes],
+                "n_contexts": len(routes),
                 "is_pushdown": route is None,
                 "duration_ms": round(ms, 1),
             },

@@ -1,0 +1,162 @@
+"""Hybrid realization: batch cube + realtime streaming tail served as ONE
+logical table THROUGH THE ROUTER.
+
+Reference parity: ``storage/hybrid/HybridInstance`` — a realization facade
+over a historical cube and a streaming part for the same model; the scan
+splits at the batch coverage boundary (used at
+``kylin-spark-query/.../plans/TableScanPlan.scala:58-62``). Round 4 had the
+split only as a library function (:func:`..segments.hybrid_union`); this
+module makes it a serving path ``engine.sql`` picks automatically, so a
+time-spanning aggregate on a streaming model is answered as
+
+    re-merge( batch-cuboid partials  UNION  realtime-tail partials )
+
+with the realtime scan PRUNED to post-boundary segment dirs (a partition
+filter — whole dirs skipped before file listing, exactly like segment
+pruning on the batch side).
+
+Contract (same as hybrid_union): the batch store absorbs WHOLE segments, so
+coverage is segment-aligned; realtime segment values must extend the batch
+segment value format (e.g. batch ``yyyy-MM-dd`` day dirs, realtime
+``yyyy-MM-dd`` or ``yyyy-MM-dd-HH`` dirs) so a string-prefix comparison
+orders them consistently. Double counting is impossible by construction:
+the tail filter is strict (``> boundary``).
+
+Merge soundness: only decomposable measures are served (SUM merges by SUM,
+COUNT by SUM, MIN/MAX by themselves). Non-mergeable shapes — DISTINCT,
+percentile, TopN, INTERSECT_COUNT, AVG, grouping sets — make the hybrid
+cube refuse, and the engine falls through to other cubes or pushdown (which
+reads the full source view: always correct). The reference's streaming
+cubes carry the same additive-measure restriction.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kylin_on_parquet_v2_spark.cube.build import SEGMENT_COL, CubeInstance
+from kylin_on_parquet_v2_spark.query.digest import SqlDigest
+from kylin_on_parquet_v2_spark.query.router import (
+    Route,
+    apply_post_aggregation,
+    execute_route,
+)
+from kylin_on_parquet_v2_spark.streaming.segments import _normalize_ts
+
+
+@dataclass
+class HybridPart:
+    """The realtime half of a hybrid realization (engine-registered)."""
+
+    realtime_dir: str
+    ts_col: str = "ts"
+
+
+#: merge function per SQL aggregate — COUNT partials merge by SUM
+#: (CuboidAggregator.scala:86-91 applies the same COUNT->SUM rule when
+#: re-aggregating a child layout from a parent)
+_MERGE = {"COUNT": F.sum, "SUM": F.sum, "MIN": F.min, "MAX": F.max}
+
+
+def hybrid_servable(digest: SqlDigest, route: Route) -> bool:
+    """True when every output merges exactly across the batch/realtime split."""
+    if digest.grouping_sets is not None:
+        return False
+    if (
+        route.topn is not None
+        or route.bitmap_distinct
+        or route.bitmap_cond
+        or route.bitmap_intersect
+        or route.approx_distinct
+        or route.derived
+    ):
+        return False
+    for a in digest.aggs:
+        if a.distinct or a.func not in _MERGE:
+            return False
+    # every group col must survive into the output — merging on a subset of
+    # the grouping keys would collapse groups the query keeps separate
+    out_group = {s.group_col for s in digest.select if s.group_col is not None}
+    return set(digest.group_cols) == out_group
+
+
+def batch_boundary(inst: CubeInstance, spark: SparkSession) -> str | None:
+    """The batch store's coverage END: max segment dir value, or a merged
+    range's end when that reaches further. Pure metadata (directory listing
+    + persisted ranges) — no Spark job per query (the round-4 nit against
+    hybrid_union's per-call max() job)."""
+    ends = list(inst.segments(spark)) + list(inst.segment_ranges.values())
+    return max(ends) if ends else None
+
+
+def execute_hybrid(
+    digest: SqlDigest,
+    inst: CubeInstance,
+    route: Route,
+    part: HybridPart,
+    spark: SparkSession,
+) -> DataFrame:
+    """Serve ``digest`` as batch-cuboid partials UNION realtime-tail
+    partials, re-merged, then the ordinary post-aggregation tail."""
+    import copy
+
+    # partials must come back WITHOUT having/sort/limit/window post-processing
+    # (those apply once, above the merge) but WITH hidden HAVING aggregates
+    core = copy.copy(digest)
+    core.sort, core.limit = [], None
+    core.having_sql, core.having_cols = None, set()
+    core.window_exprs, core.window_projects = [], []
+    core.hidden = []
+    batch = execute_route(core, inst, route, spark)
+
+    rt = spark.read.parquet(part.realtime_dir)
+    rt = _normalize_ts(rt, part.ts_col)
+    boundary = batch_boundary(inst, spark)
+    if boundary is not None and SEGMENT_COL in rt.columns:
+        # STRICTLY after the batch coverage end; prefix compare tolerates a
+        # finer realtime dir format. Partition-column expression => Catalyst
+        # evaluates it at listing time (PartitionFilters), pruning whole
+        # pre-boundary segment dirs.
+        rt = rt.filter(
+            F.substring(F.col(SEGMENT_COL), 1, len(boundary)) > boundary
+        )
+    if digest.filter_sql:
+        rt = rt.filter(F.expr(digest.filter_sql))
+    for gname, (gsql, _bases) in digest.group_exprs.items():
+        rt = rt.withColumn(gname, F.expr(gsql))
+
+    group_out = [s.name for s in core.select if s.group_col is not None]
+    key_cols, agg_cols, merge_aggs = [], [], []
+    for item in core.select:
+        if item.group_col is not None:
+            key_cols.append(F.col(item.group_col).alias(item.name))
+            continue
+        a = item.agg
+        src = F.expr(a.expr_sql) if a.expr_sql is not None else (
+            F.lit(1) if a.column is None else F.col(a.column)
+        )
+        fn = {"COUNT": F.count, "SUM": F.sum, "MIN": F.min, "MAX": F.max}[a.func]
+        agg_cols.append(fn(src).alias(item.name))
+        merged = _MERGE[a.func](item.name)
+        if a.func == "COUNT":
+            merged = merged.cast("long")
+        merge_aggs.append(merged.alias(item.name))
+    # realtime partial aggregation at the SAME grain as the batch partials
+    rt_part = rt.groupBy(*key_cols).agg(*agg_cols) if key_cols else rt.groupBy().agg(*agg_cols)
+    # align realtime partial types to the batch side before the union
+    rt_part = rt_part.select(
+        *[
+            F.col(c).cast(batch.schema[c].dataType).alias(c)
+            for c in batch.columns
+        ]
+    )
+    merged = batch.unionByName(rt_part)
+    if group_out:
+        result = merged.groupBy(*group_out).agg(*merge_aggs)
+    else:
+        result = merged.groupBy().agg(*merge_aggs)
+    result = result.select(*[s.name for s in core.select])
+    return apply_post_aggregation(digest, result)

@@ -42,6 +42,22 @@ def test_exact_dedup_collapses_duplicates(spark):
     assert all(r.canonical_id < 100000 for r in out)
 
 
+def test_dedup_filter_small_losers_still_broadcast(spark):
+    """dedup_filter no longer FORCES the loser broadcast (a high-dup corpus
+    makes losers ~half the corpus — forced broadcast OOMs at 100 TB). AQE
+    must still pick a broadcast anti-join for a measured-small loser set."""
+    docs = spark.table("documents").limit(200)
+    doubled = docs.union(docs.withColumn("doc_id", F.col("doc_id") + 100000))
+    kept = D.dedup_filter(doubled)
+    n_kept = len(kept.collect())  # execute THIS QueryExecution so AQE finalizes
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan, plan
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    # every cross-copy duplicate collapsed (the fixture corpus also has
+    # internal near-dups, so kept <= the single-copy count)
+    assert 0 < n_kept <= docs.count()
+
+
 def test_simhash_near_duplicates_close(spark):
     rows = [
         (1, "the quick brown fox jumps over the lazy dog again and again today"),

@@ -94,6 +94,63 @@ def test_query_endpoint_row_cap(served):
     assert code == 200 and body["row_count"] == 7
 
 
+def test_multi_context_routes_in_payload(served):
+    """A join of two aggregate islands reports EVERY island's realization
+    (round-4 advisor: the response showed only the first island)."""
+    _, base = served
+    sql = """
+        select a.l_returnflag, a.s, b.n_f
+        from (select l_returnflag, sum(l_quantity) as s
+              from lineitem group by l_returnflag) a
+        join (select l_returnflag as rf2, count(*) as n_f
+              from lineitem where l_linestatus = 'F'
+              group by l_returnflag) b
+          on a.l_returnflag = b.rf2
+    """
+    code, body = _post(base, {"sql": sql})
+    assert code == 200, body
+    assert body["n_contexts"] == 2
+    assert len(body["routes"]) == 2
+    assert all(r["cube"] == "tpch_cube" for r in body["routes"])
+
+
+def test_concurrent_fast_query_not_blocked_by_slow(served):
+    """Execution happens OUTSIDE the engine lock: a fast routed query posted
+    while a slow pushdown is running must finish first (round-4 verdict #7 —
+    the old whole-execution critical section serialized them)."""
+    import time
+
+    _, base = served
+    results = {}
+
+    def run(name, payload):
+        t0 = time.perf_counter()
+        code, body = _post(base, payload)
+        results[name] = (time.perf_counter() - t0, time.perf_counter(), code)
+
+    # deterministic multi-second pushdown regardless of SF: per-row sleep
+    # UDF over a parallelized range (~1000 * 100ms / 32 cores ≈ 3s)
+    eng, _ = served
+    eng.spark.udf.register(
+        "__slow_probe", lambda x: __import__("time").sleep(0.1) or x, "long"
+    )
+    slow_sql = "select count(__slow_probe(id)) as n from range(1000)"
+    fast_sql = """select l_returnflag, sum(l_quantity) as s
+                  from lineitem group by l_returnflag"""
+    t_slow = threading.Thread(target=run, args=("slow", {"sql": slow_sql}))
+    t_slow.start()
+    time.sleep(0.4)  # let the slow query plan + start executing
+    t_fast = threading.Thread(target=run, args=("fast", {"sql": fast_sql}))
+    t_fast.start()
+    t_fast.join(timeout=120)
+    t_slow.join(timeout=120)
+    assert results["slow"][2] == 200 and results["fast"][2] == 200, results
+    assert results["fast"][1] < results["slow"][1], (
+        "fast routed query should complete before the slow pushdown",
+        results,
+    )
+
+
 def test_cubes_and_metrics_endpoints(served):
     _, base = served
     code, body = _get(base, "/api/cubes")
