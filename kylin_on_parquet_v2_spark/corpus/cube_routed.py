@@ -319,6 +319,31 @@ def cube_routed_topn_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("p_brand", F.round("revenue", 2).alias("revenue"))
 
 
+def cube_routed_topn_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-pinned dashboard top-k from a STORED TopN list on the SEGMENTED
+    cube: the equality on the partition column pins one segment dir
+    (pruned scan) and exactly one stored list per group survives the row
+    filter, so the per-day top-50 prefix answers limit 10 exactly
+    (TopNMeasureType.java:261-330 storage-partition capability — round-4
+    verdict item 6)."""
+    eng = engine(spark, sf_dir)
+    df = eng.sql(
+        """
+        select l_suppkey, sum(l_quantity) as day_qty
+        from lineitem
+        where l_shipdate = date '1996-03-15'
+        group by l_suppkey
+        order by day_qty desc, l_suppkey
+        limit 10
+        """
+    )
+    route = eng.last_route
+    assert route is not None, "expected route for cube_routed_topn_pinned"
+    assert route.topn is not None and route.cube == "tpch_cube_seg", route
+    assert route.segment_filters, "expected pinned segment predicates"
+    return df.select("l_suppkey", F.round("day_qty", 2).alias("day_qty"))
+
+
 def cube_routed_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HAVING over a select alias, applied post-aggregation on the layout."""
     eng = engine(spark, sf_dir)
@@ -590,6 +615,7 @@ QUERIES = {
     "cube_routed_window_rank": cube_routed_window_rank,
     "cube_routed_window_share": cube_routed_window_share,
     "cube_routed_window_lag": cube_routed_window_lag,
+    "cube_routed_topn_pinned": cube_routed_topn_pinned,
     "cube_routed_multi_col_distinct": cube_routed_multi_col_distinct,
     "cube_routed_having": cube_routed_having,
     "cube_routed_having_hidden": cube_routed_having_hidden,
@@ -608,6 +634,14 @@ QUERIES = {
 }
 
 ORACLES = {
+    "cube_routed_topn_pinned": """
+        select l_suppkey, round(sum(l_quantity), 2) as day_qty
+        from lineitem
+        where l_shipdate = date '1996-03-15'
+        group by l_suppkey
+        order by sum(l_quantity) desc, l_suppkey
+        limit 10
+    """,
     "cube_routed_agg_over_union": """
         select k, round(sum(v), 2) as total, count(*) as n_branches
         from (

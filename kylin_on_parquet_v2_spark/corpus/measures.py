@@ -118,6 +118,32 @@ def intersect_count_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def cube_routed_intersect_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT_COUNT (and a plain bitmap distinct) under ROLLUP, routed:
+    each grouping set re-ORs the stored word bags at its own granularity and
+    bit_ands the per-cohort bags — exact at every level including the grand
+    total (round-4 verdict item 10: this shape used to refuse and push
+    down). Parts appearing with BOTH return flags, per line status and
+    overall."""
+    from kylin_on_parquet_v2_spark.corpus.base import engine
+
+    eng = engine(spark, sf_dir)
+    df = eng.sql(
+        """
+        select l_linestatus,
+               intersect_count(l_partkey, l_returnflag, array('A','R')) as parts_in_both,
+               count(distinct l_partkey) as nd_parts
+        from lineitem
+        group by rollup(l_linestatus)
+        order by l_linestatus
+        """
+    )
+    route = eng.last_route
+    assert route is not None, "expected route for cube_routed_intersect_rollup"
+    assert route.bitmap_intersect and route.bitmap_distinct, route
+    return df
+
+
 def hll_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COUNT_DISTINCT hllc(p): Datasketches HLL — build sketches per group,
     union across groups, estimate (ApproxCountDistinct.scala parity).
@@ -204,6 +230,7 @@ QUERIES = {
     "topn_per_group": topn_per_group,
     "intersect_count_retention": intersect_count_retention,
     "intersect_count_funnel": intersect_count_funnel,
+    "cube_routed_intersect_rollup": cube_routed_intersect_rollup,
     "hll_approx_distinct": hll_approx_distinct,
     "extended_column_first": extended_column_first,
     "raw_detail_values": raw_detail_values,
@@ -244,6 +271,30 @@ ORACLES = {
             group by n_name, p_brand
         ) t where rn <= 3
         order by n_name, rn
+    """,
+    "cube_routed_intersect_rollup": """
+        with per_part as (
+            select l_linestatus, l_partkey,
+                   max(case when l_returnflag = 'A' then 1 else 0 end) as has_a,
+                   max(case when l_returnflag = 'R' then 1 else 0 end) as has_r
+            from lineitem group by 1, 2
+        ),
+        tot_part as (
+            select l_partkey,
+                   max(case when l_returnflag = 'A' then 1 else 0 end) as has_a,
+                   max(case when l_returnflag = 'R' then 1 else 0 end) as has_r
+            from lineitem group by 1
+        )
+        select l_linestatus,
+               cast(sum(case when has_a = 1 and has_r = 1 then 1 else 0 end) as bigint) as parts_in_both,
+               cast(count(*) as bigint) as nd_parts
+        from per_part group by l_linestatus
+        union all
+        select null,
+               cast(sum(case when has_a = 1 and has_r = 1 then 1 else 0 end) as bigint),
+               cast(count(*) as bigint)
+        from tot_part
+        order by l_linestatus
     """,
     "intersect_count_retention": """
         select count(distinct case when event_type = 'view' then user_id end) as view_users,

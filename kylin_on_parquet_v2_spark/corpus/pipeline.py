@@ -80,6 +80,26 @@ def dedup_filtered_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup maintenance (the build_increment of the dedup
+    pipeline): the corpus arrives in two batches; each refresh shingles
+    ONLY its delta and finds new x old candidates through the persisted
+    signature table (no history text re-scan), yet the accumulated
+    clusters EQUAL a full recompute — the oracle replays the full-corpus
+    LSH graph with the recursive CTE."""
+    import tempfile
+
+    views(spark, sf_dir)
+    docs = spark.table("documents")
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    split = (lo + hi) // 2
+    store = tempfile.mkdtemp(prefix="kylin_inc_dedup_")
+    inc = D.IncrementalDedup(spark, store)
+    inc.refresh(docs.filter(F.col("doc_id") <= split))
+    inc.refresh(docs.filter(F.col("doc_id") > split))
+    return inc.clusters().orderBy("doc_id")
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     views(spark, sf_dir)
     return D.simhash(spark.table("documents")).orderBy("doc_id")
@@ -247,6 +267,7 @@ QUERIES = {
     "dedup_minhash_signatures": dedup_minhash_signatures,
     "dedup_minhash_lsh_pairs": dedup_minhash_lsh_pairs,
     "dedup_clusters": dedup_clusters,
+    "dedup_incremental_refresh": dedup_incremental_refresh,
     "dedup_filtered_corpus": dedup_filtered_corpus,
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -388,6 +409,35 @@ ORACLES = {
         order by doc_a, doc_b
     """,
     "dedup_clusters": f"""
+        with recursive sig as (
+            select doc_id, {_MH_COLS}
+            from ({_SHINGLES3})
+            group by doc_id
+        ),
+        banded as (
+            select doc_id, '0|' || mh0 || '|' || mh1 as bucket from sig
+            union all select doc_id, '1|' || mh2 || '|' || mh3 from sig
+            union all select doc_id, '2|' || mh4 || '|' || mh5 from sig
+            union all select doc_id, '3|' || mh6 || '|' || mh7 from sig
+        ),
+        pairs as (
+            select distinct a.doc_id as doc_a, b.doc_id as doc_b
+            from banded a join banded b
+              on a.bucket = b.bucket and a.doc_id < b.doc_id
+        ),
+        edges as (
+            select doc_a as src, doc_b as dst from pairs
+            union all select doc_b, doc_a from pairs
+        ),
+        walk(id, label) as (
+            select src, src from edges
+            union
+            select e.dst, w.label from walk w join edges e on e.src = w.id
+        )
+        select id as doc_id, min(label) as cluster_id
+        from walk group by id order by doc_id
+    """,
+    "dedup_incremental_refresh": f"""
         with recursive sig as (
             select doc_id, {_MH_COLS}
             from ({_SHINGLES3})

@@ -265,10 +265,17 @@ class CubeBuilder:
         if self.model.partition_column is not None and any(
             m.function.expression == "TOP_N" for m in self.desc.measures
         ):
-            # cross-segment TopN merge is approximate (the boundary
-            # TopNMeasureType.java:261-330 declares); we keep stored lists
-            # exact-only, so segmented cubes must not declare them
-            raise ValueError("TOP_N measures are not supported on segmented cubes")
+            # Stored lists stay EXACT-only (cross-segment list merge is the
+            # approximation TopNMeasureType.java:261-330 declares). On a
+            # segmented cube that requires per-partition-value lists: the
+            # partition column must be a dimension, lists are materialized
+            # only on layouts carrying it, and segment merges re-aggregate
+            # them with first() (one source row per group — see merge.py).
+            if self.model.partition_column not in self.desc.dimensions:
+                raise ValueError(
+                    "TOP_N on a segmented cube requires the partition column "
+                    "as a dimension (per-partition-value lists stay exact)"
+                )
         cube_dir = os.path.join(self.storage_dir, self.desc.name)
         layout_fs = FS.fs_for(cube_dir, self.spark)
         if overwrite and layout_fs.exists(cube_dir):
@@ -459,7 +466,8 @@ class CubeBuilder:
         self._topn_base = {}
         for m in self._topn_measures():
             rank = m.function.extra_params[0]
-            base = flat.groupBy(*dims, rank).agg(
+            keys = dims + ([SEGMENT_COL] if self.model.partition_column else [])
+            base = flat.groupBy(*keys, rank).agg(
                 F.sum(m.function.parameter).alias("val")
             )
             self._topn_base[m.name] = base.persist()
@@ -529,9 +537,21 @@ class CubeBuilder:
             )
             for m in self._bitmap_measures()
         ]
-        if cuboid.n_dims <= self.TOPN_HOST_MAX_DIMS:
+        if self._topn_host(cuboid, segmented):
             bitmaps += [self._topn_build(keys, m) for m in self._topn_measures()]
         return self._join_bitmaps(base, bitmaps, keys)
+
+    def _topn_host(self, cuboid: Cuboid, segmented: bool) -> bool:
+        """Should this layout materialize stored TopN lists? Narrow layouts
+        only (real top-k hosts), and on segmented cubes only layouts that
+        carry the partition column — each stored list is then keyed by one
+        partition value, so lists never need a cross-segment merge (the
+        exactness contract; merge.py re-aggregates them with first())."""
+        if cuboid.n_dims > self.TOPN_HOST_MAX_DIMS:
+            return False
+        if segmented and self.model.partition_column not in cuboid.dims:
+            return False
+        return True
 
     def _agg_from_parent(self, parent: DataFrame, cuboid: Cuboid, segmented: bool) -> DataFrame:
         aggs = []
@@ -556,7 +576,7 @@ class CubeBuilder:
         ]
         # TopN lists never merge from a parent (approximate) — re-aggregate
         # the shared sums base per layout so every stored list stays exact
-        if cuboid.n_dims <= self.TOPN_HOST_MAX_DIMS:
+        if self._topn_host(cuboid, segmented):
             bitmaps += [self._topn_build(keys, m) for m in self._topn_measures()]
         return self._join_bitmaps(base, bitmaps, keys)
 

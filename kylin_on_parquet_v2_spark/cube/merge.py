@@ -71,6 +71,13 @@ def merge_segments(
         for m in inst.desc.measures:
             if m.name not in df.columns:
                 continue
+            if m.function.expression == "TOP_N":
+                # build contract: segmented stored lists live only on layouts
+                # carrying the partition column, so a merged group (dims incl.
+                # that column) has exactly ONE source row — first() is exact,
+                # never a cross-segment list merge
+                aggs.append(F.first(m.name).alias(m.name))
+                continue
             c = M.reagg_from_layout(m, df.schema)
             if c is not None:
                 aggs.append(c)

@@ -199,6 +199,15 @@ TPCH_CUBE_SEG = CubeDesc(
         # full TPC-H q1 from the segmented cube: expression measures
         MeasureDesc("sum_revenue", FunctionDesc("SUM", "revenue")),
         MeasureDesc("sum_charge", FunctionDesc("SUM", "charge")),
+        # stored TopN on a SEGMENTED cube: legal because l_shipdate (the
+        # partition column) is a dimension — lists are keyed per day, so
+        # they never merge across segments (exactness contract), and a
+        # date-pinned top-k takes the stored-list route
+        # (TopNMeasureType.java:261-330 storage-partition capability)
+        MeasureDesc(
+            "topn_supp_qty",
+            FunctionDesc("TOP_N", "l_quantity", "topn(50)", extra_params=("l_suppkey",)),
+        ),
     ),
     segment_granularity="month",
 )

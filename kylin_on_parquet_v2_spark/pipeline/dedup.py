@@ -90,6 +90,24 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*aggs)
 
 
+def _stack_bands(
+    sig: DataFrame, id_col: str, k: int, bands: int
+) -> DataFrame:
+    """(id, bucket) rows: one LSH bucket key per band per signature."""
+    rows_per_band = k // bands
+    band_cols = [
+        F.concat_ws("|", F.lit(str(b)), *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(
+            f"band{b}"
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(F.col(id_col), *band_cols)
+    return banded.select(
+        F.col(id_col),
+        F.explode(F.array(*[F.col(f"band{b}") for b in range(bands)])).alias("bucket"),
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -104,18 +122,7 @@ def minhash_lsh_pairs(
     shuffle and hot buckets (boilerplate docs) are handled by AQE skew split.
     """
     sig = minhash_signatures(docs, text_col, id_col, k)
-    rows_per_band = k // bands
-    band_cols = [
-        F.concat_ws("|", F.lit(str(b)), *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(
-            f"band{b}"
-        )
-        for b in range(bands)
-    ]
-    banded = sig.select(F.col(id_col), *band_cols)
-    stacked = banded.select(
-        F.col(id_col),
-        F.explode(F.array(*[F.col(f"band{b}") for b in range(bands)])).alias("bucket"),
-    )
+    stacked = _stack_bands(sig, id_col, k, bands)
     a = stacked.alias("a")
     b = stacked.alias("b")
     return (
@@ -126,6 +133,91 @@ def minhash_lsh_pairs(
         )
         .dropDuplicates()
     )
+
+
+class IncrementalDedup:
+    """Persisted-signature incremental dedup maintenance (round-4 verdict
+    item 5; no reference equivalent — the dedup-pipeline analogue of the
+    cube side's ``build_increment``).
+
+    State on disk: ``{store}/signatures`` (doc_id + k minhash slots) and
+    ``{store}/pairs`` (doc_a, doc_b). :meth:`refresh` shingles ONLY the
+    delta — history is touched through the stored signature table (k short
+    string columns per doc, no text re-scan) — and emits only candidate
+    pairs touching the delta: new x new, plus new x old via the banded
+    bucket join against the stored signatures.
+
+    Invariant (tested in tests/test_pipeline.py): after any sequence of
+    refreshes the accumulated pair set EQUALS a full recompute over the
+    union corpus — every LSH pair is emitted by the refresh in which its
+    later member arrived. Caller contract: delta doc ids are new (dedupe
+    redelivery upstream, e.g. streaming dropDuplicates).
+
+    100 TB shape: a daily delta costs O(|delta| shingles) map-side hashing
+    plus one bucket equi-join whose build side is the delta's stacked bands;
+    the stored-signature side is partition-pruned parquet of ~no width.
+    """
+
+    def __init__(
+        self,
+        spark,
+        store_dir: str,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        k: int = MINHASH_K,
+        bands: int = LSH_BANDS,
+    ):
+        import os
+
+        self.spark = spark
+        self.text_col, self.id_col, self.k, self.bands = text_col, id_col, k, bands
+        self.sig_path = os.path.join(store_dir, "signatures")
+        self.pairs_path = os.path.join(store_dir, "pairs")
+
+    def _exists(self, path: str) -> bool:
+        from kylin_on_parquet_v2_spark import fs as FS
+
+        return FS.fs_for(path, self.spark).exists(path)
+
+    def refresh(self, delta: DataFrame) -> int:
+        """Process a batch of NEW documents; returns the number of new
+        candidate pairs persisted. Only the delta's text is shingled."""
+        new_sig = minhash_signatures(delta, self.text_col, self.id_col, self.k)
+        stacked_new = _stack_bands(new_sig, self.id_col, self.k, self.bands)
+        if self._exists(self.sig_path):
+            old_sig = self.spark.read.parquet(self.sig_path)
+            stacked_all = stacked_new.unionByName(
+                _stack_bands(old_sig, self.id_col, self.k, self.bands)
+            )
+        else:
+            stacked_all = stacked_new
+        a, b = stacked_new.alias("a"), stacked_all.alias("b")
+        idc = self.id_col
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col(f"a.{idc}") != F.col(f"b.{idc}")),
+            )
+            .select(
+                F.least(F.col(f"a.{idc}"), F.col(f"b.{idc}")).alias("doc_a"),
+                F.greatest(F.col(f"a.{idc}"), F.col(f"b.{idc}")).alias("doc_b"),
+            )
+            .dropDuplicates()
+        )
+        # write order matters: pairs materialize against the OLD signature
+        # store, then the delta signatures are appended
+        pairs.write.mode("append").parquet(self.pairs_path)
+        new_sig.write.mode("append").parquet(self.sig_path)
+        return self.spark.read.parquet(self.pairs_path).count()
+
+    def pairs(self) -> DataFrame:
+        return self.spark.read.parquet(self.pairs_path).dropDuplicates()
+
+    def clusters(self) -> DataFrame:
+        """Connected components over ALL accumulated pairs — equals
+        duplicate_clusters over the full corpus (see invariant above)."""
+        return duplicate_clusters(None, id_col=self.id_col, pairs=self.pairs())
 
 
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:

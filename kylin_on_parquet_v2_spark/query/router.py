@@ -305,12 +305,18 @@ def _plan_topn_route(digest: SqlDigest, inst: CubeInstance) -> Route | None:
     rows — merged top-n lists are approximate), filters only on those dims,
     and k <= n. Under the build's total order (val desc, key asc) the stored
     per-group prefix preserves the global top-k prefix for k <= n.
+
+    SEGMENTED cubes additionally serve the date-pinned dashboard top-k:
+    when every extra filter conjunct is an EQUALITY on the partition column
+    and the folds pin a single segment dir, the partition column joins the
+    host-dim set — after the equality filter exactly one layout row (one
+    stored list) survives per group, so the stored prefix stays exact
+    (the storage-partition condition of TopNMeasureType.java:261-330).
     """
     from kylin_on_parquet_v2_spark.cube.measures import topn_k
 
     if (
-        inst.segmented
-        or digest.grouping_sets is not None
+        digest.grouping_sets is not None
         or digest.having_sql is not None
         or digest.limit is None
         or not digest.sort
@@ -325,6 +331,7 @@ def _plan_topn_route(digest: SqlDigest, inst: CubeInstance) -> Route | None:
     if sort_col != agg.alias or sort_asc:
         return None
     dims = set(inst.desc.dimensions)
+    pcol = inst.model.partition_column
     for m in inst.desc.measures:
         f = m.function
         if f.expression != "TOP_N" or f.parameter != agg.column or not f.extra_params:
@@ -333,18 +340,33 @@ def _plan_topn_route(digest: SqlDigest, inst: CubeInstance) -> Route | None:
         if rank not in digest.group_cols:
             continue
         g = [c for c in digest.group_cols if c != rank]
-        if not set(g) <= dims or not digest.filter_cols <= set(g):
+        if not set(g) <= dims:
             continue
+        extra_filter = digest.filter_cols - set(g)
+        seg_filters: list[str] = []
+        if inst.segmented:
+            if extra_filter and extra_filter != {pcol}:
+                continue
+            seg_filters = _fold_segment_filters(digest, inst)
+            if not _pins_single_segment(seg_filters):
+                continue
+            if not _pcol_equality_only(digest, pcol):
+                continue
+            host = frozenset(g) | {pcol}
+        else:
+            if extra_filter:
+                continue
+            host = frozenset(g)
         if digest.limit > topn_k(f):
             continue
         from kylin_on_parquet_v2_spark.cube.build import CubeBuilder
 
-        if len(g) > CubeBuilder.TOPN_HOST_MAX_DIMS:
+        if len(host) > CubeBuilder.TOPN_HOST_MAX_DIMS:
             continue  # lists only materialized on narrow host layouts
-        cuboid = inst.scheduler.find_best_match(frozenset(g))
+        cuboid = inst.scheduler.find_best_match(host)
         if (
             cuboid is None
-            or set(cuboid.dims) != set(g)
+            or set(cuboid.dims) != set(host)
             or cuboid.cuboid_id not in inst.layouts
         ):
             continue
@@ -353,8 +375,30 @@ def _plan_topn_route(digest: SqlDigest, inst: CubeInstance) -> Route | None:
             cuboid=cuboid,
             exact=False,
             topn=(agg.alias, m.name, rank),
+            segment_filters=seg_filters,
         )
     return None
+
+
+def _pcol_equality_only(digest: SqlDigest, pcol: str | None) -> bool:
+    """Every filter conjunct mentioning the partition column must be a bare
+    date/timestamp EQUALITY on it — the condition under which the pinned
+    stored-TopN route keeps exactly one list per group."""
+    if pcol is None or not digest.filter_sql:
+        return False
+    eq = re.compile(
+        rf"\(*\s*{re.escape(pcol)}\s*=\s*(?:CAST\s*\(\s*)?"
+        rf"(?:DATE|TIMESTAMP(?:_NTZ)?)\s*'[^']*'\s*(?:AS\s+\w+\s*\)\s*)?\)*\s*",
+        re.IGNORECASE,
+    )
+    ident = re.compile(rf"\b{re.escape(pcol)}\b", re.IGNORECASE)
+    saw = False
+    for conj in _split_conjuncts(digest.filter_sql):
+        if ident.search(_STRING_LIT_RE.sub("''", conj)):
+            if not eq.fullmatch(conj):
+                return False
+            saw = True
+    return saw
 
 
 def plan_route(
@@ -402,10 +446,12 @@ def plan_route(
             # stored bitmap — per-cohort word bags bit_and-ed together
             # (AggregatePlan.scala:68-92 routes the same call onto
             # PreciseCountDistinct state)
+            # sound under grouping sets too: per-set re-OR of the cohort
+            # bags is exact (bit_or idempotence), and the intersection of
+            # the coarser-unioned bags IS the coarser intersection
             bm = _bitmap_measure_for(agg.column, inst)
             if (
                 bm is None
-                or digest.grouping_sets is not None
                 or agg.filter_col is None
                 or not agg.values
                 or not _need(agg.filter_col)
@@ -427,8 +473,9 @@ def plan_route(
             if agg.cond_sql is not None:
                 # conditional distinct: cohort filter must land on layout
                 # columns; count then comes exactly from the filtered bags
+                # (per grouping set too — same idempotent re-OR argument)
                 bm = _bitmap_measure_for(agg.column, inst)
-                if bm is None or digest.grouping_sets is not None:
+                if bm is None:
                     return None
                 for c in agg.cond_cols:
                     if not _need(c):
@@ -639,21 +686,33 @@ def _derived_prefilter(
     filter_sql = digest.filter_sql
     assert filter_sql is not None
     model_cols = inst.column_tables
+
+    def _apply(df: DataFrame, fks: tuple[str, ...], vals: list[tuple]) -> DataFrame:
+        # Single key: exact IN on the host FK. COMPOSITE key
+        # (DerivedProcess.scala:38-188 translates these too): per-column IN
+        # lists — the coordinate-wise relaxation of the matching pk-tuple
+        # set. Sound: a superset filter only narrows the scan (the exact
+        # post-join row filter still runs), and unlike a struct-tuple IN,
+        # each column's In pushes down to Parquet row-group stats.
+        if len(fks) == 1:
+            return df.filter(F.col(fks[0]).isin([v[0] for v in vals]))
+        for i, fk in enumerate(fks):
+            df = df.filter(F.col(fk).isin(list({v[i] for v in vals})))
+        return df
+
     for lk in route.derived:
-        if len(lk.join.foreign_key) != 1:
-            continue  # composite-key translate: stay with the post-join filter
-        fk, pk = lk.join.foreign_key[0], lk.join.primary_key[0]
-        if fk not in df.columns:
+        fks, pks = lk.join.foreign_key, lk.join.primary_key
+        if any(fk not in df.columns for fk in fks):
             continue
         for conj in _split_conjuncts(filter_sql):
-            # key by lookup NAME + pk: column_tables values are lookup names
-            # (build.py uses lk.name), and the same conjunct translated via a
-            # different pk must not collide in the memo
-            key = (lk.name, pk, conj)
+            # key by lookup NAME + pk tuple: column_tables values are lookup
+            # names (build.py uses lk.name), and the same conjunct translated
+            # via different pk columns must not collide in the memo
+            key = (lk.name, pks, conj)
             if key in inst.derived_in_cache:
                 vals = inst.derived_in_cache[key]
                 if vals is not None:
-                    df = df.filter(F.col(fk).isin(vals))
+                    df = _apply(df, fks, vals)
                 continue
             used = {
                 t
@@ -677,7 +736,7 @@ def _derived_prefilter(
                         continue
                 rows = (
                     lookup.filter(F.expr(conj))
-                    .select(pk)
+                    .select(*pks)
                     .distinct()
                     .limit(DERIVED_IN_THRESHOLD + 1)
                     .collect()
@@ -688,9 +747,11 @@ def _derived_prefilter(
             if len(rows) > DERIVED_IN_THRESHOLD:
                 inst.derived_in_cache[key] = None
                 continue
-            vals = [r[0] for r in rows if r[0] is not None]
+            # a NULL pk component never equi-joins, so such rows can't
+            # contribute a matching fk — excluding them is sound
+            vals = [tuple(r) for r in rows if all(v is not None for v in r)]
             inst.derived_in_cache[key] = vals
-            df = df.filter(F.col(fk).isin(vals))
+            df = _apply(df, fks, vals)
     return df
 
 
@@ -872,9 +933,30 @@ def execute_route(digest: SqlDigest, inst: CubeInstance, route: Route, spark) ->
                 elif gset:
                     branch = df.select(*gset).dropDuplicates()
                 else:
-                    branch = None  # grand-total set with only bitmap aggs
-                for item, mname in bitmap_items:
-                    counts = GD.bitmap_count(df, list(gset), mname, item.name)
+                    branch = None  # grand-total set with only bag-served aggs
+                per_set = [
+                    (item, GD.bitmap_count(df, list(gset), mname, item.name))
+                    for item, mname in bitmap_items
+                ]
+                per_set += [
+                    (
+                        item,
+                        GD.bitmap_count(
+                            df.filter(F.expr(cond)), list(gset), mname, item.name
+                        ),
+                    )
+                    for item, mname, cond in cond_items
+                ]
+                per_set += [
+                    (
+                        item,
+                        GD.bitmap_intersect_count(
+                            df, list(gset), mname, fcol, list(vals), item.name
+                        ),
+                    )
+                    for item, mname, fcol, vals in intersect_items
+                ]
+                for item, counts in per_set:
                     if branch is None:
                         branch = counts
                     else:

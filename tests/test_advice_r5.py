@@ -168,6 +168,73 @@ def test_derived_prefilter_uses_lookup_name(engine):
         k: v for k, v in inst.derived_in_cache.items() if k[0] == "no_dim"
     }
     assert hits, "expected a memoized translate attempt"
-    assert any(v == [2] for v in hits.values()), hits
-    # memo keys carry (name, pk, conjunct)
-    assert all(len(k) == 3 and k[1] == "pk" for k in hits)
+    assert any(v == [(2,)] for v in hits.values()), hits
+    # memo keys carry (name, pk tuple, conjunct)
+    assert all(len(k) == 3 and k[1] == ("pk",) for k in hits)
+
+
+COMP_MODEL = DataModel(
+    name="comp_star",
+    fact_table="comp_fact",
+    lookups=(
+        JoinTable("comp_dim", JoinDesc(("fk1", "fk2"), ("pk1", "pk2"), "inner")),
+    ),
+)
+
+COMP_CUBE = CubeDesc(
+    name="comp_cube",
+    model_name="comp_star",
+    dimensions=("d", "fk1", "fk2"),
+    measures=(
+        MeasureDesc("_cnt", FunctionDesc("COUNT")),
+        MeasureDesc("sum_v", FunctionDesc("SUM", "v")),
+    ),
+    aggregation_groups=(AggregationGroup(includes=("d", "fk1", "fk2")),),
+)
+
+
+@pytest.fixture(scope="module")
+def comp_engine(spark, tmp_path_factory):
+    spark.createDataFrame(
+        [
+            ("a", 1, 10, 1.0),
+            ("a", 1, 20, 2.0),
+            ("a", 2, 10, 3.0),
+            ("b", 2, 20, 4.0),
+            ("b", 3, 30, 5.0),
+        ],
+        "d string, fk1 int, fk2 int, v double",
+    ).createOrReplaceTempView("comp_fact")
+    spark.createDataFrame(
+        [
+            (1, 10, "X"),
+            (1, 20, "Y"),
+            (2, 10, "X"),
+            (2, 20, "Y"),
+            (3, 30, "Z"),
+        ],
+        "pk1 int, pk2 int, grp string",
+    ).createOrReplaceTempView("comp_dim")
+    eng = OlapEngine(spark, storage_dir=str(tmp_path_factory.mktemp("comp_cubes")))
+    eng.add_model(COMP_MODEL)
+    eng.build_cube(COMP_CUBE)
+    return eng
+
+
+def test_composite_key_derived_prefilter(comp_engine):
+    """Round-4 verdict item 8: a filter on a derived column behind a
+    COMPOSITE-key lookup translates into per-FK-column IN prefilters on the
+    layout scan (coordinate-wise relaxation of the pk-tuple set — sound,
+    and each In pushes to Parquet), instead of being skipped entirely."""
+    sql = """select d, count(*) as n, sum(v) as s from comp_fact
+             join comp_dim on fk1 = pk1 and fk2 = pk2
+             where grp = 'X' group by d"""
+    df = comp_engine.sql(sql, validate=True)
+    route = comp_engine.last_route
+    assert route is not None and route.derived, route
+    inst = comp_engine.cubes[route.cube]
+    hits = {k: v for k, v in inst.derived_in_cache.items() if k[0] == "comp_dim"}
+    assert any(v and all(len(t) == 2 for t in v) for v in hits.values()), hits
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "In(fk1" in plan or "EqualTo(fk1" in plan, plan
+    assert "In(fk2" in plan or "EqualTo(fk2" in plan, plan

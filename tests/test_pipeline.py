@@ -58,6 +58,28 @@ def test_dedup_filter_small_losers_still_broadcast(spark):
     assert 0 < n_kept <= docs.count()
 
 
+def test_incremental_dedup_equals_full_recompute(spark, tmp_path):
+    """IncrementalDedup invariant: after any refresh sequence the
+    accumulated pair set and clusters EQUAL a full recompute over the union
+    corpus, while each refresh shingled only its own delta (history is
+    reached through the stored signature table)."""
+    docs = spark.table("documents")
+    full_pairs = {(r.doc_a, r.doc_b) for r in D.minhash_lsh_pairs(docs).collect()}
+    inc = D.IncrementalDedup(spark, str(tmp_path / "store"))
+    for m in (0, 1, 2):
+        inc.refresh(docs.filter(F.col("doc_id") % 3 == m))
+    got_pairs = {(r.doc_a, r.doc_b) for r in inc.pairs().collect()}
+    assert got_pairs == full_pairs
+    full_clusters = {
+        (r.doc_id, r.cluster_id) for r in D.duplicate_clusters(docs).collect()
+    }
+    inc_clusters = {(r.doc_id, r.cluster_id) for r in inc.clusters().collect()}
+    assert inc_clusters == full_clusters
+    # each doc signed exactly once (no history re-shingling across refreshes)
+    sigs = spark.read.parquet(inc.sig_path)
+    assert sigs.count() == sigs.select("doc_id").distinct().count() == docs.count()
+
+
 def test_simhash_near_duplicates_close(spark):
     rows = [
         (1, "the quick brown fox jumps over the lazy dog again and again today"),

@@ -262,6 +262,32 @@ def test_derived_filter_or_condition_not_translated(engine):
             assert vals is None, (key, vals)
 
 
+def test_topn_pinned_segment_routes(engine):
+    """Date-pinned top-k on the SEGMENTED cube takes the stored-list route
+    (partition-column equality pins one segment; one list per group)."""
+    sql = """select l_suppkey, sum(l_quantity) as s from lineitem
+             where l_shipdate = date '1996-03-15'
+             group by l_suppkey order by s desc, l_suppkey limit 5"""
+    engine.sql(sql, validate=True)
+    route = engine.last_route
+    assert route is not None and route.topn is not None, route
+    assert route.cube == "tpch_cube_seg"
+    assert route.segment_filters and "1996-03" in route.segment_filters[0]
+
+
+def test_topn_range_filter_not_pinned_no_list_route(engine):
+    """A RANGE filter on the partition column spans many stored lists —
+    the stored-TopN route must refuse (merged truncated lists would be
+    approximate); the query still answers correctly another way."""
+    sql = """select l_suppkey, sum(l_quantity) as s from lineitem
+             where l_shipdate >= date '1996-03-01'
+               and l_shipdate < date '1996-04-01'
+             group by l_suppkey order by s desc, l_suppkey limit 5"""
+    engine.sql(sql, validate=True)
+    route = engine.last_route
+    assert route is None or route.topn is None, route
+
+
 def test_having_routed(engine):
     """HAVING over a select alias routes and filters post-aggregation."""
     sql = """select l_returnflag, sum(l_quantity) as s from lineitem
