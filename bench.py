@@ -29,9 +29,14 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Pay cube-build cost once, outside query timing.
+    # Pay cube-build cost once, outside query timing — including the hybrid
+    # fixture (stream ingest + segmented events cube), which is offline
+    # build work in the same sense as the main cubes.
     t0 = time.perf_counter()
     entry_mod._engine(spark, sf_dir)
+    from kylin_on_parquet_v2_spark.corpus.streaming_corpus import _hybrid_engine
+
+    _hybrid_engine(spark, sf_dir)
     build_s = time.perf_counter() - t0
 
     # Warm every source view once (first scan + codegen JIT) so per-query
@@ -49,14 +54,12 @@ def main() -> None:
     # whichever query ran first, producing phantom ×3 "regressions" on
     # unchanged code). Pay each class's one-time cost HERE so per-query
     # numbers stay comparable across window rotations.
-    import pandas as _pd
     from pyspark.sql import functions as F
     from pyspark.sql.functions import pandas_udf
 
-    @pandas_udf("long")
-    def _warm_udf(s: _pd.Series) -> _pd.Series:  # Python worker pool spawn
-        return s
-
+    # legacy-style (no type hints): hint inference needs a module-level
+    # `pd` name, which this function scope doesn't have
+    _warm_udf = pandas_udf(lambda s: s, "long")  # Python worker pool spawn
     spark.range(100).select(_warm_udf("id")).write.format("noop").mode(
         "overwrite"
     ).save()

@@ -57,64 +57,82 @@ def _modules():
 
 # The driver's correctness harness checks the FIRST 50 ``queries()`` entries
 # only. Rotate the window each round so every contract query eventually gets a
-# driver check (round-3 verdict item 2): r04 pulls in the 8 queries never seen
-# by any driver window (array_functions, mass_in_filter, multi_distinct,
-# pivot_event_types, sessionize_events, string_encode_funcs, subquery_sql_text,
-# udf_pandas_vectorized), demoting 8 queries already green in two independent
-# driver windows (r01 + r03). Everything stays covered every round by the
-# driver-calibrated in-repo parity suite (tests/test_entry_oracle_parity.py).
+# driver check. r05 window: the 4 queries NEW this round, then the 9 never
+# driver-checked before (7 new-in-r4 shapes + the 2 oracles upgraded in r4 —
+# round-4 verdict item 2), then regression anchors already green in earlier
+# windows. Everything stays covered every round by the driver-calibrated
+# in-repo parity suite (tests/test_entry_oracle_parity.py).
 _PRIORITY = [
-    "array_functions",  # never driver-checked before r04
-    "mass_in_filter",
-    "multi_distinct",
-    "pivot_event_types",
-    "sessionize_events",
-    "string_encode_funcs",
-    "subquery_sql_text",
-    "udf_pandas_vectorized",
-    "q7_volume_shipping",  # new in r04b: dimension-role aliasing (nation x2)
-    "q12_priority_lines",  # new in r04b: CASE-inside-SUM pivot counts
-    "q18_large_orders",  # new in r04b: IN over grouped-HAVING subquery
-    "q19_discounted_revenue",  # new in r04b: OR-of-ANDs disjunctive join
-    "sample_stratified",  # new in r04b: deterministic corpus mixing
-    "pack_token_budget",  # new in r04b: token-budget sequence packing
-    "cube_routed_cte",  # new in r04b: WITH-clause inlining before routing
-    "cube_routed_join_contexts",  # new in r04b: per-island multi-context routing
-    "cube_routed_union_contexts",  # new in r04b: per-branch UNION ALL routing
-    "cube_routed_agg_over_union",  # new in r04b: re-agg above served union
-    "cube_routed_island_ratio",  # new in r04b: scalar projection over islands
-    "cube_routed_window_rank",  # new in r04: window-over-aggregate routing
-    "cube_routed_window_share",
-    "cube_routed_window_lag",
-    "dedup_clusters",  # new in r04: connected-components dup grouping
-    "cube_routed_dim_minmax",  # new in r04: dimension-as-measure min/max
-    "lateral_explode_tokens",  # new in r04: UDTF surface (LATERAL VIEW)
-    "unpivot_metrics",  # new in r04: ANSI UNPIVOT wide->long
-    "streaming_dedup",  # new in r04: at-least-once redelivery dedup
-    "similarity_ann_ivf_trained",  # new in r04: k-means-trained quantizer
-    "cube_routed_month_series",  # new in r04: expression group-by routing
-    "dedup_filtered_corpus",  # new in r04: dedup pipeline endpoint
-    "streaming_stream_join",  # new in r04: event-time-bounded join
-    "q4_order_priority",  # new in r04: TPC-H shape widening
-    "q10_returned_items",
-    "q14_promo_revenue",
-    "cube_routed_having",
-    "cube_routed_having_hidden",
-    "cube_routed_q1",
+    # --- new in r05 -------------------------------------------------------
+    "cube_routed_hybrid",  # batch cube + realtime tail served via the router
+    "cube_routed_topn_pinned",  # stored TopN on a pinned segment
+    "cube_routed_intersect_rollup",  # INTERSECT_COUNT under grouping sets
+    "dedup_incremental_refresh",  # persisted-signature incremental dedup
+    # --- never driver-checked before r05 (r04 verdict item 2) -------------
+    "cube_routed_multi_col_distinct",
+    "date_month_arithmetic",
+    "dynamic_params",
+    "except_all_pairs",
+    "intersect_all_pairs",
+    "ordinal_group_order",
+    "window_nth_value",
+    "similarity_ann_lsh",  # oracle upgraded in r4, first driver check now
+    "multimodal_decode_features",  # oracle upgraded in r4
+    # --- new TPC-H shapes (r5): q8 double-role nation + share ratio, q9
+    # LIKE-filtered profit rollup, q13 outer-join histogram, q15 CTE +
+    # scalar-max argmax, q17 correlated scalar subquery, q22 NOT EXISTS +
+    # avg-bound filter
+    "q8_market_share",
+    "q9_product_profit",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity",
+    "q22_missed_opportunity",
+    # --- regression anchors (green in earlier windows) --------------------
     "cube_routed_q1_revenue",
-    "cube_routed_rollup",
-    "cube_routed_snowflake",
-    "cube_routed_filter_dim",
-    "cube_routed_global",
     "cube_routed_segment_prune",
     "cube_routed_derived_dim",
     "cube_routed_topn_rewrite",
     "cube_routed_bitmap_distinct",
     "cube_routed_topn_measure",
     "cube_routed_percentile_sketch",
-    "percentile_approx_sketch",
+    "cube_routed_having",
+    "cube_routed_having_hidden",
+    "cube_routed_window_rank",
+    "cube_routed_window_share",
+    "cube_routed_window_lag",
+    "cube_routed_cte",
+    "cube_routed_join_contexts",
+    "cube_routed_union_contexts",
+    "cube_routed_agg_over_union",
+    "cube_routed_island_ratio",
+    "cube_routed_month_series",
+    "cube_routed_dim_minmax",
     "intersect_count_retention",
     "intersect_count_funnel",
+    "dedup_clusters",
+    "dedup_filtered_corpus",
+    "streaming_dedup",
+    "streaming_stream_join",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "q19_discounted_revenue",
+    "sample_stratified",
+    # --- below the 50-entry driver window ---------------------------------
+    "cube_routed_q1",
+    "cube_routed_rollup",
+    "cube_routed_snowflake",
+    "cube_routed_filter_dim",
+    "cube_routed_global",
+    "pack_token_budget",
+    "q12_priority_lines",
+    "lateral_explode_tokens",
+    "unpivot_metrics",
+    "similarity_ann_ivf_trained",
+    "percentile_approx_sketch",
     "hll_approx_distinct",
     "extended_column_first",
     "raw_detail_values",
@@ -128,14 +146,20 @@ _PRIORITY = [
     "similarity_bruteforce_topk",
     "similarity_neardup_pairs",
     "similarity_neardup_exact",
-    "similarity_ann_lsh",
     "similarity_ann_ivf",
     "text_quality_features",
     "text_language_id",
     "text_fingerprint",
     "text_token_stats",
     "multimodal_metadata",
-    "multimodal_decode_features",
+    "mass_in_filter",
+    "array_functions",
+    "multi_distinct",
+    "pivot_event_types",
+    "sessionize_events",
+    "string_encode_funcs",
+    "subquery_sql_text",
+    "udf_pandas_vectorized",
     "streaming_window_counts",
     "streaming_segment_ingest",
     "streaming_hybrid_union",

@@ -282,7 +282,157 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_Q19_SQL)
 
 
+
+_Q8_SQL = """
+    select o_year,
+           round(sum(case when nation = 'NATION_3' then volume else 0.0 end)
+                 / sum(volume), 4) as mkt_share
+    from (
+        select cast(extract(year from o_orderdate) as int) as o_year,
+               l_extendedprice * (1 - l_discount) as volume,
+               n2.n_name as nation
+        from lineitem
+          join supplier on s_suppkey = l_suppkey
+          join orders on o_orderkey = l_orderkey
+          join customer on c_custkey = o_custkey
+          join nation n1 on c_nationkey = n1.n_nationkey
+          join region on n1.n_regionkey = r_regionkey
+          join nation n2 on s_nationkey = n2.n_nationkey
+        where r_name = 'ASIA'
+    ) all_nations
+    group by o_year
+    order by o_year
+"""
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): 6-way snowflake with nation
+    joined twice (customer-region gate vs supplier nationality), a derived
+    table, and the CASE-share ratio per year."""
+    views(spark, sf_dir)
+    return spark.sql(_Q8_SQL)
+
+
+_Q9_SQL = """
+    select nation, o_year, round(sum(amount), 2) as sum_profit
+    from (
+        select n_name as nation,
+               cast(extract(year from o_orderdate) as int) as o_year,
+               l_extendedprice * (1 - l_discount)
+                 - 0.5 * p_retailprice * l_quantity as amount
+        from lineitem
+          join supplier on s_suppkey = l_suppkey
+          join part on p_partkey = l_partkey
+          join orders on o_orderkey = l_orderkey
+          join nation on s_nationkey = n_nationkey
+        where p_name like '%bolt%'
+    ) profit
+    group by nation, o_year
+    order by nation, o_year
+"""
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit): 5-way join, LIKE-filtered
+    part names, profit expression over both join sides, nation x year
+    rollup. (No partsupp table in the fixture — supply cost is modeled as
+    a retail-price fraction; the join/agg shape is the point.)"""
+    views(spark, sf_dir)
+    return spark.sql(_Q9_SQL)
+
+
+_Q13_SQL = """
+    select c_count, cast(count(*) as bigint) as custdist
+    from (
+        select c_custkey, count(o_orderkey) as c_count
+        from customer left join orders
+          on c_custkey = o_custkey and o_orderpriority <> '1-URGENT'
+        group by c_custkey
+    ) c_orders
+    group by c_count
+    order by custdist desc, c_count desc
+"""
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order distribution): LEFT OUTER join with
+    an extra non-key join predicate, then a DOUBLE aggregation — count per
+    customer, histogram of those counts. Customers with zero orders survive
+    as c_count = 0 (the outer-join semantics the query exists to test)."""
+    views(spark, sf_dir)
+    return spark.sql(_Q13_SQL)
+
+
+_Q15_SQL = """
+    with revenue as (
+        select l_suppkey as supplier_no,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) as total_revenue
+        from lineitem
+        where l_shipdate >= date '1996-01-01' and l_shipdate < date '1996-04-01'
+        group by l_suppkey
+    )
+    select s_suppkey, s_name, total_revenue
+    from supplier join revenue on s_suppkey = supplier_no
+    where total_revenue = (select max(total_revenue) from revenue)
+    order by s_suppkey
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): a CTE referenced twice — once as the
+    join input, once inside a scalar MAX subquery — selecting the argmax
+    row(s). Rounding inside the CTE pins the equality comparison to exact
+    2-decimal values on both engines."""
+    views(spark, sf_dir)
+    return spark.sql(_Q15_SQL)
+
+
+_Q17_SQL = """
+    select round(sum(l_extendedprice) / 7.0, 2) as avg_yearly
+    from lineitem join part on p_partkey = l_partkey
+    where p_brand = 'Brand#23'
+      and l_quantity < (
+          select 0.2 * avg(l_quantity) from lineitem l2
+          where l2.l_partkey = p_partkey)
+"""
+
+
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): a CORRELATED scalar
+    subquery per part (average quantity), decorrelated by both engines into
+    an aggregate + join."""
+    views(spark, sf_dir)
+    return spark.sql(_Q17_SQL)
+
+
+_Q22_SQL = """
+    select c_mktsegment, cast(count(*) as bigint) as numcust,
+           round(sum(c_acctbal), 2) as totacctbal
+    from customer
+    where c_acctbal > (select avg(c_acctbal) from customer
+                       where c_acctbal > 0.0)
+      and not exists (select 1 from orders where o_custkey = c_custkey)
+    group by c_mktsegment
+    order by c_mktsegment
+"""
+
+
+def q22_missed_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): an uncorrelated AVG
+    scalar subquery as a filter bound plus NOT EXISTS anti-join — customers
+    with above-average balances and no orders. (c_mktsegment stands in for
+    the phone country code the fixture lacks.)"""
+    views(spark, sf_dir)
+    return spark.sql(_Q22_SQL)
+
+
 QUERIES = {
+    "q8_market_share": q8_market_share,
+    "q9_product_profit": q9_product_profit,
+    "q13_customer_distribution": q13_customer_distribution,
+    "q15_top_supplier": q15_top_supplier,
+    "q17_small_quantity": q17_small_quantity,
+    "q22_missed_opportunity": q22_missed_opportunity,
     "q7_volume_shipping": q7_volume_shipping,
     "q12_priority_lines": q12_priority_lines,
     "q18_large_orders": q18_large_orders,
@@ -300,6 +450,12 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q8_market_share": _Q8_SQL,
+    "q9_product_profit": _Q9_SQL,
+    "q13_customer_distribution": _Q13_SQL,
+    "q15_top_supplier": _Q15_SQL,
+    "q17_small_quantity": _Q17_SQL,
+    "q22_missed_opportunity": _Q22_SQL,
     "q7_volume_shipping": _Q7_SQL,
     "q12_priority_lines": _Q12_SQL,
     "q18_large_orders": _Q18_SQL,

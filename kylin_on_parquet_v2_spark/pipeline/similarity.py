@@ -234,6 +234,52 @@ def train_ivf_centroids(
     return cents
 
 
+#: on-disk quantizer format version (bumped on incompatible changes, like
+#: the global dictionary's version stamp)
+QUANTIZER_VERSION = 1
+
+
+def save_ivf_quantizer(
+    path: str,
+    centroids: list[list[float]],
+    spark=None,
+    meta: dict | None = None,
+) -> None:
+    """Persist a trained IVF coarse quantizer (round-4 verdict item 9) so a
+    new process serves ``ann_ivf_topk`` without retraining — the dedup/ANN
+    analogue of reopening a built cube. JSON through the storage shim
+    (local or object store), version-stamped so a loader can refuse an
+    incompatible format instead of mis-assigning every vector."""
+    from kylin_on_parquet_v2_spark import fs as FS
+
+    payload: dict = {
+        "version": QUANTIZER_VERSION,
+        "n_lists": len(centroids),
+        "dim": len(centroids[0]) if centroids else 0,
+        "centroids": [[float(x) for x in c] for c in centroids],
+    }
+    if meta:
+        payload["meta"] = meta
+    FS.write_json(path, payload, spark)
+
+
+def load_ivf_quantizer(path: str, spark=None) -> list[list[float]]:
+    """Reload a persisted quantizer; raises on a version/shape mismatch."""
+    from kylin_on_parquet_v2_spark import fs as FS
+
+    payload = FS.read_json(path, spark)
+    if payload.get("version") != QUANTIZER_VERSION:
+        raise ValueError(
+            f"quantizer version {payload.get('version')} != {QUANTIZER_VERSION}"
+        )
+    cents = [[float(x) for x in c] for c in payload["centroids"]]
+    if len(cents) != payload.get("n_lists") or (
+        cents and len(cents[0]) != payload.get("dim")
+    ):
+        raise ValueError("quantizer shape does not match its stamp")
+    return cents
+
+
 def ivf_assign(
     corpus: DataFrame,
     n_lists: int = 16,

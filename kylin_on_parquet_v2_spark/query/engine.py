@@ -335,7 +335,10 @@ class OlapEngine:
         table, so it participates only when the shape merges exactly
         across the batch/realtime split (hybrid_servable) — otherwise it
         stands aside entirely and pushdown reads the full source view."""
-        from kylin_on_parquet_v2_spark.streaming.hybrid import hybrid_servable
+        from kylin_on_parquet_v2_spark.streaming.hybrid import (
+            hybrid_columns_ok,
+            hybrid_servable,
+        )
 
         candidates: list[tuple[CubeInstance, Route]] = []
         for inst in self.cubes.values():
@@ -343,9 +346,12 @@ class OlapEngine:
             if route is None:
                 continue
             if inst.desc.name in self.hybrids:
-                if not hybrid_servable(digest, route):
+                part = self.hybrids[inst.desc.name]
+                if not hybrid_servable(digest, route) or not hybrid_columns_ok(
+                    digest, inst, part, self.spark
+                ):
                     continue
-                route.hybrid_tail = self.hybrids[inst.desc.name].realtime_dir
+                route.hybrid_tail = part.realtime_dir
             candidates.append((inst, route))
         return candidates
 

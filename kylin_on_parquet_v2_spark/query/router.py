@@ -239,7 +239,9 @@ def _fold_shard_filter(digest: SqlDigest, inst: CubeInstance, cuboid: Cuboid) ->
         rf"\(*\s*{re.escape(shard)}\s*=\s*('[^']*'|-?\d+(?:\.\d+)?)\s*\)*\s*",
         re.IGNORECASE,
     )
-    for part in re.split(r"\bAND\b", sql, flags=re.IGNORECASE):
+    # paren/quote/BETWEEN-aware split (same splitter as segment folding):
+    # the naive AND split shredded infix BETWEEN halves into phantom parts
+    for part in _split_conjuncts(sql):
         m = pat.fullmatch(part.strip())
         if m:
             return (shard, m.group(1))

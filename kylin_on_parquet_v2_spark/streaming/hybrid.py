@@ -53,6 +53,15 @@ class HybridPart:
 
     realtime_dir: str
     ts_col: str = "ts"
+    #: cached realtime store column set (schema read once per registration)
+    _columns: frozenset | None = None
+
+    def columns(self, spark: SparkSession) -> frozenset:
+        if self._columns is None:
+            self._columns = frozenset(
+                spark.read.parquet(self.realtime_dir).columns
+            )
+        return self._columns
 
 
 #: merge function per SQL aggregate — COUNT partials merge by SUM
@@ -62,7 +71,10 @@ _MERGE = {"COUNT": F.sum, "SUM": F.sum, "MIN": F.min, "MAX": F.max}
 
 
 def hybrid_servable(digest: SqlDigest, route: Route) -> bool:
-    """True when every output merges exactly across the batch/realtime split."""
+    """True when every output merges exactly across the batch/realtime split.
+    AVG qualifies via decomposition: SUM and COUNT partials merge, the
+    division happens once above the merge (the same SUM/COUNT rewrite the
+    plain route and Calcite apply)."""
     if digest.grouping_sets is not None:
         return False
     if (
@@ -75,12 +87,37 @@ def hybrid_servable(digest: SqlDigest, route: Route) -> bool:
     ):
         return False
     for a in digest.aggs:
-        if a.distinct or a.func not in _MERGE:
+        if a.distinct or (a.func not in _MERGE and a.func != "AVG"):
             return False
     # every group col must survive into the output — merging on a subset of
     # the grouping keys would collapse groups the query keeps separate
     out_group = {s.group_col for s in digest.select if s.group_col is not None}
     return set(digest.group_cols) == out_group
+
+
+def hybrid_columns_ok(
+    digest: SqlDigest, inst: CubeInstance, part: HybridPart, spark: SparkSession
+) -> bool:
+    """The realtime store must carry every column the tail aggregation
+    reads (group bases, filter columns, agg inputs — including the raw
+    columns behind an expression measure, identified through the model's
+    column registry). A missing column means the store predates a schema
+    change: refuse the route so pushdown answers completely."""
+    import re as _re
+
+    cols = part.columns(spark)
+    need = set(digest.needed_cols())
+    model_cols = set(inst.column_tables)
+    for a in digest.aggs:
+        if a.column is not None:
+            need.add(a.column)
+        if a.expr_sql is not None:
+            need |= {
+                t
+                for t in _re.findall(r"[A-Za-z_]\w*", a.expr_sql)
+                if t in model_cols
+            }
+    return need <= cols
 
 
 def batch_boundary(inst: CubeInstance, spark: SparkSession) -> str | None:
@@ -103,13 +140,33 @@ def execute_hybrid(
     partials, re-merged, then the ordinary post-aggregation tail."""
     import copy
 
+    from kylin_on_parquet_v2_spark.query.digest import AggCall, SelectItem
+
     # partials must come back WITHOUT having/sort/limit/window post-processing
-    # (those apply once, above the merge) but WITH hidden HAVING aggregates
+    # (those apply once, above the merge) but WITH hidden HAVING aggregates.
+    # AVG outputs decompose into SUM/COUNT partial columns here; the division
+    # is applied once above the merge.
     core = copy.copy(digest)
     core.sort, core.limit = [], None
     core.having_sql, core.having_cols = None, set()
     core.window_exprs, core.window_projects = [], []
     core.hidden = []
+    core.select = []
+    avg_parts: dict[str, tuple[str, str]] = {}
+    for item in digest.select:
+        if item.agg is not None and item.agg.func == "AVG":
+            i = len(avg_parts)
+            sa, ca = f"__avs{i}", f"__avc{i}"
+            avg_parts[item.name] = (sa, ca)
+            a = item.agg
+            core.select.append(
+                SelectItem(name=sa, agg=AggCall("SUM", a.column, False, sa, a.expr_sql))
+            )
+            core.select.append(
+                SelectItem(name=ca, agg=AggCall("COUNT", a.column, False, ca, a.expr_sql))
+            )
+        else:
+            core.select.append(item)
     batch = execute_route(core, inst, route, spark)
 
     rt = spark.read.parquet(part.realtime_dir)
@@ -158,5 +215,14 @@ def execute_hybrid(
         result = merged.groupBy(*group_out).agg(*merge_aggs)
     else:
         result = merged.groupBy().agg(*merge_aggs)
-    result = result.select(*[s.name for s in core.select])
+    # final projection in the ORIGINAL select order, re-assembling AVG from
+    # its merged SUM/COUNT partials
+    out_cols = []
+    for item in digest.select:
+        if item.name in avg_parts:
+            sa, ca = avg_parts[item.name]
+            out_cols.append((F.col(sa) / F.col(ca)).alias(item.name))
+        else:
+            out_cols.append(F.col(item.name))
+    result = result.select(*out_cols)
     return apply_post_aggregation(digest, result)

@@ -159,6 +159,7 @@ def hybrid_union(
     realtime_segments: DataFrame,
     batch_segments: DataFrame,
     ts_col: str = "ts",
+    boundary=None,
 ) -> DataFrame:
     """Real-time + historical union (reference HybridInstance,
     TableScanPlan.scala:58-62): one logical table over both stores.
@@ -173,15 +174,24 @@ def hybrid_union(
     max segment value and the split is segment-aligned (a partition-column
     comparison, so the realtime scan prunes whole segment dirs); otherwise
     it falls back to the batch side's max event time.
+
+    ``boundary`` accepts a precomputed split point (segment value or max
+    event time, matching whichever column both sides carry) — pass it when
+    the batch store's coverage is already known (e.g. a cube's segment
+    listing, pure metadata) so repeated calls skip the max() probe job
+    (round-4 nit; the ROUTED hybrid path in streaming/hybrid.py always
+    derives it from metadata).
     """
     cols = [c for c in batch_segments.columns if c in realtime_segments.columns]
     rt = realtime_segments
     if SEGMENT_COL in cols:
-        boundary = batch_segments.agg(F.max(SEGMENT_COL)).first()[0]
+        if boundary is None:
+            boundary = batch_segments.agg(F.max(SEGMENT_COL)).first()[0]
         if boundary is not None:
             rt = rt.filter(F.col(SEGMENT_COL) > boundary)
     elif ts_col in cols:
-        boundary = batch_segments.agg(F.max(ts_col)).first()[0]
+        if boundary is None:
+            boundary = batch_segments.agg(F.max(ts_col)).first()[0]
         if boundary is not None:
             rt = rt.filter(F.col(ts_col) > F.lit(boundary))
     return rt.select(*cols).unionByName(batch_segments.select(*cols))

@@ -25,6 +25,7 @@ CUBE = CubeDesc(
     measures=(
         MeasureDesc("_count", FunctionDesc("COUNT")),
         MeasureDesc("sum_v", FunctionDesc("SUM", "v")),
+        MeasureDesc("cnt_v", FunctionDesc("COUNT", "v")),  # backs AVG(v)
         MeasureDesc("min_v", FunctionDesc("MIN", "v")),
         MeasureDesc("max_v", FunctionDesc("MAX", "v")),
     ),
@@ -83,6 +84,18 @@ def test_hybrid_global_and_filtered(engine):
     assert engine.last_route is not None and engine.last_route.hybrid_tail
 
 
+def test_hybrid_avg_decomposes(engine):
+    """AVG serves through the hybrid merge by SUM/COUNT decomposition —
+    sum and count partials merge, the division runs once above."""
+    df = engine.sql(
+        "select k, avg(v) as a, count(*) as n from hy_fact group by k order by k",
+        validate=True,
+    )
+    assert engine.last_route is not None and engine.last_route.hybrid_tail
+    got = {r.k: r.a for r in df.collect()}
+    assert set(got) == {"k0", "k1"}
+
+
 def test_hybrid_having_sort_limit(engine):
     df = engine.sql(
         "select k, sum(v) as s from hy_fact group by k"
@@ -114,6 +127,20 @@ def test_hybrid_realtime_scan_pruned_to_tail(engine):
         assert "PartitionFilters: []" not in ln, ln
     # and the batch side serves from cuboid layouts, not the fact view
     assert any("cuboid=" in ln for ln in scans), scans
+
+
+def test_hybrid_window_over_merge(engine):
+    """Window functions replay ABOVE the batch+realtime merge (the same
+    OLAPWindowRel position as plain routes) — rank over merged sums."""
+    df = engine.sql(
+        """select k, sum(v) as s,
+                  rank() over (order by sum(v) desc) as rnk
+           from hy_fact group by k order by rnk, k""",
+        validate=True,
+    )
+    assert engine.last_route is not None and engine.last_route.hybrid_tail
+    rows = df.collect()
+    assert [r.rnk for r in rows] == [1, 2]
 
 
 def test_hybrid_refuses_non_mergeable(engine):

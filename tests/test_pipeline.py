@@ -324,6 +324,32 @@ def test_ann_ivf_trained_results_are_true_cosines(spark):
         assert truth[(r.query_id, r.cand_id)] == r.cos
 
 
+def test_ivf_quantizer_persists_and_reloads(spark, tmp_path):
+    """Round-4 verdict item 9: a trained quantizer saved beside cube
+    metadata reloads in a fresh process and serves identical ANN answers
+    without retraining (version-stamped like the global dictionary)."""
+    import pytest as _pytest
+
+    emb = spark.table("embeddings").filter(F.col("vec_id") < 200)
+    queries = emb.filter(F.col("vec_id") < 5)
+    cents = S.train_ivf_centroids(emb, iters=2)
+    path = str(tmp_path / "quantizer.json")
+    S.save_ivf_quantizer(path, cents, meta={"iters": 2})
+    reloaded = S.load_ivf_quantizer(path)
+    assert reloaded == cents  # bit-identical round trip (floats via JSON repr)
+    a = sorted(map(tuple, S.ann_ivf_topk(emb, queries, k=5, centroids=cents).collect()))
+    b = sorted(map(tuple, S.ann_ivf_topk(emb, queries, k=5, centroids=reloaded).collect()))
+    assert a == b and a
+    # stamp guard: a future-versioned file must refuse to load
+    from kylin_on_parquet_v2_spark import fs as FS
+
+    payload = FS.read_json(path)
+    payload["version"] = 999
+    FS.write_json(path, payload)
+    with _pytest.raises(ValueError):
+        S.load_ivf_quantizer(path)
+
+
 def test_hash_sample_deterministic_under_repartition(spark):
     """The sampling decision is a pure function of the key — the kept set
     must be identical across partition layouts (df.sample is not)."""
