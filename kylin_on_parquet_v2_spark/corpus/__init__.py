@@ -68,6 +68,7 @@ _PRIORITY = [
     "cube_routed_topn_pinned",  # stored TopN on a pinned segment
     "cube_routed_intersect_rollup",  # INTERSECT_COUNT under grouping sets
     "dedup_incremental_refresh",  # persisted-signature incremental dedup
+    "cube_routed_window_islands",  # rank over a JOIN of routed islands
     # --- never driver-checked before r05 (r04 verdict item 2) -------------
     "cube_routed_multi_col_distinct",
     "date_month_arithmetic",
@@ -89,7 +90,6 @@ _PRIORITY = [
     "q17_small_quantity",
     "q22_missed_opportunity",
     # --- regression anchors (green in earlier windows) --------------------
-    "cube_routed_q1_revenue",
     "cube_routed_segment_prune",
     "cube_routed_derived_dim",
     "cube_routed_topn_rewrite",
@@ -122,6 +122,7 @@ _PRIORITY = [
     "q19_discounted_revenue",
     "sample_stratified",
     # --- below the 50-entry driver window ---------------------------------
+    "cube_routed_q1_revenue",
     "cube_routed_q1",
     "cube_routed_rollup",
     "cube_routed_snowflake",

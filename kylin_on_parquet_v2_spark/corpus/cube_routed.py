@@ -319,6 +319,37 @@ def cube_routed_topn_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("p_brand", F.round("revenue", 2).alias("revenue"))
 
 
+def cube_routed_window_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window function over a JOIN of routed aggregate islands — the
+    compare-and-rank dashboard: each side serves from its own cuboid, the
+    join runs on the tiny served results, and the rank replays above the
+    join (OLAPWindowRel over the multi-context OLAPJoinRel — r4 refused
+    this shape into pushdown)."""
+    eng = engine(spark, sf_dir)
+    df = eng.sql(
+        """
+        select a.l_returnflag, a.sum_qty, b.n_f,
+               rank() over (order by a.sum_qty desc) as qty_rank,
+               round(b.n_f / a.n_all, 4) as f_share
+        from (select l_returnflag, sum(l_quantity) as sum_qty, count(*) as n_all
+              from lineitem group by l_returnflag) a
+        join (select l_returnflag as rf2, count(*) as n_f
+              from lineitem where l_linestatus = 'F'
+              group by l_returnflag) b
+          on a.l_returnflag = b.rf2
+        order by a.l_returnflag
+        """
+    )
+    assert len(eng.last_routes) == 2, "expected both islands routed"
+    return df.select(
+        "l_returnflag",
+        F.round("sum_qty", 2).alias("sum_qty"),
+        "n_f",
+        "qty_rank",
+        "f_share",
+    )
+
+
 def cube_routed_topn_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date-pinned dashboard top-k from a STORED TopN list on the SEGMENTED
     cube: the equality on the partition column pins one segment dir
@@ -615,6 +646,7 @@ QUERIES = {
     "cube_routed_window_rank": cube_routed_window_rank,
     "cube_routed_window_share": cube_routed_window_share,
     "cube_routed_window_lag": cube_routed_window_lag,
+    "cube_routed_window_islands": cube_routed_window_islands,
     "cube_routed_topn_pinned": cube_routed_topn_pinned,
     "cube_routed_multi_col_distinct": cube_routed_multi_col_distinct,
     "cube_routed_having": cube_routed_having,
@@ -634,6 +666,18 @@ QUERIES = {
 }
 
 ORACLES = {
+    "cube_routed_window_islands": """
+        select a.l_returnflag, round(a.sum_qty, 2) as sum_qty, b.n_f,
+               rank() over (order by a.sum_qty desc) as qty_rank,
+               round(b.n_f / a.n_all, 4) as f_share
+        from (select l_returnflag, sum(l_quantity) as sum_qty, count(*) as n_all
+              from lineitem group by l_returnflag) a
+        join (select l_returnflag as rf2, count(*) as n_f
+              from lineitem where l_linestatus = 'F'
+              group by l_returnflag) b
+          on a.l_returnflag = b.rf2
+        order by a.l_returnflag
+    """,
     "cube_routed_topn_pinned": """
         select l_suppkey, round(sum(l_quantity), 2) as day_qty
         from lineitem

@@ -407,6 +407,16 @@ class JoinOfAggregates:
     #: ordered outer outputs: (name, None) = bare island column, (name, sql)
     #: = scalar expression over island columns re-run above the served join
     project: list[tuple[str, str | None]] | None = None
+    #: window calls over the JOINED island outputs (OLAPWindowRel above the
+    #: multi-context join — e.g. rank() over the compared cohorts), replayed
+    #: with selectExpr like the single-context case; when present these
+    #: carry the full output projection and ``project``/``select`` replay is
+    #: skipped. ``pre_projects`` are projection layers Spark planned BELOW
+    #: the window (scalar expressions the window inputs depend on) —
+    #: replayed first, in plan order.
+    window_exprs: list[list[tuple[str, str]]] = field(default_factory=list)
+    window_projects: list[list[tuple[str, str]]] = field(default_factory=list)
+    pre_projects: list[list[tuple[str, str]]] = field(default_factory=list)
 
 
 def extract_join_digest(df: DataFrame) -> JoinOfAggregates | None:
@@ -431,6 +441,31 @@ def _unwrap_alias(node):
     return node
 
 
+def _project_layer(pr) -> list[tuple[str, str]] | None:
+    """One Project node -> replayable (output name, unqualified sql) list;
+    None if any entry is neither an attribute nor a resolvable alias.
+    Duplicate passthrough attrs (Spark emits them around windows) dedup."""
+    layer: list[tuple[str, str]] = []
+    seen: set[str] = set()
+    for e in _seq(pr.projectList()):
+        cls = _cls(e)
+        if cls == "AttributeReference":
+            name, psql = str(e.name()), f"`{e.name()}`"
+        elif cls == "Alias":
+            refs = _attr_names(e)
+            usql = _unqualify(e.child().sql(), refs)
+            if usql is None:
+                return None
+            name, psql = str(e.name()), usql
+        else:
+            return None
+        if name in seen:
+            continue
+        seen.add(name)
+        layer.append((name, psql))
+    return layer
+
+
 def _extract_join(plan) -> JoinOfAggregates | None:
     node = plan
     limit = None
@@ -449,6 +484,56 @@ def _extract_join(plan) -> JoinOfAggregates | None:
         node = node.child()
     if _cls(node) != "Project":
         return None
+    # windows over the joined islands: Project+ over Window+ over Join —
+    # capture projection layers + window groups exactly like the
+    # single-context path and replay them above the served join
+    probe = node
+    projs = []
+    while _cls(probe) == "Project":
+        projs.append(probe)
+        probe = probe.child()
+    if projs and _cls(probe) == "Window":
+        layers: list[list[tuple[str, str]]] = []
+        for pr in projs:
+            layer = _project_layer(pr)
+            if layer is None:
+                return None
+            layers.append(layer)
+        wgroups: list[list[tuple[str, str]]] = []
+        while _cls(probe) == "Window":
+            grp: list[tuple[str, str]] = []
+            for e in _seq(probe.windowExpressions()):
+                if _cls(e) != "Alias":
+                    return None
+                refs = _attr_names(e)
+                usql = _unqualify(e.child().sql(), refs)
+                if usql is None:
+                    return None
+                grp.append((str(e.name()), _fix_frame_sql(usql)))
+            wgroups.append(grp)
+            probe = probe.child()
+        # Spark plans the window's INPUT expressions (e.g. the ratio the
+        # query also selects) as Project layers BELOW the Window — captured
+        # as pre-layers and replayed first, in plan order
+        pre_layers: list[list[tuple[str, str]]] = []
+        while _cls(probe) == "Project":
+            layer = _project_layer(probe)
+            if layer is None:
+                return None
+            pre_layers.append(layer)
+            probe = probe.child()
+        join = _unwrap_alias(probe)
+        if _cls(join) != "Join":
+            return None
+        island = _join_island(join)
+        if island is None:
+            return None
+        island.pre_projects = list(reversed(pre_layers))
+        island.window_exprs = list(reversed(wgroups))
+        island.window_projects = list(reversed(layers))
+        island.sort = sort
+        island.limit = limit
+        return island
     entries = _seq(node.projectList())
     # outputs may be bare island columns OR scalar expressions over them
     # (``b.n / a.n as ratio`` — the compare-two-cohorts dashboard); the

@@ -388,7 +388,21 @@ class OlapEngine:
         out = self._execute_island(jd, approx_distinct, routes)
         if out is None:
             return None
-        if jd.project:
+        if jd.window_exprs or jd.window_projects:
+            # windows over the joined islands (OLAPWindowRel above the
+            # multi-context join): pre-layers (window input expressions)
+            # first, then the window calls, then the output layers — the
+            # captured projections carry the final shape, so project/select
+            # replay is skipped
+            for layer in jd.pre_projects:
+                out = out.selectExpr(*[f"{sql} AS `{name}`" for name, sql in layer])
+            for grp in jd.window_exprs:
+                out = out.selectExpr(
+                    "*", *[f"{sql} AS `{name}`" for name, sql in grp]
+                )
+            for layer in jd.window_projects:
+                out = out.selectExpr(*[f"{sql} AS `{name}`" for name, sql in layer])
+        elif jd.project:
             out = out.selectExpr(
                 *[f"{sql} AS `{n}`" if sql else f"`{n}`" for n, sql in jd.project]
             )
