@@ -148,6 +148,7 @@ _PRIORITY = [
     "similarity_neardup_pairs",
     "similarity_neardup_exact",
     "similarity_ann_ivf",
+    "similarity_ann_ivf_indexed",
     "text_quality_features",
     "text_language_id",
     "text_fingerprint",

@@ -173,6 +173,26 @@ def similarity_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ann_ivf_topk(emb, queries, k=5, centroids=cents).orderBy("query_id", "rn")
 
 
+def similarity_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over the PERSISTED index: the corpus assigned once into
+    ivf_list-partitioned parquet (built incrementally — half via build(),
+    half via add()), queries read ONLY the probed list dirs (partition
+    pruning), no per-query assignment scan. Results identical to
+    similarity_ann_ivf by construction (same seeded quantizer) => rows-only;
+    the index==direct equivalence and the pruning plan are tested."""
+    import tempfile
+
+    views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    mid = emb.agg(F.expr("percentile_approx(vec_id, 0.5)")).first()[0]
+    store = tempfile.mkdtemp(prefix="kylin_ivf_index_")
+    idx = S.IVFIndex(spark, store)
+    idx.build(emb.filter(F.col("vec_id") <= mid))
+    idx.add(emb.filter(F.col("vec_id") > mid))
+    queries = emb.filter(F.col("vec_id") < 20)
+    return idx.topk(queries, k=5).orderBy("query_id", "rn")
+
+
 def text_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     views(spark, sf_dir)
     return T.quality_features(spark.table("documents")).orderBy("doc_id")
@@ -276,6 +296,7 @@ QUERIES = {
     "similarity_neardup_exact": similarity_neardup_exact,
     "similarity_ann_lsh": similarity_ann_lsh,
     "similarity_ann_ivf": similarity_ann_ivf,
+    "similarity_ann_ivf_indexed": similarity_ann_ivf_indexed,
     "similarity_ann_ivf_trained": similarity_ann_ivf_trained,
     "text_quality_features": text_quality_features,
     "text_language_id": text_language_id,

@@ -250,8 +250,13 @@ def save_ivf_quantizer(
     analogue of reopening a built cube. JSON through the storage shim
     (local or object store), version-stamped so a loader can refuse an
     incompatible format instead of mis-assigning every vector."""
+    import os
+
     from kylin_on_parquet_v2_spark import fs as FS
 
+    parent = os.path.dirname(path)
+    if parent:
+        FS.fs_for(parent, spark).makedirs(parent)
     payload: dict = {
         "version": QUANTIZER_VERSION,
         "n_lists": len(centroids),
@@ -395,6 +400,122 @@ def ann_ivf_topk(
         .filter(F.col("rn") <= k)
         .select("query_id", "cand_id", "cos", "rn")
     )
+
+
+class IVFIndex:
+    """Persisted IVF index: the corpus assigned ONCE into inverted lists and
+    stored as ``ivf_list``-partitioned parquet, with the (trained or seeded)
+    quantizer saved beside it.
+
+    This is the on-disk shape a vector index needs at 100 TB:
+
+    - :meth:`build` pays the assignment matmul once (map-side Arrow batches)
+      and writes each inverted list as a partition directory;
+    - :meth:`topk` reads ONLY the probed lists — the ``ivf_list IN (...)``
+      filter is a partition predicate, so Spark prunes whole list dirs
+      before file listing (n_probe/n_lists of the corpus touched, no
+      re-assignment scan per query — unlike :func:`ann_ivf_topk`, which
+      re-runs the quantizer over the corpus every call);
+    - :meth:`add` assigns only the delta and appends its list partitions —
+      the ANN side of incremental maintenance (same contract as
+      IncrementalDedup: delta ids are new).
+
+    Tested invariant: index answers == :func:`ann_ivf_topk` with the same
+    centroids, and the probed scan prunes to the probed partitions.
+    """
+
+    def __init__(
+        self,
+        spark,
+        store_dir: str,
+        n_lists: int = 16,
+        dim: int = 64,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        seed: int = 7,
+    ):
+        import os
+
+        self.spark = spark
+        self.store_dir = store_dir
+        self.n_lists, self.dim, self.seed = n_lists, dim, seed
+        self.id_col, self.vec_col = id_col, vec_col
+        self.data_path = os.path.join(store_dir, "lists")
+        self.quantizer_path = os.path.join(store_dir, "quantizer.json")
+
+    def build(self, corpus: DataFrame, train_iters: int = 0) -> None:
+        """Assign the corpus and write the list partitions; ``train_iters``
+        > 0 k-means-trains the quantizer first (else the seeded one)."""
+        if train_iters > 0:
+            cents = train_ivf_centroids(
+                corpus, self.n_lists, train_iters, self.id_col, self.vec_col,
+                self.seed, self.dim,
+            )
+        else:
+            cents = ivf_centroids(self.n_lists, self.dim, self.seed)
+        save_ivf_quantizer(self.quantizer_path, cents, self.spark)
+        assigned = ivf_assign(
+            corpus, self.n_lists, self.id_col, self.vec_col, self.seed,
+            self.dim, centroids=cents,
+        )
+        assigned.write.mode("overwrite").partitionBy("ivf_list").parquet(self.data_path)
+
+    def add(self, delta: DataFrame) -> None:
+        """Assign ONLY the delta through the frozen quantizer and append its
+        list partitions (centroids must stay frozen — re-training would
+        orphan the already-stored assignments)."""
+        cents = load_ivf_quantizer(self.quantizer_path, self.spark)
+        assigned = ivf_assign(
+            delta, self.n_lists, self.id_col, self.vec_col, self.seed,
+            self.dim, centroids=cents,
+        )
+        assigned.write.mode("append").partitionBy("ivf_list").parquet(self.data_path)
+
+    def topk(self, queries: DataFrame, k: int = 5, n_probe: int = 4) -> DataFrame:
+        """Exact cosine top-k over the probed inverted lists only."""
+        cents = load_ivf_quantizer(self.quantizer_path, self.spark)
+        lists = self.spark.read.parquet(self.data_path).select(
+            F.col(self.id_col).alias("cand_id"),
+            F.col(self.vec_col).alias("cvec"),
+            "ivf_list",
+        )
+        scores = _centroid_scores(F.col(self.vec_col), cents)
+        probes = (
+            queries.select(
+                F.col(self.id_col).alias("query_id"),
+                F.col(self.vec_col).alias("qvec"),
+                scores.alias("__sc"),
+            )
+            .select(
+                "query_id",
+                "qvec",
+                F.explode(F.slice(F.reverse(F.array_sort("__sc")), 1, n_probe)).alias("__p"),
+            )
+            .select("query_id", "qvec", (-F.col("__p.ni")).cast("int").alias("ivf_list"))
+        )
+        # the broadcast hash join's ivf_list keys become a partition
+        # predicate via dynamic partition pruning; for the common
+        # small-query-set case we ALSO fold the probed ids into a static IN
+        # (metadata-sized collect) so pruning happens at planning time
+        probe_ids = sorted(
+            {r["ivf_list"] for r in probes.select("ivf_list").distinct().collect()}
+        )
+        lists = lists.filter(F.col("ivf_list").isin(probe_ids))
+        scored = (
+            lists.join(F.broadcast(probes), "ivf_list")
+            .filter(F.col("cand_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                "cand_id",
+                F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cos"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select("query_id", "cand_id", "cos", "rn")
+        )
 
 
 def ann_lsh_topk(
