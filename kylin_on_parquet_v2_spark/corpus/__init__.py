@@ -69,6 +69,8 @@ _PRIORITY = [
     "cube_routed_intersect_rollup",  # INTERSECT_COUNT under grouping sets
     "dedup_incremental_refresh",  # persisted-signature incremental dedup
     "cube_routed_window_islands",  # rank over a JOIN of routed islands
+    "cube_routed_grouping_indicator",  # GROUPING() as per-set literal
+    "similarity_ann_ivf_indexed",  # persisted list-partitioned IVF index
     # --- never driver-checked before r05 (r04 verdict item 2) -------------
     "cube_routed_multi_col_distinct",
     "date_month_arithmetic",
@@ -90,7 +92,6 @@ _PRIORITY = [
     "q17_small_quantity",
     "q22_missed_opportunity",
     # --- regression anchors (green in earlier windows) --------------------
-    "cube_routed_segment_prune",
     "cube_routed_derived_dim",
     "cube_routed_topn_rewrite",
     "cube_routed_bitmap_distinct",
@@ -113,7 +114,6 @@ _PRIORITY = [
     "dedup_clusters",
     "dedup_filtered_corpus",
     "streaming_dedup",
-    "streaming_stream_join",
     "q4_order_priority",
     "q7_volume_shipping",
     "q10_returned_items",
@@ -122,6 +122,8 @@ _PRIORITY = [
     "q19_discounted_revenue",
     "sample_stratified",
     # --- below the 50-entry driver window ---------------------------------
+    "streaming_stream_join",
+    "cube_routed_segment_prune",
     "cube_routed_q1_revenue",
     "cube_routed_q1",
     "cube_routed_rollup",
@@ -148,7 +150,6 @@ _PRIORITY = [
     "similarity_neardup_pairs",
     "similarity_neardup_exact",
     "similarity_ann_ivf",
-    "similarity_ann_ivf_indexed",
     "text_quality_features",
     "text_language_id",
     "text_fingerprint",

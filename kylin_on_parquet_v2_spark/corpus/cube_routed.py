@@ -100,6 +100,30 @@ def cube_routed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("l_returnflag", "l_linestatus")
 
 
+def cube_routed_grouping_indicator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING() indicators ROUTED with the grouping-set expansion: per
+    grouping set the indicator is a 0/1 literal on the served branch
+    (AggregatePlan.scala:169-174 — the reference rewrites GROUPING to the
+    per-set constant the same way)."""
+    eng = engine(spark, sf_dir)
+    df = eng.sql(
+        """
+        select l_returnflag, l_linestatus,
+               grouping(l_returnflag) as g_rf,
+               grouping(l_linestatus) as g_ls,
+               sum(l_quantity) as s, count(*) as n
+        from lineitem
+        group by rollup(l_returnflag, l_linestatus)
+        order by l_returnflag, l_linestatus
+        """
+    )
+    assert eng.last_route is not None, "expected route for grouping_indicator"
+    return df.select(
+        "l_returnflag", "l_linestatus", "g_rf", "g_ls",
+        F.round("s", 2).alias("s"), "n",
+    )
+
+
 def cube_routed_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Precise COUNT DISTINCT on a NON-dimension column served from the
     stored dictionary-id bitmap measure (global dictionary + word-bag
@@ -648,6 +672,7 @@ QUERIES = {
     "cube_routed_window_lag": cube_routed_window_lag,
     "cube_routed_window_islands": cube_routed_window_islands,
     "cube_routed_topn_pinned": cube_routed_topn_pinned,
+    "cube_routed_grouping_indicator": cube_routed_grouping_indicator,
     "cube_routed_multi_col_distinct": cube_routed_multi_col_distinct,
     "cube_routed_having": cube_routed_having,
     "cube_routed_having_hidden": cube_routed_having_hidden,
@@ -666,6 +691,15 @@ QUERIES = {
 }
 
 ORACLES = {
+    "cube_routed_grouping_indicator": """
+        select l_returnflag, l_linestatus,
+               grouping(l_returnflag) as g_rf,
+               grouping(l_linestatus) as g_ls,
+               round(sum(l_quantity), 2) as s, count(*) as n
+        from lineitem
+        group by rollup(l_returnflag, l_linestatus)
+        order by l_returnflag, l_linestatus
+    """,
     "cube_routed_window_islands": """
         select a.l_returnflag, round(a.sum_qty, 2) as sum_qty, b.n_f,
                rank() over (order by a.sum_qty desc) as qty_rank,

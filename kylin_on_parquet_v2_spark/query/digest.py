@@ -124,11 +124,15 @@ class JoinEdge:
 
 @dataclass
 class SelectItem:
-    """One output column: either a group-by passthrough or an agg call."""
+    """One output column: a group-by passthrough, an agg call, or a
+    GROUPING() indicator (``grouping_of`` = the dimension it reports —
+    per grouping set the router emits the 0/1 literal, the reference's
+    AggregatePlan.scala:169-174 rewrite)."""
 
     name: str
     group_col: str | None = None
     agg: AggCall | None = None
+    grouping_of: str | None = None
 
 
 @dataclass
@@ -1047,6 +1051,24 @@ def _extract(plan) -> SqlDigest | None:  # noqa: C901 — one dispatch walk
         alias = e.name()
         child = e.child()
         child_sql = child.sql()
+        if digest.grouping_sets is not None and _attr_names(child) == {
+            "spark_grouping_id"
+        }:
+            gm = re.fullmatch(
+                r"CAST\(\(shiftright\(spark_grouping_id, (\d+)\) & 1L?\) AS TINYINT\)",
+                child_sql.replace("`", ""),
+                re.IGNORECASE,
+            )
+            if gm is None:
+                return None  # grouping_id()/other indicator forms: pushdown
+            k = int(gm.group(1))
+            n = len(digest.group_cols)
+            if not 0 <= n - 1 - k < n:
+                return None
+            digest.select.append(
+                SelectItem(name=alias, grouping_of=digest.group_cols[n - 1 - k])
+            )
+            continue
         m = _AGG_RE.match(child_sql)
         if not m:
             # aliased group column?

@@ -860,7 +860,7 @@ def execute_route(digest: SqlDigest, inst: CubeInstance, route: Route, spark) ->
         cond_items: list[tuple] = []
         intersect_items: list[tuple] = []
         for item in digest.select:
-            if item.group_col is not None:
+            if item.group_col is not None or item.grouping_of is not None:
                 continue
             agg = item.agg
             if item.name in route.bitmap_cond:
@@ -975,6 +975,15 @@ def execute_route(digest: SqlDigest, inst: CubeInstance, route: Route, spark) ->
                             sel.append(
                                 F.lit(None).cast(types[item.group_col]).alias(item.name)
                             )
+                    elif item.grouping_of is not None:
+                        # GROUPING(col) is a per-set LITERAL: 0 when the col
+                        # is grouped in this set, 1 when aggregated away
+                        # (AggregatePlan.scala:169-174 parity)
+                        sel.append(
+                            F.lit(0 if item.grouping_of in gset else 1)
+                            .cast("tinyint")
+                            .alias(item.name)
+                        )
                     else:
                         sel.append(F.col(item.name))
                 branches.append(branch.select(*sel))

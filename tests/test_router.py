@@ -509,11 +509,25 @@ def test_bitmap_distinct_under_rollup(engine):
     assert "lineitem" not in plan  # layouts only, never the fact view
 
 
-def test_grouping_on_grouping_id_falls_back(engine):
-    """GROUPING()/GROUPING_ID() outputs reference spark_grouping_id — an
-    unrecognized select shape must fall back to pushdown, not misroute."""
+def test_grouping_indicator_routes(engine):
+    """GROUPING() routes with the grouping-set expansion: the indicator is
+    the per-set 0/1 literal (AggregatePlan.scala:169-174 rewrite) — was a
+    pushdown fallback before round 5."""
     df = engine.sql(
         """select l_returnflag, grouping(l_returnflag) as g, sum(l_quantity) as s
+           from lineitem group by rollup(l_returnflag)""",
+        validate=True,
+    )
+    assert engine.last_route is not None
+    got = {(r.l_returnflag, r.g) for r in df.collect()}
+    assert (None, 1) in got and all(g == 0 for rf, g in got if rf is not None)
+
+
+def test_grouping_id_still_falls_back(engine):
+    """grouping_id() (the packed integer form) is NOT digested — must fall
+    back to pushdown, never misroute."""
+    df = engine.sql(
+        """select l_returnflag, grouping_id() as gid, sum(l_quantity) as s
            from lineitem group by rollup(l_returnflag)"""
     )
     assert engine.last_route is None
