@@ -520,6 +520,12 @@ class OlapEngine:
         risk."""
         if not self.result_cache_size:
             return df
+        if self.last_route is not None and self.last_route.hybrid_tail:
+            # hybrid answers depend on the realtime store, which grows
+            # OUTSIDE the engine's cache epoch (stream appends) — caching
+            # would serve stale tails; the boundary/tail are recomputed per
+            # query instead
+            return df
         cap = self.max_result_rows or self.DEFAULT_CACHE_ROW_CAP
         rows = df.limit(cap + 1).collect()
         if len(rows) > cap:

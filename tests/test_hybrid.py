@@ -152,6 +152,58 @@ def test_hybrid_refuses_non_mergeable(engine):
     assert got["k0"] == 12 and got["k1"] == 8
 
 
+def test_hybrid_results_never_cached(spark, engine, tmp_path_factory):
+    """The result cache must not pin hybrid answers: new realtime data
+    lands outside the engine's cache epoch, so a cached tail would go
+    stale. Fresh realtime rows must show up on the SECOND identical query."""
+    import pyspark.sql.functions as F
+
+    from kylin_on_parquet_v2_spark.metadata import (
+        CubeDesc,
+        DataModel,
+        FunctionDesc,
+        MeasureDesc,
+    )
+    from kylin_on_parquet_v2_spark.query.engine import OlapEngine
+
+    spark.createDataFrame(
+        [("k0", "2024-03-01", 1.0)], "k string, d string, v double"
+    ).selectExpr("k", "cast(d as date) as d", "v").createOrReplaceTempView("hc_fact")
+    rt_dir = str(tmp_path_factory.mktemp("hc_rt"))
+    spark.table("hc_fact").withColumn(
+        "__segment__", F.date_format("d", "yyyy-MM-dd")
+    ).write.mode("overwrite").partitionBy("__segment__").parquet(rt_dir)
+    eng = OlapEngine(
+        spark,
+        storage_dir=str(tmp_path_factory.mktemp("hc_cubes")),
+        result_cache_size=8,
+    )
+    eng.add_model(DataModel(name="hc_star", fact_table="hc_fact", partition_column="d"))
+    eng.build_cube(
+        CubeDesc(
+            name="hc_cube",
+            model_name="hc_star",
+            dimensions=("k",),
+            measures=(MeasureDesc("_cnt", FunctionDesc("COUNT")),),
+            segment_granularity="day",
+        ),
+        segment_range=(None, "2024-03-01"),
+    )
+    eng.register_hybrid("hc_cube", rt_dir, ts_col="d")
+    q = "select k, count(*) as n from hc_fact group by k"
+    n1 = eng.sql(q).collect()[0].n
+    assert eng.last_route is not None and eng.last_route.hybrid_tail
+    # new realtime data lands (post-boundary segment) with NO engine call
+    spark.createDataFrame(
+        [("k0", "2024-03-05", 2.0), ("k0", "2024-03-05", 3.0)],
+        "k string, d string, v double",
+    ).selectExpr("k", "cast(d as date) as d", "v").withColumn(
+        "__segment__", F.date_format("d", "yyyy-MM-dd")
+    ).write.mode("append").partitionBy("__segment__").parquet(rt_dir)
+    n2 = eng.sql(q).collect()[0].n
+    assert n2 == n1 + 2, (n1, n2)  # a cached result would have frozen n1
+
+
 def test_hybrid_boundary_moves_after_refresh(engine):
     """build_increment absorbs a new day into the batch store; the tail
     filter must advance so the absorbed day is not double counted."""
