@@ -91,17 +91,20 @@ _PRIORITY = [
     "q15_top_supplier",
     "q17_small_quantity",
     "q22_missed_opportunity",
+    # --- r5b TPC-H: q11 scalar-agg-of-agg HAVING bound, q16 NOT IN +
+    # 3-dim distinct, q20 nested grouped-HAVING IN, q21 correlated
+    # EXISTS + NOT EXISTS self-joins (the hardest TPC-H decorrelation)
+    "q11_important_parts",
+    "q16_supplier_relationship",
+    "q20_potential_promotion",
+    "q21_suppliers_waiting",
     # --- regression anchors (green in earlier windows) --------------------
     "cube_routed_derived_dim",
     "cube_routed_topn_rewrite",
     "cube_routed_bitmap_distinct",
     "cube_routed_topn_measure",
     "cube_routed_percentile_sketch",
-    "cube_routed_having",
-    "cube_routed_having_hidden",
     "cube_routed_window_rank",
-    "cube_routed_window_share",
-    "cube_routed_window_lag",
     "cube_routed_cte",
     "cube_routed_join_contexts",
     "cube_routed_union_contexts",
@@ -117,11 +120,15 @@ _PRIORITY = [
     "q4_order_priority",
     "q7_volume_shipping",
     "q10_returned_items",
-    "q14_promo_revenue",
     "q18_large_orders",
     "q19_discounted_revenue",
     "sample_stratified",
     # --- below the 50-entry driver window ---------------------------------
+    "q14_promo_revenue",
+    "cube_routed_having",
+    "cube_routed_having_hidden",
+    "cube_routed_window_share",
+    "cube_routed_window_lag",
     "streaming_stream_join",
     "cube_routed_segment_prune",
     "cube_routed_q1_revenue",

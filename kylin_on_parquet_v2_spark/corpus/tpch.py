@@ -426,7 +426,112 @@ def q22_missed_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_Q22_SQL)
 
 
+
+_Q11_SQL = """
+    with v as (
+        select l_partkey, sum(l_extendedprice * l_quantity) as val
+        from lineitem
+          join supplier on l_suppkey = s_suppkey
+          join nation on s_nationkey = n_nationkey
+        where n_name like 'NATION_1%'
+        group by l_partkey
+    )
+    select l_partkey, round(val, 2) as value
+    from v
+    where val > (select 1.5 * avg(val) from v)
+    order by value desc, l_partkey
+"""
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock): the same aggregation referenced
+    twice — per-part values filtered against a scalar aggregate OF the
+    aggregate (scale-free 2.5x-average threshold instead of the fixed
+    fraction, since the fixture has no partsupp)."""
+    views(spark, sf_dir)
+    return spark.sql(_Q11_SQL)
+
+
+_Q16_SQL = """
+    select p_brand, p_type, p_size,
+           count(distinct l_suppkey) as supplier_cnt
+    from lineitem join part on p_partkey = l_partkey
+    where p_brand <> 'Brand#23'
+      and p_type not like 'PROMO%'
+      and p_size in (1, 5, 9, 15, 20, 25, 30, 35)
+      and l_suppkey not in (select s_suppkey from supplier where s_acctbal < 0)
+    group by p_brand, p_type, p_size
+    order by supplier_cnt desc, p_brand, p_type, p_size
+"""
+
+
+def q16_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): NOT IN over a
+    filtered subquery (excluded suppliers), negated LIKE and IN-list dims,
+    count distinct per 3-dim group."""
+    views(spark, sf_dir)
+    return spark.sql(_Q16_SQL)
+
+
+_Q20_SQL = """
+    select s_name, s_suppkey
+    from supplier join nation on s_nationkey = n_nationkey
+    where n_name like 'NATION_1%'
+      and s_suppkey in (
+          select l_suppkey from lineitem join part on p_partkey = l_partkey
+          where p_name like 'small%'
+            and l_shipdate >= date '1996-01-01'
+            and l_shipdate < date '1997-01-01'
+          group by l_suppkey
+          having sum(l_quantity) > 20)
+    order by s_name, s_suppkey
+"""
+
+
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion): IN over a joined,
+    grouped, HAVING-filtered subquery nested inside a dimension filter."""
+    views(spark, sf_dir)
+    return spark.sql(_Q20_SQL)
+
+
+_Q21_SQL = """
+    select s_name, count(*) as numwait
+    from supplier
+      join lineitem l1 on s_suppkey = l1.l_suppkey
+      join orders on o_orderkey = l1.l_orderkey
+      join nation on s_nationkey = n_nationkey
+    where o_orderstatus = 'F'
+      and n_name like 'NATION_1%'
+      and l1.l_shipdate > o_orderdate + interval 30 days
+      and exists (select 1 from lineitem l2
+                  where l2.l_orderkey = l1.l_orderkey
+                    and l2.l_suppkey <> l1.l_suppkey)
+      and not exists (select 1 from lineitem l3
+                      where l3.l_orderkey = l1.l_orderkey
+                        and l3.l_suppkey <> l1.l_suppkey
+                        and l3.l_shipdate > o_orderdate + interval 30 days)
+    group by s_name
+    order by numwait desc, s_name
+    limit 20
+"""
+
+
+def q21_suppliers_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): EXISTS + NOT
+    EXISTS self-joins on the fact, both correlated through the outer order
+    AND its date — the hardest decorrelation in the TPC-H suite. (Late =
+    shipped >60 days after the order date; the fixture has no
+    commit/receipt dates.)"""
+    views(spark, sf_dir)
+    return spark.sql(_Q21_SQL)
+
+
 QUERIES = {
+    "q11_important_parts": q11_important_parts,
+    "q16_supplier_relationship": q16_supplier_relationship,
+    "q20_potential_promotion": q20_potential_promotion,
+    "q21_suppliers_waiting": q21_suppliers_waiting,
     "q8_market_share": q8_market_share,
     "q9_product_profit": q9_product_profit,
     "q13_customer_distribution": q13_customer_distribution,
@@ -450,6 +555,10 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q11_important_parts": _Q11_SQL,
+    "q16_supplier_relationship": _Q16_SQL,
+    "q20_potential_promotion": _Q20_SQL,
+    "q21_suppliers_waiting": _Q21_SQL,
     "q8_market_share": _Q8_SQL,
     "q9_product_profit": _Q9_SQL,
     "q13_customer_distribution": _Q13_SQL,
