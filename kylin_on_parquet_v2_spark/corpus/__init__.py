@@ -94,6 +94,7 @@ _PRIORITY = [
     # --- r5b TPC-H: q11 scalar-agg-of-agg HAVING bound, q16 NOT IN +
     # 3-dim distinct, q20 nested grouped-HAVING IN, q21 correlated
     # EXISTS + NOT EXISTS self-joins (the hardest TPC-H decorrelation)
+    "q2_min_cost_supplier",
     "q11_important_parts",
     "q16_supplier_relationship",
     "q20_potential_promotion",
@@ -117,13 +118,13 @@ _PRIORITY = [
     "dedup_clusters",
     "dedup_filtered_corpus",
     "streaming_dedup",
-    "q4_order_priority",
     "q7_volume_shipping",
     "q10_returned_items",
     "q18_large_orders",
     "q19_discounted_revenue",
     "sample_stratified",
     # --- below the 50-entry driver window ---------------------------------
+    "q4_order_priority",
     "q14_promo_revenue",
     "cube_routed_having",
     "cube_routed_having_hidden",

@@ -527,7 +527,46 @@ def q21_suppliers_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_Q21_SQL)
 
 
+
+_Q2_SQL = """
+    with ps as (
+        select l_partkey as ps_partkey, l_suppkey as ps_suppkey,
+               min(l_extendedprice) as ps_supplycost
+        from lineitem
+        group by 1, 2
+    )
+    select s_acctbal, s_name, n_name, p_partkey, p_brand
+    from part
+      join ps on p_partkey = ps_partkey
+      join supplier on s_suppkey = ps_suppkey
+      join nation on s_nationkey = n_nationkey
+      join region on n_regionkey = r_regionkey
+    where p_size = 15 and p_type = 'STANDARD' and r_name = 'ASIA'
+      and ps_supplycost = (
+          select min(ps2.ps_supplycost)
+          from ps ps2
+            join supplier s2 on s2.s_suppkey = ps2.ps_suppkey
+            join nation n2 on s2.s_nationkey = n2.n_nationkey
+            join region r2 on n2.n_regionkey = r2.r_regionkey
+          where ps2.ps_partkey = p_partkey and r2.r_name = 'ASIA')
+    order by s_acctbal desc, n_name, s_name, p_partkey
+    limit 10
+"""
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): a CORRELATED scalar MIN
+    subquery re-traversing the same 4-way join as the outer query, argmin
+    row selection by equality against it. The fixture has no partsupp, so
+    a CTE derives (part, supplier, min price) from lineitem and is
+    referenced both outside and inside the correlation — exact decimal
+    min, no division, so the argmin ties identically on every engine."""
+    views(spark, sf_dir)
+    return spark.sql(_Q2_SQL)
+
+
 QUERIES = {
+    "q2_min_cost_supplier": q2_min_cost_supplier,
     "q11_important_parts": q11_important_parts,
     "q16_supplier_relationship": q16_supplier_relationship,
     "q20_potential_promotion": q20_potential_promotion,
@@ -555,6 +594,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q2_min_cost_supplier": _Q2_SQL,
     "q11_important_parts": _Q11_SQL,
     "q16_supplier_relationship": _Q16_SQL,
     "q20_potential_promotion": _Q20_SQL,
