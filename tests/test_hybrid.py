@@ -152,6 +152,43 @@ def test_hybrid_refuses_non_mergeable(engine):
     assert got["k0"] == 12 and got["k1"] == 8
 
 
+@pytest.mark.parametrize("split", ["2024-03-01", "2024-03-02", "2024-03-04"])
+def test_hybrid_parity_at_any_split(spark, tmp_path_factory, split):
+    """The batch/realtime boundary can sit anywhere (first day, middle,
+    everything-in-batch) and the merged answer must equal pushdown — the
+    invariant that makes continuous refresh safe."""
+    import datetime as dt
+
+    rows = [
+        (f"k{i % 2}", dt.date(2024, 3, day), float(day * 10 + i))
+        for day in (1, 2, 3, 4)
+        for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "k string, d date, v double")
+    df.createOrReplaceTempView("hy_fact_sweep")
+    rt_dir = str(tmp_path_factory.mktemp(f"hy_rt_{split[-2:]}"))
+    df.withColumn(
+        "__segment__", F.concat(F.date_format("d", "yyyy-MM-dd"), F.lit("-00"))
+    ).write.mode("overwrite").partitionBy("__segment__").parquet(rt_dir)
+    from dataclasses import replace
+
+    eng = OlapEngine(
+        spark, storage_dir=str(tmp_path_factory.mktemp(f"hy_cubes_{split[-2:]}"))
+    )
+    eng.add_model(replace(MODEL, name="hy_sweep", fact_table="hy_fact_sweep"))
+    eng.build_cube(
+        replace(CUBE, name=f"hy_cube_{split[-2:]}", model_name="hy_sweep"),
+        segment_range=(None, split),
+    )
+    eng.register_hybrid(f"hy_cube_{split[-2:]}", rt_dir, ts_col="d")
+    eng.sql(
+        "select k, count(*) as n, sum(v) as s, min(v) as lo, max(v) as hi"
+        " from hy_fact_sweep group by k order by k",
+        validate=True,
+    )
+    assert eng.last_route is not None and eng.last_route.hybrid_tail
+
+
 def test_hybrid_results_never_cached(spark, engine, tmp_path_factory):
     """The result cache must not pin hybrid answers: new realtime data
     lands outside the engine's cache epoch, so a cached tail would go
