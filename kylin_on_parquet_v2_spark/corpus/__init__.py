@@ -71,6 +71,8 @@ _PRIORITY = [
     "cube_routed_window_islands",  # rank over a JOIN of routed islands
     "cube_routed_grouping_indicator",  # GROUPING() as per-set literal
     "similarity_ann_ivf_indexed",  # persisted list-partitioned IVF index
+    "multimodal_frame_sample",  # row-generating keyframe sampling (oracle)
+    "multimodal_resize_plan",  # aspect-fit planning over decoded dims
     # --- never driver-checked before r05 (r04 verdict item 2) -------------
     "cube_routed_multi_col_distinct",
     "date_month_arithmetic",
@@ -119,11 +121,11 @@ _PRIORITY = [
     "dedup_filtered_corpus",
     "streaming_dedup",
     "q7_volume_shipping",
-    "q10_returned_items",
     "q18_large_orders",
-    "q19_discounted_revenue",
     "sample_stratified",
     # --- below the 50-entry driver window ---------------------------------
+    "q10_returned_items",
+    "q19_discounted_revenue",
     "q4_order_priority",
     "q14_promo_revenue",
     "cube_routed_having",

@@ -193,6 +193,26 @@ def similarity_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.topk(queries, k=5).orderBy("query_id", "rn")
 
 
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-GENERATING multimodal decode: every 5th frame of each asset as
+    its own output row (mapInPandas expanding Arrow batches in-executor —
+    the keyframe-extraction shape a video pipeline needs; stub decoder,
+    real plumbing). The fake decoder's frame count is pure byte arithmetic
+    over the payload, so DuckDB replays the sampling exactly."""
+    views(spark, sf_dir)
+    assets = MM.synthesize_assets(spark.table("documents"))
+    return MM.frame_sample(assets, every_k=5).orderBy("asset_id", "frame_idx")
+
+
+def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize planning over decoded dimensions — integer
+    arithmetic only, replayed bit-for-bit by the oracle. (The real
+    deployment applies the plan to pixels in the same Arrow pass.)"""
+    views(spark, sf_dir)
+    assets = MM.synthesize_assets(spark.table("documents"))
+    return MM.resize_plan(assets, max_w=128, max_h=96).orderBy("asset_id")
+
+
 def text_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     views(spark, sf_dir)
     return T.quality_features(spark.table("documents")).orderBy("doc_id")
@@ -297,6 +317,8 @@ QUERIES = {
     "similarity_ann_lsh": similarity_ann_lsh,
     "similarity_ann_ivf": similarity_ann_ivf,
     "similarity_ann_ivf_indexed": similarity_ann_ivf_indexed,
+    "multimodal_frame_sample": multimodal_frame_sample,
+    "multimodal_resize_plan": multimodal_resize_plan,
     "similarity_ann_ivf_trained": similarity_ann_ivf_trained,
     "text_quality_features": text_quality_features,
     "text_language_id": text_language_id,
@@ -369,6 +391,41 @@ _MIX_CASE = "case lang " + " ".join(
 ) + " else 0 end"
 
 ORACLES = {
+    "multimodal_frame_sample": """
+        with a as (
+            select doc_id as asset_id,
+                   case when doc_id % 3 = 0 then 'image'
+                        when doc_id % 3 = 1 then 'audio' else 'video' end as media_type,
+                   case when doc_id % 3 = 0 then 1
+                        else 1 + ascii(substr(text, 3, 1)) % 30 end as n_frames
+            from documents
+        )
+        select asset_id, media_type, cast(n_frames as int) as n_frames,
+               cast(f as int) as frame_idx,
+               cast(asset_id as varchar) || ':' || cast(f as varchar) as frame_key
+        from a, unnest(range(0, n_frames, 5)) as t(f)
+        order by asset_id, frame_idx
+    """,
+    "multimodal_resize_plan": """
+        with a as (
+            select doc_id as asset_id,
+                   case when doc_id % 3 = 0 then 'image'
+                        when doc_id % 3 = 1 then 'audio' else 'video' end as media_type,
+                   64 + ascii(substr(text, 1, 1)) % 192 as w,
+                   64 + ascii(substr(text, 2, 1)) % 192 as h
+            from documents
+        )
+        select asset_id, media_type,
+               cast(w as int) as width, cast(h as int) as height,
+               cast(case when w <= 128 and h <= 96 then w
+                         when w * 96 <= 128 * h then floor(w * 96 / h)
+                         else 128 end as int) as new_width,
+               cast(case when w <= 128 and h <= 96 then h
+                         when w * 96 <= 128 * h then 96
+                         else floor(h * 128 / w) end as int) as new_height
+        from a
+        order by asset_id
+    """,
     "sample_stratified": f"""
         select lang, count(*) as n_kept,
                min(doc_id) as min_doc, max(doc_id) as max_doc

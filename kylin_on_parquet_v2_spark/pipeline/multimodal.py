@@ -128,6 +128,116 @@ def decode_features(assets: DataFrame) -> DataFrame:
     )
 
 
+#: schema of a sampled frame row (one output row PER FRAME — the
+#: row-generating mapInPandas shape, a video exploded into its keyframes)
+FRAME_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("n_frames", IntegerType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_key", StringType()),
+    ]
+)
+
+
+def frame_sample(assets: DataFrame, every_k: int = 5) -> DataFrame:
+    """Sample every k-th frame of each asset (images contribute their single
+    frame): one output row per sampled frame — the Arrow-batched
+    row-GENERATING decode shape (output rows > input rows, which a scalar
+    pandas UDF cannot express; the real deployment swaps the stub decoder
+    for ffmpeg keyframe extraction via register_decoder, unchanged).
+
+    Scale notes: sampling is map-side (no shuffle), parallelism follows the
+    asset scan, and each Arrow batch expands in-executor — frames never
+    round-trip through the driver."""
+    decoder = _DECODER
+
+    def _sample(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for asset_id, media_type, payload in zip(
+                pdf["asset_id"], pdf["media_type"], pdf["payload"]
+            ):
+                d = decoder(bytes(payload), media_type)
+                n = d["n_frames"]
+                for idx in range(0, n, every_k):
+                    out.append(
+                        {
+                            "asset_id": asset_id,
+                            "media_type": media_type,
+                            "n_frames": n,
+                            "frame_idx": idx,
+                            "frame_key": f"{asset_id}:{idx}",
+                        }
+                    )
+            yield pd.DataFrame(out)
+
+    return assets.select("asset_id", "media_type", "payload").mapInPandas(
+        _sample, FRAME_SCHEMA
+    )
+
+
+#: schema of a resize plan row
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("new_width", IntegerType()),
+        StructField("new_height", IntegerType()),
+    ]
+)
+
+
+def resize_plan(assets: DataFrame, max_w: int = 128, max_h: int = 96) -> DataFrame:
+    """Aspect-preserving fit of each asset's decoded dimensions into
+    (max_w, max_h) — INTEGER arithmetic only, so the plan is bit-identical
+    on every engine (the oracle replays it): the binding side keeps its
+    cap, the other scales by integer floor division. Assets already inside
+    the box pass through unchanged. The real deployment applies the
+    computed dims in the same mapInPandas pass (PIL resize on the decoded
+    pixels); the stub plans the geometry over the fake-decoded dims."""
+    decoder = _DECODER
+
+    def _plan(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for asset_id, media_type, payload in zip(
+                pdf["asset_id"], pdf["media_type"], pdf["payload"]
+            ):
+                d = decoder(bytes(payload), media_type)
+                w, h = d["width"], d["height"]
+                if w <= max_w and h <= max_h:
+                    nw, nh = w, h
+                elif w * max_h <= max_w * h:  # height binds
+                    nh = max_h
+                    nw = (w * max_h) // h
+                else:  # width binds
+                    nw = max_w
+                    nh = (h * max_w) // w
+                out.append(
+                    {
+                        "asset_id": asset_id,
+                        "media_type": media_type,
+                        "width": w,
+                        "height": h,
+                        "new_width": nw,
+                        "new_height": nh,
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return assets.select("asset_id", "media_type", "payload").mapInPandas(
+        _plan, RESIZE_SCHEMA
+    )
+
+
 def metadata_summary(assets: DataFrame) -> DataFrame:
     """Metadata-only aggregate — only reads the typed metadata columns, so
     the Parquet scan prunes the binary `payload` (ReadSchema excludes it)."""

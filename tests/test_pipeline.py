@@ -374,6 +374,33 @@ def test_ivf_quantizer_persists_and_reloads(spark, tmp_path):
         S.load_ivf_quantizer(path)
 
 
+def test_frame_sample_expands_and_resize_fits(spark):
+    """frame_sample emits one row per sampled frame (videos expand, images
+    stay single-row); resize_plan never exceeds the box and preserves
+    aspect within integer-floor tolerance."""
+    docs = spark.table("documents").limit(60)
+    assets = MM.synthesize_assets(docs)
+    frames = MM.frame_sample(assets, every_k=5).collect()
+    by_asset = {}
+    for r in frames:
+        by_asset.setdefault(r.asset_id, []).append(r)
+    for aid, rows in by_asset.items():
+        n = rows[0].n_frames
+        assert sorted(r.frame_idx for r in rows) == list(range(0, n, 5))
+        if rows[0].media_type == "image":
+            assert n == 1 and len(rows) == 1
+    plans = MM.resize_plan(assets, max_w=128, max_h=96).collect()
+    for r in plans:
+        assert r.new_width <= 128 and r.new_height <= 96
+        assert r.new_width <= r.width and r.new_height <= r.height
+        if r.width <= 128 and r.height <= 96:
+            assert (r.new_width, r.new_height) == (r.width, r.height)
+        else:  # aspect preserved within floor tolerance
+            assert abs(r.new_width * r.height - r.new_height * r.width) <= max(
+                r.width, r.height
+            )
+
+
 def test_hash_sample_deterministic_under_repartition(spark):
     """The sampling decision is a pure function of the key — the kept set
     must be identical across partition layouts (df.sample is not)."""
