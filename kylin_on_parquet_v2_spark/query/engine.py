@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import os
 import tempfile
+import threading
 from collections import Counter, OrderedDict
 
 from pyspark.sql import DataFrame, SparkSession
@@ -80,6 +81,13 @@ class OlapEngine:
         self.max_result_rows = max_result_rows
         self._cache: "OrderedDict[tuple, tuple]" = OrderedDict()
         self._cache_epoch = 0
+        #: when True, sql() never collects for the cache itself — it parks
+        #: the fill on _pending_cache for complete_cache_fill to run later
+        #: (the query server enables this so no Spark collection happens
+        #: inside its routing critical section; round-5 advisor finding #4)
+        self.defer_cache_fill = False
+        self._pending_cache: tuple | None = None
+        self._cache_lock = threading.Lock()
         #: workload statistics for the cube planner (CuboidStats parity):
         #: needed-dim-set -> how many queries asked for it. Recorded for
         #: every digestible query, routed or not — the planner weighs
@@ -171,12 +179,23 @@ class OlapEngine:
         batch segment value format so prefix comparison orders them."""
         from kylin_on_parquet_v2_spark.streaming.hybrid import HybridPart
 
+        from kylin_on_parquet_v2_spark.cube.build import SEGMENT_COL
+
         inst = self.cubes[cube_name]
         if not inst.segmented:
             raise ValueError("hybrid registration requires a segmented cube")
-        self.hybrids[cube_name] = HybridPart(
-            realtime_dir=realtime_dir, ts_col=ts_col
-        )
+        part = HybridPart(realtime_dir=realtime_dir, ts_col=ts_col)
+        # the boundary filter splits on the segment column; a store without
+        # it would union the WHOLE realtime dir with the batch partials and
+        # silently double-count every batch-covered row (round-5 advisor
+        # finding #2) — refuse the registration up front
+        if SEGMENT_COL not in part.columns(self.spark):
+            raise ValueError(
+                f"realtime store {realtime_dir!r} has no {SEGMENT_COL!r} "
+                "column — hybrid serving needs the segment-aligned boundary "
+                "(write the store with streaming/segments.py appenders)"
+            )
+        self.hybrids[cube_name] = part
         self._cache_epoch += 1
         self._cache.clear()
 
@@ -246,12 +265,16 @@ class OlapEngine:
             tuple(sorted(params.items())) if isinstance(params, dict) else None
         )
         cache_key = (query, pkey, use_cube, approx_distinct, self._cache_epoch)
-        if self.result_cache_size and not validate and cache_key in self._cache:
-            schema, rows, route, routes = self._cache.pop(cache_key)
-            self._cache[cache_key] = (schema, rows, route, routes)  # LRU touch
-            self.last_route = route
-            self.last_routes = list(routes)
-            return self.spark.createDataFrame(rows, schema)
+        if self.result_cache_size and not validate:
+            with self._cache_lock:
+                hit = self._cache.pop(cache_key, None)
+                if hit is not None:
+                    self._cache[cache_key] = hit  # LRU touch
+            if hit is not None:
+                schema, rows, route, routes = hit
+                self.last_route = route
+                self.last_routes = list(routes)
+                return self.spark.createDataFrame(rows, schema)
         df = self.spark.sql(query, args=params) if params is not None else self.spark.sql(query)
         self.last_route = None
         self.last_routes = []
@@ -517,23 +540,62 @@ class OlapEngine:
         Collection is capped: a result bigger than max_result_rows (or the
         default cap) is returned un-cached instead of being materialized on
         the driver — the cache is a dashboard-query accelerator, not a spill
-        risk."""
+        risk.
+
+        With ``defer_cache_fill`` set (the query server turns it on), the
+        collect does NOT happen here: the fill is parked on
+        ``_pending_cache`` and completed by ``complete_cache_fill`` — so a
+        caller holding a routing lock never materializes inside it."""
         if not self.result_cache_size:
             return df
-        if self.last_route is not None and self.last_route.hybrid_tail:
+        routes = list(self.last_routes) + (
+            [self.last_route] if self.last_route is not None else []
+        )
+        if any(r is not None and r.hybrid_tail for r in routes):
             # hybrid answers depend on the realtime store, which grows
             # OUTSIDE the engine's cache epoch (stream appends) — caching
             # would serve stale tails; the boundary/tail are recomputed per
-            # query instead
+            # query instead. Checked across ALL contexts: a multi-island
+            # join/union with a hybrid island at position >0 must not be
+            # cached either (round-5 advisor finding #1).
             return df
+        if self.defer_cache_fill:
+            self._pending_cache = (key, df, self.last_route, list(self.last_routes))
+            return df
+        rows = self._fill_cache(key, df, self.last_route, list(self.last_routes))
+        if rows is None:
+            return df
+        return self.spark.createDataFrame(rows, df.schema)
+
+    def _fill_cache(self, key, df, route, routes):
+        """Collect (capped) and store; returns the rows, or None if the
+        result exceeded the cap and was left uncached. Dict mutation is
+        guarded by ``_cache_lock`` so a deferred fill can run outside any
+        caller-held routing lock."""
         cap = self.max_result_rows or self.DEFAULT_CACHE_ROW_CAP
         rows = df.limit(cap + 1).collect()
         if len(rows) > cap:
-            return df
-        self._cache[key] = (df.schema, rows, self.last_route, list(self.last_routes))
-        while len(self._cache) > self.result_cache_size:
-            self._cache.popitem(last=False)
-        return self.spark.createDataFrame(rows, df.schema)
+            return None
+        with self._cache_lock:
+            self._cache[key] = (df.schema, rows, route, routes)
+            while len(self._cache) > self.result_cache_size:
+                self._cache.popitem(last=False)
+        return rows
+
+    def take_pending_cache(self) -> tuple | None:
+        """Pop the deferred cache fill parked by the last ``sql`` call
+        (``defer_cache_fill`` mode). Call under the same lock as ``sql``."""
+        p, self._pending_cache = self._pending_cache, None
+        return p
+
+    def complete_cache_fill(self, pending: tuple) -> list | None:
+        """Run a deferred cache fill (outside any routing lock): collects
+        the capped result, stores it, and returns the FULL row list so the
+        caller can serve its response from it without a second collection —
+        or None when the result was too big to cache (caller collects its
+        own limited view)."""
+        key, df, route, routes = pending
+        return self._fill_cache(key, df, route, routes)
 
     def explain(self, query: str, approx_distinct: bool = False) -> str:
         """Human-readable routing decision + physical plan for ``query``."""

@@ -120,7 +120,12 @@ class _Handler(BaseHTTPRequestHandler):
         try:
             # Critical section covers ROUTING ONLY: engine.sql builds the
             # (lazy) DataFrame and records last_route/last_routes on the
-            # engine; both are copied out before the lock drops.
+            # engine; both are copied out before the lock drops. With the
+            # result cache enabled, the cache FILL is deferred too
+            # (defer_cache_fill set in make_server) — the pending fill is
+            # popped here and completed below, outside the lock, so a
+            # cacheable slow scan no longer serializes all connections
+            # (round-5 advisor finding #4).
             with self.lock:
                 df = self.engine.sql(
                     sql,
@@ -130,6 +135,7 @@ class _Handler(BaseHTTPRequestHandler):
                 )
                 route = self.engine.last_route
                 routes = list(self.engine.last_routes)
+                pending = self.engine.take_pending_cache()
         except Exception as exc:
             # planning failures are the client's problem: bad SQL, unknown
             # tables/columns (the reference's SQLException path)
@@ -137,8 +143,20 @@ class _Handler(BaseHTTPRequestHandler):
             return
         try:
             # execution/collection outside the lock: concurrent requests'
-            # Spark jobs run in parallel (FIFO/FAIR across threads)
-            rows = df.limit(limit).collect()
+            # Spark jobs run in parallel (FIFO/FAIR across threads). When a
+            # deferred cache fill is pending, ONE collection both fills the
+            # cache and serves this response; oversized results fall back to
+            # the plain limited collect (and stay uncached).
+            cached_rows = (
+                self.engine.complete_cache_fill(pending)
+                if pending is not None
+                else None
+            )
+            rows = (
+                cached_rows[:limit]
+                if cached_rows is not None
+                else df.limit(limit).collect()
+            )
         except Exception as exc:  # runtime failure on a planned query
             self._reply(500, {"error": str(exc).split("\n", 1)[0]})
             return
@@ -171,6 +189,9 @@ def make_server(
         ...
         srv.shutdown()
     """
+    # the server owns this engine's collection discipline: cache fills run
+    # outside the routing lock via take_pending_cache/complete_cache_fill
+    engine.defer_cache_fill = True
     handler = type(
         "BoundHandler", (_Handler,), {"engine": engine, "lock": threading.Lock()}
     )

@@ -106,6 +106,11 @@ def hybrid_columns_ok(
     import re as _re
 
     cols = part.columns(spark)
+    if SEGMENT_COL not in cols:
+        # no segment column => no sound split boundary: a blind union would
+        # double-count every batch-covered row. register_hybrid refuses such
+        # stores up front; this guards stores mutated after registration.
+        return False
     need = set(digest.needed_cols())
     model_cols = set(inst.column_tables)
     for a in digest.aggs:
@@ -172,6 +177,12 @@ def execute_hybrid(
     rt = spark.read.parquet(part.realtime_dir)
     rt = _normalize_ts(rt, part.ts_col)
     boundary = batch_boundary(inst, spark)
+    if SEGMENT_COL not in rt.columns:
+        raise ValueError(
+            f"realtime store {part.realtime_dir!r} lost its {SEGMENT_COL!r} "
+            "column — cannot split at the batch boundary without "
+            "double-counting; re-route through pushdown"
+        )
     if boundary is not None and SEGMENT_COL in rt.columns:
         # STRICTLY after the batch coverage end; prefix compare tolerates a
         # finer realtime dir format. Partition-column expression => Catalyst

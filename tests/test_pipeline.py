@@ -110,7 +110,7 @@ def test_ngram_jaccard_df_cap_bounds_boilerplate_pairs(spark):
     rows.append((1001, "standard corporate header text real shared body content here"))
     docs = spark.createDataFrame(rows, ["doc_id", "text"])
 
-    uncapped = D.ngram_jaccard_pairs(docs, threshold=0.01).collect()
+    uncapped = D.ngram_jaccard_pairs(docs, threshold=0.01, max_df=None).collect()
     capped = D.ngram_jaccard_pairs(docs, threshold=0.01, max_df=10).collect()
     # boilerplate-only overlap explodes without the cap...
     assert len(uncapped) > n_docs * (n_docs - 1) / 4
