@@ -20,6 +20,7 @@ def _modules():
         advanced,
         arrays_subq,
         cube_routed,
+        functions_conformance,
         functions_date,
         functions_misc,
         functions_more,
@@ -47,6 +48,7 @@ def _modules():
         functions_date,
         functions_misc,
         functions_more,
+        functions_conformance,
         measures,
         advanced,
         arrays_subq,
