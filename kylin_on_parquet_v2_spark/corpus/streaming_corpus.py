@@ -192,6 +192,52 @@ def cube_routed_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cube_routed_hybrid_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT DISTINCT served ACROSS the hybrid batch/realtime boundary
+    (round-6 depth item; reference parity: realtime cubes dictionary-encode
+    at ingest and serve distinct across the split — stream-core
+    RecordsAggregator + NGlobalDictionaryV2): the batch cube's stored
+    word-bag bitmaps merge with bags built over the dictionary-encoded
+    realtime tail by bit_or — idempotent, so users active on BOTH sides of
+    the boundary count exactly once."""
+    eng = _hybrid_engine(spark, sf_dir)
+    df = eng.sql(
+        """
+        select event_type,
+               count(distinct user_id) as nd_users,
+               count(*) as n
+        from events
+        group by event_type
+        order by event_type
+        """
+    )
+    route = eng.last_route
+    assert route is not None, "expected hybrid route for cube_routed_hybrid_distinct"
+    assert route.hybrid_tail, route
+    assert route.bitmap_distinct, route
+    return df
+
+
+def cube_routed_hybrid_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT_COUNT across the hybrid split: per-cohort word bags are
+    re-ORed batch∪tail first, then bit_and-ed across cohorts — cohort
+    membership accumulated on different sides of the boundary still
+    intersects exactly (a user who viewed before the boundary and clicked
+    after it IS in the intersection)."""
+    eng = _hybrid_engine(spark, sf_dir)
+    df = eng.sql(
+        """
+        select intersect_count(user_id, event_type, array('view','click')) as view_and_click,
+               intersect_count(user_id, event_type, array('view')) as view_users
+        from events
+        """
+    )
+    route = eng.last_route
+    assert route is not None, "expected hybrid route for cube_routed_hybrid_funnel"
+    assert route.hybrid_tail and route.bitmap_intersect, route
+    return df
+
+
 def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator (applyInPandasWithState): per-key running
     totals. Driven in ONE micro-batch so the emitted update rows equal the
@@ -284,6 +330,8 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "cube_routed_hybrid": cube_routed_hybrid,
+    "cube_routed_hybrid_distinct": cube_routed_hybrid_distinct,
+    "cube_routed_hybrid_funnel": cube_routed_hybrid_funnel,
     "streaming_stream_join": streaming_stream_join,
     "streaming_dedup": streaming_dedup,
     "streaming_window_counts": streaming_window_counts,
@@ -293,6 +341,22 @@ QUERIES = {
 }
 
 ORACLES = {
+    "cube_routed_hybrid_distinct": """
+        select event_type,
+               count(distinct user_id) as nd_users,
+               count(*) as n
+        from events
+        group by event_type
+        order by event_type
+    """,
+    "cube_routed_hybrid_funnel": """
+        select (select count(*) from (
+                    select user_id from events where event_type = 'view'
+                    intersect
+                    select user_id from events where event_type = 'click')) as view_and_click,
+               (select count(distinct user_id) from events
+                 where event_type = 'view') as view_users
+    """,
     "cube_routed_hybrid": """
         select event_type,
                count(*) as n,

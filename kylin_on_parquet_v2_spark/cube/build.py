@@ -124,6 +124,11 @@ class CubeInstance:
     storage_dir: str
     scheduler: CuboidScheduler
     layouts: dict[int, str] = field(default_factory=dict)  # cuboid_id -> path
+    #: cuboid_id -> catalog table name for BUCKETED layouts (CubeDesc
+    #: bucket_layouts): only a catalog table scan carries the bucket spec
+    #: (HashPartitioning on the shard key => shuffle-free groupBy/join);
+    #: a plain path read of the same files would silently lose it
+    layout_tables: dict[int, str] = field(default_factory=dict)
     #: cuboid_id -> layout row count (parquet footer metadata, no scan) —
     #: the router's cost signal (reference RealizationChooser/Cuboid cost:
     #: fewest rows scanned wins, not fewest dims)
@@ -156,13 +161,23 @@ class CubeInstance:
     derived_in_cache: dict = field(default_factory=dict, repr=False)
 
     def layout_df(self, spark: SparkSession, cuboid: Cuboid) -> DataFrame:
-        return spark.read.parquet(self.layouts[cuboid.cuboid_id])
+        t = self.layout_tables.get(cuboid.cuboid_id)
+        return spark.table(t) if t else spark.read.parquet(self.layouts[cuboid.cuboid_id])
 
     def lookup_df(self, spark: SparkSession, table: str) -> DataFrame:
         """Lookup rows as of build time (snapshot), falling back to the live
         view if no snapshot exists (pre-snapshot cubes)."""
         path = self.snapshots.get(table)
         return spark.read.parquet(path) if path else spark.table(table)
+
+    def dict_df(self, spark: SparkSession, param: str) -> DataFrame:
+        """The persisted global dictionary for a bitmap measure column
+        (NGlobalDictionaryV2 store) — every word-bag bitmap built for this
+        cube references these ids, so any NEW data merged with stored bags
+        must be encoded through (an extension of) this mapping."""
+        return spark.read.parquet(
+            os.path.join(self.storage_dir, self.desc.name, "dict", param)
+        )
 
     def meta_path(self) -> str:
         return os.path.join(self.storage_dir, self.desc.name, "cube_meta.json")
@@ -175,6 +190,7 @@ class CubeInstance:
             "measures": [m.name for m in self.desc.measures],
             "segmented": self.segmented,
             "layouts": {str(k): v for k, v in self.layouts.items()},
+            "layout_tables": {str(k): v for k, v in self.layout_tables.items()},
             "layout_rows": {str(k): v for k, v in self.layout_rows.items()},
             "snapshots": self.snapshots,
             "computed_columns": self.computed_canon,
@@ -210,6 +226,14 @@ class CubeInstance:
             return None  # CubeDesc changed since the build: layouts are stale
         inst.segmented = bool(meta.get("segmented", False))
         inst.layouts = {int(k): v for k, v in meta.get("layouts", {}).items()}
+        # bucketed-table registrations survive only while the catalog knows
+        # them (same-session or persistent metastore); a missing table falls
+        # back to the path read — same bytes, just without the bucket spec
+        inst.layout_tables = {
+            int(k): v
+            for k, v in meta.get("layout_tables", {}).items()
+            if spark is not None and spark.catalog.tableExists(v)
+        }
         inst.layout_rows = {int(k): v for k, v in meta.get("layout_rows", {}).items()}
         inst.snapshots = dict(meta.get("snapshots", {}))
         inst.computed_canon = dict(meta.get("computed_columns", {}))
@@ -585,8 +609,41 @@ class CubeBuilder:
     write_partitions = 8
 
     def _write_layout(
-        self, df: DataFrame, path: str, segmented: bool, mode: str = "overwrite"
-    ) -> None:
+        self,
+        df: DataFrame,
+        path: str,
+        segmented: bool,
+        mode: str = "overwrite",
+        cuboid_id: int | None = None,
+    ) -> str | None:
+        """Persist one layout; returns the catalog table name when the
+        layout was written BUCKETED (CubeDesc.bucket_layouts), else None."""
+        if (
+            self.desc.bucket_layouts
+            and self.desc.shard_by
+            and self.desc.shard_by in df.columns
+            and cuboid_id is not None
+        ):
+            # Bucketed external table on the shard key: the catalog scan
+            # reports HashPartitioning(shard_by, shard_buckets), so routed
+            # re-aggregations / island joins keyed on it skip the Exchange
+            # (KylinFileSourceScanExec.scala:74-135 parity). Repartitioning
+            # by the SAME hash+count first means each task owns exactly one
+            # bucket => one file per bucket (per segment dir), not
+            # tasks×buckets small files.
+            tname = f"{self.desc.name}_c{cuboid_id}".lower()
+            writer = (
+                df.repartition(self.desc.shard_buckets, F.col(self.desc.shard_by))
+                .write.mode(mode)
+                .format("parquet")
+                .option("path", path)
+                .bucketBy(self.desc.shard_buckets, self.desc.shard_by)
+                .sortBy(self.desc.shard_by)
+            )
+            if segmented:
+                writer = writer.partitionBy(SEGMENT_COL)
+            writer.saveAsTable(tname)
+            return tname
         df, parts = with_shard_partition(df, self.desc)
         if segmented:
             parts.insert(0, SEGMENT_COL)

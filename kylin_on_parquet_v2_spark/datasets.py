@@ -156,9 +156,13 @@ EVENTS_CUBE = CubeDesc(
 
 #: Day-segmented events cube — the BATCH half of the hybrid realization
 #: (reference HybridInstance): built only through the historical boundary;
-#: the realtime streaming store owns everything after it. Additive measures
-#: only (SUM/MIN/MAX/COUNT merge exactly across the batch/realtime split —
-#: the reference's streaming cubes carry the same restriction).
+#: the realtime streaming store owns everything after it. Measures must
+#: merge exactly across the batch/realtime split: the additive family
+#: (SUM/MIN/MAX/COUNT, AVG by decomposition) plus — round 6 — the
+#: MERGEABLE-DISTINCT family: the dictionary-id word-bag bitmap, whose
+#: bit_or merge is idempotent, so distinct/INTERSECT_COUNT serve across
+#: the boundary too (reference realtime cubes encode at ingest:
+#: stream-core RecordsAggregator + NGlobalDictionaryV2).
 EVENTS_MODEL_SEG = DataModel(
     name="events_stream", fact_table="events", partition_column="ts"
 )
@@ -172,6 +176,7 @@ EVENTS_CUBE_SEG = CubeDesc(
         MeasureDesc("sum_value", FunctionDesc("SUM", "value")),
         MeasureDesc("min_value", FunctionDesc("MIN", "value")),
         MeasureDesc("max_value", FunctionDesc("MAX", "value")),
+        MeasureDesc("bm_user", FunctionDesc("COUNT_DISTINCT", "user_id", "bitmap")),
     ),
     segment_granularity="day",
 )

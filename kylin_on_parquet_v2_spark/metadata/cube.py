@@ -141,11 +141,24 @@ class CubeDesc:
     #: base and 0-dim cuboids, always kept) are scheduled/built — the
     #: apply step of CuboidRecommender's output (cube/planner.py).
     cuboid_ids: tuple[int, ...] | None = None
+    #: opt-in BUCKETED layout storage on the shard column (requires
+    #: shard_by): layouts that host the shard key are written as bucketed
+    #: external tables (``bucketBy(shard_buckets, shard_by)``) instead of
+    #: ``__shard__`` partition dirs, so the routed scan reports
+    #: HashPartitioning on the shard key and a query-time groupBy/join on
+    #: it needs NO Exchange — the reference's shard-aware scan
+    #: (``KylinFileSourceScanExec.scala:74-135`` exposes outputPartitioning
+    #: for exactly this). Bucket pruning replaces shard-dir pruning for
+    #: equality filters. Not combinable with segment merge (merge rewrites
+    #: files outside the bucket bookkeeping and drops the table spec).
+    bucket_layouts: bool = False
 
     def __post_init__(self) -> None:
         names = [m.name for m in self.measures]
         if len(names) != len(set(names)):
             raise ValueError("duplicate measure names")
+        if self.bucket_layouts and not self.shard_by:
+            raise ValueError("bucket_layouts requires shard_by")
 
     def measure(self, name: str) -> MeasureDesc:
         for m in self.measures:

@@ -757,7 +757,14 @@ def _derived_prefilter(
     return df
 
 
-def execute_route(digest: SqlDigest, inst: CubeInstance, route: Route, spark) -> DataFrame:
+def routed_layout_scan(
+    digest: SqlDigest, inst: CubeInstance, route: Route, spark
+) -> DataFrame:
+    """The routed scan WITHOUT the aggregation tail: pruned layout read,
+    derived recovery, query filter, grouping expressions. Shared by
+    execute_route and the hybrid realization (which needs the filtered
+    layout rows — e.g. stored bitmap word-bags — as MERGE PARTIALS rather
+    than finalized aggregates)."""
     df = inst.layout_df(spark, route.cuboid)
     # segment pruning first: these predicates hit the partition column, so
     # Catalyst turns them into PartitionFilters (no data read outside range)
@@ -818,6 +825,11 @@ def execute_route(digest: SqlDigest, inst: CubeInstance, route: Route, spark) ->
     # the ordinary groupBy/projection paths below
     for gname, (gsql, _bases) in digest.group_exprs.items():
         df = df.withColumn(gname, F.expr(gsql))
+    return df
+
+
+def execute_route(digest: SqlDigest, inst: CubeInstance, route: Route, spark) -> DataFrame:
+    df = routed_layout_scan(digest, inst, route, spark)
 
     out_cols: list[Column] = []
     if route.topn is not None:

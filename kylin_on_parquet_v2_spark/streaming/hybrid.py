@@ -22,12 +22,24 @@ segment value format (e.g. batch ``yyyy-MM-dd`` day dirs, realtime
 orders them consistently. Double counting is impossible by construction:
 the tail filter is strict (``> boundary``).
 
-Merge soundness: only decomposable measures are served (SUM merges by SUM,
-COUNT by SUM, MIN/MAX by themselves). Non-mergeable shapes — DISTINCT,
-percentile, TopN, INTERSECT_COUNT, AVG, grouping sets — make the hybrid
-cube refuse, and the engine falls through to other cubes or pushdown (which
-reads the full source view: always correct). The reference's streaming
-cubes carry the same additive-measure restriction.
+Merge soundness: decomposable measures are served (SUM merges by SUM,
+COUNT by SUM, MIN/MAX by themselves; AVG by SUM/COUNT decomposition), and —
+round 6 — so are the cube's MERGEABLE-DISTINCT measures: COUNT_DISTINCT
+backed by a dictionary-id word-bag bitmap, its conditional form, and
+INTERSECT_COUNT. The realtime tail is dictionary-encoded through an
+in-memory EXTENSION of the cube's frozen global dictionary
+(``extend_global_dict`` — existing ids never move, new values append), its
+word bags are built at the query grain, and batch + tail bags merge by
+``bit_or``, which is associative, commutative and IDEMPOTENT — so the
+segment-aligned split can never double-count a value that appears on both
+sides. This is the Spark-first realization of the reference's realtime
+cubes, which dictionary-encode at ingest and serve distinct across the
+split (``stream-core/.../RecordsAggregator.java``,
+``NGlobalDictionaryV2.java``).
+
+Still refused: percentile, TopN, hllc approx-distinct, derived dims,
+grouping sets, and distinct on plain dimensions (no stored bag) — those
+fall through to other cubes or pushdown (always correct).
 """
 
 from __future__ import annotations
@@ -70,25 +82,42 @@ class HybridPart:
 _MERGE = {"COUNT": F.sum, "SUM": F.sum, "MIN": F.min, "MAX": F.max}
 
 
+def _bag_served(name: str, route: Route) -> bool:
+    """True when the routed output ``name`` is served from a stored
+    dictionary-id word-bag bitmap — the mergeable-distinct family."""
+    return (
+        name in route.bitmap_distinct
+        or name in route.bitmap_cond
+        or name in route.bitmap_intersect
+    )
+
+
 def hybrid_servable(digest: SqlDigest, route: Route) -> bool:
     """True when every output merges exactly across the batch/realtime split.
-    AVG qualifies via decomposition: SUM and COUNT partials merge, the
-    division happens once above the merge (the same SUM/COUNT rewrite the
-    plain route and Calcite apply)."""
+
+    AVG qualifies via decomposition (SUM and COUNT partials merge, the
+    division happens once above the merge). DISTINCT qualifies exactly when
+    the route serves it from a word-bag bitmap measure: bags from the batch
+    layouts and bags built over the dictionary-encoded tail merge by
+    ``bit_or`` (associative + commutative + idempotent => the split cannot
+    double-count). Distinct WITHOUT a bag (plain dim count_distinct, hllc
+    sketch) stays refused — hllc union across the split would be mergeable
+    too but is approximate, and the hybrid contract here is exactness."""
     if digest.grouping_sets is not None:
         return False
-    if (
-        route.topn is not None
-        or route.bitmap_distinct
-        or route.bitmap_cond
-        or route.bitmap_intersect
-        or route.approx_distinct
-        or route.derived
-    ):
+    if route.topn is not None or route.approx_distinct or route.derived:
         return False
-    for a in digest.aggs:
+    for item in digest.select:
+        if item.agg is None:
+            continue
+        a = item.agg
+        if _bag_served(item.name, route):
+            continue
         if a.distinct or (a.func not in _MERGE and a.func != "AVG"):
             return False
+    # (hidden HAVING aggregates need no special case: they are SelectItems
+    # in digest.select, so they flow through the partial pipelines like any
+    # visible output and apply_post_aggregation drops them after HAVING)
     # every group col must survive into the output — merging on a subset of
     # the grouping keys would collapse groups the query keeps separate
     out_group = {s.group_col for s in digest.select if s.group_col is not None}
@@ -116,6 +145,9 @@ def hybrid_columns_ok(
     for a in digest.aggs:
         if a.column is not None:
             need.add(a.column)
+        if a.filter_col is not None:  # INTERSECT_COUNT cohort column
+            need.add(a.filter_col)
+        need |= set(a.cond_cols)  # conditional-distinct cohort condition
         if a.expr_sql is not None:
             need |= {
                 t
@@ -134,6 +166,22 @@ def batch_boundary(inst: CubeInstance, spark: SparkSession) -> str | None:
     return max(ends) if ends else None
 
 
+def _encode_tail(
+    rt: DataFrame, inst: CubeInstance, param: str, spark: SparkSession
+) -> DataFrame:
+    """Dictionary-encode the realtime tail through an in-memory EXTENSION of
+    the cube's frozen global dictionary: values the batch build already saw
+    keep their ids (so tail bags and stored bags reference the same id
+    space), unseen values append after the current max (versioned-append
+    semantics of NGlobalDictionaryV2 — the persisted dictionary itself is
+    NOT mutated by queries). Cost is O(distinct tail values): a distinct +
+    anti-join over the boundary-pruned tail only, never the batch store."""
+    from kylin_on_parquet_v2_spark.cube import dictionary as GD
+
+    ext = GD.extend_global_dict(inst.dict_df(spark, param), rt, param)
+    return GD.encode_column(rt, ext, param)
+
+
 def execute_hybrid(
     digest: SqlDigest,
     inst: CubeInstance,
@@ -142,15 +190,24 @@ def execute_hybrid(
     spark: SparkSession,
 ) -> DataFrame:
     """Serve ``digest`` as batch-cuboid partials UNION realtime-tail
-    partials, re-merged, then the ordinary post-aggregation tail."""
+    partials, re-merged, then the ordinary post-aggregation tail.
+
+    Additive measures merge by their merge function; AVG by SUM/COUNT
+    decomposition; mergeable-distinct outputs (word-bag bitmap /
+    conditional bitmap / INTERSECT_COUNT) by re-ORing batch bags with bags
+    built over the dictionary-encoded tail at the query grain."""
     import copy
 
+    from kylin_on_parquet_v2_spark.cube import dictionary as GD
+    from kylin_on_parquet_v2_spark.cube.build import join_null_safe
     from kylin_on_parquet_v2_spark.query.digest import AggCall, SelectItem
+    from kylin_on_parquet_v2_spark.query.router import routed_layout_scan
 
     # partials must come back WITHOUT having/sort/limit/window post-processing
-    # (those apply once, above the merge) but WITH hidden HAVING aggregates.
-    # AVG outputs decompose into SUM/COUNT partial columns here; the division
-    # is applied once above the merge.
+    # (those apply once, above the merge). AVG outputs decompose into
+    # SUM/COUNT partial columns here; the division is applied once above the
+    # merge. Bag-served distinct outputs leave the plain-partial pipeline
+    # entirely — they merge through their own bag pipelines below.
     core = copy.copy(digest)
     core.sort, core.limit = [], None
     core.having_sql, core.having_cols = None, set()
@@ -158,8 +215,11 @@ def execute_hybrid(
     core.hidden = []
     core.select = []
     avg_parts: dict[str, tuple[str, str]] = {}
+    bag_items: list[SelectItem] = []
     for item in digest.select:
-        if item.agg is not None and item.agg.func == "AVG":
+        if item.agg is not None and _bag_served(item.name, route):
+            bag_items.append(item)
+        elif item.agg is not None and item.agg.func == "AVG":
             i = len(avg_parts)
             sa, ca = f"__avs{i}", f"__avc{i}"
             avg_parts[item.name] = (sa, ca)
@@ -172,7 +232,7 @@ def execute_hybrid(
             )
         else:
             core.select.append(item)
-    batch = execute_route(core, inst, route, spark)
+    plain_aggs = [s for s in core.select if s.agg is not None]
 
     rt = spark.read.parquet(part.realtime_dir)
     rt = _normalize_ts(rt, part.ts_col)
@@ -183,7 +243,7 @@ def execute_hybrid(
             "column — cannot split at the batch boundary without "
             "double-counting; re-route through pushdown"
         )
-    if boundary is not None and SEGMENT_COL in rt.columns:
+    if boundary is not None:
         # STRICTLY after the batch coverage end; prefix compare tolerates a
         # finer realtime dir format. Partition-column expression => Catalyst
         # evaluates it at listing time (PartitionFilters), pruning whole
@@ -196,36 +256,102 @@ def execute_hybrid(
     for gname, (gsql, _bases) in digest.group_exprs.items():
         rt = rt.withColumn(gname, F.expr(gsql))
 
-    group_out = [s.name for s in core.select if s.group_col is not None]
-    key_cols, agg_cols, merge_aggs = [], [], []
-    for item in core.select:
-        if item.group_col is not None:
-            key_cols.append(F.col(item.group_col).alias(item.name))
-            continue
-        a = item.agg
-        src = F.expr(a.expr_sql) if a.expr_sql is not None else (
-            F.lit(1) if a.column is None else F.col(a.column)
+    group_srcs = list(digest.group_cols)
+    group_out = [s.name for s in digest.select if s.group_col is not None]
+    src_to_out = {
+        s.group_col: s.name for s in digest.select if s.group_col is not None
+    }
+
+    result = None
+    if plain_aggs:
+        batch = execute_route(core, inst, route, spark)
+        key_cols, agg_cols, merge_aggs = [], [], []
+        for item in core.select:
+            if item.group_col is not None:
+                key_cols.append(F.col(item.group_col).alias(item.name))
+                continue
+            a = item.agg
+            src = F.expr(a.expr_sql) if a.expr_sql is not None else (
+                F.lit(1) if a.column is None else F.col(a.column)
+            )
+            fn = {"COUNT": F.count, "SUM": F.sum, "MIN": F.min, "MAX": F.max}[a.func]
+            agg_cols.append(fn(src).alias(item.name))
+            merged = _MERGE[a.func](item.name)
+            if a.func == "COUNT":
+                merged = merged.cast("long")
+            merge_aggs.append(merged.alias(item.name))
+        # realtime partial aggregation at the SAME grain as the batch partials
+        rt_part = rt.groupBy(*key_cols).agg(*agg_cols) if key_cols else rt.groupBy().agg(*agg_cols)
+        # align realtime partial types to the batch side before the union
+        rt_part = rt_part.select(
+            *[
+                F.col(c).cast(batch.schema[c].dataType).alias(c)
+                for c in batch.columns
+            ]
         )
-        fn = {"COUNT": F.count, "SUM": F.sum, "MIN": F.min, "MAX": F.max}[a.func]
-        agg_cols.append(fn(src).alias(item.name))
-        merged = _MERGE[a.func](item.name)
-        if a.func == "COUNT":
-            merged = merged.cast("long")
-        merge_aggs.append(merged.alias(item.name))
-    # realtime partial aggregation at the SAME grain as the batch partials
-    rt_part = rt.groupBy(*key_cols).agg(*agg_cols) if key_cols else rt.groupBy().agg(*agg_cols)
-    # align realtime partial types to the batch side before the union
-    rt_part = rt_part.select(
-        *[
-            F.col(c).cast(batch.schema[c].dataType).alias(c)
-            for c in batch.columns
-        ]
-    )
-    merged = batch.unionByName(rt_part)
-    if group_out:
-        result = merged.groupBy(*group_out).agg(*merge_aggs)
-    else:
-        result = merged.groupBy().agg(*merge_aggs)
+        merged = batch.unionByName(rt_part)
+        if group_out:
+            result = merged.groupBy(*group_out).agg(*merge_aggs)
+        else:
+            result = merged.groupBy().agg(*merge_aggs)
+
+    if bag_items:
+        # ONE pruned+filtered layout scan feeds every bag pipeline; bags are
+        # merged batch∪tail at the query grain, then finalized exactly as
+        # the plain routed path does (explode → bit_or → bit_count).
+        batch_scan = routed_layout_scan(digest, inst, route, spark)
+        measures = {m.name: m for m in inst.desc.measures}
+        if result is None and group_srcs:
+            # no plain aggregates: the group universe still must include
+            # groups whose distinct column is entirely NULL (count = 0)
+            result = (
+                batch_scan.select(*group_srcs)
+                .unionByName(rt.select(*group_srcs))
+                .dropDuplicates()
+                .select(
+                    *[F.col(c).alias(src_to_out[c]) for c in group_srcs]
+                )
+            )
+        for item in bag_items:
+            name = item.name
+            if name in route.bitmap_distinct:
+                mname = route.bitmap_distinct[name]
+                grain = group_srcs
+                b_side = batch_scan
+                t_side = rt
+            elif name in route.bitmap_cond:
+                mname, cond = route.bitmap_cond[name]
+                grain = group_srcs
+                b_side = batch_scan.filter(F.expr(cond))
+                t_side = rt.filter(F.expr(cond))
+            else:
+                mname, fcol, vals = route.bitmap_intersect[name]
+                grain = group_srcs + [fcol]
+                b_side = batch_scan
+                t_side = rt
+            param = measures[mname].function.parameter
+            tail_enc = _encode_tail(t_side, inst, param, spark)
+            tail_bags = GD.bitmap_build_agg(
+                tail_enc, grain, GD.dict_col(param), mname
+            )
+            bags = b_side.select(*grain, mname).unionByName(tail_bags)
+            if name in route.bitmap_intersect:
+                counts = GD.bitmap_intersect_count(
+                    bags, group_srcs, mname, fcol, list(vals), name
+                )
+            else:
+                counts = GD.bitmap_count(bags, group_srcs, mname, name)
+            counts = counts.select(
+                *[F.col(c).alias(src_to_out[c]) for c in group_srcs], name
+            )
+            if result is None:
+                result = counts  # global query: single-row count frame
+            else:
+                result = join_null_safe(result, counts, group_out, "left")
+            result = result.withColumn(
+                name, F.coalesce(F.col(name), F.lit(0)).cast("long")
+            )
+
     # final projection in the ORIGINAL select order, re-assembling AVG from
     # its merged SUM/COUNT partials
     out_cols = []

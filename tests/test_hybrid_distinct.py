@@ -1,0 +1,193 @@
+"""Mergeable-distinct across the hybrid batch/realtime boundary (round-6
+verdict item 1; reference parity: realtime cubes dictionary-encode at ingest
+and serve distinct across the split — stream-core RecordsAggregator +
+NGlobalDictionaryV2 versioned append).
+
+The split contract makes double counting impossible for additive measures;
+these tests prove the DISTINCT family inherits that: batch word-bags and
+tail word-bags (encoded through an in-memory extension of the frozen global
+dictionary) merge by bit_or — associative, commutative, IDEMPOTENT — so a
+user seen on BOTH sides of the boundary counts once, and values never seen
+by the batch build get fresh appended ids."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from kylin_on_parquet_v2_spark.metadata import (
+    CubeDesc,
+    DataModel,
+    FunctionDesc,
+    MeasureDesc,
+)
+from kylin_on_parquet_v2_spark.query.engine import OlapEngine
+
+MODEL = DataModel(name="hd_star", fact_table="hd_fact", partition_column="d")
+
+CUBE = CubeDesc(
+    name="hd_cube",
+    model_name="hd_star",
+    dimensions=("etype", "d"),
+    measures=(
+        MeasureDesc("_count", FunctionDesc("COUNT")),
+        MeasureDesc("sum_v", FunctionDesc("SUM", "v")),
+        MeasureDesc("bm_user", FunctionDesc("COUNT_DISTINCT", "user_id", "bitmap")),
+    ),
+    segment_granularity="day",
+)
+
+SPLIT = "2024-03-02"  # batch owns days 1-2; realtime tail serves days 3-4
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tmp_path_factory):
+    rows = []
+    # days 1-2 (batch side): users 0-9 across view/click
+    for day in (1, 2):
+        for u in range(10):
+            rows.append(
+                ("view" if u % 2 == 0 else "click", dt.date(2024, 3, day), u, 1.0)
+            )
+    # day 3-4 (tail): users 5-9 RE-APPEAR (overlap with batch => idempotence
+    # matters) and users 100-104 are NEW (dictionary extension matters)
+    for day in (3, 4):
+        for u in [5, 6, 7, 8, 9, 100, 101, 102, 103, 104]:
+            rows.append(
+                ("view" if u % 2 == 0 else "purchase", dt.date(2024, 3, day), u, 2.0)
+            )
+    df = spark.createDataFrame(rows, "etype string, d date, user_id long, v double")
+    df.createOrReplaceTempView("hd_fact")
+    rt_dir = str(tmp_path_factory.mktemp("hd_rt"))
+    df.withColumn("__segment__", F.date_format("d", "yyyy-MM-dd")).write.mode(
+        "overwrite"
+    ).partitionBy("__segment__").parquet(rt_dir)
+
+    eng = OlapEngine(spark, storage_dir=str(tmp_path_factory.mktemp("hd_cubes")))
+    eng.add_model(MODEL)
+    eng.build_cube(CUBE, segment_range=(None, SPLIT))
+    eng.register_hybrid("hd_cube", rt_dir, ts_col="d")
+    return eng
+
+
+def _pushdown(engine, sql):
+    return {tuple(r) for r in engine.pushdown(sql).collect()}
+
+
+def test_hybrid_distinct_grouped_matches_pushdown(engine):
+    sql = (
+        "select etype, count(distinct user_id) as u, sum(v) as sv "
+        "from hd_fact group by etype"
+    )
+    got = {tuple(r) for r in engine.sql(sql).collect()}
+    route = engine.last_route
+    assert route is not None and route.hybrid_tail, route
+    assert route.bitmap_distinct, route
+    assert got == _pushdown(engine, sql)
+
+
+def test_hybrid_distinct_no_double_count_on_overlap(engine):
+    """Users 5-9 exist on BOTH sides of the boundary; bit_or idempotence
+    must count each once. Global: 10 batch users + 5 new tail users = 15."""
+    df = engine.sql("select count(distinct user_id) as u from hd_fact")
+    assert engine.last_route is not None and engine.last_route.hybrid_tail
+    assert df.collect()[0]["u"] == 15
+
+
+def test_hybrid_distinct_new_tail_values_extend_dictionary(engine):
+    """Users 100-104 never existed at batch-build time (no dictionary id);
+    the tail encoding must append ids, not drop them as unknown."""
+    sql = (
+        "select etype, count(distinct user_id) as u from hd_fact "
+        "where etype = 'purchase' group by etype"
+    )
+    got = {tuple(r) for r in engine.sql(sql).collect()}
+    assert engine.last_route is not None and engine.last_route.hybrid_tail
+    # purchase only happens in the tail: users 5,7,9,101,103
+    assert got == {("purchase", 5)}
+
+
+def test_hybrid_conditional_distinct_matches_pushdown(engine):
+    sql = (
+        "select count(distinct case when etype = 'view' then user_id end) as vu, "
+        "count(distinct case when etype = 'purchase' then user_id end) as pu "
+        "from hd_fact"
+    )
+    got = engine.sql(sql).collect()[0]
+    route = engine.last_route
+    assert route is not None and route.hybrid_tail and route.bitmap_cond
+    exp = engine.pushdown(sql).collect()[0]
+    assert (got["vu"], got["pu"]) == (exp["vu"], exp["pu"])
+
+
+def test_hybrid_intersect_count_across_boundary(engine):
+    """view ∩ purchase spans the split: view-membership comes mostly from
+    the batch side, purchase-membership exists ONLY in the tail."""
+    sql = (
+        "select intersect_count(user_id, etype, array('view','purchase')) as vp "
+        "from hd_fact"
+    )
+    df = engine.sql(sql)
+    route = engine.last_route
+    assert route is not None and route.hybrid_tail and route.bitmap_intersect
+    # view users: evens of 0-9 plus 6,8,100,102,104 (tail) = {0,2,4,6,8,100,102,104}
+    # purchase users: {5,7,9,101,103} -> intersection is empty
+    assert df.collect()[0]["vp"] == 0
+    # odd users view nothing; flip cohorts to get a non-trivial intersection
+    sql2 = (
+        "select intersect_count(user_id, etype, array('click','purchase')) as cp "
+        "from hd_fact"
+    )
+    got = engine.sql(sql2).collect()[0]["cp"]
+    assert engine.last_route is not None and engine.last_route.hybrid_tail
+    # click users (batch): odds 1,3,5,7,9; purchase users (tail): 5,7,9,101,103
+    assert got == 3
+
+
+def test_hybrid_distinct_only_group_universe_complete(engine):
+    """A distinct-only grouped query must still emit every group (no plain
+    aggregate frame to anchor the group universe)."""
+    sql = "select etype, count(distinct user_id) as u from hd_fact group by etype"
+    got = {tuple(r) for r in engine.sql(sql).collect()}
+    assert engine.last_route is not None and engine.last_route.hybrid_tail
+    assert got == _pushdown(engine, sql)
+    assert {g for g, _ in got} == {"view", "click", "purchase"}
+
+
+def test_hybrid_distinct_with_filter_and_having(engine):
+    sql = (
+        "select etype, count(distinct user_id) as u from hd_fact "
+        "where d >= date '2024-03-02' group by etype having u > 2 "
+        "order by etype"
+    )
+    got = [tuple(r) for r in engine.sql(sql).collect()]
+    assert engine.last_route is not None and engine.last_route.hybrid_tail
+    exp = [tuple(r) for r in engine.pushdown(sql).collect()]
+    assert got == exp
+
+
+def test_hybrid_hidden_distinct_in_having(engine):
+    """HAVING over a NON-selected count(distinct ...) creates a hidden
+    aggregate output — it must flow through the bag pipeline like a visible
+    one and be dropped after the HAVING filter."""
+    sql = (
+        "select etype, sum(v) as sv from hd_fact group by etype "
+        "having count(distinct user_id) > 5 order by etype"
+    )
+    got = [tuple(r) for r in engine.sql(sql).collect()]
+    assert engine.last_route is not None and engine.last_route.hybrid_tail
+    exp = [tuple(r) for r in engine.pushdown(sql).collect()]
+    assert got == exp and len(got) > 0
+
+
+def test_hybrid_persisted_dictionary_not_mutated(engine, spark):
+    """Query-time tail encoding extends the dictionary IN MEMORY only —
+    the persisted store keeps exactly the batch-build id space."""
+    inst = engine.cubes["hd_cube"]
+    before = {(r["value"], r["did"]) for r in inst.dict_df(spark, "user_id").collect()}
+    engine.sql("select count(distinct user_id) as u from hd_fact").collect()
+    after = {(r["value"], r["did"]) for r in inst.dict_df(spark, "user_id").collect()}
+    assert before == after
+    assert len(before) == 10  # only batch-side users 0-9 are persisted
