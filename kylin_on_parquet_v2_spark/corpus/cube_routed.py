@@ -659,7 +659,85 @@ def cube_routed_island_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+_BUCKETED_ENGINES: dict[str, object] = {}
+
+
+def _bucketed_engine(spark: SparkSession, sf_dir: str):
+    """Engine with a BUCKETED-layout cube (CubeDesc.bucket_layouts): the
+    base cuboid is written as a bucketed external table on the shard key
+    (l_suppkey), so routed re-aggregations keyed on it skip the Exchange
+    (KylinFileSourceScanExec.scala:74-135 shard-aware scan parity)."""
+    import os
+    import tempfile
+
+    from kylin_on_parquet_v2_spark.metadata import (
+        CubeDesc,
+        DataModel,
+        FunctionDesc,
+        MeasureDesc,
+    )
+    from kylin_on_parquet_v2_spark.query.engine import OlapEngine
+
+    key = os.path.abspath(sf_dir)
+    eng = _BUCKETED_ENGINES.get(key)
+    if eng is not None and eng.spark is spark:
+        return eng
+    from kylin_on_parquet_v2_spark.corpus.base import views
+
+    views(spark, sf_dir)
+    storage = os.path.join(
+        tempfile.gettempdir(), "kylin_bucketed_cubes", key.strip("/").replace("/", "_")
+    )
+    eng = OlapEngine(spark, storage_dir=storage)
+    eng.add_model(DataModel(name="bucketed_star", fact_table="lineitem"))
+    eng.build_cube(
+        CubeDesc(
+            name="lineitem_bucketed_cube",
+            model_name="bucketed_star",
+            dimensions=("l_suppkey", "l_returnflag"),
+            measures=(
+                MeasureDesc("_count", FunctionDesc("COUNT")),
+                MeasureDesc("sum_qty", FunctionDesc("SUM", "l_quantity")),
+            ),
+            # base cuboid only: a group-by on l_suppkey alone must
+            # re-aggregate — the exchange the bucket spec elides
+            cuboid_ids=(3,),
+            shard_by="l_suppkey",
+            shard_buckets=8,
+            bucket_layouts=True,
+        )
+    )
+    _BUCKETED_ENGINES[key] = eng
+    return eng
+
+
+def cube_routed_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Routed re-aggregation on the shard key of a BUCKETED layout: the
+    catalog scan reports HashPartitioning(l_suppkey), so the groupBy runs
+    exchange-free (plan-asserted here, not just in tests) and the answer
+    equals the plain aggregation."""
+    eng = _bucketed_engine(spark, sf_dir)
+    df = eng.sql(
+        """
+        select l_suppkey, sum(l_quantity) as sum_qty, count(*) as n
+        from lineitem
+        group by l_suppkey
+        order by l_suppkey
+        """
+    )
+    assert eng.last_route is not None, "expected bucketed cube route"
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert not any(
+        "Exchange hashpartitioning" in ln and "l_suppkey" in ln
+        for ln in plan.splitlines()
+    ), "bucketed layout scan must elide the shard-key exchange"
+    return df.select(
+        "l_suppkey", F.round("sum_qty", 2).alias("sum_qty"), "n"
+    )
+
+
 QUERIES = {
+    "cube_routed_bucketed": cube_routed_bucketed,
     "cube_routed_cte": cube_routed_cte,
     "cube_routed_join_contexts": cube_routed_join_contexts,
     "cube_routed_union_contexts": cube_routed_union_contexts,
@@ -691,6 +769,12 @@ QUERIES = {
 }
 
 ORACLES = {
+    "cube_routed_bucketed": """
+        select l_suppkey, round(sum(l_quantity), 2) as sum_qty, count(*) as n
+        from lineitem
+        group by l_suppkey
+        order by l_suppkey
+    """,
     "cube_routed_grouping_indicator": """
         select l_returnflag, l_linestatus,
                grouping(l_returnflag) as g_rf,

@@ -223,10 +223,85 @@ def aggregates_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KLL_ENGINES: dict[str, object] = {}
+
+
+def _kll_engine(spark: SparkSession, sf_dir: str):
+    """Engine with a PERCENTILE_APPROX kll(k) measure on events.value — the
+    rank-accurate mergeable quantile sketch (reference t-digest
+    PercentileCounter parity; cube/kll.py). The routed default elsewhere
+    stays the oracle-able histogram; this cube exists to serve percentiles
+    on heavy-tailed columns where a declared [lo,hi] grid wastes its bins."""
+    import os
+    import tempfile
+
+    from kylin_on_parquet_v2_spark.metadata import (
+        CubeDesc,
+        DataModel,
+        FunctionDesc,
+        MeasureDesc,
+    )
+    from kylin_on_parquet_v2_spark.query.engine import OlapEngine
+
+    key = os.path.abspath(sf_dir)
+    eng = _KLL_ENGINES.get(key)
+    if eng is not None and eng.spark is spark:
+        return eng
+    views(spark, sf_dir)
+    storage = os.path.join(
+        tempfile.gettempdir(), "kylin_kll_cubes", key.strip("/").replace("/", "_")
+    )
+    eng = OlapEngine(spark, storage_dir=storage)
+    eng.add_model(DataModel(name="events_kll_star", fact_table="events"))
+    eng.build_cube(
+        CubeDesc(
+            name="events_kll_cube",
+            model_name="events_kll_star",
+            dimensions=("event_type",),
+            measures=(
+                MeasureDesc("_count", FunctionDesc("COUNT")),
+                MeasureDesc(
+                    "kll_value",
+                    FunctionDesc("PERCENTILE_APPROX", "value", "kll(256)"),
+                ),
+            ),
+        )
+    )
+    _KLL_ENGINES[key] = eng
+    return eng
+
+
+def percentile_kll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentiles served from the stored KLL sketch, re-aggregated to a
+    coarser grain than the layout (merge path exercised). Estimates are
+    engine-specific (deterministic, but not equal to the exact percentile)
+    => rows-only check; the rank-error bound vs percentile_exact is
+    asserted in tests/test_kll.py."""
+    eng = _kll_engine(spark, sf_dir)
+    df = eng.sql(
+        """
+        select percentile_approx(value, 0.5) as p50,
+               percentile_approx(value, 0.9) as p90,
+               percentile_approx(value, 0.99) as p99,
+               count(*) as n
+        from events
+        """
+    )
+    route = eng.last_route
+    assert route is not None, "expected KLL route for percentile_kll_sketch"
+    return df.select(
+        F.round("p50", 4).alias("p50"),
+        F.round("p90", 4).alias("p90"),
+        F.round("p99", 4).alias("p99"),
+        "n",
+    )
+
+
 QUERIES = {
     "aggregates_stats": aggregates_stats,
     "percentile_exact": percentile_exact,
     "percentile_approx_sketch": percentile_approx_sketch,
+    "percentile_kll_sketch": percentile_kll_sketch,
     "topn_per_group": topn_per_group,
     "intersect_count_retention": intersect_count_retention,
     "intersect_count_funnel": intersect_count_funnel,

@@ -396,20 +396,24 @@ class CubeBuilder:
         for cuboid, parent in tree:
             layers.setdefault(cuboid.n_dims, []).append((cuboid, parent))
 
-        def _one(cuboid: Cuboid, parent: Cuboid | None) -> tuple[int, str]:
+        def _one(cuboid: Cuboid, parent: Cuboid | None) -> tuple[int, str, str | None]:
             if parent is None:
                 df = self._agg_from_flat(flat, cuboid, inst.segmented)
             else:
                 df = self._agg_from_parent(built[parent.cuboid_id], cuboid, inst.segmented)
             path = os.path.join(cube_dir, f"cuboid={cuboid.cuboid_id}")
-            self._write_layout(df, path, inst.segmented)
-            return cuboid.cuboid_id, path
+            tname = self._write_layout(
+                df, path, inst.segmented, cuboid_id=cuboid.cuboid_id
+            )
+            return cuboid.cuboid_id, path, tname
 
         for size in sorted(layers, reverse=True):
             wave = layers[size]
             with ThreadPoolExecutor(max_workers=self.build_parallelism) as pool:
-                for cuboid_id, path in pool.map(lambda cp: _one(*cp), wave):
+                for cuboid_id, path, tname in pool.map(lambda cp: _one(*cp), wave):
                     inst.layouts[cuboid_id] = path
+                    if tname is not None:
+                        inst.layout_tables[cuboid_id] = tname
                     n = _parquet_rows(path)
                     if n is not None:
                         inst.layout_rows[cuboid_id] = n
@@ -757,7 +761,11 @@ class CubeBuilder:
             else:
                 df = self._agg_from_parent(built[parent.cuboid_id], cuboid, True)
             path = inst.layouts[cuboid.cuboid_id]
-            self._write_layout(df, path, True, mode="append")
+            # bucketed layouts append through the SAME table spec (the
+            # catalog enforces bucket-count/column agreement on append)
+            self._write_layout(
+                df, path, True, mode="append", cuboid_id=cuboid.cuboid_id
+            )
             return cuboid.cuboid_id, path
 
         for size in sorted(layers, reverse=True):

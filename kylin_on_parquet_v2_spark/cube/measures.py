@@ -192,6 +192,10 @@ def build_agg(measure: MeasureDesc, schema: StructType | None = None) -> Column 
     if f.expression == "PERCENTILE_APPROX":
         if hist_spec(f) is not None:
             return hist_build(f, name)  # mergeable histogram sketch
+        from kylin_on_parquet_v2_spark.cube.kll import kll_build, kll_spec
+
+        if kll_spec(f) is not None:
+            return kll_build(f, name)  # rank-accurate mergeable KLL sketch
         return None  # exact-match only otherwise
     if f.expression == "EXTENDED_COLUMN":
         return F.first(col, ignorenulls=True).alias(name)
@@ -241,6 +245,11 @@ def reagg_from_layout(measure: MeasureDesc, schema: StructType | None = None) ->
         return None
     if f.expression == "PERCENTILE_APPROX" and hist_spec(f) is not None:
         return hist_reagg(f, name)
+    if f.expression == "PERCENTILE_APPROX":
+        from kylin_on_parquet_v2_spark.cube.kll import kll_reagg, kll_spec
+
+        if kll_spec(f) is not None:
+            return kll_reagg(f, name)
     if f.expression == "EXTENDED_COLUMN":
         return F.first(name, ignorenulls=True).alias(name)
     if f.expression == "RAW":

@@ -63,6 +63,15 @@ def merge_segments(
         raise ValueError("cube is not segmented; nothing to merge")
     if not segments:
         raise ValueError("no segments given")
+    if inst.layout_tables:
+        # merge rewrites segment dirs with plain parquet files, outside the
+        # bucket bookkeeping — the catalog's bucket spec would lie about
+        # file layout (silently wrong shuffle elision). Un-register the
+        # bucketed tables first: readers fall back to the path scan (same
+        # bytes, correct answers, just no Exchange elision anymore).
+        for t in inst.layout_tables.values():
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        inst.layout_tables.clear()
 
     for cuboid_id, path in inst.layouts.items():
         cuboid = inst.scheduler.cuboids[cuboid_id]

@@ -297,6 +297,19 @@ def _hist_measure_for(col: str, inst: CubeInstance) -> MeasureDesc | None:
     return None
 
 
+def _kll_measure_for(col: str, inst: CubeInstance) -> MeasureDesc | None:
+    from kylin_on_parquet_v2_spark.cube.kll import kll_spec
+
+    for m in inst.desc.measures:
+        if (
+            m.function.expression == "PERCENTILE_APPROX"
+            and m.function.parameter == col
+            and kll_spec(m.function) is not None
+        ):
+            return m
+    return None
+
+
 def _plan_topn_route(digest: SqlDigest, inst: CubeInstance) -> Route | None:
     """``SELECT g..., r, SUM(m) ... GROUP BY g..., r ORDER BY SUM(m) DESC
     LIMIT k`` rewritten onto a stored TopN measure whose rank dim is ``r``
@@ -499,9 +512,13 @@ def plan_route(
             elif not _need(agg.column):
                 return None
         elif agg.func == "PERCENTILE":
-            # served from a mergeable histogram sketch measure
-            # (PercentileMeasureType parity; accuracy declared by the bins)
-            if _hist_measure_for(agg.column, inst) is None:
+            # served from a mergeable sketch measure: histogram (oracle-able
+            # default) or KLL (rank-accurate for heavy tails)
+            # (PercentileMeasureType parity; accuracy declared up front)
+            if (
+                _hist_measure_for(agg.column, inst) is None
+                and _kll_measure_for(agg.column, inst) is None
+            ):
                 return None
         elif agg.func == "AVG":
             # AVG = SUM(col)/COUNT(col) — COUNT(col), not COUNT(*): SQL AVG
@@ -907,10 +924,19 @@ def execute_route(digest: SqlDigest, inst: CubeInstance, route: Route, spark) ->
                 from kylin_on_parquet_v2_spark.cube import measures as M
 
                 m = _hist_measure_for(agg.column, inst)
-                merged = M.hist_reagg(m.function, m.name)
-                agg_cols.append(
-                    M.hist_percentile(m.function, merged, agg.q).alias(item.name)
-                )
+                if m is not None:
+                    merged = M.hist_reagg(m.function, m.name)
+                    agg_cols.append(
+                        M.hist_percentile(m.function, merged, agg.q).alias(item.name)
+                    )
+                else:
+                    from kylin_on_parquet_v2_spark.cube import kll as KLL
+
+                    m = _kll_measure_for(agg.column, inst)
+                    merged = KLL.kll_reagg(m.function, m.name)
+                    agg_cols.append(
+                        KLL.kll_percentile(m.function, merged, agg.q).alias(item.name)
+                    )
             elif agg.func == "AVG":
                 s = _measure_for(AggCall("SUM", agg.column, False, "", agg.expr_sql), inst)
                 c = _measure_for(AggCall("COUNT", agg.column, False, "", agg.expr_sql), inst)

@@ -1,0 +1,136 @@
+"""Bucketed cuboid layouts (round-6 verdict item 3): CubeDesc.bucket_layouts
+wires cube/bucketing.py into the layout write, so the ROUTED scan carries
+HashPartitioning on the shard key — a routed re-aggregation or island join
+keyed on it skips the Exchange (reference
+``KylinFileSourceScanExec.scala:74-135`` exposes outputPartitioning for
+exactly this). Answers must be byte-identical to the dir-partitioned form."""
+
+from __future__ import annotations
+
+import pytest
+
+from kylin_on_parquet_v2_spark.metadata import (
+    CubeDesc,
+    DataModel,
+    FunctionDesc,
+    MeasureDesc,
+)
+from kylin_on_parquet_v2_spark.query.engine import OlapEngine
+from tests.conftest import SF_SMOKE
+
+MODEL = DataModel(name="bl_star", fact_table="lineitem")
+
+
+def _cube(name: str, bucketed: bool) -> CubeDesc:
+    return CubeDesc(
+        name=name,
+        model_name="bl_star",
+        dimensions=("l_suppkey", "l_returnflag"),
+        measures=(
+            MeasureDesc("_count", FunctionDesc("COUNT")),
+            MeasureDesc("sum_qty", FunctionDesc("SUM", "l_quantity")),
+        ),
+        # only the base cuboid (plus the always-kept 0-dim): a group-by on
+        # l_suppkey alone must RE-AGGREGATE the 2-dim layout — that's the
+        # exchange the bucket spec is supposed to elide
+        cuboid_ids=(3,),
+        shard_by="l_suppkey",
+        shard_buckets=4,
+        bucket_layouts=bucketed,
+    )
+
+
+@pytest.fixture(scope="module")
+def engines(spark, tmp_path_factory):
+    eng_b = OlapEngine(spark, storage_dir=str(tmp_path_factory.mktemp("bl_bucketed")))
+    eng_b.register_sources(SF_SMOKE)
+    eng_b.add_model(MODEL)
+    eng_b.build_cube(_cube("bl_cube_bucketed", True))
+    eng_p = OlapEngine(spark, storage_dir=str(tmp_path_factory.mktemp("bl_plain")))
+    eng_p.register_sources(SF_SMOKE)
+    eng_p.add_model(MODEL)
+    eng_p.build_cube(_cube("bl_cube_plain", False))
+    yield eng_b, eng_p
+    for t in eng_b.cubes["bl_cube_bucketed"].layout_tables.values():
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+SQL = (
+    "select l_suppkey, sum(l_quantity) as s, count(*) as n "
+    "from lineitem group by l_suppkey"
+)
+
+
+def _routed_plan(eng, sql):
+    df = eng.sql(sql)
+    assert eng.last_route is not None, "expected a cube route"
+    return df, df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bucketed_route_elides_shard_key_exchange(engines):
+    eng_b, eng_p = engines
+    df_b, plan_b = _routed_plan(eng_b, SQL)
+    assert eng_b.cubes["bl_cube_bucketed"].layout_tables, "expected bucketed tables"
+    assert not any(
+        "Exchange hashpartitioning" in ln and "l_suppkey" in ln
+        for ln in plan_b.splitlines()
+    ), plan_b
+    # the dir-partitioned layout pays the exchange for the same query
+    _, plan_p = _routed_plan(eng_p, SQL)
+    assert any(
+        "Exchange hashpartitioning" in ln and "l_suppkey" in ln
+        for ln in plan_p.splitlines()
+    ), plan_p
+
+
+def test_bucketed_answers_unchanged(engines):
+    eng_b, eng_p = engines
+    got = {tuple(r) for r in eng_b.sql(SQL).collect()}
+    exp = {tuple(r) for r in eng_p.sql(SQL).collect()}
+    assert got == exp and len(got) > 0
+
+
+def test_bucketed_exact_hit_and_filters_still_work(engines):
+    eng_b, eng_p = engines
+    sql = (
+        "select l_suppkey, l_returnflag, sum(l_quantity) as s from lineitem "
+        "where l_returnflag = 'R' group by l_suppkey, l_returnflag"
+    )
+    got = {tuple(r) for r in eng_b.sql(sql).collect()}
+    assert eng_b.last_route is not None
+    exp = {tuple(r) for r in eng_p.sql(sql).collect()}
+    assert got == exp
+
+
+def test_bucketed_island_join_colocated(engines):
+    """Two routed aggregate islands joined on the shard key: both sides
+    come back bucket-partitioned, so the JOIN itself needs no exchange on
+    either input."""
+    eng_b, _ = engines
+    sql = (
+        "select a.l_suppkey, a.s, b.n from "
+        "(select l_suppkey, sum(l_quantity) as s from lineitem group by l_suppkey) a "
+        "join (select l_suppkey as sk2, count(*) as n from lineitem group by l_suppkey) b "
+        "on a.l_suppkey = b.sk2"
+    )
+    df = eng_b.sql(sql)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert not any(
+        "Exchange hashpartitioning" in ln and "l_suppkey" in ln
+        for ln in plan.splitlines()
+    ), plan
+    # values still correct vs pushdown
+    got = {tuple(r) for r in df.collect()}
+    exp = {tuple(r) for r in eng_b.pushdown(sql).collect()}
+    assert got == exp
+
+
+def test_bucket_layouts_requires_shard_by():
+    with pytest.raises(ValueError, match="shard_by"):
+        CubeDesc(
+            name="bad",
+            model_name="m",
+            dimensions=("a",),
+            measures=(MeasureDesc("_count", FunctionDesc("COUNT")),),
+            bucket_layouts=True,
+        )
