@@ -399,6 +399,33 @@ def cube_routed_topn_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("l_suppkey", F.round("day_qty", 2).alias("day_qty"))
 
 
+def cube_routed_topn_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-RANGE top-k from MERGED per-day stored TopN lists (round-6
+    verdict item 6; the reference's TopNMeasureType.java:261-330 declares
+    sum-merge of truncated lists an APPROXIMATE capability): served only
+    under the engine's approx_topn opt-in — exact refusal stays the
+    default. The oracle replicates the declared merge semantics faithfully
+    (per-day top-50 lists, same val-desc/key-asc tie-break, re-summed), so
+    the check is exact even though the capability is approximate."""
+    eng = engine(spark, sf_dir)
+    df = eng.sql(
+        """
+        select l_suppkey, sum(l_quantity) as qty
+        from lineitem
+        where l_shipdate >= date '1996-01-01' and l_shipdate <= date '1996-03-31'
+        group by l_suppkey
+        order by qty desc, l_suppkey
+        limit 10
+        """,
+        approx_topn=True,
+    )
+    route = eng.last_route
+    assert route is not None and route.topn is not None, route
+    assert route.topn_approx, "expected the multi-segment merged-list route"
+    assert route.segment_filters, "range bounds must prune segment dirs"
+    return df.select("l_suppkey", F.round("qty", 2).alias("qty"))
+
+
 def cube_routed_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HAVING over a select alias, applied post-aggregation on the layout."""
     eng = engine(spark, sf_dir)
@@ -738,6 +765,7 @@ def cube_routed_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "cube_routed_bucketed": cube_routed_bucketed,
+    "cube_routed_topn_range": cube_routed_topn_range,
     "cube_routed_cte": cube_routed_cte,
     "cube_routed_join_contexts": cube_routed_join_contexts,
     "cube_routed_union_contexts": cube_routed_union_contexts,
@@ -769,6 +797,25 @@ QUERIES = {
 }
 
 ORACLES = {
+    "cube_routed_topn_range": """
+        with daily as (
+            select l_shipdate, l_suppkey, sum(l_quantity) as s
+            from lineitem
+            where l_shipdate >= date '1996-01-01' and l_shipdate <= date '1996-03-31'
+            group by 1, 2
+        ), lists as (
+            select l_suppkey, s,
+                   row_number() over (partition by l_shipdate
+                                      order by s desc, l_suppkey) as rn
+            from daily
+        )
+        select l_suppkey, round(sum(s), 2) as qty
+        from lists
+        where rn <= 50
+        group by l_suppkey
+        order by qty desc, l_suppkey
+        limit 10
+    """,
     "cube_routed_bucketed": """
         select l_suppkey, round(sum(l_quantity), 2) as sum_qty, count(*) as n
         from lineitem

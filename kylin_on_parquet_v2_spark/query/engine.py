@@ -244,6 +244,7 @@ class OlapEngine:
         use_cube: bool = True,
         validate: bool = False,
         approx_distinct: bool = False,
+        approx_topn: bool = False,
         params: list | dict | None = None,
     ) -> DataFrame:
         """Answer ``query``; serve from a cuboid when provably equivalent.
@@ -251,6 +252,11 @@ class OlapEngine:
         ``approx_distinct=True`` additionally lets COUNT(DISTINCT col) be
         answered from a declared hllc sketch measure (accuracy-bounded, the
         reference's hllc semantics) when the column is not a dimension.
+
+        ``approx_topn=True`` additionally lets a multi-segment top-k query
+        (date range / whole history) be served by MERGING per-segment stored
+        TopN lists — approximate with a declared bound (the reference's
+        TopNMeasureType sum-merge capability); exact refusal is the default.
 
         ``params`` binds prepared-statement parameters (the reference's
         PreparedState path, corpus sql_dynamic/): a list for positional
@@ -264,7 +270,9 @@ class OlapEngine:
         pkey = tuple(params) if isinstance(params, list) else (
             tuple(sorted(params.items())) if isinstance(params, dict) else None
         )
-        cache_key = (query, pkey, use_cube, approx_distinct, self._cache_epoch)
+        cache_key = (
+            query, pkey, use_cube, approx_distinct, approx_topn, self._cache_epoch
+        )
         if self.result_cache_size and not validate:
             with self._cache_lock:
                 hit = self._cache.pop(cache_key, None)
@@ -333,7 +341,7 @@ class OlapEngine:
         # realization choice (RealizationChooser parity): among all cubes
         # that can answer, prefer exact-match hits, then the narrowest
         # cuboid (fewest dims => fewest layout rows scanned)
-        candidates = self._plan_candidates(digest, approx_distinct)
+        candidates = self._plan_candidates(digest, approx_distinct, approx_topn)
         if not candidates:
             self.metrics["pushdown"] += 1
             self._set_pool("heavy")
@@ -352,7 +360,9 @@ class OlapEngine:
         self.last_routes = [route]
         return self._maybe_cache(cache_key, routed)
 
-    def _plan_candidates(self, digest, approx_distinct: bool) -> list:
+    def _plan_candidates(
+        self, digest, approx_distinct: bool, approx_topn: bool = False
+    ) -> list:
         """All (inst, route) pairs that can serve ``digest``. A
         hybrid-registered cube's batch layouts are INCOMPLETE for its
         table, so it participates only when the shape merges exactly
@@ -365,7 +375,9 @@ class OlapEngine:
 
         candidates: list[tuple[CubeInstance, Route]] = []
         for inst in self.cubes.values():
-            route = plan_route(digest, inst, approx_distinct=approx_distinct)
+            route = plan_route(
+                digest, inst, approx_distinct=approx_distinct, approx_topn=approx_topn
+            )
             if route is None:
                 continue
             if inst.desc.name in self.hybrids:

@@ -69,6 +69,13 @@ class Route:
     #: row's array<struct<key,val>> is exploded instead of scanning the rank
     #: dimension's rows
     topn: tuple[str, str, str] | None = None
+    #: the TopN route merges MULTIPLE stored lists per group (multi-segment
+    #: range / whole-history queries) — APPROXIMATE with a declared bound
+    #: (a key missing from one segment's list loses at most that list's
+    #: minimum value; TopNMeasureType.java:261-330 sets this capability to
+    #: approximate). Opt-in via engine.sql(approx_topn=True); exact refusal
+    #: stays the default.
+    topn_approx: bool = False
     #: (shard column, literal SQL) for an equality filter on the layout's
     #: shard key — folded into a __shard__ partition predicate at execution
     #: (FilePruner.pruneShards parity; prunes whole shard dirs)
@@ -310,7 +317,9 @@ def _kll_measure_for(col: str, inst: CubeInstance) -> MeasureDesc | None:
     return None
 
 
-def _plan_topn_route(digest: SqlDigest, inst: CubeInstance) -> Route | None:
+def _plan_topn_route(
+    digest: SqlDigest, inst: CubeInstance, approx_topn: bool = False
+) -> Route | None:
     """``SELECT g..., r, SUM(m) ... GROUP BY g..., r ORDER BY SUM(m) DESC
     LIMIT k`` rewritten onto a stored TopN measure whose rank dim is ``r``
     (TopNMeasureType.java:411-441).
@@ -327,7 +336,15 @@ def _plan_topn_route(digest: SqlDigest, inst: CubeInstance) -> Route | None:
     host-dim set — after the equality filter exactly one layout row (one
     stored list) survives per group, so the stored prefix stays exact
     (the storage-partition condition of TopNMeasureType.java:261-330).
-    """
+
+    ``approx_topn=True`` (engine opt-in) additionally serves the
+    multi-segment shapes the exact rule refuses — a date RANGE or the
+    whole history — by MERGING the per-segment stored lists (explode,
+    re-sum per key, re-rank). The reference serves the same shape
+    approximately (its capability check declares sum-merge of truncated
+    lists approximate). Declared error bound: a key absent from one
+    segment's list loses at most that list's minimum stored value; keys in
+    every list are exact. Exact refusal stays the default."""
     from kylin_on_parquet_v2_spark.cube.measures import topn_k
 
     if (
@@ -359,14 +376,22 @@ def _plan_topn_route(digest: SqlDigest, inst: CubeInstance) -> Route | None:
             continue
         extra_filter = digest.filter_cols - set(g)
         seg_filters: list[str] = []
+        approx = False
         if inst.segmented:
             if extra_filter and extra_filter != {pcol}:
                 continue
             seg_filters = _fold_segment_filters(digest, inst)
-            if not _pins_single_segment(seg_filters):
-                continue
-            if not _pcol_equality_only(digest, pcol):
-                continue
+            pinned = _pins_single_segment(seg_filters) and _pcol_equality_only(
+                digest, pcol
+            )
+            if not pinned:
+                if not approx_topn:
+                    continue
+                # multi-segment merge: row-level correctness of any pcol
+                # predicate is guaranteed because pcol is a dim of the host
+                # layout (digest.filter_sql applies to the scanned rows);
+                # seg_filters only ADD partition-dir pruning on top
+                approx = True
             host = frozenset(g) | {pcol}
         else:
             if extra_filter:
@@ -390,6 +415,7 @@ def _plan_topn_route(digest: SqlDigest, inst: CubeInstance) -> Route | None:
             cuboid=cuboid,
             exact=False,
             topn=(agg.alias, m.name, rank),
+            topn_approx=approx,
             segment_filters=seg_filters,
         )
     return None
@@ -417,11 +443,14 @@ def _pcol_equality_only(digest: SqlDigest, pcol: str | None) -> bool:
 
 
 def plan_route(
-    digest: SqlDigest, inst: CubeInstance, approx_distinct: bool = False
+    digest: SqlDigest,
+    inst: CubeInstance,
+    approx_distinct: bool = False,
+    approx_topn: bool = False,
 ) -> Route | None:
     if not _match_joins(digest, inst):
         return None
-    topn_route = _plan_topn_route(digest, inst)
+    topn_route = _plan_topn_route(digest, inst, approx_topn)
     if topn_route is not None:
         return topn_route
     dims = set(inst.desc.dimensions)
@@ -860,6 +889,13 @@ def execute_route(digest: SqlDigest, inst: CubeInstance, route: Route, spark) ->
             F.col("__t.key").alias(rank),
             F.col("__t.val").alias(alias),
         )
+        if route.topn_approx:
+            # multi-segment merge (opt-in, declared approximate): several
+            # stored lists survive per group — re-sum per rank key before
+            # the ORDER BY/LIMIT tail re-ranks. Error bound: a key missing
+            # from one list loses at most that list's minimum entry
+            # (TopNMeasureType.java:261-330 declares sum-merge approximate).
+            exploded = exploded.groupBy(*g, rank).agg(F.sum(alias).alias(alias))
         result = exploded.select(
             *[
                 F.col(item.group_col).alias(item.name)
