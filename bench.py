@@ -34,9 +34,13 @@ def main() -> None:
     # build work in the same sense as the main cubes.
     t0 = time.perf_counter()
     entry_mod._engine(spark, sf_dir)
+    from kylin_on_parquet_v2_spark.corpus.cube_routed import _bucketed_engine
+    from kylin_on_parquet_v2_spark.corpus.measures import _kll_engine
     from kylin_on_parquet_v2_spark.corpus.streaming_corpus import _hybrid_engine
 
     _hybrid_engine(spark, sf_dir)
+    _bucketed_engine(spark, sf_dir)  # bucketed-layout cube (r6)
+    _kll_engine(spark, sf_dir)  # KLL percentile cube (r6)
     build_s = time.perf_counter() - t0
 
     # Warm every source view once (first scan + codegen JIT) so per-query

@@ -59,13 +59,22 @@ def _modules():
 
 # The driver's correctness harness checks the FIRST 50 ``queries()`` entries
 # only. Rotate the window each round so every contract query eventually gets a
-# driver check. r05 window: the 4 queries NEW this round, then the 9 never
-# driver-checked before (7 new-in-r4 shapes + the 2 oracles upgraded in r4 —
-# round-4 verdict item 2), then regression anchors already green in earlier
-# windows. Everything stays covered every round by the driver-calibrated
-# in-repo parity suite (tests/test_entry_oracle_parity.py).
+# driver check. r06 window: the 8 queries NEW this round first (hybrid
+# mergeable-distinct, §2.8 conformance sweeps, bucketed layouts, merged-list
+# TopN, KLL percentile), then the r05 head as regression anchors. Everything
+# stays covered every round by the driver-calibrated in-repo parity suite
+# (tests/test_entry_oracle_parity.py — all oracles, every round).
 _PRIORITY = [
-    # --- new in r05 -------------------------------------------------------
+    # --- new in r06 -------------------------------------------------------
+    "cube_routed_hybrid_distinct",  # bitmap distinct ACROSS the hybrid split
+    "cube_routed_hybrid_funnel",  # INTERSECT_COUNT across the hybrid split
+    "scalar_conformance_math",  # §2.8 sweep: cot/hypot/sinh/bround/conv/...
+    "scalar_conformance_string",  # ltrim/substring_index/find_in_set/sha1/...
+    "scalar_conformance_datetime",  # date_part/utc shifts/timestampadd/diff
+    "cube_routed_bucketed",  # bucketed layout: exchange-free shard-key re-agg
+    "cube_routed_topn_range",  # merged per-segment TopN lists (opt-in approx)
+    "percentile_kll_sketch",  # rank-accurate mergeable quantile sketch
+    # --- new in r05 (anchors) ---------------------------------------------
     "cube_routed_hybrid",  # batch cube + realtime tail served via the router
     "cube_routed_topn_pinned",  # stored TopN on a pinned segment
     "cube_routed_intersect_rollup",  # INTERSECT_COUNT under grouping sets

@@ -712,9 +712,11 @@ def _bucketed_engine(spark: SparkSession, sf_dir: str):
     from kylin_on_parquet_v2_spark.corpus.base import views
 
     views(spark, sf_dir)
-    storage = os.path.join(
-        tempfile.gettempdir(), "kylin_bucketed_cubes", key.strip("/").replace("/", "_")
-    )
+    # PER-PROCESS storage: bucketed-table registrations live in the session
+    # catalog, so a cube reloaded from a previous process would fall back to
+    # path reads (correct answers but no exchange elision — the plan assert
+    # below would rightly fail). A fresh dir forces the build+registration.
+    storage = tempfile.mkdtemp(prefix="kylin_bucketed_cubes_")
     eng = OlapEngine(spark, storage_dir=storage)
     eng.add_model(DataModel(name="bucketed_star", fact_table="lineitem"))
     eng.build_cube(
