@@ -623,6 +623,7 @@ class OlapEngine:
             f"bitmap_cond={route.bitmap_cond} "
             f"bitmap_intersect={route.bitmap_intersect} "
             f"topn={route.topn} "
+            f"topn_approx={route.topn_approx} "
             f"dim_served={route.dim_served} "
             f"hybrid_tail={route.hybrid_tail}"
             if route is not None

@@ -37,9 +37,13 @@ cubes, which dictionary-encode at ingest and serve distinct across the
 split (``stream-core/.../RecordsAggregator.java``,
 ``NGlobalDictionaryV2.java``).
 
-Still refused: percentile, TopN, hllc approx-distinct, derived dims,
-grouping sets, and distinct on plain dimensions (no stored bag) — those
-fall through to other cubes or pushdown (always correct).
+hllc approx-distinct serves across the split too (engine approx_distinct
+opt-in): HLL register-max union is idempotent like bit_or, so stored batch
+sketches union with sketches built over the tail.
+
+Still refused: percentile, TopN, derived dims, grouping sets, and distinct
+on plain dimensions (no stored mergeable state) — those fall through to
+other cubes or pushdown (always correct).
 """
 
 from __future__ import annotations
@@ -84,11 +88,14 @@ _MERGE = {"COUNT": F.sum, "SUM": F.sum, "MIN": F.min, "MAX": F.max}
 
 def _bag_served(name: str, route: Route) -> bool:
     """True when the routed output ``name`` is served from a stored
-    dictionary-id word-bag bitmap — the mergeable-distinct family."""
+    mergeable-distinct state: a dictionary-id word-bag bitmap, or (under
+    the engine's approx_distinct opt-in) an hllc sketch — HLL register-max
+    union is idempotent exactly like bit_or, so both survive the split."""
     return (
         name in route.bitmap_distinct
         or name in route.bitmap_cond
         or name in route.bitmap_intersect
+        or name in route.approx_distinct
     )
 
 
@@ -100,12 +107,13 @@ def hybrid_servable(digest: SqlDigest, route: Route) -> bool:
     the route serves it from a word-bag bitmap measure: bags from the batch
     layouts and bags built over the dictionary-encoded tail merge by
     ``bit_or`` (associative + commutative + idempotent => the split cannot
-    double-count). Distinct WITHOUT a bag (plain dim count_distinct, hllc
-    sketch) stays refused — hllc union across the split would be mergeable
-    too but is approximate, and the hybrid contract here is exactness."""
+    double-count), or — under the engine's approx_distinct opt-in — from an
+    hllc sketch (register-max union, idempotent too; the accuracy trade was
+    already opted into). Distinct WITHOUT stored mergeable state (plain dim
+    count_distinct) stays refused."""
     if digest.grouping_sets is not None:
         return False
-    if route.topn is not None or route.approx_distinct or route.derived:
+    if route.topn is not None or route.derived:
         return False
     for item in digest.select:
         if item.agg is None:
@@ -314,6 +322,39 @@ def execute_hybrid(
             )
         for item in bag_items:
             name = item.name
+            if name in route.approx_distinct:
+                # hllc across the split: stored batch sketches UNION
+                # sketches built over the tail at the query grain — HLL
+                # union is register-max, idempotent, so overlap is safe
+                from kylin_on_parquet_v2_spark.cube.measures import _hll_lgk
+
+                mname = route.approx_distinct[name]
+                param = measures[mname].function.parameter
+                tail_sk = (
+                    rt.groupBy(*group_srcs) if group_srcs else rt.groupBy()
+                ).agg(
+                    F.hll_sketch_agg(
+                        F.col(param), F.lit(_hll_lgk(measures[mname].function))
+                    ).alias(mname)
+                )
+                sketches = batch_scan.select(*group_srcs, mname).unionByName(tail_sk)
+                grouped = (
+                    sketches.groupBy(*group_srcs) if group_srcs else sketches.groupBy()
+                )
+                counts = grouped.agg(
+                    F.hll_sketch_estimate(F.hll_union_agg(mname)).alias(name)
+                )
+                counts = counts.select(
+                    *[F.col(c).alias(src_to_out[c]) for c in group_srcs], name
+                )
+                if result is None:
+                    result = counts
+                else:
+                    result = join_null_safe(result, counts, group_out, "left")
+                result = result.withColumn(
+                    name, F.coalesce(F.col(name), F.lit(0)).cast("long")
+                )
+                continue
             if name in route.bitmap_distinct:
                 mname = route.bitmap_distinct[name]
                 grain = group_srcs

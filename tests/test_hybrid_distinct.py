@@ -182,6 +182,56 @@ def test_hybrid_hidden_distinct_in_having(engine):
     assert got == exp and len(got) > 0
 
 
+def test_hybrid_hll_distinct_across_boundary(engine, spark, tmp_path_factory):
+    """hllc approx-distinct serves across the split under the engine's
+    approx_distinct opt-in: stored batch sketches union (register-max,
+    idempotent) with sketches built over the tail; overlap users count
+    once and the estimate lands within HLL tolerance of the truth (15)."""
+    cube = CubeDesc(
+        name="hh_cube",
+        model_name="hd_star",
+        dimensions=("etype", "d"),
+        measures=(
+            MeasureDesc("_count", FunctionDesc("COUNT")),
+            MeasureDesc(
+                "hll_user", FunctionDesc("COUNT_DISTINCT", "user_id", "hllc(14)")
+            ),
+        ),
+        segment_granularity="day",
+    )
+    eng = OlapEngine(spark, storage_dir=str(tmp_path_factory.mktemp("hh_cubes")))
+    eng.add_model(MODEL)
+    eng.build_cube(cube, segment_range=(None, SPLIT))
+    # reuse the module fixture's realtime store via the first engine
+    rt_dir = engine.hybrids["hd_cube"].realtime_dir
+    eng.register_hybrid("hh_cube", rt_dir, ts_col="d")
+
+    df = eng.sql(
+        "select count(distinct user_id) as u from hd_fact", approx_distinct=True
+    )
+    route = eng.last_route
+    assert route is not None and route.hybrid_tail and route.approx_distinct, route
+    est = df.collect()[0]["u"]
+    assert abs(est - 15) <= max(2, 0.05 * 15), est  # 10 batch + 5 new tail users
+
+    # grouped form too
+    df2 = eng.sql(
+        "select etype, count(distinct user_id) as u from hd_fact group by etype",
+        approx_distinct=True,
+    )
+    assert eng.last_route is not None and eng.last_route.hybrid_tail
+    got = {r["etype"]: r["u"] for r in df2.collect()}
+    exact = {
+        r["etype"]: r["u"]
+        for r in eng.pushdown(
+            "select etype, count(distinct user_id) as u from hd_fact group by etype"
+        ).collect()
+    }
+    assert set(got) == set(exact)
+    for k in got:
+        assert abs(got[k] - exact[k]) <= max(2, 0.05 * exact[k]), (k, got, exact)
+
+
 def test_hybrid_persisted_dictionary_not_mutated(engine, spark):
     """Query-time tail encoding extends the dictionary IN MEMORY only —
     the persisted store keeps exactly the batch-build id space."""
