@@ -874,8 +874,13 @@ def routed_layout_scan(
     return df
 
 
-def execute_route(digest: SqlDigest, inst: CubeInstance, route: Route, spark) -> DataFrame:
-    df = routed_layout_scan(digest, inst, route, spark)
+def execute_route(
+    digest: SqlDigest, inst: CubeInstance, route: Route, spark, scan=None
+) -> DataFrame:
+    # `scan` lets a caller that ALSO needs the raw routed rows (the hybrid
+    # realization's bag pipelines) share one scan definition instead of
+    # re-deriving the pruned+filtered+recovered frame
+    df = scan if scan is not None else routed_layout_scan(digest, inst, route, spark)
 
     out_cols: list[Column] = []
     if route.topn is not None:

@@ -271,8 +271,12 @@ def execute_hybrid(
     }
 
     result = None
+    # one routed scan (pruned layout + derived recovery + filters + group
+    # exprs) shared by the plain-partial path AND every bag pipeline —
+    # core's digest differs from the original only above the scan
+    batch_scan = routed_layout_scan(digest, inst, route, spark)
     if plain_aggs:
-        batch = execute_route(core, inst, route, spark)
+        batch = execute_route(core, inst, route, spark, scan=batch_scan)
         key_cols, agg_cols, merge_aggs = [], [], []
         for item in core.select:
             if item.group_col is not None:
@@ -304,11 +308,12 @@ def execute_hybrid(
             result = merged.groupBy().agg(*merge_aggs)
 
     if bag_items:
-        # ONE pruned+filtered layout scan feeds every bag pipeline; bags are
-        # merged batch∪tail at the query grain, then finalized exactly as
-        # the plain routed path does (explode → bit_or → bit_count).
-        batch_scan = routed_layout_scan(digest, inst, route, spark)
+        # bags merge batch∪tail at the query grain, then finalize exactly
+        # as the plain routed path does (explode → bit_or → bit_count);
+        # per-param tail encodings are computed once even when several
+        # outputs share the same distinct column
         measures = {m.name: m for m in inst.desc.measures}
+        enc_cache: dict[str, DataFrame] = {}
         if result is None and group_srcs:
             # no plain aggregates: the group universe still must include
             # groups whose distinct column is entirely NULL (count = 0)
@@ -355,25 +360,28 @@ def execute_hybrid(
                     name, F.coalesce(F.col(name), F.lit(0)).cast("long")
                 )
                 continue
+            cond = None
             if name in route.bitmap_distinct:
                 mname = route.bitmap_distinct[name]
                 grain = group_srcs
-                b_side = batch_scan
-                t_side = rt
             elif name in route.bitmap_cond:
                 mname, cond = route.bitmap_cond[name]
                 grain = group_srcs
-                b_side = batch_scan.filter(F.expr(cond))
-                t_side = rt.filter(F.expr(cond))
             else:
                 mname, fcol, vals = route.bitmap_intersect[name]
                 grain = group_srcs + [fcol]
-                b_side = batch_scan
-                t_side = rt
             param = measures[mname].function.parameter
-            tail_enc = _encode_tail(t_side, inst, param, spark)
+            tail_enc = enc_cache.get(param)
+            if tail_enc is None:
+                # encode the UNFILTERED tail once per param; cohort filters
+                # commute with the encoding join, so cond items filter the
+                # encoded frame instead of re-running the dict extension
+                tail_enc = _encode_tail(rt, inst, param, spark)
+                enc_cache[param] = tail_enc
+            b_side = batch_scan if cond is None else batch_scan.filter(F.expr(cond))
+            t_side = tail_enc if cond is None else tail_enc.filter(F.expr(cond))
             tail_bags = GD.bitmap_build_agg(
-                tail_enc, grain, GD.dict_col(param), mname
+                t_side, grain, GD.dict_col(param), mname
             )
             bags = b_side.select(*grain, mname).unionByName(tail_bags)
             if name in route.bitmap_intersect:
