@@ -61,6 +61,8 @@ def _route_info(route) -> dict | None:
         "shard_eq": list(route.shard_eq) if route.shard_eq else None,
         "bitmap_distinct": dict(route.bitmap_distinct),
         "topn": bool(route.topn),
+        "topn_approx": route.topn_approx,
+        "hybrid": bool(route.hybrid_tail),
     }
 
 
@@ -131,6 +133,7 @@ class _Handler(BaseHTTPRequestHandler):
                     sql,
                     use_cube=bool(req.get("use_cube", True)),
                     approx_distinct=bool(req.get("approx_distinct", False)),
+                    approx_topn=bool(req.get("approx_topn", False)),
                     params=req.get("params"),
                 )
                 route = self.engine.last_route
