@@ -383,7 +383,7 @@ class OlapEngine:
             if inst.desc.name in self.hybrids:
                 part = self.hybrids[inst.desc.name]
                 if not hybrid_servable(digest, route) or not hybrid_columns_ok(
-                    digest, inst, part, self.spark
+                    digest, inst, part, self.spark, route
                 ):
                     continue
                 route.hybrid_tail = part.realtime_dir

@@ -803,6 +803,26 @@ def _derived_prefilter(
     return df
 
 
+def apply_derived_joins(df: DataFrame, route: Route, inst: CubeInstance, spark) -> DataFrame:
+    """Derived-dimension recovery: broadcast-join the build-time snapshot
+    back on host FKs (snapshot, not live view: the cube's answers must be
+    consistent with the rows it was built from). Shared by the routed
+    layout scan and the hybrid realization's realtime tail — the tail
+    carries the same host FKs, so the same recovery applies."""
+    for lk in route.derived:
+        lookup = inst.lookup_df(spark, lk.table)
+        cond = None
+        for fk, pk in zip(lk.join.foreign_key, lk.join.primary_key):
+            c = df[fk] == lookup[pk]
+            cond = c if cond is None else (cond & c)
+        # Honor the model's declared join type: a LEFT lookup must keep
+        # cuboid rows whose FK has no snapshot match (orphan / NULL FK) —
+        # an inner recovery join would silently drop those groups.
+        how = "left" if lk.join.join_type == "left" else "inner"
+        df = df.join(F.broadcast(lookup), cond, how)
+    return df
+
+
 def routed_layout_scan(
     digest: SqlDigest, inst: CubeInstance, route: Route, spark
 ) -> DataFrame:
@@ -848,20 +868,7 @@ def routed_layout_scan(
     if route.derived and digest.filter_sql:
         df = _derived_prefilter(df, digest, route, inst, spark)
 
-    # derived-dimension recovery: broadcast-join the build-time snapshot
-    # back on host FKs (snapshot, not live view: the cube's answers must be
-    # consistent with the rows it was built from)
-    for lk in route.derived:
-        lookup = inst.lookup_df(spark, lk.table)
-        cond = None
-        for fk, pk in zip(lk.join.foreign_key, lk.join.primary_key):
-            c = df[fk] == lookup[pk]
-            cond = c if cond is None else (cond & c)
-        # Honor the model's declared join type: a LEFT lookup must keep
-        # cuboid rows whose FK has no snapshot match (orphan / NULL FK) —
-        # an inner recovery join would silently drop those groups.
-        how = "left" if lk.join.join_type == "left" else "inner"
-        df = df.join(F.broadcast(lookup), cond, how)
+    df = apply_derived_joins(df, route, inst, spark)
 
     if digest.filter_sql:
         df = df.filter(F.expr(digest.filter_sql))

@@ -113,8 +113,10 @@ def hybrid_servable(digest: SqlDigest, route: Route) -> bool:
     count_distinct) stays refused."""
     if digest.grouping_sets is not None:
         return False
-    if route.topn is not None or route.derived:
+    if route.topn is not None:
         return False
+    # (derived dimensions are fine: the tail carries the same host FKs, so
+    # the identical snapshot recovery join applies before its partials)
     for item in digest.select:
         if item.agg is None:
             continue
@@ -133,13 +135,19 @@ def hybrid_servable(digest: SqlDigest, route: Route) -> bool:
 
 
 def hybrid_columns_ok(
-    digest: SqlDigest, inst: CubeInstance, part: HybridPart, spark: SparkSession
+    digest: SqlDigest,
+    inst: CubeInstance,
+    part: HybridPart,
+    spark: SparkSession,
+    route: Route | None = None,
 ) -> bool:
     """The realtime store must carry every column the tail aggregation
     reads (group bases, filter columns, agg inputs — including the raw
     columns behind an expression measure, identified through the model's
-    column registry). A missing column means the store predates a schema
-    change: refuse the route so pushdown answers completely."""
+    column registry). Derived-dimension columns are recovered by the
+    snapshot join, so the store owes their host FOREIGN KEYS instead. A
+    missing column means the store predates a schema change: refuse the
+    route so pushdown answers completely."""
     import re as _re
 
     cols = part.columns(spark)
@@ -149,6 +157,10 @@ def hybrid_columns_ok(
         # stores up front; this guards stores mutated after registration.
         return False
     need = set(digest.needed_cols())
+    if route is not None and route.derived:
+        for lk in route.derived:
+            need = {c for c in need if inst.column_tables.get(c) != lk.name}
+            need |= set(lk.join.foreign_key)
     model_cols = set(inst.column_tables)
     for a in digest.aggs:
         if a.column is not None:
@@ -259,6 +271,12 @@ def execute_hybrid(
         rt = rt.filter(
             F.substring(F.col(SEGMENT_COL), 1, len(boundary)) > boundary
         )
+    # derived-dimension recovery on the tail BEFORE the query filter: the
+    # filter/grouping may reference lookup columns the raw store lacks —
+    # the same broadcast snapshot join the batch scan applies
+    from kylin_on_parquet_v2_spark.query.router import apply_derived_joins
+
+    rt = apply_derived_joins(rt, route, inst, spark)
     if digest.filter_sql:
         rt = rt.filter(F.expr(digest.filter_sql))
     for gname, (gsql, _bases) in digest.group_exprs.items():

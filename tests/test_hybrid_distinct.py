@@ -232,6 +232,75 @@ def test_hybrid_hll_distinct_across_boundary(engine, spark, tmp_path_factory):
         assert abs(got[k] - exact[k]) <= max(2, 0.05 * exact[k]), (k, got, exact)
 
 
+def test_hybrid_derived_dimension_across_boundary(spark, tmp_path_factory):
+    """Derived dimensions serve across the hybrid split: the tail carries
+    the host FK, the same broadcast snapshot join recovers the lookup
+    column before the tail partials, and grouping/filtering on the derived
+    column matches pushdown."""
+    import datetime as dt
+
+    from kylin_on_parquet_v2_spark.metadata import JoinDesc, JoinTable
+
+    dim = spark.createDataFrame(
+        [(i, f"name{i % 3}") for i in range(6)], "dk long, dname string"
+    )
+    dim.createOrReplaceTempView("hdd_dim")
+    rows = []
+    for day in (1, 2, 3, 4):
+        for i in range(12):
+            rows.append((i % 6, dt.date(2024, 7, day), float(i + day)))
+    fact = spark.createDataFrame(rows, "fk long, d date, v double")
+    fact.createOrReplaceTempView("hdd_fact")
+    rt_dir = str(tmp_path_factory.mktemp("hdd_rt"))
+    from pyspark.sql import functions as SF
+
+    fact.withColumn("__segment__", SF.date_format("d", "yyyy-MM-dd")).write.mode(
+        "overwrite"
+    ).partitionBy("__segment__").parquet(rt_dir)
+
+    model = DataModel(
+        name="hdd_star",
+        fact_table="hdd_fact",
+        partition_column="d",
+        lookups=(JoinTable("hdd_dim", JoinDesc(("fk",), ("dk",), "inner")),),
+    )
+    cube = CubeDesc(
+        name="hdd_cube",
+        model_name="hdd_star",
+        dimensions=("fk", "d"),
+        measures=(
+            MeasureDesc("_count", FunctionDesc("COUNT")),
+            MeasureDesc("sum_v", FunctionDesc("SUM", "v")),
+        ),
+        segment_granularity="day",
+    )
+    eng = OlapEngine(spark, storage_dir=str(tmp_path_factory.mktemp("hdd_cubes")))
+    eng.add_model(model)
+    eng.build_cube(cube, segment_range=(None, "2024-07-02"))
+    eng.register_hybrid("hdd_cube", rt_dir, ts_col="d")
+
+    sql = (
+        "select dname, sum(v) as sv, count(*) as n "
+        "from hdd_fact join hdd_dim on fk = dk "
+        "group by dname order by dname"
+    )
+    got = [tuple(r) for r in eng.sql(sql).collect()]
+    route = eng.last_route
+    assert route is not None and route.hybrid_tail, route
+    assert route.derived, "expected the derived-dimension recovery route"
+    exp = [tuple(r) for r in eng.pushdown(sql).collect()]
+    assert got == exp and len(got) == 3
+
+    # filter on the derived column too
+    sql2 = (
+        "select dname, sum(v) as sv from hdd_fact join hdd_dim on fk = dk "
+        "where dname = 'name1' group by dname"
+    )
+    got2 = [tuple(r) for r in eng.sql(sql2).collect()]
+    assert eng.last_route is not None and eng.last_route.hybrid_tail
+    assert got2 == [tuple(r) for r in eng.pushdown(sql2).collect()]
+
+
 def test_hybrid_persisted_dictionary_not_mutated(engine, spark):
     """Query-time tail encoding extends the dictionary IN MEMORY only —
     the persisted store keeps exactly the batch-build id space."""
