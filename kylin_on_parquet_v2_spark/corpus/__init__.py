@@ -71,6 +71,7 @@ _PRIORITY = [
     "scalar_conformance_math",  # §2.8 sweep: cot/hypot/sinh/bround/conv/...
     "scalar_conformance_string",  # ltrim/substring_index/find_in_set/sha1/...
     "scalar_conformance_datetime",  # date_part/utc shifts/timestampadd/diff
+    "scalar_conformance_nullary",  # uuid/mono-id/partition-id/input_file/now
     "cube_routed_bucketed",  # bucketed layout: exchange-free shard-key re-agg
     "cube_routed_topn_range",  # merged per-segment TopN lists (opt-in approx)
     "percentile_kll_sketch",  # rank-accurate mergeable quantile sketch

@@ -138,10 +138,40 @@ def scalar_conformance_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+def scalar_conformance_nullary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The misc nullary set (ExpressionConverter.scala:55-57,304-305):
+    current_database / monotonically_increasing_id / now / uuid /
+    spark_partition_id / input_file_name / current_date /
+    current_timestamp. Inherently nondeterministic values, so the oracle
+    checks the PROPERTIES each must satisfy (ids unique, uuid shape, file
+    name from the parquet-backed view, sane clock) — every function still
+    executes for real on the Spark side."""
+    views(spark, sf_dir)
+    r = spark.table("region").select(
+        F.monotonically_increasing_id().alias("mid"),
+        F.expr("uuid()").alias("u"),
+        F.expr("spark_partition_id()").alias("pid"),
+        F.input_file_name().alias("fn"),
+    )
+    return (
+        r.agg(
+            (F.count_distinct("mid") == F.count(F.lit(1))).alias("mid_unique"),
+            F.bool_and(F.length("u") == 36).alias("uuid_ok"),
+            F.bool_and(F.col("pid") >= 0).alias("pid_ok"),
+            F.bool_and(F.col("fn").contains("parquet")).alias("file_ok"),
+        )
+        .withColumn("db_ok", F.expr("length(current_database()) > 0"))
+        .withColumn("year_ok", F.expr("year(current_date()) >= 2024"))
+        .withColumn("now_ok", F.expr("now() is not null"))
+        .withColumn("cts_ok", F.expr("current_timestamp() is not null"))
+    )
+
+
 QUERIES = {
     "scalar_conformance_math": scalar_conformance_math,
     "scalar_conformance_string": scalar_conformance_string,
     "scalar_conformance_datetime": scalar_conformance_datetime,
+    "scalar_conformance_nullary": scalar_conformance_nullary,
 }
 
 ORACLES = {
@@ -187,6 +217,11 @@ ORACLES = {
                ifnull(nullif(r_name, 'ASIA'), 'missing') as ifnull_s
         from region
         order by r_regionkey
+    """,
+    "scalar_conformance_nullary": """
+        select true as mid_unique, true as uuid_ok, true as pid_ok,
+               true as file_ok, true as db_ok, true as year_ok,
+               true as now_ok, true as cts_ok
     """,
     "scalar_conformance_datetime": """
         select event_id,
