@@ -39,11 +39,15 @@ split (``stream-core/.../RecordsAggregator.java``,
 
 hllc approx-distinct serves across the split too (engine approx_distinct
 opt-in): HLL register-max union is idempotent like bit_or, so stored batch
-sketches union with sketches built over the tail.
+sketches union with sketches built over the tail. Derived dimensions
+recover on the tail via the same broadcast snapshot join the batch scan
+uses (the store carries the host FKs). GROUPING SETS/ROLLUP/CUBE merge
+once at the finest grain and derive every set from the merged partials
+(see :func:`_hybrid_grouping_sets`).
 
-Still refused: percentile, TopN, derived dims, grouping sets, and distinct
-on plain dimensions (no stored mergeable state) — those fall through to
-other cubes or pushdown (always correct).
+Still refused: percentile, TopN, and distinct on plain dimensions (no
+stored mergeable state) — those fall through to other cubes or pushdown
+(always correct).
 """
 
 from __future__ import annotations
@@ -111,8 +115,6 @@ def hybrid_servable(digest: SqlDigest, route: Route) -> bool:
     hllc sketch (register-max union, idempotent too; the accuracy trade was
     already opted into). Distinct WITHOUT stored mergeable state (plain dim
     count_distinct) stays refused."""
-    if digest.grouping_sets is not None:
-        return False
     if route.topn is not None:
         return False
     # (derived dimensions are fine: the tail carries the same host FKs, so
@@ -293,6 +295,10 @@ def execute_hybrid(
     # exprs) shared by the plain-partial path AND every bag pipeline —
     # core's digest differs from the original only above the scan
     batch_scan = routed_layout_scan(digest, inst, route, spark)
+    if digest.grouping_sets is not None:
+        return _hybrid_grouping_sets(
+            digest, inst, route, spark, rt, batch_scan, bag_items
+        )
     if plain_aggs:
         batch = execute_route(core, inst, route, spark, scan=batch_scan)
         key_cols, agg_cols, merge_aggs = [], [], []
@@ -429,4 +435,199 @@ def execute_hybrid(
         else:
             out_cols.append(F.col(item.name))
     result = result.select(*out_cols)
+    return apply_post_aggregation(digest, result)
+
+
+def _hybrid_grouping_sets(
+    digest: SqlDigest,
+    inst: CubeInstance,
+    route: Route,
+    spark: SparkSession,
+    rt: DataFrame,
+    batch_scan: DataFrame,
+    bag_items: list,
+) -> DataFrame:
+    """GROUPING SETS / ROLLUP / CUBE across the hybrid split.
+
+    Strategy: merge batch∪tail PARTIALS once at the FINEST grain (the
+    union of all set columns), then derive every grouping set from that
+    merged frame — additive partials re-aggregate exactly (SUM of SUMs,
+    COUNT partials by SUM, MIN/MIN, MAX/MAX), and mergeable-distinct
+    state (word bags / HLL sketches) is kept UN-finalized at the finest
+    grain so each set re-counts it at its own granularity (bit_or and
+    register-max are idempotent, so the coarser re-merge stays exact —
+    the same argument the batch-only routed grouping sets rely on, now
+    applied to the batch∪tail union). GROUPING() indicators are per-set
+    literals; aggregated-away columns null-pad with their scanned types
+    (AggregateMultipleExpandRule.java:45-120 parity)."""
+    import copy
+
+    from kylin_on_parquet_v2_spark.cube import dictionary as GD
+    from kylin_on_parquet_v2_spark.cube.build import join_null_safe
+    from kylin_on_parquet_v2_spark.cube.measures import _hll_lgk
+    from kylin_on_parquet_v2_spark.query.digest import AggCall, SelectItem
+    from kylin_on_parquet_v2_spark.query.router import execute_route
+
+    G = list(digest.group_cols)
+    measures = {m.name: m for m in inst.desc.measures}
+
+    # finest-grain core: all group cols as passthroughs + plain partials
+    core = copy.copy(digest)
+    core.grouping_sets = None
+    core.sort, core.limit = [], None
+    core.having_sql, core.having_cols = None, set()
+    core.window_exprs, core.window_projects = [], []
+    core.hidden = []
+    avg_parts: dict[str, tuple[str, str]] = {}
+    sel = [SelectItem(name=c, group_col=c) for c in G]
+    plain_items: list[tuple[str, str]] = []  # (column name, partial func)
+    for item in digest.select:
+        if item.group_col is not None or item.grouping_of is not None:
+            continue
+        if _bag_served(item.name, route):
+            continue
+        a = item.agg
+        if a.func == "AVG":
+            i = len(avg_parts)
+            sa, ca = f"__avs{i}", f"__avc{i}"
+            avg_parts[item.name] = (sa, ca)
+            sel.append(SelectItem(name=sa, agg=AggCall("SUM", a.column, False, sa, a.expr_sql)))
+            sel.append(SelectItem(name=ca, agg=AggCall("COUNT", a.column, False, ca, a.expr_sql)))
+            plain_items += [(sa, "SUM"), (ca, "COUNT")]
+        else:
+            sel.append(item)
+            plain_items.append((item.name, a.func))
+    core.select = sel
+
+    mgd = None
+    if plain_items:
+        batch = execute_route(core, inst, route, spark, scan=batch_scan)
+        agg_cols, merge_aggs = [], []
+        for item in core.select:
+            if item.group_col is not None:
+                continue
+            a = item.agg
+            src = F.expr(a.expr_sql) if a.expr_sql is not None else (
+                F.lit(1) if a.column is None else F.col(a.column)
+            )
+            fn = {"COUNT": F.count, "SUM": F.sum, "MIN": F.min, "MAX": F.max}[a.func]
+            agg_cols.append(fn(src).alias(item.name))
+            merged = _MERGE[a.func](item.name)
+            if a.func == "COUNT":
+                merged = merged.cast("long")
+            merge_aggs.append(merged.alias(item.name))
+        rt_part = (rt.groupBy(*G) if G else rt.groupBy()).agg(*agg_cols)
+        rt_part = rt_part.select(
+            *[F.col(c).cast(batch.schema[c].dataType).alias(c) for c in batch.columns]
+        )
+        mgd = batch.unionByName(rt_part)
+        mgd = (mgd.groupBy(*G) if G else mgd.groupBy()).agg(*merge_aggs)
+    # group universe (for sets whose branch has no plain-agg frame)
+    universe = (
+        batch_scan.select(*G).unionByName(rt.select(*G)).dropDuplicates()
+        if G
+        else None
+    )
+
+    # per-item merged-but-unfinalized state frames at the finest grain
+    enc_cache: dict[str, DataFrame] = {}
+    state_frames: list[tuple] = []  # (item, kind, frame, mname, extra)
+    for item in bag_items:
+        name = item.name
+        if name in route.approx_distinct:
+            mname = route.approx_distinct[name]
+            param = measures[mname].function.parameter
+            tail_sk = (rt.groupBy(*G) if G else rt.groupBy()).agg(
+                F.hll_sketch_agg(
+                    F.col(param), F.lit(_hll_lgk(measures[mname].function))
+                ).alias(mname)
+            )
+            frame = batch_scan.select(*G, mname).unionByName(tail_sk)
+            state_frames.append((item, "hll", frame, mname, None))
+            continue
+        cond = None
+        if name in route.bitmap_distinct:
+            mname = route.bitmap_distinct[name]
+            grain = G
+            extra = None
+        elif name in route.bitmap_cond:
+            mname, cond = route.bitmap_cond[name]
+            grain = G
+            extra = None
+        else:
+            mname, fcol, vals = route.bitmap_intersect[name]
+            grain = G + [fcol]
+            extra = (fcol, list(vals))
+        param = measures[mname].function.parameter
+        tail_enc = enc_cache.get(param)
+        if tail_enc is None:
+            tail_enc = _encode_tail(rt, inst, param, spark)
+            enc_cache[param] = tail_enc
+        b_side = batch_scan if cond is None else batch_scan.filter(F.expr(cond))
+        t_side = tail_enc if cond is None else tail_enc.filter(F.expr(cond))
+        tail_bags = GD.bitmap_build_agg(t_side, grain, GD.dict_col(param), mname)
+        frame = b_side.select(*grain, mname).unionByName(tail_bags)
+        kind = "intersect" if extra is not None else "bag"
+        state_frames.append((item, kind, frame, mname, extra))
+
+    types = dict(batch_scan.select(*G).dtypes) if G else {}
+    branches = []
+    for gset in digest.grouping_sets:
+        gl = list(gset)
+        if mgd is not None:
+            grouped = mgd.groupBy(*gl) if gl else mgd.groupBy()
+            aggs = []
+            for n, f in plain_items:
+                merged = _MERGE[f](n)
+                if f == "COUNT":
+                    merged = merged.cast("long")
+                aggs.append(merged.alias(n))
+            branch = grouped.agg(*aggs)
+        elif gl:
+            branch = universe.select(*gl).dropDuplicates()
+        else:
+            branch = None
+        for item, kind, frame, mname, extra in state_frames:
+            if kind == "hll":
+                counts = (frame.groupBy(*gl) if gl else frame.groupBy()).agg(
+                    F.hll_sketch_estimate(F.hll_union_agg(mname)).alias(item.name)
+                )
+            elif kind == "intersect":
+                fcol, vals = extra
+                counts = GD.bitmap_intersect_count(
+                    frame, gl, mname, fcol, vals, item.name
+                )
+            else:
+                counts = GD.bitmap_count(frame, gl, mname, item.name)
+            if branch is None:
+                branch = counts
+            else:
+                branch = join_null_safe(branch, counts, gl, "left")
+            branch = branch.withColumn(
+                item.name, F.coalesce(F.col(item.name), F.lit(0)).cast("long")
+            )
+        sel_cols = []
+        for item in digest.select:
+            if item.group_col is not None:
+                if item.group_col in gset:
+                    sel_cols.append(F.col(item.group_col).alias(item.name))
+                else:
+                    sel_cols.append(
+                        F.lit(None).cast(types[item.group_col]).alias(item.name)
+                    )
+            elif item.grouping_of is not None:
+                sel_cols.append(
+                    F.lit(0 if item.grouping_of in gset else 1)
+                    .cast("tinyint")
+                    .alias(item.name)
+                )
+            elif item.name in avg_parts:
+                sa, ca = avg_parts[item.name]
+                sel_cols.append((F.col(sa) / F.col(ca)).alias(item.name))
+            else:
+                sel_cols.append(F.col(item.name))
+        branches.append(branch.select(*sel_cols))
+    result = branches[0]
+    for b in branches[1:]:
+        result = result.unionAll(b)
     return apply_post_aggregation(digest, result)

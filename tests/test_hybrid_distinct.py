@@ -232,6 +232,36 @@ def test_hybrid_hll_distinct_across_boundary(engine, spark, tmp_path_factory):
         assert abs(got[k] - exact[k]) <= max(2, 0.05 * exact[k]), (k, got, exact)
 
 
+def test_hybrid_rollup_across_boundary(engine):
+    """GROUPING SETS across the split: partials merge once at the finest
+    grain, every set derives from the merged frame — additive re-agg plus
+    per-set re-counts of the un-finalized word bags, with GROUPING()
+    indicators and typed NULL padding. Must equal pushdown exactly."""
+    sql = (
+        "select etype, grouping(etype) as g_e, sum(v) as sv, count(*) as n, "
+        "count(distinct user_id) as u "
+        "from hd_fact group by rollup(etype)"
+    )
+    got = {tuple(r) for r in engine.sql(sql).collect()}
+    route = engine.last_route
+    assert route is not None and route.hybrid_tail, route
+    assert route.bitmap_distinct, route
+    exp = {tuple(r) for r in engine.pushdown(sql).collect()}
+    assert got == exp and len(got) == 4  # 3 etypes + grand total
+
+
+def test_hybrid_two_level_rollup_across_boundary(engine):
+    sql = (
+        "select etype, d, grouping(etype) as g_e, grouping(d) as g_d, "
+        "sum(v) as sv, count(distinct user_id) as u "
+        "from hd_fact group by rollup(etype, d)"
+    )
+    got = {tuple(r) for r in engine.sql(sql).collect()}
+    assert engine.last_route is not None and engine.last_route.hybrid_tail
+    exp = {tuple(r) for r in engine.pushdown(sql).collect()}
+    assert got == exp
+
+
 def test_hybrid_derived_dimension_across_boundary(spark, tmp_path_factory):
     """Derived dimensions serve across the hybrid split: the tail carries
     the host FK, the same broadcast snapshot join recovers the lookup
