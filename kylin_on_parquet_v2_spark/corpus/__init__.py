@@ -68,6 +68,7 @@ _PRIORITY = [
     # --- new in r06 -------------------------------------------------------
     "cube_routed_hybrid_distinct",  # bitmap distinct ACROSS the hybrid split
     "cube_routed_hybrid_funnel",  # INTERSECT_COUNT across the hybrid split
+    "cube_routed_hybrid_rollup",  # ROLLUP + bitmap distinct across the split
     "scalar_conformance_math",  # §2.8 sweep: cot/hypot/sinh/bround/conv/...
     "scalar_conformance_string",  # ltrim/substring_index/find_in_set/sha1/...
     "scalar_conformance_datetime",  # date_part/utc shifts/timestampadd/diff

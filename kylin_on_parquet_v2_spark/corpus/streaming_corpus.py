@@ -238,6 +238,30 @@ def cube_routed_hybrid_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def cube_routed_hybrid_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with a bitmap distinct ACROSS the hybrid split: partials
+    merge once at the finest grain, each grouping set re-counts the
+    un-finalized batch∪tail word bags at its own granularity (idempotent
+    bit_or — the grand total cannot double-count users active on both
+    sides of the boundary)."""
+    eng = _hybrid_engine(spark, sf_dir)
+    df = eng.sql(
+        """
+        select event_type,
+               grouping(event_type) as g_et,
+               count(*) as n,
+               count(distinct user_id) as nd_users
+        from events
+        group by rollup(event_type)
+        order by event_type nulls last
+        """
+    )
+    route = eng.last_route
+    assert route is not None, "expected hybrid route for cube_routed_hybrid_rollup"
+    assert route.hybrid_tail and route.bitmap_distinct, route
+    return df
+
+
 def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator (applyInPandasWithState): per-key running
     totals. Driven in ONE micro-batch so the emitted update rows equal the
@@ -332,6 +356,7 @@ QUERIES = {
     "cube_routed_hybrid": cube_routed_hybrid,
     "cube_routed_hybrid_distinct": cube_routed_hybrid_distinct,
     "cube_routed_hybrid_funnel": cube_routed_hybrid_funnel,
+    "cube_routed_hybrid_rollup": cube_routed_hybrid_rollup,
     "streaming_stream_join": streaming_stream_join,
     "streaming_dedup": streaming_dedup,
     "streaming_window_counts": streaming_window_counts,
@@ -348,6 +373,15 @@ ORACLES = {
         from events
         group by event_type
         order by event_type
+    """,
+    "cube_routed_hybrid_rollup": """
+        select event_type,
+               grouping(event_type) as g_et,
+               count(*) as n,
+               count(distinct user_id) as nd_users
+        from events
+        group by rollup(event_type)
+        order by event_type nulls last
     """,
     "cube_routed_hybrid_funnel": """
         select (select count(*) from (
