@@ -45,9 +45,13 @@ uses (the store carries the host FKs). GROUPING SETS/ROLLUP/CUBE merge
 once at the finest grain and derive every set from the merged partials
 (see :func:`_hybrid_grouping_sets`).
 
-Still refused: percentile, TopN, and distinct on plain dimensions (no
-stored mergeable state) — those fall through to other cubes or pushdown
-(always correct).
+Percentile serves across the split too: the stored sketch state (fixed-bin
+histogram / KLL weighted sample) is additive, and the split is disjoint, so
+batch + tail sketches merge exactly (:func:`_pct_counts`).
+
+Still refused: stored TopN and distinct on plain dimensions (no stored
+mergeable state) — those fall through to other cubes or pushdown (always
+correct).
 """
 
 from __future__ import annotations
@@ -124,6 +128,12 @@ def hybrid_servable(digest: SqlDigest, route: Route) -> bool:
             continue
         a = item.agg
         if _bag_served(item.name, route):
+            continue
+        if a.func == "PERCENTILE":
+            # mergeable sketch state guaranteed by plan_route (hist or KLL
+            # measure exists, else no route): bin-wise sums / weighted
+            # samples are ADDITIVE, and the boundary split is disjoint, so
+            # batch + tail sketches merge exactly
             continue
         if a.distinct or (a.func not in _MERGE and a.func != "AVG"):
             return False
@@ -238,9 +248,12 @@ def execute_hybrid(
     core.select = []
     avg_parts: dict[str, tuple[str, str]] = {}
     bag_items: list[SelectItem] = []
+    pct_items: list[SelectItem] = []
     for item in digest.select:
         if item.agg is not None and _bag_served(item.name, route):
             bag_items.append(item)
+        elif item.agg is not None and item.agg.func == "PERCENTILE":
+            pct_items.append(item)
         elif item.agg is not None and item.agg.func == "AVG":
             i = len(avg_parts)
             sa, ca = f"__avs{i}", f"__avc{i}"
@@ -331,7 +344,7 @@ def execute_hybrid(
         else:
             result = merged.groupBy().agg(*merge_aggs)
 
-    if bag_items:
+    if bag_items or pct_items:
         # bags merge batch∪tail at the query grain, then finalize exactly
         # as the plain routed path does (explode → bit_or → bit_count);
         # per-param tail encodings are computed once even when several
@@ -424,6 +437,17 @@ def execute_hybrid(
             result = result.withColumn(
                 name, F.coalesce(F.col(name), F.lit(0)).cast("long")
             )
+        for item in pct_items:
+            counts = _pct_counts(item, inst, rt, batch_scan, group_srcs, spark)
+            counts = counts.select(
+                *[F.col(c).alias(src_to_out[c]) for c in group_srcs], item.name
+            )
+            if result is None:
+                result = counts
+            else:
+                # NO coalesce: the percentile of a group with no values is
+                # NULL, exactly like percentile_approx over zero rows
+                result = join_null_safe(result, counts, group_out, "left")
 
     # final projection in the ORIGINAL select order, re-assembling AVG from
     # its merged SUM/COUNT partials
@@ -481,13 +505,16 @@ def _hybrid_grouping_sets(
     avg_parts: dict[str, tuple[str, str]] = {}
     sel = [SelectItem(name=c, group_col=c) for c in G]
     plain_items: list[tuple[str, str]] = []  # (column name, partial func)
+    pct_gs: list[SelectItem] = []
     for item in digest.select:
         if item.group_col is not None or item.grouping_of is not None:
             continue
         if _bag_served(item.name, route):
             continue
         a = item.agg
-        if a.func == "AVG":
+        if a.func == "PERCENTILE":
+            pct_gs.append(item)
+        elif a.func == "AVG":
             i = len(avg_parts)
             sa, ca = f"__avs{i}", f"__avc{i}"
             avg_parts[item.name] = (sa, ca)
@@ -569,6 +596,30 @@ def _hybrid_grouping_sets(
         frame = b_side.select(*grain, mname).unionByName(tail_bags)
         kind = "intersect" if extra is not None else "bag"
         state_frames.append((item, kind, frame, mname, extra))
+    for item in pct_gs:
+        # additive sketch state at the finest grain; each set re-merges it
+        from kylin_on_parquet_v2_spark.cube import kll as KLL
+        from kylin_on_parquet_v2_spark.cube import measures as M
+        from kylin_on_parquet_v2_spark.query.router import (
+            _hist_measure_for,
+            _kll_measure_for,
+        )
+
+        a = item.agg
+        m = _hist_measure_for(a.column, inst)
+        if m is not None:
+            tail = (rt.groupBy(*G) if G else rt.groupBy()).agg(
+                M.hist_build(m.function, m.name)
+            )
+            kind = "pct-hist"
+        else:
+            m = _kll_measure_for(a.column, inst)
+            tail = (rt.groupBy(*G) if G else rt.groupBy()).agg(
+                KLL.kll_build(m.function, m.name)
+            )
+            kind = "pct-kll"
+        frame = batch_scan.select(*G, m.name).unionByName(tail)
+        state_frames.append((item, kind, frame, m, a.q))
 
     types = dict(batch_scan.select(*G).dtypes) if G else {}
     branches = []
@@ -597,15 +648,33 @@ def _hybrid_grouping_sets(
                 counts = GD.bitmap_intersect_count(
                     frame, gl, mname, fcol, vals, item.name
                 )
+            elif kind == "pct-hist":
+                from kylin_on_parquet_v2_spark.cube import measures as M
+
+                counts = (frame.groupBy(*gl) if gl else frame.groupBy()).agg(
+                    M.hist_percentile(
+                        mname.function, M.hist_reagg(mname.function, mname.name), extra
+                    ).alias(item.name)
+                )
+            elif kind == "pct-kll":
+                from kylin_on_parquet_v2_spark.cube import kll as KLL
+
+                counts = (frame.groupBy(*gl) if gl else frame.groupBy()).agg(
+                    KLL.kll_percentile(
+                        mname.function, KLL.kll_reagg(mname.function, mname.name), extra
+                    ).alias(item.name)
+                )
             else:
                 counts = GD.bitmap_count(frame, gl, mname, item.name)
             if branch is None:
                 branch = counts
             else:
                 branch = join_null_safe(branch, counts, gl, "left")
-            branch = branch.withColumn(
-                item.name, F.coalesce(F.col(item.name), F.lit(0)).cast("long")
-            )
+            if kind not in ("pct-hist", "pct-kll"):
+                # percentile of an absent group stays NULL; counts snap to 0
+                branch = branch.withColumn(
+                    item.name, F.coalesce(F.col(item.name), F.lit(0)).cast("long")
+                )
         sel_cols = []
         for item in digest.select:
             if item.group_col is not None:
@@ -631,3 +700,44 @@ def _hybrid_grouping_sets(
     for b in branches[1:]:
         result = result.unionAll(b)
     return apply_post_aggregation(digest, result)
+
+
+def _pct_counts(
+    item,
+    inst: CubeInstance,
+    rt: DataFrame,
+    batch_scan: DataFrame,
+    grain: list,
+    spark: SparkSession,
+) -> DataFrame:
+    """Percentile across the split: the stored sketch state (fixed-bin
+    histogram / KLL weighted sample) is ADDITIVE, and the boundary split is
+    disjoint, so batch layout sketches + a sketch built over the tail merge
+    exactly — the served answer equals the sketch over the whole table,
+    within the sketch's own declared accuracy (bin width / rank error)."""
+    from kylin_on_parquet_v2_spark.cube import kll as KLL
+    from kylin_on_parquet_v2_spark.cube import measures as M
+    from kylin_on_parquet_v2_spark.query.router import (
+        _hist_measure_for,
+        _kll_measure_for,
+    )
+
+    a = item.agg
+    m = _hist_measure_for(a.column, inst)
+    if m is not None:
+        tail = (rt.groupBy(*grain) if grain else rt.groupBy()).agg(
+            M.hist_build(m.function, m.name)
+        )
+        agg = M.hist_percentile(
+            m.function, M.hist_reagg(m.function, m.name), a.q
+        ).alias(item.name)
+    else:
+        m = _kll_measure_for(a.column, inst)
+        tail = (rt.groupBy(*grain) if grain else rt.groupBy()).agg(
+            KLL.kll_build(m.function, m.name)
+        )
+        agg = KLL.kll_percentile(
+            m.function, KLL.kll_reagg(m.function, m.name), a.q
+        ).alias(item.name)
+    frame = batch_scan.select(*grain, m.name).unionByName(tail)
+    return (frame.groupBy(*grain) if grain else frame.groupBy()).agg(agg)

@@ -35,6 +35,7 @@ CUBE = CubeDesc(
         MeasureDesc("_count", FunctionDesc("COUNT")),
         MeasureDesc("sum_v", FunctionDesc("SUM", "v")),
         MeasureDesc("bm_user", FunctionDesc("COUNT_DISTINCT", "user_id", "bitmap")),
+        MeasureDesc("hist_v", FunctionDesc("PERCENTILE_APPROX", "v", "hist(64,0,20)")),
     ),
     segment_granularity="day",
 )
@@ -260,6 +261,47 @@ def test_hybrid_two_level_rollup_across_boundary(engine):
     assert engine.last_route is not None and engine.last_route.hybrid_tail
     exp = {tuple(r) for r in engine.pushdown(sql).collect()}
     assert got == exp
+
+
+def test_hybrid_percentile_across_boundary(engine):
+    """Percentile from the stored histogram sketch across the split: batch
+    layout histograms + a histogram built over the tail merge by bin-wise
+    sum (additive over the disjoint split), so the answer equals the
+    histogram over the whole table — within the declared bin width."""
+    sql = (
+        "select etype, percentile_approx(v, 0.5) as p50, sum(v) as sv "
+        "from hd_fact group by etype"
+    )
+    df = engine.sql(sql)
+    route = engine.last_route
+    assert route is not None and route.hybrid_tail, route
+    got = {r["etype"]: (r["p50"], r["sv"]) for r in df.collect()}
+    exp = {r["etype"]: (r["p50"], r["sv"]) for r in engine.pushdown(sql).collect()}
+    bin_w = 20.0 / 64
+    assert set(got) == set(exp)
+    for k in got:
+        assert abs(got[k][0] - exp[k][0]) <= bin_w, (k, got[k], exp[k])
+        assert got[k][1] == exp[k][1]
+
+
+def test_hybrid_percentile_under_rollup(engine):
+    sql = (
+        "select etype, grouping(etype) as g_e, "
+        "percentile_approx(v, 0.9) as p90, count(distinct user_id) as u "
+        "from hd_fact group by rollup(etype)"
+    )
+    df = engine.sql(sql)
+    assert engine.last_route is not None and engine.last_route.hybrid_tail
+    got = {(r["etype"], r["g_e"]): (r["p90"], r["u"]) for r in df.collect()}
+    exp = {
+        (r["etype"], r["g_e"]): (r["p90"], r["u"])
+        for r in engine.pushdown(sql).collect()
+    }
+    bin_w = 20.0 / 64
+    assert set(got) == set(exp) and len(got) == 4
+    for k in got:
+        assert abs(got[k][0] - exp[k][0]) <= bin_w, (k, got[k], exp[k])
+        assert got[k][1] == exp[k][1]
 
 
 def test_hybrid_derived_dimension_across_boundary(spark, tmp_path_factory):
