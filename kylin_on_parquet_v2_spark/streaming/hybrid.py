@@ -49,9 +49,13 @@ Percentile serves across the split too: the stored sketch state (fixed-bin
 histogram / KLL weighted sample) is additive, and the split is disjoint, so
 batch + tail sketches merge exactly (:func:`_pct_counts`).
 
-Still refused: stored TopN and distinct on plain dimensions (no stored
-mergeable state) — those fall through to other cubes or pushdown (always
-correct).
+Stored TopN serves through the merge as well: batch lists explode into
+per-key partial sums, the tail adds exact per-key sums, and the ORDER
+BY/LIMIT tail re-ranks — a pinned day on either side of the boundary stays
+exact, spanning shapes need the engine's approx_topn opt-in.
+
+Still refused: distinct on plain dimensions (no stored mergeable state) —
+it falls through to other cubes or pushdown (always correct).
 """
 
 from __future__ import annotations
@@ -119,14 +123,20 @@ def hybrid_servable(digest: SqlDigest, route: Route) -> bool:
     hllc sketch (register-max union, idempotent too; the accuracy trade was
     already opted into). Distinct WITHOUT stored mergeable state (plain dim
     count_distinct) stays refused."""
-    if route.topn is not None:
-        return False
+    # stored-TopN routes serve through the merge too: batch lists explode
+    # into (key, partial-sum) rows that union with the tail's exact per-key
+    # sums — a pre-boundary pinned day keeps its exactness (the tail prunes
+    # to nothing), a post-boundary day is served exactly from the tail
+    # alone, and range/history shapes are only reachable under the
+    # engine's approx_topn opt-in (plan_route refuses them otherwise)
     # (derived dimensions are fine: the tail carries the same host FKs, so
     # the identical snapshot recovery join applies before its partials)
     for item in digest.select:
         if item.agg is None:
             continue
         a = item.agg
+        if route.topn is not None and item.name == route.topn[0]:
+            continue  # the TopN sum output, served by the list merge
         if _bag_served(item.name, route):
             continue
         if a.func == "PERCENTILE":
@@ -308,6 +318,39 @@ def execute_hybrid(
     # exprs) shared by the plain-partial path AND every bag pipeline —
     # core's digest differs from the original only above the scan
     batch_scan = routed_layout_scan(digest, inst, route, spark)
+    if route.topn is not None:
+        # stored-TopN across the split: batch lists explode into
+        # (rank key, partial sum) rows; the tail contributes EXACT per-key
+        # sums over its (boundary-pruned, query-filtered) rows; re-sum and
+        # let the ordinary ORDER BY/LIMIT tail re-rank. A pinned day fully
+        # on either side of the boundary stays exact (the other side's
+        # contribution is empty); spanning shapes carry the declared
+        # merged-list bound and require the engine's approx_topn opt-in.
+        alias, mname, rank = route.topn
+        g = [c for c in digest.group_cols if c != rank]
+        lists = batch_scan.select(*g, F.explode(mname).alias("__t")).select(
+            *g, F.col("__t.key").alias(rank), F.col("__t.val").alias(alias)
+        )
+        measures = {m.name: m for m in inst.desc.measures}
+        param = measures[mname].function.parameter
+        tail_sums = rt.groupBy(*g, rank).agg(F.sum(param).alias(alias))
+        tail_sums = tail_sums.select(
+            *[F.col(c).cast(lists.schema[c].dataType).alias(c) for c in lists.columns]
+        )
+        merged = (
+            lists.unionByName(tail_sums)
+            .groupBy(*g, rank)
+            .agg(F.sum(alias).alias(alias))
+        )
+        result = merged.select(
+            *[
+                F.col(item.group_col).alias(item.name)
+                if item.group_col is not None
+                else F.col(item.name)
+                for item in digest.select
+            ]
+        )
+        return apply_post_aggregation(digest, result)
     if digest.grouping_sets is not None:
         return _hybrid_grouping_sets(
             digest, inst, route, spark, rt, batch_scan, bag_items

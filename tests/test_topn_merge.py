@@ -155,3 +155,110 @@ def test_pinned_segment_stays_exact_route(engine):
     engine.sql(sql, approx_topn=True)
     r = engine.last_route
     assert r is not None and r.topn is not None and not r.topn_approx, r
+
+
+@pytest.fixture(scope="module")
+def hybrid_topn_engine(spark, tmp_path_factory):
+    """Hybrid cube with a stored TopN measure: batch owns days 1-2, the
+    realtime store has all 4 days."""
+    from pyspark.sql import functions as SF
+
+    rows = []
+    for day in (1, 2, 3, 4):
+        for k in range(12):
+            v = float((k * day) % 11 + 1 + k)
+            rows.append((f"k{k:02d}", dt.date(2024, 8, day), v))
+    fact = spark.createDataFrame(rows, "key string, d date, v double")
+    fact.createOrReplaceTempView("ht_fact")
+    rt_dir = str(tmp_path_factory.mktemp("ht_rt"))
+    fact.withColumn("__segment__", SF.date_format("d", "yyyy-MM-dd")).write.mode(
+        "overwrite"
+    ).partitionBy("__segment__").parquet(rt_dir)
+
+    eng = OlapEngine(spark, storage_dir=str(tmp_path_factory.mktemp("ht_cubes")))
+    eng.add_model(DataModel(name="ht_star", fact_table="ht_fact", partition_column="d"))
+    eng.build_cube(
+        CubeDesc(
+            name="ht_cube",
+            model_name="ht_star",
+            dimensions=("d",),
+            measures=(
+                MeasureDesc("_count", FunctionDesc("COUNT")),
+                MeasureDesc(
+                    "topn_k",
+                    FunctionDesc("TOP_N", "v", f"topn({N})", extra_params=("key",)),
+                ),
+            ),
+            segment_granularity="day",
+        ),
+        segment_range=(None, "2024-08-02"),
+    )
+    eng.register_hybrid("ht_cube", rt_dir, ts_col="d")
+    return eng
+
+
+def test_hybrid_topn_pinned_pre_boundary_exact(hybrid_topn_engine):
+    """A day fully inside batch coverage: the tail prunes to nothing and
+    the stored list alone answers — exact."""
+    sql = (
+        "select key, sum(v) as s from ht_fact where d = date '2024-08-01' "
+        "group by key order by s desc limit 3"
+    )
+    df = hybrid_topn_engine.sql(sql)
+    r = hybrid_topn_engine.last_route
+    assert r is not None and r.topn is not None and r.hybrid_tail, r
+    got = [(row["key"], row["s"]) for row in df.collect()]
+    exp = [(row["key"], row["s"]) for row in hybrid_topn_engine.pushdown(sql).collect()]
+    assert got == exp
+
+
+def test_hybrid_topn_pinned_post_boundary_exact(hybrid_topn_engine):
+    """A day AFTER batch coverage: the batch side contributes no list and
+    the tail computes exact per-key sums — exact top-k from realtime."""
+    sql = (
+        "select key, sum(v) as s from ht_fact where d = date '2024-08-04' "
+        "group by key order by s desc limit 3"
+    )
+    df = hybrid_topn_engine.sql(sql)
+    r = hybrid_topn_engine.last_route
+    assert r is not None and r.topn is not None and r.hybrid_tail, r
+    got = [(row["key"], row["s"]) for row in df.collect()]
+    exp = [(row["key"], row["s"]) for row in hybrid_topn_engine.pushdown(sql).collect()]
+    assert got == exp
+
+
+def test_hybrid_topn_history_requires_opt_in_and_is_bounded(hybrid_topn_engine, spark):
+    sql = "select key, sum(v) as s from ht_fact group by key order by s desc limit 3"
+    hybrid_topn_engine.sql(sql)
+    r = hybrid_topn_engine.last_route
+    assert r is None or r.topn is None  # exact refusal without opt-in
+
+    df = hybrid_topn_engine.sql(sql, approx_topn=True)
+    r = hybrid_topn_engine.last_route
+    assert r is not None and r.topn is not None and r.topn_approx and r.hybrid_tail, r
+    got = {row["key"]: row["s"] for row in df.collect()}
+    true = {
+        row["key"]: row["s"]
+        for row in spark.table("ht_fact").groupBy("key").agg(F.sum("v").alias("s")).collect()
+    }
+    # batch lists truncate only on days 1-2; the tail (days 3-4) is exact,
+    # so the loss is bounded by the two batch lists' minima
+    daily = (
+        spark.table("ht_fact")
+        .filter(F.col("d") <= "2024-08-02")
+        .groupBy("d", "key")
+        .agg(F.sum("v").alias("s"))
+        .collect()
+    )
+    from collections import defaultdict
+
+    per_day = defaultdict(list)
+    for row in daily:
+        per_day[row["d"]].append((row["s"], row["key"]))
+    bound = sum(
+        sorted(vals, key=lambda t: (-t[0], t[1]))[:N][-1][0]
+        for vals in per_day.values()
+    )
+    for k, est in got.items():
+        assert est <= true[k] + 1e-9
+        assert true[k] - est <= bound + 1e-9, (k, est, true[k], bound)
