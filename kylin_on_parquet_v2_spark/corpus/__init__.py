@@ -69,6 +69,7 @@ _PRIORITY = [
     "cube_routed_hybrid_distinct",  # bitmap distinct ACROSS the hybrid split
     "cube_routed_hybrid_funnel",  # INTERSECT_COUNT across the hybrid split
     "cube_routed_hybrid_rollup",  # ROLLUP + bitmap distinct across the split
+    "cube_routed_hybrid_percentile",  # histogram sketch across the split
     "scalar_conformance_math",  # §2.8 sweep: cot/hypot/sinh/bround/conv/...
     "scalar_conformance_string",  # ltrim/substring_index/find_in_set/sha1/...
     "scalar_conformance_datetime",  # date_part/utc shifts/timestampadd/diff

@@ -262,6 +262,34 @@ def cube_routed_hybrid_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def cube_routed_hybrid_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile from the stored histogram sketch ACROSS the hybrid split:
+    batch layout histograms + a histogram built over the boundary-pruned
+    tail merge by bin-wise SUM (additive over the disjoint split), so the
+    served answer equals the histogram over the whole table. The oracle
+    replicates the identical histogram in DuckDB — the check is exact even
+    though the percentile itself is approximate (within bin width)."""
+    eng = _hybrid_engine(spark, sf_dir)
+    df = eng.sql(
+        """
+        select event_type,
+               percentile_approx(value, 0.5) as p50,
+               percentile_approx(value, 0.95) as p95
+        from events
+        group by event_type
+        order by event_type
+        """
+    )
+    route = eng.last_route
+    assert route is not None, "expected hybrid route for cube_routed_hybrid_percentile"
+    assert route.hybrid_tail, route
+    return df.select(
+        "event_type",
+        F.round("p50", 2).alias("p50"),
+        F.round("p95", 2).alias("p95"),
+    )
+
+
 def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator (applyInPandasWithState): per-key running
     totals. Driven in ONE micro-batch so the emitted update rows equal the
@@ -357,6 +385,7 @@ QUERIES = {
     "cube_routed_hybrid_distinct": cube_routed_hybrid_distinct,
     "cube_routed_hybrid_funnel": cube_routed_hybrid_funnel,
     "cube_routed_hybrid_rollup": cube_routed_hybrid_rollup,
+    "cube_routed_hybrid_percentile": cube_routed_hybrid_percentile,
     "streaming_stream_join": streaming_stream_join,
     "streaming_dedup": streaming_dedup,
     "streaming_window_counts": streaming_window_counts,
@@ -371,6 +400,26 @@ ORACLES = {
                count(distinct user_id) as nd_users,
                count(*) as n
         from events
+        group by event_type
+        order by event_type
+    """,
+    "cube_routed_hybrid_percentile": """
+        with b as (
+            select event_type,
+                   cast(least(greatest(floor(value / 4.0), 0), 127) as int) as bin
+            from events
+        ),
+        c as (select event_type, bin, count(*) as n from b group by 1, 2),
+        cum as (
+            select event_type, bin,
+                   sum(n) over (partition by event_type order by bin) as cum,
+                   sum(n) over (partition by event_type) as total
+            from c
+        )
+        select event_type,
+               round(min(case when cum >= 0.5 * total then (bin + 0.5) * 4.0 end), 2) as p50,
+               round(min(case when cum >= 0.95 * total then (bin + 0.5) * 4.0 end), 2) as p95
+        from cum
         group by event_type
         order by event_type
     """,

@@ -177,6 +177,12 @@ EVENTS_CUBE_SEG = CubeDesc(
         MeasureDesc("min_value", FunctionDesc("MIN", "value")),
         MeasureDesc("max_value", FunctionDesc("MAX", "value")),
         MeasureDesc("bm_user", FunctionDesc("COUNT_DISTINCT", "user_id", "bitmap")),
+        # mergeable histogram percentile: bin-wise-sum state is additive, so
+        # it serves ACROSS the batch/realtime split (values past the declared
+        # bounds clamp into the edge bins on both build and oracle sides)
+        MeasureDesc(
+            "hist_value", FunctionDesc("PERCENTILE_APPROX", "value", "hist(128,0,512)")
+        ),
     ),
     segment_granularity="day",
 )
