@@ -54,8 +54,10 @@ per-key partial sums, the tail adds exact per-key sums, and the ORDER
 BY/LIMIT tail re-ranks — a pinned day on either side of the boundary stays
 exact, spanning shapes need the engine's approx_topn opt-in.
 
-Still refused: distinct on plain dimensions (no stored mergeable state) —
-it falls through to other cubes or pushdown (always correct).
+Distinct on plain DIMENSIONS serves too: the batch layout's distinct dim
+tuples union the tail's rows (set union — idempotent by definition), then
+one count_distinct per group. With that the hybrid realization serves
+EVERY shape the batch route serves.
 """
 
 from __future__ import annotations
@@ -98,6 +100,19 @@ class HybridPart:
 _MERGE = {"COUNT": F.sum, "SUM": F.sum, "MIN": F.min, "MAX": F.max}
 
 
+def _dim_distinct_cols(a, route: Route) -> list | None:
+    """Columns of a COUNT DISTINCT served from cuboid DIMENSIONS (single-
+    or multi-column; the reference's DimCountDistinct), or None when any
+    column is not a dim of the planned cuboid. Conditional distinct
+    (cond_sql) is excluded — that shape routes through the bag maps."""
+    if a.cond_sql is not None or a.func != "COUNT":
+        return None
+    cols = list(a.columns) if a.columns else ([a.column] if a.column else [])
+    if cols and all(c in route.cuboid.dims for c in cols):
+        return cols
+    return None
+
+
 def _bag_served(name: str, route: Route) -> bool:
     """True when the routed output ``name`` is served from a stored
     mergeable-distinct state: a dictionary-id word-bag bitmap, or (under
@@ -121,8 +136,10 @@ def hybrid_servable(digest: SqlDigest, route: Route) -> bool:
     ``bit_or`` (associative + commutative + idempotent => the split cannot
     double-count), or — under the engine's approx_distinct opt-in — from an
     hllc sketch (register-max union, idempotent too; the accuracy trade was
-    already opted into). Distinct WITHOUT stored mergeable state (plain dim
-    count_distinct) stays refused."""
+    already opted into), or — when the distinct column(s) are CUBOID
+    DIMENSIONS — from the set union of the layout's dim tuples with the
+    tail's rows (set union is idempotent by definition: DimCountDistinct
+    across the split)."""
     # stored-TopN routes serve through the merge too: batch lists explode
     # into (key, partial-sum) rows that union with the tail's exact per-key
     # sums — a pre-boundary pinned day keeps its exactness (the tail prunes
@@ -139,6 +156,8 @@ def hybrid_servable(digest: SqlDigest, route: Route) -> bool:
             continue  # the TopN sum output, served by the list merge
         if _bag_served(item.name, route):
             continue
+        if a.distinct and _dim_distinct_cols(a, route) is not None:
+            continue  # dims survive in the layout: set-union distinct
         if a.func == "PERCENTILE":
             # mergeable sketch state guaranteed by plan_route (hist or KLL
             # measure exists, else no route): bin-wise sums / weighted
@@ -259,9 +278,16 @@ def execute_hybrid(
     avg_parts: dict[str, tuple[str, str]] = {}
     bag_items: list[SelectItem] = []
     pct_items: list[SelectItem] = []
+    dd_items: list[SelectItem] = []  # dim-served COUNT DISTINCT
     for item in digest.select:
         if item.agg is not None and _bag_served(item.name, route):
             bag_items.append(item)
+        elif (
+            item.agg is not None
+            and item.agg.distinct
+            and _dim_distinct_cols(item.agg, route) is not None
+        ):
+            dd_items.append(item)
         elif item.agg is not None and item.agg.func == "PERCENTILE":
             pct_items.append(item)
         elif item.agg is not None and item.agg.func == "AVG":
@@ -387,7 +413,7 @@ def execute_hybrid(
         else:
             result = merged.groupBy().agg(*merge_aggs)
 
-    if bag_items or pct_items:
+    if bag_items or pct_items or dd_items:
         # bags merge batch∪tail at the query grain, then finalize exactly
         # as the plain routed path does (explode → bit_or → bit_count);
         # per-param tail encodings are computed once even when several
@@ -491,6 +517,27 @@ def execute_hybrid(
                 # NO coalesce: the percentile of a group with no values is
                 # NULL, exactly like percentile_approx over zero rows
                 result = join_null_safe(result, counts, group_out, "left")
+        for item in dd_items:
+            # dims survive in the layout: set-union the layout's distinct
+            # dim tuples with the tail's rows, count once (DimCountDistinct
+            # across the split — set union is idempotent by definition)
+            cols = _dim_distinct_cols(item.agg, route)
+            frame = batch_scan.select(*group_srcs, *cols).unionByName(
+                rt.select(*group_srcs, *cols)
+            )
+            counts = (
+                frame.groupBy(*group_srcs) if group_srcs else frame.groupBy()
+            ).agg(F.count_distinct(*[F.col(c) for c in cols]).alias(item.name))
+            counts = counts.select(
+                *[F.col(c).alias(src_to_out[c]) for c in group_srcs], item.name
+            )
+            if result is None:
+                result = counts
+            else:
+                result = join_null_safe(result, counts, group_out, "left")
+            result = result.withColumn(
+                item.name, F.coalesce(F.col(item.name), F.lit(0)).cast("long")
+            )
 
     # final projection in the ORIGINAL select order, re-assembling AVG from
     # its merged SUM/COUNT partials
@@ -549,13 +596,16 @@ def _hybrid_grouping_sets(
     sel = [SelectItem(name=c, group_col=c) for c in G]
     plain_items: list[tuple[str, str]] = []  # (column name, partial func)
     pct_gs: list[SelectItem] = []
+    dd_gs: list[SelectItem] = []
     for item in digest.select:
         if item.group_col is not None or item.grouping_of is not None:
             continue
         if _bag_served(item.name, route):
             continue
         a = item.agg
-        if a.func == "PERCENTILE":
+        if a.distinct and _dim_distinct_cols(a, route) is not None:
+            dd_gs.append(item)
+        elif a.func == "PERCENTILE":
             pct_gs.append(item)
         elif a.func == "AVG":
             i = len(avg_parts)
@@ -663,6 +713,10 @@ def _hybrid_grouping_sets(
             kind = "pct-kll"
         frame = batch_scan.select(*G, m.name).unionByName(tail)
         state_frames.append((item, kind, frame, m, a.q))
+    for item in dd_gs:
+        cols = _dim_distinct_cols(item.agg, route)
+        frame = batch_scan.select(*G, *cols).unionByName(rt.select(*G, *cols))
+        state_frames.append((item, "dimdd", frame, None, cols))
 
     types = dict(batch_scan.select(*G).dtypes) if G else {}
     branches = []
@@ -706,6 +760,10 @@ def _hybrid_grouping_sets(
                     KLL.kll_percentile(
                         mname.function, KLL.kll_reagg(mname.function, mname.name), extra
                     ).alias(item.name)
+                )
+            elif kind == "dimdd":
+                counts = (frame.groupBy(*gl) if gl else frame.groupBy()).agg(
+                    F.count_distinct(*[F.col(c) for c in extra]).alias(item.name)
                 )
             else:
                 counts = GD.bitmap_count(frame, gl, mname, item.name)

@@ -304,6 +304,27 @@ def test_hybrid_percentile_under_rollup(engine):
         assert got[k][1] == exp[k][1]
 
 
+def test_hybrid_dim_distinct_across_boundary(engine):
+    """COUNT DISTINCT on cuboid DIMENSIONS across the split: the layout's
+    distinct dim tuples set-union the tail's rows — idempotent by
+    definition, so boundary overlap can't double-count. Single- and
+    multi-column forms, grouped, global, and under rollup."""
+    for sql in (
+        "select count(distinct etype) as ne from hd_fact",
+        "select etype, count(distinct d) as nd, sum(v) as sv from hd_fact group by etype",
+        "select count(distinct etype, d) as ned from hd_fact",
+        (
+            "select etype, grouping(etype) as g_e, count(distinct d) as nd "
+            "from hd_fact group by rollup(etype)"
+        ),
+    ):
+        got = {tuple(r) for r in engine.sql(sql).collect()}
+        route = engine.last_route
+        assert route is not None and route.hybrid_tail, (sql, route)
+        exp = {tuple(r) for r in engine.pushdown(sql).collect()}
+        assert got == exp, sql
+
+
 def test_hybrid_derived_dimension_across_boundary(spark, tmp_path_factory):
     """Derived dimensions serve across the hybrid split: the tail carries
     the host FK, the same broadcast snapshot join recovers the lookup
