@@ -394,6 +394,24 @@ def test_hybrid_derived_dimension_across_boundary(spark, tmp_path_factory):
     assert got2 == [tuple(r) for r in eng.pushdown(sql2).collect()]
 
 
+def test_hybrid_distinct_tail_scan_pruned(engine):
+    """The bag pipeline's realtime scan keeps the boundary PartitionFilter:
+    pre-boundary segment dirs are pruned at listing time even though the
+    tail also flows through the dictionary-encoding join."""
+    df = engine.sql("select etype, count(distinct user_id) as u from hd_fact group by etype")
+    assert engine.last_route is not None and engine.last_route.hybrid_tail
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    rt_dir = engine.last_route.hybrid_tail
+    pruned = [
+        ln
+        for ln in plan.splitlines()
+        if rt_dir in ln or ("PartitionFilters" in ln and "__segment__" in ln)
+    ]
+    assert any(
+        "PartitionFilters" in ln and "__segment__" in ln for ln in plan.splitlines()
+    ), plan
+
+
 def test_hybrid_persisted_dictionary_not_mutated(engine, spark):
     """Query-time tail encoding extends the dictionary IN MEMORY only —
     the persisted store keeps exactly the batch-build id space."""
