@@ -522,8 +522,9 @@ def execute_hybrid(
             # dim tuples with the tail's rows, count once (DimCountDistinct
             # across the split — set union is idempotent by definition)
             cols = _dim_distinct_cols(item.agg, route)
-            frame = batch_scan.select(*group_srcs, *cols).unionByName(
-                rt.select(*group_srcs, *cols)
+            extra = [c for c in cols if c not in group_srcs]
+            frame = batch_scan.select(*group_srcs, *extra).unionByName(
+                rt.select(*group_srcs, *extra)
             )
             counts = (
                 frame.groupBy(*group_srcs) if group_srcs else frame.groupBy()
@@ -715,7 +716,8 @@ def _hybrid_grouping_sets(
         state_frames.append((item, kind, frame, m, a.q))
     for item in dd_gs:
         cols = _dim_distinct_cols(item.agg, route)
-        frame = batch_scan.select(*G, *cols).unionByName(rt.select(*G, *cols))
+        extra = [c for c in cols if c not in G]
+        frame = batch_scan.select(*G, *extra).unionByName(rt.select(*G, *extra))
         state_frames.append((item, "dimdd", frame, None, cols))
 
     types = dict(batch_scan.select(*G).dtypes) if G else {}
