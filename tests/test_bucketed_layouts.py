@@ -134,3 +134,63 @@ def test_bucket_layouts_requires_shard_by():
             measures=(MeasureDesc("_count", FunctionDesc("COUNT")),),
             bucket_layouts=True,
         )
+
+
+def test_bucketed_segmented_incremental_append(spark, tmp_path_factory):
+    """Bucketed layouts on a SEGMENTED cube: the segment dirs partition the
+    bucketed table, incremental builds APPEND new segment dirs through the
+    same table spec, and the shard-key re-agg stays exchange-free over the
+    multi-segment table with correct answers."""
+    import datetime as dt
+
+    from pyspark.sql import functions as SF
+
+    rows = [
+        (k % 5, dt.date(2024, 10, day), float(k + day))
+        for day in (1, 2, 3)
+        for k in range(20)
+    ]
+    fact = spark.createDataFrame(rows, "sk long, d date, v double")
+    fact.filter(SF.col("d") <= "2024-10-02").createOrReplaceTempView("bs_fact")
+
+    eng = OlapEngine(spark, storage_dir=str(tmp_path_factory.mktemp("bs_cubes")))
+    eng.add_model(DataModel(name="bs_star", fact_table="bs_fact", partition_column="d"))
+    cube = CubeDesc(
+        name="bs_cube",
+        model_name="bs_star",
+        dimensions=("sk", "d"),
+        measures=(
+            MeasureDesc("_count", FunctionDesc("COUNT")),
+            MeasureDesc("sum_v", FunctionDesc("SUM", "v")),
+        ),
+        cuboid_ids=(3,),
+        shard_by="sk",
+        shard_buckets=4,
+        bucket_layouts=True,
+        segment_granularity="day",
+    )
+    eng.build_cube(cube)
+    inst = eng.cubes["bs_cube"]
+    assert inst.layout_tables, "expected bucketed table registrations"
+    assert set(inst.segments(spark)) == {"2024-10-01", "2024-10-02"}
+
+    # day 3 lands; incremental build appends through the same table spec
+    fact.createOrReplaceTempView("bs_fact")
+    built = eng.refresh_cube("bs_cube")
+    assert built == ["2024-10-03"]
+    assert set(inst.segments(spark)) == {"2024-10-01", "2024-10-02", "2024-10-03"}
+
+    sql = "select sk, sum(v) as s, count(*) as n from bs_fact group by sk"
+    df = eng.sql(sql)
+    assert eng.last_route is not None
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert not any(
+        "Exchange hashpartitioning" in ln and "sk" in ln.split("Exchange")[1][:60]
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln
+    ), plan
+    got = {tuple(r) for r in df.collect()}
+    exp = {tuple(r) for r in eng.pushdown(sql).collect()}
+    assert got == exp
+    for t in inst.layout_tables.values():
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
