@@ -475,7 +475,8 @@ def execute_hybrid(
                 grain = group_srcs
             else:
                 mname, fcol, vals = route.bitmap_intersect[name]
-                grain = group_srcs + [fcol]
+                # the cohort column may itself be a group key — dedupe
+                grain = group_srcs + ([fcol] if fcol not in group_srcs else [])
             param = measures[mname].function.parameter
             tail_enc = enc_cache.get(param)
             if tail_enc is None:
@@ -677,7 +678,7 @@ def _hybrid_grouping_sets(
             extra = None
         else:
             mname, fcol, vals = route.bitmap_intersect[name]
-            grain = G + [fcol]
+            grain = G + ([fcol] if fcol not in G else [])
             extra = (fcol, list(vals))
         param = measures[mname].function.parameter
         tail_enc = enc_cache.get(param)

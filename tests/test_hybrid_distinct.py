@@ -394,6 +394,25 @@ def test_hybrid_derived_dimension_across_boundary(spark, tmp_path_factory):
     assert got2 == [tuple(r) for r in eng.pushdown(sql2).collect()]
 
 
+def test_hybrid_intersect_cohort_col_also_grouped(engine):
+    """INTERSECT_COUNT whose cohort column is ALSO a group key: the grain
+    dedupe must not duplicate the column (per-group intersection collapses
+    to the group's own cohort — matches pushdown's conditional-distinct
+    spelling)."""
+    sql = (
+        "select etype, intersect_count(user_id, etype, array('view','click')) as vc "
+        "from hd_fact group by etype order by etype"
+    )
+    got = [tuple(r) for r in engine.sql(sql).collect()]
+    assert engine.last_route is not None and engine.last_route.hybrid_tail
+    # within a single-etype group only ONE cohort has members, so every
+    # per-group intersection is empty — the pushdown UDAF (use_cube=False)
+    # is the semantic oracle
+    exp = [tuple(r) for r in engine.sql(sql, use_cube=False).collect()]
+    assert got == exp
+    assert all(v == 0 for _, v in got)
+
+
 def test_hybrid_distinct_tail_scan_pruned(engine):
     """The bag pipeline's realtime scan keeps the boundary PartitionFilter:
     pre-boundary segment dirs are pruned at listing time even though the
