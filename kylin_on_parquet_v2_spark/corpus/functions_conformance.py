@@ -49,7 +49,10 @@ _SHA1_CASE = "case r_name " + " ".join(
 ) + " end"
 
 #: DuckDB spelling of Spark's HALF_EVEN bround(x): ties go to the even
-#: neighbour, everything else is plain rounding
+#: neighbour, everything else is plain rounding.  Callers must add ``+ 0.0``
+#: after the cast: ``ceil(-0.5)`` yields IEEE ``-0.0`` in DuckDB while
+#: Spark's BigDecimal bround gives ``0.0`` — adding positive zero collapses
+#: the signed zero so the value hash compares equal.
 _BROUND = (
     "case when {x} - floor({x}) = 0.5 then "
     "(case when cast(floor({x}) as bigint) % 2 = 0 then floor({x}) "
@@ -189,8 +192,8 @@ ORACLES = {
                round((exp(x) - exp(-x)) / (exp(x) + exp(-x)), 6) as tanh_x,
                round(exp(x / 10) - 1, 6) as expm1_x,
                round(ln(1 + x), 6) as log1p_x,
-               cast({_BROUND.format(x="x")} as double) as bround_pos,
-               cast({_BROUND.format(x="(-x)")} as double) as bround_neg,
+               cast({_BROUND.format(x="x")} as double) + 0.0 as bround_pos,
+               cast({_BROUND.format(x="(-x)")} as double) + 0.0 as bround_neg,
                round(power(x, 2), 6) as power_x,
                to_hex(r_regionkey * 100 + 15) as conv_hex,
                floor((x * 3.7 + 0.081) * 100) / 100 as trunc_x,
