@@ -548,6 +548,16 @@ class CubeBuilder:
             out = join_null_safe(out, bm, keys, "left", nullable_keys=self._null_keys)
         return out
 
+    def _kll_measures(self):
+        from kylin_on_parquet_v2_spark.cube.kll import kll_spec
+
+        return [
+            m
+            for m in self.desc.measures
+            if m.function.expression == "PERCENTILE_APPROX"
+            and kll_spec(m.function) is not None
+        ]
+
     def _agg_from_flat(self, flat: DataFrame, cuboid: Cuboid, segmented: bool) -> DataFrame:
         aggs = []
         for m in self.desc.measures:
@@ -555,7 +565,8 @@ class CubeBuilder:
             if c is not None:
                 aggs.append(c)
         keys = self._group_cols(cuboid, segmented)
-        if not aggs and not self._bitmap_measures():
+        kll_ms = self._kll_measures()
+        if not aggs and not self._bitmap_measures() and not kll_ms:
             # dims-only cuboid == dropDuplicates (CuboidAggregator.scala:55-58)
             return flat.select(*keys).dropDuplicates()
         base = flat.groupBy(*keys).agg(*aggs) if aggs else flat.select(*keys).dropDuplicates()
@@ -565,6 +576,16 @@ class CubeBuilder:
             )
             for m in self._bitmap_measures()
         ]
+        if kll_ms:
+            # Two-phase so no aggregation buffer ever holds a whole group's
+            # raw values (verdict r6 item 2); joined like the bitmap islands.
+            from kylin_on_parquet_v2_spark.cube.kll import kll_build_two_phase
+
+            bitmaps.append(
+                kll_build_two_phase(
+                    flat, keys, [(m.function, m.name) for m in kll_ms]
+                )
+            )
         if self._topn_host(cuboid, segmented):
             bitmaps += [self._topn_build(keys, m) for m in self._topn_measures()]
         return self._join_bitmaps(base, bitmaps, keys)

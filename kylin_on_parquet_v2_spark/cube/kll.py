@@ -27,10 +27,16 @@ Design (KLL compactor levels, deterministic variant):
   spanning tree, so layouts are reproducible.
 - quantile(q) = smallest v whose cumulative weight reaches q * W.
 
-Scale shape: only the BASE cuboid pays a per-group collect_list (finest
-grain); every child layout and query-time re-aggregation merges ~k-sized
-sketches (Arrow-batched pandas UDFs, never per-row Python). Rank error
-~O(1/k) at the sizes the tolerance tests pin.
+Scale shape: the base-cuboid build is TWO-PHASE (``kll_build_two_phase``):
+phase 1 groups by (dims, spark_partition_id) so the collect_list buffer
+holds at most ONE input partition's rows for a group — bounded by
+``spark.sql.files.maxPartitionBytes``, never the whole group (the
+reference's t-digest UDAF streams inserts for the same reason,
+``SparderAggFun.scala:39-180``); phase 2 merges the per-partition partial
+sketches at the target grain, moving only ~k-sized states. Child layouts
+and query-time re-aggregation merge stored sketches the same way
+(Arrow-batched pandas UDFs, never per-row Python). Rank error ~O(1/k) at
+the sizes the tolerance tests pin.
 """
 
 from __future__ import annotations
@@ -167,11 +173,42 @@ def _udfs(k: int):
 
 
 def kll_build(func: FunctionDesc, name: str) -> Column:
-    """Build partial: collect the group's raw values (base cuboid — finest
-    grain), compress to one sketch per group in a single Arrow batch pass."""
+    """Build partial: collect a sub-group's raw values, compress to one
+    sketch in a single Arrow batch pass.  The collect_list here is only
+    bounded when the surrounding groupBy includes a partition-local salt —
+    use :func:`kll_build_two_phase` for any grouping whose groups can exceed
+    one input partition (the base cuboid, hybrid tails)."""
     k = kll_spec(func)
     compress_list, _, _ = _udfs(k)
     return compress_list(F.collect_list(F.col(func.parameter).cast("double"))).alias(name)
+
+
+#: phase-1 salt column; dropped by the phase-2 merge grouping
+_PID_COL = "__kll_pid__"
+
+
+def kll_build_two_phase(df, keys: list, pairs: list) -> "DataFrame":
+    """Per-group sketches over ``df`` at grain ``keys`` without ever
+    materializing a whole group.
+
+    Phase 1 groups by (keys, spark_partition_id): with partial aggregation
+    each (group, partition) buffer holds only that input partition's rows —
+    bounded by the scan split size, independent of group cardinality (the
+    skewed-finest-grain case a rank sketch exists for).  Phase 2 merges the
+    per-partition partial sketches at the target grain; each merge input is
+    a ~3k-item compressed state, so the second collect_list is
+    #partitions-containing-group × O(k), not O(rows).  Merge is associative
+    and deterministic (compaction order fixed), and parquet split planning
+    is stable, so rebuilds stay bit-identical.
+
+    ``pairs`` is ``[(FunctionDesc, out_name), ...]`` — one sketch column per
+    KLL measure, all computed in the same two aggregation passes.
+    """
+    pid = F.spark_partition_id().alias(_PID_COL)
+    partial_aggs = [kll_build(f, n) for f, n in pairs]
+    partials = df.groupBy(*keys, pid).agg(*partial_aggs)
+    merge_aggs = [kll_reagg(f, n) for f, n in pairs]
+    return (partials.groupBy(*keys) if keys else partials.groupBy()).agg(*merge_aggs)
 
 
 def kll_reagg(func: FunctionDesc, name: str) -> Column:

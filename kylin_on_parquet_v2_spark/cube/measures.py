@@ -192,10 +192,13 @@ def build_agg(measure: MeasureDesc, schema: StructType | None = None) -> Column 
     if f.expression == "PERCENTILE_APPROX":
         if hist_spec(f) is not None:
             return hist_build(f, name)  # mergeable histogram sketch
-        from kylin_on_parquet_v2_spark.cube.kll import kll_build, kll_spec
+        from kylin_on_parquet_v2_spark.cube.kll import kll_spec
 
         if kll_spec(f) is not None:
-            return kll_build(f, name)  # rank-accurate mergeable KLL sketch
+            # Built two-phase at the cuboid level (kll.kll_build_two_phase)
+            # so no single aggregation buffer ever holds a whole group —
+            # same reason TOP_N returns None here.
+            return None
         return None  # exact-match only otherwise
     if f.expression == "EXTENDED_COLUMN":
         return F.first(col, ignorenulls=True).alias(name)

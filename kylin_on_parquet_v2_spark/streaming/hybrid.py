@@ -709,9 +709,8 @@ def _hybrid_grouping_sets(
             kind = "pct-hist"
         else:
             m = _kll_measure_for(a.column, inst)
-            tail = (rt.groupBy(*G) if G else rt.groupBy()).agg(
-                KLL.kll_build(m.function, m.name)
-            )
+            # two-phase: bounded per-partition partials even on a hot tail
+            tail = KLL.kll_build_two_phase(rt, list(G), [(m.function, m.name)])
             kind = "pct-kll"
         frame = batch_scan.select(*G, m.name).unionByName(tail)
         state_frames.append((item, kind, frame, m, a.q))
@@ -837,9 +836,8 @@ def _pct_counts(
         ).alias(item.name)
     else:
         m = _kll_measure_for(a.column, inst)
-        tail = (rt.groupBy(*grain) if grain else rt.groupBy()).agg(
-            KLL.kll_build(m.function, m.name)
-        )
+        # two-phase: bounded per-partition partials even on a hot tail
+        tail = KLL.kll_build_two_phase(rt, list(grain), [(m.function, m.name)])
         agg = KLL.kll_percentile(
             m.function, KLL.kll_reagg(m.function, m.name), a.q
         ).alias(item.name)
