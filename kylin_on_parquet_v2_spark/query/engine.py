@@ -88,6 +88,16 @@ class OlapEngine:
         self.defer_cache_fill = False
         self._pending_cache: tuple | None = None
         self._cache_lock = threading.Lock()
+        #: memoized routing DECISIONS (not results): massaged-SQL+flags+epoch
+        #: -> what the planner decided last time. Real deployments register
+        #: hundreds of cubes and dashboards repeat queries, so re-scoring
+        #: every cube per call makes driver-side planning the hot path
+        #: (round-6 verdict item 4). Safe to replay because the key includes
+        #: the cache epoch (bumped on every build/load/hybrid change) and
+        #: execution re-runs from the stored digest — hybrid tails re-read
+        #: their realtime store fresh each call, so only the decision, never
+        #: the data, is reused.
+        self._route_memo: "OrderedDict[tuple, tuple]" = OrderedDict()
         #: workload statistics for the cube planner (CuboidStats parity):
         #: needed-dim-set -> how many queries asked for it. Recorded for
         #: every digestible query, routed or not — the planner weighs
@@ -103,6 +113,10 @@ class OlapEngine:
     #: no explicit max_result_rows is configured — caching is opt-in but
     #: must never pin an unbounded result set in driver memory
     DEFAULT_CACHE_ROW_CAP = 100_000
+
+    #: routing-decision memo entries kept (LRU); decisions are tiny (a
+    #: digest + a Route), the bound only guards pathological SQL churn
+    ROUTE_MEMO_SIZE = 512
 
     # -- metadata / build ----------------------------------------------------
 
@@ -124,6 +138,7 @@ class OlapEngine:
         # query cache on segment/cube state changes the same way)
         self._cache_epoch += 1
         self._cache.clear()
+        self._route_memo.clear()
         return inst
 
     def load_cube(self, desc: CubeDesc, build_if_missing: bool = False) -> CubeInstance:
@@ -143,6 +158,7 @@ class OlapEngine:
         self.cubes[desc.name] = inst
         self._cache_epoch += 1
         self._cache.clear()
+        self._route_memo.clear()
         return inst
 
     def refresh_cube(self, name: str, segments: list[str] | None = None) -> list[str]:
@@ -160,6 +176,7 @@ class OlapEngine:
         if built:
             self._cache_epoch += 1
             self._cache.clear()
+            self._route_memo.clear()
             maybe_auto_merge(self.spark, inst)
             # retention after merge (reference order: new segment READY ->
             # retired segments leave the queryable set)
@@ -198,6 +215,7 @@ class OlapEngine:
         self.hybrids[cube_name] = part
         self._cache_epoch += 1
         self._cache.clear()
+        self._route_memo.clear()
 
     def recommend_cuboids(
         self,
@@ -265,6 +283,8 @@ class OlapEngine:
         digest/routing path is identical to the spelled-out query — a
         parameterized dashboard query still takes its cuboid route.
         """
+        import time as _time
+
         for t in self.transformers:
             query = t(query)
         pkey = tuple(params) if isinstance(params, list) else (
@@ -273,6 +293,11 @@ class OlapEngine:
         cache_key = (
             query, pkey, use_cube, approx_distinct, approx_topn, self._cache_epoch
         )
+        # A pending deferred fill from a PREVIOUS call must never survive
+        # into this one: embedded use alongside the server could otherwise
+        # leave a stale pending that a later un-cacheable server request
+        # pops and serves as ITS response (round-6 advisor finding #3).
+        self._pending_cache = None
         if self.result_cache_size and not validate:
             with self._cache_lock:
                 hit = self._cache.pop(cache_key, None)
@@ -283,11 +308,28 @@ class OlapEngine:
                 self.last_route = route
                 self.last_routes = list(routes)
                 return self.spark.createDataFrame(rows, schema)
+        t_plan = _time.perf_counter()
+        memo = self._route_memo.get(cache_key) if not validate else None
+        if memo is not None:
+            out = self._replay_route(memo, cache_key, approx_distinct, t_plan)
+            if out is not None:
+                return out
         df = self.spark.sql(query, args=params) if params is not None else self.spark.sql(query)
         self.last_route = None
         self.last_routes = []
         if not use_cube or not self.cubes:
             self._set_pool("heavy")
+            self._note_route_time(t_plan)
+            return self._maybe_cache(cache_key, df)
+        if memo is not None and memo[0] in ("pushdown", "undigestible"):
+            # memoized negative decision: skip digest extraction and cube
+            # scoring — spark.sql above already produced the answer
+            self.metrics["route_memo_hits"] += 1
+            self.metrics[memo[0]] += 1
+            if memo[0] == "pushdown":
+                self.workload[memo[1]] += 1
+            self._set_pool("heavy")
+            self._note_route_time(t_plan)
             return self._maybe_cache(cache_key, df)
         digest = extract_digest(df)
         if digest is None:
@@ -295,47 +337,34 @@ class OlapEngine:
             # islands (the reference's one-OLAPContext-per-island model,
             # OLAPContext.java:122-182) — route each side, join the served
             # results
-            jd = extract_join_digest(df)
-            try:
-                joined = (
-                    self._execute_join_digest(jd, approx_distinct)
-                    if jd is not None
-                    else None
-                )
-            except Exception:
-                joined = None  # analysis surprise — pushdown is always right
-                self.last_route, self.last_routes = None, []
-            if joined is None:
-                ud = extract_union_digest(df)
+            joined, multi = None, None
+            for kind, extract, execute in (
+                ("join", extract_join_digest, self._execute_join_digest),
+                ("union", extract_union_digest, self._execute_union_digest),
+                ("agg_union", extract_agg_over_union, self._execute_agg_over_union),
+            ):
+                obj = extract(df)
                 try:
-                    joined = (
-                        self._execute_union_digest(ud, approx_distinct)
-                        if ud is not None
-                        else None
-                    )
+                    joined = execute(obj, approx_distinct) if obj is not None else None
                 except Exception:
-                    joined = None
+                    joined = None  # analysis surprise — pushdown is always right
                     self.last_route, self.last_routes = None, []
-            if joined is None:
-                ad = extract_agg_over_union(df)
-                try:
-                    joined = (
-                        self._execute_agg_over_union(ad, approx_distinct)
-                        if ad is not None
-                        else None
-                    )
-                except Exception:
-                    joined = None
-                    self.last_route, self.last_routes = None, []
+                if joined is not None:
+                    multi = (kind, obj)
+                    break
             if joined is not None:
                 self.metrics["routed"] += 1
                 self.metrics["routed_multi_context"] += 1
                 self._set_pool("light")
+                self._memoize_route(cache_key, ("multi",) + multi)
+                self._note_route_time(t_plan)
                 if validate:
                     self._assert_same(joined, df)
                 return self._maybe_cache(cache_key, joined)
             self.metrics["undigestible"] += 1
             self._set_pool("heavy")
+            self._memoize_route(cache_key, ("undigestible",))
+            self._note_route_time(t_plan)
             return self._maybe_cache(cache_key, df)
         self.workload[digest.needed_cols()] += 1
         # realization choice (RealizationChooser parity): among all cubes
@@ -345,6 +374,10 @@ class OlapEngine:
         if not candidates:
             self.metrics["pushdown"] += 1
             self._set_pool("heavy")
+            # keep the needed-col set so memoized replays still feed the
+            # cube-planner workload like the first execution did
+            self._memoize_route(cache_key, ("pushdown", digest.needed_cols()))
+            self._note_route_time(t_plan)
             return self._maybe_cache(cache_key, df)
 
         inst, route = min(candidates, key=self._route_cost)
@@ -353,12 +386,86 @@ class OlapEngine:
         if route.exact:
             self.metrics["exact_hits"] += 1
         self.metrics[f"cube:{route.cube}"] += 1
+        self._memoize_route(cache_key, ("routed", digest, inst.desc.name, route))
+        self._note_route_time(t_plan)
         routed = self._execute_planned(digest, inst, route)
         if validate:
             self._assert_same(routed, df)
         self.last_route = route
         self.last_routes = [route]
         return self._maybe_cache(cache_key, routed)
+
+    # -- routing-decision memo (round-6 verdict item 4) ----------------------
+
+    def _memoize_route(self, key: tuple, decision: tuple) -> None:
+        self._route_memo[key] = decision
+        self._route_memo.move_to_end(key)
+        while len(self._route_memo) > self.ROUTE_MEMO_SIZE:
+            self._route_memo.popitem(last=False)
+
+    def _note_route_time(self, t0: float) -> None:
+        """Accumulate driver-side planning time (analysis + digest + cube
+        scoring; Counter holds floats fine) — ``metrics['route_time_ms']``
+        over ``metrics['route_timed_calls']`` is the average the round-6
+        verdict asked to see."""
+        import time as _time
+
+        self.metrics["route_time_ms"] += (_time.perf_counter() - t0) * 1000.0
+        self.metrics["route_timed_calls"] += 1
+
+    def _replay_route(
+        self, memo: tuple, cache_key: tuple, approx_distinct: bool, t_plan: float
+    ) -> DataFrame | None:
+        """Re-serve a memoized routing decision without re-analyzing the SQL
+        or re-scoring every cube. Returns None when the decision can't be
+        replayed (memo entry is dropped; caller re-plans from scratch).
+        Pushdown/undigestible decisions return None too — they still need
+        ``spark.sql`` — but the caller skips digest extraction for them via
+        the memo kind check below."""
+        kind = memo[0]
+        if kind == "routed":
+            _, digest, inst_name, route = memo
+            inst = self.cubes.get(inst_name)
+            if inst is None:
+                self._route_memo.pop(cache_key, None)
+                return None
+            self.metrics["route_memo_hits"] += 1
+            self.workload[digest.needed_cols()] += 1
+            self.metrics["routed"] += 1
+            if route.exact:
+                self.metrics["exact_hits"] += 1
+            self.metrics[f"cube:{route.cube}"] += 1
+            self._set_pool("vip" if route.exact else "light")
+            routed = self._execute_planned(digest, inst, route)
+            self.last_route = route
+            self.last_routes = [route]
+            self._note_route_time(t_plan)
+            return self._maybe_cache(cache_key, routed)
+        if kind == "multi":
+            _, mkind, obj = memo
+            execute = {
+                "join": self._execute_join_digest,
+                "union": self._execute_union_digest,
+                "agg_union": self._execute_agg_over_union,
+            }[mkind]
+            self.last_route, self.last_routes = None, []
+            try:
+                joined = execute(obj, approx_distinct)
+            except Exception:
+                joined = None
+            if joined is None:  # cube set changed under the decision
+                self._route_memo.pop(cache_key, None)
+                self.last_route, self.last_routes = None, []
+                return None
+            self.metrics["route_memo_hits"] += 1
+            self.metrics["routed"] += 1
+            self.metrics["routed_multi_context"] += 1
+            self._set_pool("light")
+            self._note_route_time(t_plan)
+            return self._maybe_cache(cache_key, joined)
+        # pushdown / undigestible: spark.sql is the answer either way — the
+        # win is skipping digest extraction + cube scoring, not analysis
+        return None
 
     def _plan_candidates(
         self, digest, approx_distinct: bool, approx_topn: bool = False
@@ -375,6 +482,7 @@ class OlapEngine:
 
         candidates: list[tuple[CubeInstance, Route]] = []
         for inst in self.cubes.values():
+            self.metrics["plan_route_calls"] += 1
             route = plan_route(
                 digest, inst, approx_distinct=approx_distinct, approx_topn=approx_topn
             )
@@ -594,10 +702,18 @@ class OlapEngine:
                 self._cache.popitem(last=False)
         return rows
 
-    def take_pending_cache(self) -> tuple | None:
+    def take_pending_cache(self, expect_df: DataFrame | None = None) -> tuple | None:
         """Pop the deferred cache fill parked by the last ``sql`` call
-        (``defer_cache_fill`` mode). Call under the same lock as ``sql``."""
+        (``defer_cache_fill`` mode). Call under the same lock as ``sql``.
+
+        ``expect_df`` guards against serving a STALE pending as another
+        query's answer (round-6 advisor finding #3): the caller passes the
+        DataFrame its own ``sql`` call returned, and a pending parked for a
+        different DataFrame is discarded instead of popped. ``sql`` also
+        clears the slot on entry, so this is a second belt."""
         p, self._pending_cache = self._pending_cache, None
+        if p is not None and expect_df is not None and p[1] is not expect_df:
+            return None
         return p
 
     def complete_cache_fill(self, pending: tuple) -> list | None:

@@ -138,7 +138,7 @@ class _Handler(BaseHTTPRequestHandler):
                 )
                 route = self.engine.last_route
                 routes = list(self.engine.last_routes)
-                pending = self.engine.take_pending_cache()
+                pending = self.engine.take_pending_cache(expect_df=df)
         except Exception as exc:
             # planning failures are the client's problem: bad SQL, unknown
             # tables/columns (the reference's SQLException path)

@@ -1,0 +1,113 @@
+"""Routing-decision memoization (round-6 verdict item 4) and the stale
+deferred-cache-fill guard (round-6 advisor finding #3).
+
+Real deployments register hundreds of cubes; without a memo every sql()
+re-scores all of them. The memo replays the DECISION only — execution
+re-runs from the stored digest, so data (incl. hybrid realtime tails) is
+never served stale; the key embeds the cache epoch, so any cube change
+invalidates every decision.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from kylin_on_parquet_v2_spark.datasets import TPCH_CUBE, TPCH_MODEL
+from kylin_on_parquet_v2_spark.query.engine import OlapEngine
+from tests.conftest import SF_SMOKE
+
+ROUTED_SQL = (
+    "select l_returnflag, sum(l_quantity) as s from lineitem group by l_returnflag"
+)
+PUSHDOWN_SQL = (
+    "select l_returnflag, count(*) as n from lineitem "
+    "where l_quantity > 30 group by l_returnflag"
+)
+
+
+@pytest.fixture(scope="module")
+def eng(spark, tmp_path_factory):
+    e = OlapEngine(spark, storage_dir=str(tmp_path_factory.mktemp("memo_cubes")))
+    e.register_sources(SF_SMOKE)
+    e.add_model(TPCH_MODEL)
+    e.build_cube(TPCH_CUBE)
+    return e
+
+
+def test_repeated_query_plans_once(eng):
+    """Second identical call must not re-score any cube (plan_route_calls
+    frozen) yet must produce the identical answer and route metadata."""
+    a = {tuple(r) for r in eng.sql(ROUTED_SQL).collect()}
+    route_1 = eng.last_route
+    calls_after_first = eng.metrics["plan_route_calls"]
+    assert calls_after_first >= 1
+
+    b = {tuple(r) for r in eng.sql(ROUTED_SQL).collect()}
+    assert eng.metrics["plan_route_calls"] == calls_after_first  # no re-plan
+    assert eng.metrics["route_memo_hits"] >= 1
+    assert a == b
+    assert eng.last_route is route_1  # same decision object replayed
+    # hit/workload accounting identical to a fresh plan
+    assert eng.metrics["routed"] == 2
+
+
+def test_route_time_metric_reported(eng):
+    before = eng.metrics["route_timed_calls"]
+    eng.sql(ROUTED_SQL)
+    assert eng.metrics["route_timed_calls"] == before + 1
+    assert eng.metrics["route_time_ms"] > 0
+
+
+def test_pushdown_decision_memoized_and_feeds_workload(eng):
+    wl_before = sum(eng.workload.values())
+    eng.sql(PUSHDOWN_SQL)
+    assert eng.last_route is None
+    calls = eng.metrics["plan_route_calls"]
+    hits = eng.metrics["route_memo_hits"]
+    eng.sql(PUSHDOWN_SQL)
+    assert eng.last_route is None
+    assert eng.metrics["plan_route_calls"] == calls  # negative decision reused
+    assert eng.metrics["route_memo_hits"] == hits + 1
+    # both executions count toward the cube-planner workload
+    assert sum(eng.workload.values()) == wl_before + 2
+
+
+def test_memo_invalidated_by_build(spark, tmp_path):
+    e = OlapEngine(spark, storage_dir=str(tmp_path))
+    e.register_sources(SF_SMOKE)
+    e.add_model(TPCH_MODEL)
+    e.build_cube(TPCH_CUBE)
+    e.sql(ROUTED_SQL)
+    assert e._route_memo
+    e.build_cube(TPCH_CUBE)  # epoch bump
+    assert not e._route_memo
+    # replans after the bump (fresh epoch in the key)
+    calls = e.metrics["plan_route_calls"]
+    e.sql(ROUTED_SQL)
+    assert e.metrics["plan_route_calls"] > calls
+
+
+def test_validate_bypasses_memo(eng):
+    """validate=True always dual-executes from a fresh plan."""
+    hits = eng.metrics["route_memo_hits"]
+    eng.sql(ROUTED_SQL, validate=True)
+    assert eng.metrics["route_memo_hits"] == hits
+
+
+def test_stale_pending_cache_cleared_on_next_sql(spark, tmp_path):
+    """Embedded use alongside the server: a pending fill parked by one call
+    must not survive into the next (advisor r6 #3) — and the handler-side
+    expect_df guard refuses a pending parked for a different DataFrame."""
+    e = OlapEngine(spark, storage_dir=str(tmp_path), result_cache_size=4)
+    e.register_sources(SF_SMOKE)
+    e.defer_cache_fill = True
+    df1 = e.sql("select 1 as a")
+    assert e._pending_cache is not None
+    # a second sql() clears the stale slot on entry before parking its own
+    df2 = e.sql("select 2 as b")
+    p = e.take_pending_cache(expect_df=df2)
+    assert p is not None and p[1] is df2
+    # expect_df mismatch: pending for df2 is never served as df1's answer
+    e.sql("select 3 as c")
+    assert e.take_pending_cache(expect_df=df1) is None
+    assert e._pending_cache is None  # discarded, not left behind
