@@ -53,6 +53,29 @@ _parquet_rows = FS.parquet_rows
 SHARD_COL = "__shard__"
 
 
+def _table_location(spark: SparkSession, tname: str) -> str | None:
+    """Storage location of a catalog table (None when indeterminable)."""
+    try:
+        rows = spark.sql(f"DESCRIBE FORMATTED {tname}").collect()
+    except Exception:
+        return None
+    for r in rows:
+        if (r[0] or "").strip() == "Location":
+            return (r[1] or "").strip()
+    return None
+
+
+def _same_location(loc: str | None, path: str) -> bool:
+    """Does a catalog Location URI point at ``path``? (scheme-insensitive)"""
+    if loc is None or not path:
+        return False
+    for pre in ("file://", "file:"):
+        if loc.startswith(pre):
+            loc = loc[len(pre):]
+            break
+    return os.path.abspath(loc.rstrip("/")) == os.path.abspath(str(path).rstrip("/"))
+
+
 def with_shard_partition(df: DataFrame, desc: CubeDesc) -> tuple[DataFrame, list[str]]:
     """Materialize the ``__shard__`` partition column when the layout hosts
     the shard key (CubeBuildJob.java:326-357 + FilePruner.pruneShards
@@ -228,12 +251,21 @@ class CubeInstance:
         inst.layouts = {int(k): v for k, v in meta.get("layouts", {}).items()}
         # bucketed-table registrations survive only while the catalog knows
         # them (same-session or persistent metastore); a missing table falls
-        # back to the path read — same bytes, just without the bucket spec
-        inst.layout_tables = {
-            int(k): v
-            for k, v in meta.get("layout_tables", {}).items()
-            if spark is not None and spark.catalog.tableExists(v)
-        }
+        # back to the path read — same bytes, just without the bucket spec.
+        # A table that EXISTS but points elsewhere (another build adopted
+        # the name — possible for pre-namespacing metadata) is rejected
+        # too: serving a different build's files through the bucket spec
+        # would be silently wrong data (round-6 advisor finding #2).
+        inst.layout_tables = {}
+        for k, v in meta.get("layout_tables", {}).items():
+            cid = int(k)
+            if spark is None or not spark.catalog.tableExists(v):
+                continue
+            if not _same_location(
+                _table_location(spark, v), inst.layouts.get(cid, "")
+            ):
+                continue
+            inst.layout_tables[cid] = v
         inst.layout_rows = {int(k): v for k, v in meta.get("layout_rows", {}).items()}
         inst.snapshots = dict(meta.get("snapshots", {}))
         inst.computed_canon = dict(meta.get("computed_columns", {}))
@@ -269,6 +301,15 @@ class CubeBuilder:
         self.desc = desc
         self.storage_dir = storage_dir
         self.scheduler = CuboidScheduler(desc)
+
+    def _table_ns(self) -> str:
+        """8-hex namespace for catalog table names, derived from the storage
+        dir — the same cube name built into two dirs gets two disjoint
+        table-name sets (stable across sessions for the same dir, so
+        load()/append find the same tables)."""
+        import hashlib
+
+        return hashlib.md5(os.path.abspath(self.storage_dir).encode()).hexdigest()[:8]
 
     # -- public --------------------------------------------------------------
 
@@ -656,7 +697,13 @@ class CubeBuilder:
             # by the SAME hash+count first means each task owns exactly one
             # bucket => one file per bucket (per segment dir), not
             # tasks×buckets small files.
-            tname = f"{self.desc.name}_c{cuboid_id}".lower()
+            #
+            # The name is NAMESPACED by a hash of the storage dir: catalog
+            # table names are session-global, so a same-named cube built
+            # into a different dir (per-test tempdirs, or multiple engine
+            # instances) must not silently repoint the table at another
+            # build's files (round-6 advisor finding #2).
+            tname = f"{self.desc.name}_{self._table_ns()}_c{cuboid_id}".lower()
             writer = (
                 df.repartition(self.desc.shard_buckets, F.col(self.desc.shard_by))
                 .write.mode(mode)

@@ -93,10 +93,19 @@ def merge_segments(
         keys = list(cuboid.dims)
         merged = df.groupBy(*keys).agg(*aggs) if aggs else df.select(*keys).dropDuplicates()
         n_files = max(1, _segment_bytes(spark, path, segments) // max(1, target_file_bytes))
-        # Re-apply the shard partition dirs the original layout write used:
-        # the merged segment must keep the same partition-directory depth
-        # (and shard co-location) as unmerged segments under this root.
-        merged, parts = with_shard_partition(merged, inst.desc)
+        # Match the partition-directory depth the original layout write
+        # used — every segment dir under one layout root must agree or the
+        # fallback spark.read.parquet(root) fails with conflicting partition
+        # structure. Bucketed layouts (bucketBy saveAsTable) have files
+        # DIRECTLY under their SEGMENT_COL= dirs, so the merged segment is
+        # written the same way (round-6 advisor finding #1); bucket METADATA
+        # is already gone (tables dropped above), so readers take the plain
+        # path scan everywhere. Dir-partitioned layouts keep their
+        # __shard__= dirs for shard co-location/pruning.
+        if inst.desc.bucket_layouts:
+            parts = []
+        else:
+            merged, parts = with_shard_partition(merged, inst.desc)
         # stage the merged segment, then atomically swap the old dirs out
         staging = os.path.join(path, f"_staging_{SEGMENT_COL}={new_segment}")
         if parts:
