@@ -406,6 +406,7 @@ class CubeBuilder:
         self._prepare_measure_bases(flat)
         try:
             self._build_layers(flat, cube_dir, inst)
+            self._warn_value_retaining_grain(flat, inst)
         finally:
             self._release_measure_bases()
             flat.unpersist()
@@ -588,6 +589,46 @@ class CubeBuilder:
         for bm in bitmaps:
             out = join_null_safe(out, bm, keys, "left", nullable_keys=self._null_keys)
         return out
+
+    #: base-grain fraction above which a value-retaining measure is flagged
+    RAW_GRAIN_WARN_RATIO = 0.5
+
+    def _warn_value_retaining_grain(self, flat: DataFrame, inst: CubeInstance) -> None:
+        """RAW/COLLECT_SET store O(group row count) values per layout cell
+        (see measures.build_agg). When the measured base grain barely
+        collapses the fact table, the 'stored list' is really the detail
+        data — a cube-shaped copy that grows with the fact table instead of
+        with the group count. Warn and point detail queries at the flat
+        route (the reference's own answer: RAW routes to detail queries).
+        Only runs when such a measure is declared; flat is still persisted,
+        so the count is a cache scan."""
+        import warnings
+
+        if not any(
+            m.function.expression in ("RAW", "COLLECT_SET")
+            for m in self.desc.measures
+        ):
+            return
+        if not inst.layouts:
+            return
+        base_id = max(
+            inst.layouts, key=lambda cid: self.scheduler.cuboids[cid].n_dims
+        )
+        base_rows = inst.layout_rows.get(base_id)
+        fact_rows = flat.count()
+        if base_rows is None or not fact_rows:
+            return
+        if base_rows >= self.RAW_GRAIN_WARN_RATIO * fact_rows:
+            warnings.warn(
+                f"cube {self.desc.name!r}: RAW/COLLECT_SET measure on a base "
+                f"grain of {base_rows} groups over {fact_rows} fact rows "
+                f"({base_rows / fact_rows:.0%}) — the stored value lists "
+                "retain ~every fact row per cell. Per-group memory is "
+                "O(group size) at build AND query time; serve detail "
+                "queries from the flat/pushdown route instead of widening "
+                "this cube's grain.",
+                stacklevel=3,
+            )
 
     def _kll_measures(self):
         from kylin_on_parquet_v2_spark.cube.kll import kll_spec

@@ -202,6 +202,17 @@ def build_agg(measure: MeasureDesc, schema: StructType | None = None) -> Column 
         return None  # exact-match only otherwise
     if f.expression == "EXTENDED_COLUMN":
         return F.first(col, ignorenulls=True).alias(name)
+    # RAW / COLLECT_SET per-group memory contract: these measures are
+    # DEFINITIONALLY value-retaining (the reference's RAW stores every
+    # group value too, RawMeasureType.java), so one aggregation buffer and
+    # one stored layout cell hold O(group row count) values — unlike the
+    # sketch measures there is no compressed partial to stream. They are
+    # only sound on cubes whose base grain keeps groups small (the stored
+    # list IS the payload, e.g. order line ids per day); DETAIL queries —
+    # reconstruct the rows — belong on the flat/pushdown route, which is
+    # the reference's answer as well (RAW routes to detail query there).
+    # CubeBuilder warns at build time when the measured base grain is near
+    # the fact grain (see _warn_value_retaining_grain).
     if f.expression == "RAW":
         return F.collect_list(col).alias(name)
     if f.expression == "COLLECT_SET":

@@ -98,3 +98,52 @@ def test_too_wide_group_rejected():
     dims = tuple(f"d{i}" for i in range(25))
     with pytest.raises(ValueError):
         CuboidScheduler(_cube(dims))
+
+
+def test_raw_measure_warns_on_fact_grain(spark, tmp_path_factory):
+    """RAW/COLLECT_SET on a base grain ~= fact grain stores the detail data
+    as per-cell lists; the build must say so (verdict r6 item 7). A grain
+    that genuinely collapses groups stays silent."""
+    import warnings
+
+    from kylin_on_parquet_v2_spark.metadata import (
+        CubeDesc,
+        DataModel,
+        FunctionDesc,
+        MeasureDesc,
+    )
+    from kylin_on_parquet_v2_spark.query.engine import OlapEngine
+
+    rows = [(i, i % 3, float(i)) for i in range(60)]
+    spark.createDataFrame(rows, "id long, k long, v double").createOrReplaceTempView(
+        "rawg_fact"
+    )
+    eng = OlapEngine(spark, storage_dir=str(tmp_path_factory.mktemp("rawg")))
+    eng.add_model(DataModel(name="rawg_star", fact_table="rawg_fact"))
+
+    def cube(name, dims):
+        return CubeDesc(
+            name=name,
+            model_name="rawg_star",
+            dimensions=dims,
+            measures=(
+                MeasureDesc("_count", FunctionDesc("COUNT")),
+                MeasureDesc("raw_v", FunctionDesc("RAW", "v")),
+            ),
+        )
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        eng.build_cube(cube("rawg_bad", ("id",)))  # unique per row: fact grain
+    assert any("RAW/COLLECT_SET" in str(x.message) for x in w), [
+        str(x.message) for x in w
+    ]
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        eng.build_cube(cube("rawg_ok", ("k",)))  # 3 groups over 60 rows
+    assert not any("RAW/COLLECT_SET" in str(x.message) for x in w)
+    # the stored lists still answer correctly
+    df = eng.sql("select k, count(*) as n from rawg_fact group by k")
+    assert eng.last_route is not None
+    assert {tuple(r) for r in df.collect()} == {(0, 20), (1, 20), (2, 20)}
