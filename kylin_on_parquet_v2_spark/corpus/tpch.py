@@ -238,6 +238,79 @@ def q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_Q12_SQL)
 
 
+#: Q12's TRUE dual-shipmode form needs l_shipmode / l_commitdate /
+#: l_receiptdate, which the driver fixture lacks — they are SYNTHESIZED as
+#: deterministic pure functions of existing columns (same definition on
+#: both engines, so the oracle compares real dual-mode semantics):
+#:   l_shipmode    = 7-way decode of (l_orderkey + l_linenumber) % 7
+#:   l_commitdate  = shipdate + ((l_orderkey + l_linenumber) % 61 - 30) days
+#:   l_receiptdate = shipdate + (1 + l_partkey % 30) days
+#: Only the date-add spelling differs per dialect (Spark date_add vs
+#: DuckDB date + int).
+_Q12_SHIPMODE_DERIVED = """
+    select l_orderkey,
+           case cast((l_orderkey + l_linenumber) % 7 as int)
+                when 0 then 'REG AIR' when 1 then 'AIR' when 2 then 'RAIL'
+                when 3 then 'SHIP' when 4 then 'TRUCK' when 5 then 'MAIL'
+                else 'FOB' end as l_shipmode,
+           cast(l_shipdate as date) as l_shipdate_d,
+           {commit} as l_commitdate,
+           {receipt} as l_receiptdate
+    from lineitem
+"""
+
+_Q12_SHIPMODE_OUTER = """
+    select l_shipmode,
+           cast(sum(case when o_orderpriority in ('1-URGENT','2-HIGH')
+                         then 1 else 0 end) as bigint) as high_line_count,
+           cast(sum(case when o_orderpriority not in ('1-URGENT','2-HIGH')
+                         then 1 else 0 end) as bigint) as low_line_count
+    from orders join li on o_orderkey = l_orderkey
+    where l_shipmode in ('MAIL','SHIP')
+      and l_commitdate < l_receiptdate
+      and l_shipdate_d < l_commitdate
+      and l_receiptdate >= date '1997-01-01'
+      and l_receiptdate < date '1998-01-01'
+    group by l_shipmode
+    order by l_shipmode
+"""
+
+_Q12_SHIPMODE_SPARK = (
+    "with li as ("
+    + _Q12_SHIPMODE_DERIVED.format(
+        commit="date_add(cast(l_shipdate as date), "
+        "cast((l_orderkey + l_linenumber) % 61 - 30 as int))",
+        receipt="date_add(cast(l_shipdate as date), cast(1 + l_partkey % 30 as int))",
+    )
+    + ")"
+    + _Q12_SHIPMODE_OUTER
+)
+
+_Q12_SHIPMODE_ORACLE = (
+    "with li as ("
+    + _Q12_SHIPMODE_DERIVED.format(
+        commit="cast(l_shipdate as date) + "
+        "cast((l_orderkey + l_linenumber) % 61 - 30 as int)",
+        receipt="cast(l_shipdate as date) + cast(1 + l_partkey % 30 as int)",
+    )
+    + ")"
+    + _Q12_SHIPMODE_OUTER
+)
+
+
+def q12_shipmode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12, TRUE dual-shipmode form (COVERAGE §2.3a 22/22): the real
+    IN ('MAIL','SHIP') mode filter plus the commit/receipt/ship date chain
+    (l_commitdate < l_receiptdate AND l_shipdate < l_commitdate AND receipt
+    in year), priority pivoted with CASE-inside-SUM — the shape the
+    reference's converted Q12 runs (query/src/test resources q12). Mode and
+    the two extra dates are deterministic derived columns (see
+    _Q12_SHIPMODE_DERIVED); the DuckDB oracle applies the identical
+    definitions, so the comparison exercises genuine dual-mode grouping."""
+    views(spark, sf_dir)
+    return spark.sql(_Q12_SHIPMODE_SPARK)
+
+
 _Q18_SQL = """
     select c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
            round(sum(l_quantity), 2) as total_qty
@@ -579,6 +652,7 @@ QUERIES = {
     "q22_missed_opportunity": q22_missed_opportunity,
     "q7_volume_shipping": q7_volume_shipping,
     "q12_priority_lines": q12_priority_lines,
+    "q12_shipmode": q12_shipmode,
     "q18_large_orders": q18_large_orders,
     "q19_discounted_revenue": q19_discounted_revenue,
     "q4_order_priority": q4_order_priority,
@@ -607,6 +681,7 @@ ORACLES = {
     "q22_missed_opportunity": _Q22_SQL,
     "q7_volume_shipping": _Q7_SQL,
     "q12_priority_lines": _Q12_SQL,
+    "q12_shipmode": _Q12_SHIPMODE_ORACLE,
     "q18_large_orders": _Q18_SQL,
     "q19_discounted_revenue": _Q19_SQL,
     "q4_order_priority": """
