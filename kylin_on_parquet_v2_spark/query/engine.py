@@ -309,7 +309,8 @@ class OlapEngine:
                 self.last_routes = list(routes)
                 return self.spark.createDataFrame(rows, schema)
         t_plan = _time.perf_counter()
-        memo = self._route_memo.get(cache_key) if not validate else None
+        with self._cache_lock:
+            memo = self._route_memo.get(cache_key) if not validate else None
         if memo is not None:
             out = self._replay_route(memo, cache_key, approx_distinct, t_plan)
             if out is not None:
@@ -398,10 +399,14 @@ class OlapEngine:
     # -- routing-decision memo (round-6 verdict item 4) ----------------------
 
     def _memoize_route(self, key: tuple, decision: tuple) -> None:
-        self._route_memo[key] = decision
-        self._route_memo.move_to_end(key)
-        while len(self._route_memo) > self.ROUTE_MEMO_SIZE:
-            self._route_memo.popitem(last=False)
+        # dict mutations share _cache_lock (routing itself is serialized by
+        # callers — the server holds its own lock — this only keeps the
+        # OrderedDict structurally sound under embedded concurrent use)
+        with self._cache_lock:
+            self._route_memo[key] = decision
+            self._route_memo.move_to_end(key)
+            while len(self._route_memo) > self.ROUTE_MEMO_SIZE:
+                self._route_memo.popitem(last=False)
 
     def _note_route_time(self, t0: float) -> None:
         """Accumulate driver-side planning time (analysis + digest + cube
@@ -427,7 +432,8 @@ class OlapEngine:
             _, digest, inst_name, route = memo
             inst = self.cubes.get(inst_name)
             if inst is None:
-                self._route_memo.pop(cache_key, None)
+                with self._cache_lock:
+                    self._route_memo.pop(cache_key, None)
                 return None
             self.metrics["route_memo_hits"] += 1
             self.workload[digest.needed_cols()] += 1
@@ -454,7 +460,8 @@ class OlapEngine:
             except Exception:
                 joined = None
             if joined is None:  # cube set changed under the decision
-                self._route_memo.pop(cache_key, None)
+                with self._cache_lock:
+                    self._route_memo.pop(cache_key, None)
                 self.last_route, self.last_routes = None, []
                 return None
             self.metrics["route_memo_hits"] += 1
