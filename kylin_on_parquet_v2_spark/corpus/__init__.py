@@ -30,6 +30,7 @@ def _modules():
         measures,
         pipeline,
         setops,
+        sources_corpus,
         streaming_corpus,
         subquery,
         tpch,
@@ -49,6 +50,7 @@ def _modules():
         functions_misc,
         functions_more,
         functions_conformance,
+        sources_corpus,
         measures,
         advanced,
         arrays_subq,
@@ -72,6 +74,9 @@ _PRIORITY = [
     # --- touched, then the queries whose last driver check is oldest
     # --- (r01-r03, then r04). 50 entries exactly.
     "q12_shipmode",  # TPC-H q12 TRUE dual-shipmode form (22/22 shapes)
+    "jdbc_source_agg",  # JDBC source END TO END via embedded Derby (new r7)
+    "csv_source_roundtrip",  # declared-schema CSV source round-trip (new r7)
+    "orc_source_roundtrip",  # ORC source round-trip (new r7)
     "scalar_conformance_math",  # r06 red row: signed-zero oracle fix must flip it green
     "percentile_kll_sketch",  # KLL build now two-phase (no whole-group collect)
     "cube_routed_percentile_sketch",  # percentile routing after engine memo refactor

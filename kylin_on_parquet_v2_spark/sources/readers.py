@@ -50,7 +50,13 @@ def read_jdbc(
 ) -> DataFrame:
     """JDBC source. Always pass partition_column+bounds for big tables —
     without them Spark reads through ONE connection (the classic JDBC
-    bottleneck the reference's source-jdbc also documents)."""
+    bottleneck the reference's source-jdbc also documents; JdbcExplorer
+    splits on a numeric column the same way).
+
+    Exercised END TO END in this container against an embedded Derby
+    database (Spark ships the derby jars): see
+    ``corpus/sources_corpus.py::jdbc_source_agg`` (oracle-checked) and
+    ``tests/test_sources.py`` (partitioned read, filter pushdown)."""
     reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
     if partition_column is not None:
         reader = (
