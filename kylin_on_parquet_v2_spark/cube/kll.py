@@ -187,7 +187,13 @@ def kll_build(func: FunctionDesc, name: str) -> Column:
 _PID_COL = "__kll_pid__"
 
 
-def kll_build_two_phase(df, keys: list, pairs: list) -> "DataFrame":
+#: max sketches any single merge buffer may collect; above this an extra
+#: tree level caps the fan-in (a 100k-partition scan would otherwise hand
+#: the final merge 100k × O(k) states per finest-grain group)
+_MERGE_FANIN = 64
+
+
+def kll_build_two_phase(df, keys: list, pairs: list, fanin: int = _MERGE_FANIN) -> "DataFrame":
     """Per-group sketches over ``df`` at grain ``keys`` without ever
     materializing a whole group.
 
@@ -195,19 +201,24 @@ def kll_build_two_phase(df, keys: list, pairs: list) -> "DataFrame":
     each (group, partition) buffer holds only that input partition's rows —
     bounded by the scan split size, independent of group cardinality (the
     skewed-finest-grain case a rank sketch exists for).  Phase 2 merges the
-    per-partition partial sketches at the target grain; each merge input is
-    a ~3k-item compressed state, so the second collect_list is
-    #partitions-containing-group × O(k), not O(rows).  Merge is associative
-    and deterministic (compaction order fixed), and parquet split planning
-    is stable, so rebuilds stay bit-identical.
+    per-partition partial sketches at the target grain; each input is a
+    ~3k-item compressed state.  When the scan has more than ``fanin``
+    partitions, an intermediate TREE level first merges within
+    (keys, pid % fanin) — every merge buffer then holds at most
+    max(fanin, #partitions/fanin) sketches, never #partitions of them.
+    Merge is associative and deterministic (compaction order fixed), and
+    parquet split planning is stable, so rebuilds stay bit-identical.
 
     ``pairs`` is ``[(FunctionDesc, out_name), ...]`` — one sketch column per
-    KLL measure, all computed in the same two aggregation passes.
+    KLL measure, all computed in the same aggregation passes.
     """
     pid = F.spark_partition_id().alias(_PID_COL)
     partial_aggs = [kll_build(f, n) for f, n in pairs]
     partials = df.groupBy(*keys, pid).agg(*partial_aggs)
     merge_aggs = [kll_reagg(f, n) for f, n in pairs]
+    if df.rdd.getNumPartitions() > fanin:  # plan-time fact, no Spark job
+        mid = F.pmod(F.col(_PID_COL), F.lit(fanin)).alias(_PID_COL)
+        partials = partials.groupBy(*keys, mid).agg(*merge_aggs)
     return (partials.groupBy(*keys) if keys else partials.groupBy()).agg(*merge_aggs)
 
 

@@ -119,13 +119,18 @@ def hist_build(func: FunctionDesc, name: str) -> Column:
 
 
 def hist_reagg(func: FunctionDesc, name: str) -> Column:
-    """Bin-wise sum of layout histograms — exact merge."""
+    """Bin-wise sum of layout histograms — exact merge, STREAMING: one
+    built-in SUM aggregate per bin (bins are a static declaration), so the
+    aggregation buffer is `bins` longs per group and partial map-side
+    aggregation applies. The earlier collect_list-then-fold spelling held
+    every child histogram in one buffer — O(child rows × bins) per group,
+    the same unbounded-buffer shape the two-phase KLL build removes."""
     bins, _lo, _hi = hist_spec(func)
-    zeros = F.array(*[F.lit(0).cast("long") for _ in range(bins)])
-    return F.aggregate(
-        F.collect_list(name),
-        zeros,
-        lambda acc, x: F.zip_with(acc, x, lambda a, c: a + c),
+    return F.array(
+        *[
+            F.coalesce(F.sum(F.col(name)[i]), F.lit(0).cast("long"))
+            for i in range(bins)
+        ]
     ).alias(name)
 
 

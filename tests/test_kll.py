@@ -158,3 +158,58 @@ def test_kll_cube_build_uses_two_phase(kll_engine, spark):
     from kylin_on_parquet_v2_spark.metadata import MeasureDesc as MD
 
     assert M.build_agg(MD("kll_v", FD("PERCENTILE_APPROX", "v", "kll(256)"))) is None
+
+
+def test_kll_two_phase_tree_fanin_bounds_merge(spark):
+    """With more input partitions than the fan-in, an intermediate tree
+    level merges within (keys, pid % fanin) so no merge buffer ever
+    collects #partitions sketches; quantiles stay within rank tolerance."""
+    from kylin_on_parquet_v2_spark.cube.kll import kll_build_two_phase
+
+    df = (
+        spark.range(0, 4000)
+        .repartition(16)  # > fanin below
+        .select((F.col("id") % 2).alias("k"), (F.col("id") * 1.0).alias("v"))
+    )
+    out = kll_build_two_phase(
+        df, ["k"], [(FunctionDesc("PERCENTILE_APPROX", "v", "kll(64)"), "s")], fanin=4
+    )
+    # three aggregate levels: (k, pid), (k, pid % 4), (k)
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert plan.lower().count("aggregate") >= 3, plan
+    vals = np.arange(0, 4000, dtype=np.float64)
+    for r in out.collect():
+        grp = vals[vals % 2 == float(r["k"])]
+        got = sketch_quantile(r["s"], 0.9)
+        rank = (grp <= got).mean()
+        assert abs(rank - 0.9) < 0.05, (r["k"], got, rank)
+
+
+def test_hist_reagg_is_streaming_per_bin_sums(spark):
+    """hist merge must be built-in SUM aggregates (bins longs per buffer),
+    never a collect_list of every child histogram (verdict-r6-class
+    unbounded-buffer shape)."""
+    from kylin_on_parquet_v2_spark.cube.measures import (
+        hist_build,
+        hist_percentile,
+        hist_reagg,
+    )
+    from kylin_on_parquet_v2_spark.metadata import FunctionDesc as FD
+
+    f = FD("PERCENTILE_APPROX", "v", "hist(16,0,100)")
+    base = (
+        spark.range(0, 1000)
+        .select(
+            "id",
+            (F.col("id") % 4).alias("k"),
+            (F.col("id") % 100 * 1.0).alias("v"),
+        )
+        .groupBy("k", (F.col("id") % 7).alias("sub"))
+        .agg(hist_build(f, "h"))
+    )
+    merged = base.groupBy("k").agg(hist_reagg(f, "h"))
+    plan = merged._jdf.queryExecution().analyzed().toString()
+    assert "collect_list" not in plan, plan
+    rows = merged.select("k", hist_percentile(f, F.col("h"), 0.5).alias("p")).collect()
+    for r in rows:
+        assert abs(r["p"] - 50.0) < 100 / 16 + 1, r  # within bin width of exact
