@@ -77,6 +77,7 @@ _PRIORITY = [
     "jdbc_source_agg",  # JDBC source END TO END via embedded Derby (new r7)
     "csv_source_roundtrip",  # declared-schema CSV source round-trip (new r7)
     "orc_source_roundtrip",  # ORC source round-trip (new r7)
+    "ordered_set_aggs",  # ANSI PERCENTILE_CONT/DISC WITHIN GROUP + MEDIAN (new r7)
     "scalar_conformance_math",  # r06 red row: signed-zero oracle fix must flip it green
     "percentile_kll_sketch",  # KLL build now two-phase (no whole-group collect)
     "cube_routed_percentile_sketch",  # percentile routing after engine memo refactor

@@ -59,10 +59,31 @@ def epoch_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderkey")
 
 
+def ordered_set_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-set / inverse-distribution aggregates (SQL:2003
+    PERCENTILE_CONT / PERCENTILE_DISC ``WITHIN GROUP``, plus MEDIAN) — the
+    ANSI spelling of the reference's percentile measure surface
+    (``PercentileMeasureType``), answered exactly here via Spark's native
+    ordered-set aggregates (sort-based; the SKETCH measures are the
+    100 TB serving path, this is the exact-definition baseline)."""
+    views(spark, sf_dir)
+    return spark.sql(
+        """
+        select l_returnflag,
+               round(percentile_cont(0.5) within group (order by l_quantity), 4) as pc50,
+               round(percentile_disc(0.25) within group (order by l_quantity), 4) as pd25,
+               round(median(l_extendedprice), 4) as med_price,
+               round(percentile_cont(0.9) within group (order by l_discount), 6) as pc90_disc
+        from lineitem group by l_returnflag order by l_returnflag
+        """
+    )
+
+
 QUERIES = {
     "math_functions_2": math_functions_2,
     "string_functions_2": string_functions_2,
     "epoch_roundtrip": epoch_roundtrip,
+    "ordered_set_aggs": ordered_set_aggs,
 }
 
 ORACLES = {
@@ -100,5 +121,13 @@ ORACLES = {
                make_date(year(o_orderdate), month(o_orderdate), day(o_orderdate)) as md
         from orders where o_orderkey <= 50
         order by o_orderkey
+    """,
+    "ordered_set_aggs": """
+        select l_returnflag,
+               round(quantile_cont(l_quantity, 0.5), 4) as pc50,
+               round(quantile_disc(l_quantity, 0.25), 4) as pd25,
+               round(median(l_extendedprice), 4) as med_price,
+               round(quantile_cont(l_discount, 0.9), 6) as pc90_disc
+        from lineitem group by l_returnflag order by l_returnflag
     """,
 }
