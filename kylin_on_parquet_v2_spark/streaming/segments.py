@@ -80,6 +80,35 @@ def ingest_segments(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(source_dir)
     )
+    q = ingest_stream(
+        spark,
+        stream,
+        out_dir,
+        checkpoint_dir,
+        ts_col=ts_col,
+        granularity=granularity,
+        available_now=True,
+    )
+    q.awaitTermination()
+
+
+def ingest_stream(
+    spark: SparkSession,
+    stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    ts_col: str = "ts",
+    granularity: str = "hour",
+    available_now: bool = False,
+):
+    """Source-agnostic half of the ingest path: ANY streaming DataFrame —
+    the file source above, Spark's built-in unbounded ``rate`` source
+    (tested, `test_rate_source_ingest_segments`), or
+    ``sources.readers.read_kafka_stream`` once its connector jar is on the
+    classpath — flows through the identical segment-stamp + foreachBatch
+    Parquet append. Returns the started StreamingQuery; with
+    ``available_now`` the caller is expected to awaitTermination, otherwise
+    to stop() it (continuous ingest)."""
     stream = _normalize_ts(stream, ts_col)
     with_seg = stream.withColumn(
         SEGMENT_COL,
@@ -89,13 +118,12 @@ def ingest_segments(
     def _write_batch(batch: DataFrame, epoch_id: int) -> None:
         batch.write.mode("append").partitionBy(SEGMENT_COL).parquet(out_dir)
 
-    q = (
-        with_seg.writeStream.foreachBatch(_write_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    writer = with_seg.writeStream.foreachBatch(_write_batch).option(
+        "checkpointLocation", checkpoint_dir
     )
-    q.awaitTermination()
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def windowed_aggregate(

@@ -208,3 +208,54 @@ def test_streaming_dedup_absorbs_redelivery(spark):
     assert raw.count() == 2 * single.count()
     deduped = run_dedup_to_memory(spark, src, query_name="dedup_redelivery_test")
     assert deduped.count() == single.count()
+
+
+def test_rate_source_ingest_segments(spark, tmp_path):
+    """An UNBOUNDED built-in source (rate) through the same ingest path the
+    file source uses — the source-agnosticism claim behind the Kafka
+    env-block, proven with a source that is genuinely a stream (no files,
+    no end): micro-batches keep arriving until the test stops the query,
+    and every row lands under its hour-segment dir."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from kylin_on_parquet_v2_spark.cube.build import SEGMENT_COL
+    from kylin_on_parquet_v2_spark.streaming.segments import ingest_stream
+
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", "500")
+        .load()
+        .select(
+            F.col("timestamp").alias("ts"),
+            (F.col("value") % 7).alias("user_id"),
+            (F.col("value") * 1.0).alias("amount"),
+        )
+    )
+    out = str(tmp_path / "seg")
+    q = ingest_stream(
+        spark, rate, out, str(tmp_path / "ckpt"), ts_col="ts", granularity="hour"
+    )
+    try:
+        deadline = time.time() + 60
+        rows = 0
+        while time.time() < deadline:
+            try:
+                rows = spark.read.parquet(out).count()
+            except Exception:
+                rows = 0
+            if rows >= 100 and len(q.recentProgress) >= 2:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    assert rows >= 100, rows
+    back = spark.read.parquet(out)
+    assert SEGMENT_COL in back.columns
+    # every row's segment dir equals its own hour-truncated timestamp
+    bad = back.filter(
+        F.col(SEGMENT_COL)
+        != F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd-HH")
+    ).count()
+    assert bad == 0
