@@ -13,6 +13,19 @@ from kylin_on_parquet_v2_spark.session import register_views
 _ENGINES: dict[str, OlapEngine] = {}
 
 
+def proc_tmp(*parts: str) -> str:
+    """Per-PROCESS fixture path. Corpus fixtures (cubes, stream stores,
+    Derby DBs) are cached in module-level dicts, i.e. per process — but a
+    fixed /tmp path let a CONCURRENT process's rebuild (every driver
+    entry() smoke rebuilds the standard cubes) rmtree live layouts under
+    this process's readers mid-query. Embedding the pid removes the
+    cross-process collision; it adds no build cost because a second
+    process always rebuilt its own fixtures anyway."""
+    return os.path.join(
+        tempfile.gettempdir(), f"kylin_fixtures_{os.getpid()}", *parts
+    )
+
+
 def views(spark: SparkSession, sf_dir: str) -> None:
     register_views(spark, sf_dir)
 
@@ -34,9 +47,7 @@ def engine(spark: SparkSession, sf_dir: str) -> OlapEngine:
     eng = _ENGINES.get(key)
     if eng is not None and eng.spark is spark:
         return eng
-    storage = os.path.join(
-        tempfile.gettempdir(), "kylin_entry_cubes", key.strip("/").replace("/", "_")
-    )
+    storage = proc_tmp("entry_cubes", key.strip("/").replace("/", "_"))
     eng = OlapEngine(spark, storage_dir=storage)
     eng.register_sources(sf_dir)
     eng.add_model(TPCH_MODEL)

@@ -248,9 +248,9 @@ def _kll_engine(spark: SparkSession, sf_dir: str):
     if eng is not None and eng.spark is spark:
         return eng
     views(spark, sf_dir)
-    storage = os.path.join(
-        tempfile.gettempdir(), "kylin_kll_cubes", key.strip("/").replace("/", "_")
-    )
+    from kylin_on_parquet_v2_spark.corpus.base import proc_tmp
+
+    storage = proc_tmp("kll_cubes", key.strip("/").replace("/", "_"))
     eng = OlapEngine(spark, storage_dir=storage)
     eng.add_model(DataModel(name="events_kll_star", fact_table="events"))
     eng.build_cube(

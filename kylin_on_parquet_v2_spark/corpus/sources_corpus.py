@@ -20,13 +20,12 @@ join/aggregate == direct SQL over parquet.
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from kylin_on_parquet_v2_spark.corpus.base import views
+from kylin_on_parquet_v2_spark.corpus.base import proc_tmp, views
 from kylin_on_parquet_v2_spark.sources.readers import read_csv, read_jdbc, read_orc
 
 DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
@@ -43,9 +42,9 @@ def _derby_url(spark: SparkSession, sf_dir: str) -> str:
     url = _DERBY_DBS.get(key)
     if url is not None:
         return url
-    db = os.path.join(
-        tempfile.gettempdir(), "kylin_jdbc_src", key.strip("/").replace("/", "_"), "db"
-    )
+    # per-process (proc_tmp): embedded Derby locks a database per JVM, so a
+    # concurrent process opening the same path would fail outright
+    db = os.path.join(proc_tmp("jdbc_src", key.strip("/").replace("/", "_")), "db")
     url = f"jdbc:derby:{db};create=true"
     (
         spark.table("nation")
@@ -97,10 +96,7 @@ def _staged_path(spark: SparkSession, sf_dir: str, fmt: str) -> str:
     if path is not None:
         return path
     path = os.path.join(
-        tempfile.gettempdir(),
-        "kylin_src_stage",
-        key[0].strip("/").replace("/", "_"),
-        fmt,
+        proc_tmp("src_stage", key[0].strip("/").replace("/", "_")), fmt
     )
     df = spark.table("region")
     if fmt == "csv":

@@ -7,12 +7,11 @@ from __future__ import annotations
 
 import os
 import shutil
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kylin_on_parquet_v2_spark.corpus.base import views
+from kylin_on_parquet_v2_spark.corpus.base import proc_tmp, views
 from kylin_on_parquet_v2_spark.streaming.segments import (
     SEGMENT_COL,
     _stream_shuffle,
@@ -31,9 +30,7 @@ def _stream_source_dir(sf_dir: str) -> str:
     key = os.path.abspath(sf_dir)
     if key in _SRC_DIRS:
         return _SRC_DIRS[key]
-    src = os.path.join(
-        tempfile.gettempdir(), "kylin_stream_source", key.strip("/").replace("/", "_")
-    )
+    src = proc_tmp("stream_source", key.strip("/").replace("/", "_"))
     os.makedirs(src, exist_ok=True)
     link = os.path.join(src, "events.parquet")
     if not os.path.exists(link):
@@ -47,9 +44,7 @@ def _ingest_dir(spark: SparkSession, sf_dir: str) -> str:
     key = os.path.abspath(sf_dir)
     if key in _INGESTED:
         return _INGESTED[key]
-    base = os.path.join(
-        tempfile.gettempdir(), "kylin_stream_segments", key.strip("/").replace("/", "_")
-    )
+    base = proc_tmp("stream_segments", key.strip("/").replace("/", "_"))
     out_dir = os.path.join(base, "segments")
     ckpt = os.path.join(base, "checkpoint")
     if os.path.exists(base):
@@ -149,9 +144,7 @@ def _hybrid_engine(spark: SparkSession, sf_dir: str):
         .collect()
     )
     split = days[len(days) // 2]  # batch cube owns days <= split
-    storage = os.path.join(
-        tempfile.gettempdir(), "kylin_hybrid_cubes", key.strip("/").replace("/", "_")
-    )
+    storage = proc_tmp("hybrid_cubes", key.strip("/").replace("/", "_"))
     eng = OlapEngine(spark, storage_dir=storage)
     eng.add_model(EVENTS_MODEL_SEG)
     eng.build_cube(EVENTS_CUBE_SEG, segment_range=(None, split))
@@ -328,9 +321,7 @@ def _dup_source_dir(sf_dir: str) -> str:
     key = os.path.abspath(sf_dir)
     if key in _DUP_SRC_DIRS:
         return _DUP_SRC_DIRS[key]
-    src = os.path.join(
-        tempfile.gettempdir(), "kylin_stream_dup_source", key.strip("/").replace("/", "_")
-    )
+    src = proc_tmp("stream_dup_source", key.strip("/").replace("/", "_"))
     os.makedirs(src, exist_ok=True)
     for name in ("events.parquet", "events_redelivered.parquet"):
         link = os.path.join(src, name)

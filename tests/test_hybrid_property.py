@@ -39,7 +39,11 @@ from kylin_on_parquet_v2_spark.query.engine import OlapEngine
 _ENGINE = None
 
 
-def _engine(spark, tmp_dir="/tmp/kylin_hybrid_prop"):
+def _engine(spark, tmp_dir=None):
+    import os as _os
+
+    if tmp_dir is None:
+        tmp_dir = f"/tmp/kylin_hybrid_prop_{_os.getpid()}"
     global _ENGINE
     if _ENGINE is not None:
         return _ENGINE
