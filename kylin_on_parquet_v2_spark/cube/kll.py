@@ -224,7 +224,14 @@ def kll_build_two_phase(df, keys: list, pairs: list, fanin: int = _MERGE_FANIN) 
 
 def kll_reagg(func: FunctionDesc, name: str) -> Column:
     """Re-aggregate stored sketches (child layouts / coarser query grain /
-    segment merge): concat + re-compact — total weight preserved."""
+    segment merge): concat + re-compact — total weight preserved.
+
+    Buffer bound: the collect gathers one O(k) state per INPUT ROW of the
+    group. At build time the two-phase tree caps that at the fan-in; at
+    query time the inputs are layout rows, and the router's cost rule
+    (fewest layout rows scanned) points coarse queries at coarse layouts,
+    so the per-group row count stays dimension-cardinality-sized, not
+    fact-sized."""
     k = kll_spec(func)
     _, merge_list, _ = _udfs(k)
     return merge_list(F.collect_list(name)).alias(name)
