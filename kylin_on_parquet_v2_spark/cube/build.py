@@ -182,8 +182,30 @@ class CubeInstance:
     #: derived-filter -> host-column IN-list translation (DerivedProcess
     #: parity), so repeated dashboard queries pay the small lookup scan once
     derived_in_cache: dict = field(default_factory=dict, repr=False)
+    #: memoized committed-segment ledger (None = not read yet this session);
+    #: refreshed whenever a build step commits or retires markers
+    _committed_cache: list | None = field(default=None, repr=False)
 
     def layout_df(self, spark: SparkSession, cuboid: Cuboid) -> DataFrame:
+        df = self._layout_df_raw(spark, cuboid)
+        if self.segmented:
+            committed = self.committed_segments(spark)
+            if committed is not None:
+                # READY-segment visibility (reference: queries serve from
+                # CubeSegments in READY state only — CubeInstance
+                # .getSegments(READY)): a crashed build/append job leaves
+                # partial segment dirs on disk, and this partition-column
+                # predicate (evaluated driver-side against partition
+                # values — a metadata prune, not a data filter) keeps them
+                # out of every routed scan until their batch COMMITS.
+                df = df.filter(
+                    F.col(SEGMENT_COL).cast("string").isin(committed)
+                )
+        return df
+
+    def _layout_df_raw(self, spark: SparkSession, cuboid: Cuboid) -> DataFrame:
+        """Layout scan WITHOUT the READY-visibility prune — build/merge
+        internals that manage segment dirs themselves."""
         t = self.layout_tables.get(cuboid.cuboid_id)
         return spark.table(t) if t else spark.read.parquet(self.layouts[cuboid.cuboid_id])
 
@@ -293,6 +315,57 @@ class CubeInstance:
             if d.startswith(prefix)
         )
 
+    # -- committed-segment ledger (READY-state visibility) -------------------
+    #
+    # Reference parity: a CubeSegment serves queries only once its build job
+    # flips it to READY (CubeManager.promoteNewlyBuiltSegments); segments of
+    # a crashed job stay NEW and invisible. Here READY == a marker file in
+    # ``{cube}/_segments/`` named by the segment dir value, written AFTER
+    # every layout holds the segment's rows — so serving scans, the hybrid
+    # batch/realtime boundary, and incremental-build change detection all
+    # agree on exactly the committed set even mid-crash.
+
+    def ledger_dir(self) -> str:
+        return os.path.join(self.storage_dir, self.desc.name, "_segments")
+
+    def committed_segments(self, spark: SparkSession) -> list[str] | None:
+        """Committed segment dir values (sorted), or ``None`` when the cube
+        has no ledger (pre-ledger dirs): callers then fall back to
+        directory-scan visibility. Memoized per instance — serving reads
+        are a cached list, not a listing per query."""
+        if self._committed_cache is not None:
+            return self._committed_cache
+        d = self.ledger_dir()
+        fs = FS.fs_for(d, spark)
+        if not fs.exists(d):
+            return None
+        self._committed_cache = sorted(fs.listdir(d))
+        return self._committed_cache
+
+    def commit_segments(self, spark: SparkSession, vals: list) -> None:
+        """Flip segment dir values to READY (idempotent)."""
+        d = self.ledger_dir()
+        fs = FS.fs_for(d, spark)
+        if not fs.exists(d):
+            fs.makedirs(d)
+            # adopting the ledger on a pre-ledger cube: seed it with every
+            # segment already serving, or this first commit would hide them
+            for v in self.segments(spark):
+                fs.write_text(os.path.join(d, str(v)), "")
+        for v in vals:
+            fs.write_text(os.path.join(d, str(v)), "")
+        self._committed_cache = None
+
+    def uncommit_segments(self, spark: SparkSession, vals: list) -> None:
+        """Retire markers (segments merged away or dropped by retention)."""
+        d = self.ledger_dir()
+        fs = FS.fs_for(d, spark)
+        if not fs.exists(d):
+            return
+        for v in vals:
+            fs.remove(os.path.join(d, str(v)))
+        self._committed_cache = None
+
 
 class CubeBuilder:
     def __init__(self, spark: SparkSession, model: DataModel, desc: CubeDesc, storage_dir: str):
@@ -317,6 +390,7 @@ class CubeBuilder:
         self,
         overwrite: bool = True,
         segment_range: tuple[str | None, str | None] | None = None,
+        resume: bool = False,
     ) -> CubeInstance:
         """Build every scheduled cuboid, reusing parent layouts.
 
@@ -326,7 +400,20 @@ class CubeBuilder:
         ``CubeBuildJob`` builds exactly that range). Data outside the range
         stays un-cubed: the initial-load shape for a hybrid realization,
         where post-boundary data lives in the realtime store until
-        :meth:`build_increment` absorbs it."""
+        :meth:`build_increment` absorbs it.
+
+        ``resume=True`` restarts a CRASHED build without redoing finished
+        work (reference: the job engine resumes a CubingJob from its last
+        completed step — ExecutableManager.resumeJob): layouts whose dir
+        carries a ``_SUCCESS`` commit are adopted as-is (bucketed ones only
+        if their catalog table also exists and points at the dir), partial
+        dirs are rebuilt, and an already-written global dictionary is
+        EXTENDED (versioned append — ids stay valid for every word bag the
+        crashed attempt already wrote) instead of rebuilt. Implies
+        ``overwrite=False``; assumes the source data is unchanged since the
+        crashed attempt (a changed source needs a fresh full build)."""
+        if resume:
+            overwrite = False
         if self.model.partition_column is not None and any(
             m.function.expression == "TOP_N" for m in self.desc.measures
         ):
@@ -397,15 +484,28 @@ class CubeBuilder:
         # exactly because every value maps to one id everywhere.
         for m in self._bitmap_measures():
             param = m.function.parameter
-            d = GD.build_global_dict(flat, param)
             dict_path = os.path.join(cube_dir, "dict", param)
-            d.write.mode("overwrite").parquet(dict_path)
+            if resume and layout_fs.exists(os.path.join(dict_path, "_SUCCESS")):
+                # the crashed attempt finished this dictionary: EXTEND it
+                # (append-only ids) rather than rebuild — a rebuild could
+                # renumber values and silently corrupt every word bag the
+                # crashed attempt already committed
+                extended = GD.extend_global_dict(
+                    self.spark.read.parquet(dict_path), flat, param
+                )
+                staging = dict_path + "_staging"
+                extended.write.mode("overwrite").parquet(staging)
+                layout_fs.rmtree(dict_path)
+                layout_fs.rename(staging, dict_path)
+            else:
+                d = GD.build_global_dict(flat, param)
+                d.write.mode("overwrite").parquet(dict_path)
             flat = GD.encode_column(flat, self.spark.read.parquet(dict_path), param)
         flat.persist()
         self._measure_key_nullability(flat, inst.segmented)
         self._prepare_measure_bases(flat)
         try:
-            self._build_layers(flat, cube_dir, inst)
+            self._build_layers(flat, cube_dir, inst, resume=resume)
             self._warn_value_retaining_grain(flat, inst)
         finally:
             self._release_measure_bases()
@@ -417,6 +517,11 @@ class CubeBuilder:
             snap_path = os.path.join(snap_root, lk.name)
             self.spark.table(lk.table).coalesce(1).write.mode("overwrite").parquet(snap_path)
             inst.snapshots[lk.table] = snap_path
+        # commit point: markers flip every built segment to READY, then the
+        # meta write publishes the instance — a crash anywhere above leaves
+        # nothing visible to serving scans
+        if inst.segmented:
+            inst.commit_segments(self.spark, inst.segments(self.spark))
         inst.save_meta()
         return inst
 
@@ -429,7 +534,13 @@ class CubeBuilder:
     #: reads parents of size > k.
     build_parallelism = 4
 
-    def _build_layers(self, flat: DataFrame, cube_dir: str, inst: CubeInstance) -> None:
+    def _build_layers(
+        self,
+        flat: DataFrame,
+        cube_dir: str,
+        inst: CubeInstance,
+        resume: bool = False,
+    ) -> None:
         from concurrent.futures import ThreadPoolExecutor
 
         tree = self.scheduler.spanning_tree()
@@ -439,11 +550,15 @@ class CubeBuilder:
             layers.setdefault(cuboid.n_dims, []).append((cuboid, parent))
 
         def _one(cuboid: Cuboid, parent: Cuboid | None) -> tuple[int, str, str | None]:
+            path = os.path.join(cube_dir, f"cuboid={cuboid.cuboid_id}")
+            if resume:
+                done, tname = self._adopt_layout(path, cuboid)
+                if done:
+                    return cuboid.cuboid_id, path, tname
             if parent is None:
                 df = self._agg_from_flat(flat, cuboid, inst.segmented)
             else:
                 df = self._agg_from_parent(built[parent.cuboid_id], cuboid, inst.segmented)
-            path = os.path.join(cube_dir, f"cuboid={cuboid.cuboid_id}")
             tname = self._write_layout(
                 df, path, inst.segmented, cuboid_id=cuboid.cuboid_id
             )
@@ -468,6 +583,31 @@ class CubeBuilder:
                     # written layout truncates lineage (the reference builds
                     # children from persisted parents too)
                     built[cuboid_id] = self.spark.read.parquet(path)
+
+    def _adopt_layout(self, path: str, cuboid: Cuboid) -> tuple[bool, str | None]:
+        """Resume check for one layout: ``(True, tname|None)`` when the
+        crashed attempt COMMITTED it — the dir carries Spark's ``_SUCCESS``
+        job-commit marker, and a bucketed layout's catalog table also exists
+        pointing at this dir (a committed dir whose table registration was
+        lost in the crash is rebuilt: files without the catalog bucket spec
+        would serve correctly but silently lose the shuffle elision the
+        layout was declared for)."""
+        fs = FS.fs_for(path, self.spark)
+        if not fs.exists(os.path.join(path, "_SUCCESS")):
+            return False, None
+        bucketed = (
+            self.desc.bucket_layouts
+            and self.desc.shard_by
+            and self.desc.shard_by in cuboid.dims
+        )
+        if not bucketed:
+            return True, None
+        tname = f"{self.desc.name}_{self._table_ns()}_c{cuboid.cuboid_id}".lower()
+        if self.spark.catalog.tableExists(tname) and _same_location(
+            _table_location(self.spark, tname), path
+        ):
+            return True, tname
+        return False, None
 
     def _flat_with_segment(self) -> DataFrame:
         flat = self.model.flat_table(self.spark)
@@ -804,7 +944,17 @@ class CubeBuilder:
         cube_dir = os.path.join(self.storage_dir, self.desc.name)
         flat = self._flat_with_segment()
         if segments is None:
-            dirs = set(inst.segments(self.spark))
+            # change detection against the COMMITTED ledger, not the dirs on
+            # disk: a crashed append leaves the new segment's dir on the
+            # base layout (written first) but missing from coarser layouts —
+            # a dir scan would call it covered and the segment would stay
+            # half-built forever. Pre-ledger cube dirs fall back to the scan.
+            committed = inst.committed_segments(self.spark)
+            dirs = (
+                set(committed)
+                if committed is not None
+                else set(inst.segments(self.spark))
+            )
             ranges = dict(inst.segment_ranges)
 
             def covered(s: str) -> bool:
@@ -847,6 +997,9 @@ class CubeBuilder:
         finally:
             self._release_measure_bases()
             flat_new.unpersist()
+        # commit point: every layout now holds the batch's rows; the markers
+        # make them visible to serving scans and to change detection
+        inst.commit_segments(self.spark, segments)
         inst.save_meta()
         return segments
 
@@ -865,11 +1018,26 @@ class CubeBuilder:
             layers.setdefault(cuboid.n_dims, []).append((cuboid, parent))
 
         def _one(cuboid: Cuboid, parent: Cuboid | None) -> tuple[int, str]:
+            path = inst.layouts[cuboid.cuboid_id]
+            # idempotent re-append: a CRASHED previous attempt may have left
+            # partial (uncommitted) dirs for these segments on this layout —
+            # drop them first so the rerun lands exactly one copy of each row
+            fs = FS.fs_for(path, self.spark)
+            stale = False
+            for val in segments:
+                seg_dir = os.path.join(path, f"{SEGMENT_COL}={val}")
+                if fs.exists(seg_dir):
+                    fs.rmtree(seg_dir)
+                    stale = True
+            if stale:
+                self.spark.catalog.refreshByPath(path)
+                t = inst.layout_tables.get(cuboid.cuboid_id)
+                if t is not None:
+                    self.spark.catalog.refreshTable(t)
             if parent is None:
                 df = self._agg_from_flat(flat_new, cuboid, True)
             else:
                 df = self._agg_from_parent(built[parent.cuboid_id], cuboid, True)
-            path = inst.layouts[cuboid.cuboid_id]
             # bucketed layouts append through the SAME table spec (the
             # catalog enforces bucket-count/column agreement on append)
             self._write_layout(

@@ -73,8 +73,44 @@ def merge_segments(
             spark.sql(f"DROP TABLE IF EXISTS {t}")
         inst.layout_tables.clear()
 
+    # visibility-first commit: the merged dir value becomes READY before any
+    # layout swaps, so a layout that has swapped serves its merged dir while
+    # un-swapped layouts keep serving the absorbed dirs — every layout stays
+    # self-consistent through a crash (a query routes to exactly one layout)
+    inst.commit_segments(spark, [new_segment])
+
     for cuboid_id, path in inst.layouts.items():
         cuboid = inst.scheduler.cuboids[cuboid_id]
+        fs = FS.fs_for(path, spark)
+        final_dir = os.path.join(path, f"{SEGMENT_COL}={new_segment}")
+        staging = os.path.join(path, f"_staging_{SEGMENT_COL}={new_segment}")
+        sentinel = staging + ".swapping"
+        others = [s for s in segments if s != new_segment]
+        if fs.exists(sentinel):
+            # a crashed attempt finished STAGING this layout's merge and died
+            # mid-swap: the staged bytes are authoritative — finish the swap
+            # instead of recomputing from half-deleted input dirs
+            if fs.exists(staging):
+                for seg in segments:
+                    seg_dir = os.path.join(path, f"{SEGMENT_COL}={seg}")
+                    if fs.exists(seg_dir):
+                        fs.rmtree(seg_dir)
+                if fs.exists(final_dir):
+                    fs.rmtree(final_dir)
+                fs.rename(staging, final_dir)
+            fs.remove(sentinel)
+            continue
+        if (
+            others
+            and fs.exists(final_dir)
+            and not any(
+                fs.exists(os.path.join(path, f"{SEGMENT_COL}={s}")) for s in others
+            )
+        ):
+            # rerun after a crash: this layout already completed its swap —
+            # recomputing from the (now absent) absorbed dirs would overwrite
+            # the merged segment with an empty one
+            continue
         df = spark.read.parquet(path).filter(F.col(SEGMENT_COL).isin(segments))
         aggs = []
         for m in inst.desc.measures:
@@ -107,7 +143,6 @@ def merge_segments(
         else:
             merged, parts = with_shard_partition(merged, inst.desc)
         # stage the merged segment, then atomically swap the old dirs out
-        staging = os.path.join(path, f"_staging_{SEGMENT_COL}={new_segment}")
         if parts:
             # Repartitioning by the shard column alone caps non-empty
             # partitions at shard_buckets regardless of n_files — with skew
@@ -121,15 +156,18 @@ def merge_segments(
             writer.write.mode("overwrite").partitionBy(*parts).parquet(staging)
         else:
             merged.repartition(n_files).write.mode("overwrite").parquet(staging)
-        fs = FS.fs_for(path, spark)
+        # swap sentinel: from here until the rename lands, the staged bytes
+        # are the layout's truth — a rerun finishes the swap (above) rather
+        # than recomputing from partially deleted inputs
+        fs.write_text(sentinel, "")
         for seg in segments:
             seg_dir = os.path.join(path, f"{SEGMENT_COL}={seg}")
             if fs.exists(seg_dir):
                 fs.rmtree(seg_dir)
-        final = os.path.join(path, f"{SEGMENT_COL}={new_segment}")
-        if fs.exists(final):
-            fs.rmtree(final)
-        fs.rename(staging, final)
+        if fs.exists(final_dir):
+            fs.rmtree(final_dir)
+        fs.rename(staging, final_dir)
+        fs.remove(sentinel)
 
     # Range bookkeeping (reference: per-segment TSRange): the merged dir's
     # coverage END is the max absorbed segment (or a previously-merged
@@ -140,6 +178,9 @@ def merge_segments(
         inst.segment_ranges.pop(s, None)
     if end != new_segment:
         inst.segment_ranges[new_segment] = end
+    # every layout has swapped: the absorbed dir values retire from the
+    # READY ledger (their rows now live under the merged dir)
+    inst.uncommit_segments(spark, [s for s in segments if s != new_segment])
     inst.save_meta()
 
 
@@ -162,7 +203,8 @@ def maybe_auto_merge(
         threshold = inst.desc.auto_merge_segments
     if not threshold or not inst.segmented:
         return None
-    segs = inst.segments(spark)
+    committed = inst.committed_segments(spark)
+    segs = committed if committed is not None else inst.segments(spark)
     if len(segs) < threshold or len(segs) < 3:
         return None
     to_merge = segs[:-1]
@@ -188,7 +230,8 @@ def apply_retention(
         keep = inst.desc.retention_segments
     if not keep or not inst.segmented:
         return []
-    segs = inst.segments(spark)
+    committed = inst.committed_segments(spark)
+    segs = committed if committed is not None else inst.segments(spark)
     drop = segs[:-keep] if len(segs) > keep else []
     if not drop:
         return []
@@ -200,5 +243,6 @@ def apply_retention(
                 fs.rmtree(seg_dir)
     for seg in drop:
         inst.segment_ranges.pop(seg, None)
+    inst.uncommit_segments(spark, drop)
     inst.save_meta()
     return drop

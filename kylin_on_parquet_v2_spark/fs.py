@@ -43,6 +43,13 @@ class LocalFS:
     def rename(self, src: str, dst: str) -> None:
         os.rename(src, dst)
 
+    def remove(self, path: str) -> None:
+        """Delete a single file; absent is fine (idempotent un-commit)."""
+        try:
+            os.remove(path)
+        except FileNotFoundError:
+            pass
+
     def file_sizes(self, path: str) -> Iterator[tuple[str, int]]:
         # skip dotfiles (.crc checksum sidecars etc.) to match the Hadoop
         # local FileSystem, whose ChecksumFileSystem hides them; '_'-prefixed
@@ -106,6 +113,9 @@ class HadoopFS:
     def rename(self, src: str, dst: str) -> None:
         if not self._fs(src).rename(self._path(src), self._path(dst)):
             raise OSError(f"rename failed: {src} -> {dst}")
+
+    def remove(self, path: str) -> None:
+        self._fs(path).delete(self._path(path), False)
 
     def file_sizes(self, path: str) -> Iterator[tuple[str, int]]:
         it = self._fs(path).listFiles(self._path(path), True)

@@ -223,7 +223,13 @@ def batch_boundary(inst: CubeInstance, spark: SparkSession) -> str | None:
     range's end when that reaches further. Pure metadata (directory listing
     + persisted ranges) — no Spark job per query (the round-4 nit against
     hybrid_union's per-call max() job)."""
-    ends = list(inst.segments(spark)) + list(inst.segment_ranges.values())
+    committed = inst.committed_segments(spark)
+    segs = committed if committed is not None else inst.segments(spark)
+    # COMMITTED coverage, not dirs on disk: a crashed append's partial dir
+    # must not extend the boundary — layout_df hides it from the batch side,
+    # so the tail (strictly > boundary) serves that segment exactly once
+    # from the realtime store until the append commits
+    ends = list(segs) + list(inst.segment_ranges.values())
     return max(ends) if ends else None
 
 
