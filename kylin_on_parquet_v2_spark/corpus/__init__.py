@@ -73,6 +73,9 @@ _PRIORITY = [
     # --- r07 driver window: the new query + everything the r07 commits
     # --- touched, then the queries whose last driver check is oldest
     # --- (r01-r03, then r04). 50 entries exactly.
+    "text_repetition_features",  # Gopher-style repetition gate (new r7)
+    "text_redact_pii",  # deterministic PII scrub, exact redacted-string oracle (new r7)
+    "sample_domain_mix",  # target-driven corpus mixing, broadcast rate join (new r7)
     "q12_shipmode",  # TPC-H q12 TRUE dual-shipmode form (22/22 shapes)
     "jdbc_source_agg",  # JDBC source END TO END via embedded Derby (new r7)
     "csv_source_roundtrip",  # declared-schema CSV source round-trip (new r7)
@@ -124,11 +127,12 @@ _PRIORITY = [
     "cube_routed_snowflake",
     "cube_routed_filter_dim",
     "cube_routed_global",
+    # --- below the 50-entry driver window: recent (r05/r06) greens plus
+    # --- the three r01-r04 entries displaced by the new r7 queries, all
+    # --- still covered every round by the in-repo parity suite
     "pack_token_budget",
     "q12_priority_lines",
     "lateral_explode_tokens",
-    # --- below the 50-entry driver window: recent (r05/r06) greens,
-    # --- all still covered every round by the in-repo parity suite
     "cube_routed_hybrid_distinct",
     "cube_routed_hybrid_funnel",
     "cube_routed_hybrid_rollup",

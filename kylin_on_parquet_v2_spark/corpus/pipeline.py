@@ -23,6 +23,19 @@ from kylin_on_parquet_v2_spark.pipeline import text as T
 
 _NORM = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
+# PII oracle fragments: SAME regex strings the Spark op uses (pipeline.text
+# PII_* constants are RE2-compatible Java regex), plus the deterministic
+# augmentation replayed from _pii_augmented
+_PII_EMAIL_SQL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE_SQL = r"\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+_PII_IP_SQL = r"\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b"
+_PII_AUG = (
+    "text || ' contact user' || cast(doc_id as varchar)"
+    " || '@example.com or +1-555-'"
+    " || lpad(cast(doc_id % 10000 as varchar), 4, '0')"
+    " || ' from 10.0.' || cast(doc_id % 256 as varchar) || '.1'"
+)
+
 # word 3-gram shingles of the normalized text, deduped per doc
 _SHINGLES3 = f"""
     select doc_id, distinct_sh as sh from (
@@ -228,6 +241,58 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.fingerprint(spark.table("documents")).orderBy("doc_id")
 
 
+def text_repetition_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition gate: distinct-token ratio, top-token and
+    top-/dup-bigram fractions per document (explode → co-partitioned
+    (doc, gram) counts, bigrams via the JVM shingle transform)."""
+    views(spark, sf_dir)
+    return T.repetition_features(spark.table("documents")).orderBy("doc_id")
+
+
+#: deterministic PII augmentation: the fixture corpus is clean word soup, so
+#: the redaction query grafts one email / phone / IPv4 per doc as a pure
+#: function of doc_id — spelled identically in the oracle SQL (the
+#: q12_shipmode derived-view pattern), so masking is verified on text that
+#: actually contains PII, not vacuously on clean text
+def _pii_augmented(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-"),
+            F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"), 4, "0"),
+            F.lit(" from 10.0."),
+            F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
+            F.lit(".1"),
+        ).alias("text"),
+    )
+
+
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-then-mask PII scrub over the deterministically augmented corpus;
+    the full redacted string is part of the contract (exact match)."""
+    views(spark, sf_dir)
+    return T.redact_pii(_pii_augmented(spark.table("documents"))).orderBy("doc_id")
+
+
+def sample_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Target-driven mixing: cap every source at ~1000 tokens, rates derived
+    from phase-1 totals and broadcast back; summarized per source."""
+    views(spark, sf_dir)
+    kept = SP.domain_mix(spark.table("documents"), token_target=1000)
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("kept_docs"),
+            F.sum("n_tokens").cast("long").alias("kept_tokens"),
+            F.round(F.min("rate"), 6).alias("rate"),
+        )
+        .orderBy("source")
+    )
+
+
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     views(spark, sf_dir)
     docs = spark.table("documents")
@@ -324,6 +389,9 @@ QUERIES = {
     "text_language_id": text_language_id,
     "text_fingerprint": text_fingerprint,
     "text_token_stats": text_token_stats,
+    "text_repetition_features": text_repetition_features,
+    "text_redact_pii": text_redact_pii,
+    "sample_domain_mix": sample_domain_mix,
     "multimodal_metadata": multimodal_metadata,
     "multimodal_decode_features": multimodal_decode_features,
 }
@@ -707,6 +775,75 @@ ORACLES = {
                length({_NORM}) as n_norm_chars
         from documents
         order by doc_id
+    """,
+    "text_repetition_features": f"""
+        with ws as (
+            select doc_id, string_split({_NORM}, ' ') as ws from documents
+        ), uni as (
+            select doc_id, unnest(ws) as tok from ws
+        ), tc as (
+            select doc_id, tok, count(*) as c from uni group by 1, 2
+        ), ts as (
+            select doc_id, sum(c) as n_tokens, count(*) as n_distinct,
+                   max(c) as top_tok
+            from tc group by 1
+        ), bgr as (
+            select doc_id,
+                   unnest(list_transform(range(1, len(ws)),
+                                         i -> ws[i] || ' ' || ws[i+1])) as bg
+            from ws where len(ws) >= 2
+        ), bc as (
+            select doc_id, bg, count(*) as c from bgr group by 1, 2
+        ), bs as (
+            select doc_id, sum(c) as n_bigrams, max(c) as top_bg,
+                   sum(case when c > 1 then c else 0 end) as dup_bg
+            from bc group by 1
+        )
+        select ts.doc_id, cast(n_tokens as bigint) as n_tokens,
+               round(n_distinct / n_tokens, 6) as distinct_token_ratio,
+               round(top_tok / n_tokens, 6) as top_token_frac,
+               round(coalesce(top_bg / n_bigrams, 0.0), 6) as top_bigram_frac,
+               round(coalesce(dup_bg / n_bigrams, 0.0), 6) as dup_bigram_frac
+        from ts left join bs using (doc_id)
+        order by ts.doc_id
+    """,
+    "text_redact_pii": f"""
+        with aug as (
+            select doc_id, {_PII_AUG} as t from documents
+        )
+        select doc_id,
+               len(regexp_extract_all(t, '{_PII_EMAIL_SQL}')) as n_emails,
+               len(regexp_extract_all(t, '{_PII_PHONE_SQL}')) as n_phones,
+               len(regexp_extract_all(t, '{_PII_IP_SQL}')) as n_ips,
+               regexp_replace(regexp_replace(regexp_replace(
+                   t, '{_PII_EMAIL_SQL}', '<EMAIL>', 'g'),
+                      '{_PII_PHONE_SQL}', '<PHONE>', 'g'),
+                      '{_PII_IP_SQL}', '<IP>', 'g') as redacted
+        from aug
+        order by doc_id
+    """,
+    "sample_domain_mix": f"""
+        with t as (
+            select source, doc_id,
+                   len(string_split({_NORM}, ' ')) as n_tokens
+            from documents
+        ), tot as (
+            select source, sum(n_tokens) as domain_tokens from t group by 1
+        ), r as (
+            select source,
+                   least(cast(1.0 as double), 1000.0 / domain_tokens) as rate
+            from tot
+        ), kept as (
+            select t.source, t.doc_id, t.n_tokens, r.rate
+            from t join r using (source)
+            where {_HASH_BUCKET} < floor(rate * 4294967296.0)
+        )
+        select source, count(*) as kept_docs,
+               cast(sum(n_tokens) as bigint) as kept_tokens,
+               round(min(rate), 6) as rate
+        from kept
+        group by source
+        order by source
     """,
     "text_token_stats": f"""
         select source,

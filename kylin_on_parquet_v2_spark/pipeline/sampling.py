@@ -64,6 +64,48 @@ def stratified_sample(
     return df.filter(hash_bucket(F.col(key_col)) < thresh)
 
 
+def domain_mix(
+    docs: DataFrame,
+    token_target: int,
+    stratum_col: str = "source",
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Target-driven corpus mixing: derive each domain's acceptance rate
+    FROM a per-domain token budget (rate = min(1, target / domain_tokens)),
+    then apply the deterministic hash filter. The two-phase shape a "cap
+    every source at N tokens" curation spec needs when the corpus sizes are
+    not known up front — :func:`stratified_sample` with computed rates.
+
+    Scale shape (100 TB): phase 1 is one partially-aggregated groupBy down
+    to |domains| rows; phase 2 broadcasts those rows back (no shuffle of
+    the corpus) and filters with pure column arithmetic. The threshold uses
+    ``floor`` explicitly — double→long CAST truncates on Spark but rounds
+    on other engines, and reproducible sampling must not depend on that.
+
+    Returns the kept rows: (stratum, key, n_tokens, rate).
+    """
+    with_tok = docs.select(
+        F.col(stratum_col),
+        F.col(key_col),
+        token_count(F.col(text_col)).alias("n_tokens"),
+    )
+    rates = (
+        with_tok.groupBy(stratum_col)
+        .agg(F.sum("n_tokens").alias("domain_tokens"))
+        .select(
+            stratum_col,
+            F.least(
+                F.lit(1.0), F.lit(float(token_target)) / F.col("domain_tokens")
+            ).alias("rate"),
+        )
+    )
+    return with_tok.join(F.broadcast(rates), stratum_col).filter(
+        hash_bucket(F.col(key_col))
+        < F.floor(F.col("rate") * F.lit(float(_HASH_SPACE)))
+    )
+
+
 def pack_token_budget(
     docs: DataFrame,
     budget: int,

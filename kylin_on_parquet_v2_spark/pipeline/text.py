@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from kylin_on_parquet_v2_spark.pipeline.dedup import normalize_text
+from kylin_on_parquet_v2_spark.pipeline.dedup import normalize_text, word_shingles
 
 #: tiny embedded stopword lists for the n-gram language heuristic
 _LANG_MARKERS = {
@@ -85,6 +85,93 @@ def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "lang",
         pred.alias("lang_pred"),
         *[F.coalesce(scores[lang], F.lit(0)).alias(f"score_{lang}") for lang in sorted(scores)],
+    )
+
+
+def repetition_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals: distinct-token ratio, top-token
+    fraction, top-/duplicate-bigram fractions. Boilerplate and degenerate
+    (looping) generations score high on the bigram fractions while ordinary
+    prose stays low — the standard repetition quality gate for training-data
+    curation.
+
+    Scale shape (100 TB): the classic word-count plan — explode multiplies
+    rows by tokens-per-doc, but both groupBys partially aggregate map-side
+    and share the ``doc_id`` shuffle key with the final join, so the cost is
+    one co-partitioned shuffle of (doc, gram) counts; no window, no sort,
+    no UDF (the bigram shingles are a JVM ``transform`` over the token
+    array).
+    """
+    toks = docs.select(
+        "doc_id", F.split(normalize_text(F.col(text_col)), " ").alias("__ws")
+    )
+    uni = toks.select("doc_id", F.explode("__ws").alias("tok"))
+    tok_stats = (
+        uni.groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("c").alias("top_tok"),
+        )
+    )
+    bg = toks.filter(F.size("__ws") >= 2).select(
+        "doc_id", F.explode(word_shingles(F.col("__ws"), 2)).alias("bg")
+    )
+    bg_stats = (
+        bg.groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.max("c").alias("top_bg"),
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("dup_bg"),
+        )
+    )
+    return tok_stats.join(bg_stats, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round(F.col("n_distinct") / F.col("n_tokens"), 6).alias(
+            "distinct_token_ratio"
+        ),
+        F.round(F.col("top_tok") / F.col("n_tokens"), 6).alias("top_token_frac"),
+        F.round(
+            F.coalesce(F.col("top_bg") / F.col("n_bigrams"), F.lit(0.0)), 6
+        ).alias("top_bigram_frac"),
+        F.round(
+            F.coalesce(F.col("dup_bg") / F.col("n_bigrams"), F.lit(0.0)), 6
+        ).alias("dup_bigram_frac"),
+    )
+
+
+#: PII patterns spelled in the RE2-compatible subset of Java regex, so the
+#: SAME pattern runs on Spark (java.util.regex) and the DuckDB oracle (RE2)
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+PII_IP = r"\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b"
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic PII scrubbing: count then mask emails, phone numbers
+    and IPv4 addresses with typed placeholders. Counts are taken on the
+    ORIGINAL text; masking chains email → phone → IP (emails first so an
+    address's host part can't be half-eaten by the IP rule).
+
+    All JVM-side ``regexp_count`` / ``regexp_replace`` — vectorized,
+    codegen'd, stateless per row, so the op is a pure map: no shuffle at any
+    scale, and the scan's column pruning keeps payload columns out.
+    """
+    t = F.col(text_col)
+    red = F.regexp_replace(t, PII_EMAIL, "<EMAIL>")
+    red = F.regexp_replace(red, PII_PHONE, "<PHONE>")
+    red = F.regexp_replace(red, PII_IP, "<IP>")
+    return docs.select(
+        "doc_id",
+        F.regexp_count(t, F.lit(PII_EMAIL)).alias("n_emails"),
+        F.regexp_count(t, F.lit(PII_PHONE)).alias("n_phones"),
+        F.regexp_count(t, F.lit(PII_IP)).alias("n_ips"),
+        red.alias("redacted"),
     )
 
 

@@ -452,3 +452,100 @@ def test_pack_token_budget_bins_are_contiguous_and_bounded(spark):
         for r in rows:
             assert r.bin_id == cum // budget, (src, r.doc_id)
             cum += r.n_tokens
+
+
+def test_repetition_features_rank_degenerate_text(spark):
+    """A looping generation ("spam spam spam ...") must score maximal on
+    every repetition fraction while diverse prose stays low — the signal
+    the Gopher-style quality gate filters on."""
+    from kylin_on_parquet_v2_spark.pipeline import text as T
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam spam spam"),
+            (2, "the quick brown fox jumps over a lazy dog"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in T.repetition_features(docs).collect()}
+    assert rows[1].distinct_token_ratio == pytest.approx(1 / 8)
+    assert rows[1].top_token_frac == 1.0
+    assert rows[1].top_bigram_frac == 1.0
+    assert rows[1].dup_bigram_frac == 1.0
+    assert rows[2].distinct_token_ratio == 1.0
+    assert rows[2].top_bigram_frac == pytest.approx(1 / 8)
+    assert rows[2].dup_bigram_frac == 0.0
+
+
+def test_repetition_features_single_token_doc(spark):
+    """One-token docs have no bigrams: the left join must not drop them and
+    the bigram fractions default to 0."""
+    from kylin_on_parquet_v2_spark.pipeline import text as T
+
+    docs = spark.createDataFrame([(7, "solo")], "doc_id long, text string")
+    [r] = T.repetition_features(docs).collect()
+    assert r.n_tokens == 1 and r.top_bigram_frac == 0.0 and r.dup_bigram_frac == 0.0
+
+
+def test_redact_pii_masks_and_counts(spark):
+    from kylin_on_parquet_v2_spark.pipeline import text as T
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@ex-ample.org and b@c.io call +1-555-0100 from 10.0.3.1 ok"),
+            (2, "no pii here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in T.redact_pii(docs).collect()}
+    assert (rows[1].n_emails, rows[1].n_phones, rows[1].n_ips) == (2, 1, 1)
+    assert rows[1].redacted == "mail <EMAIL> and <EMAIL> call <PHONE> from <IP> ok"
+    assert (rows[2].n_emails, rows[2].n_phones, rows[2].n_ips) == (0, 0, 0)
+    assert rows[2].redacted == "no pii here at all"
+
+
+def test_redact_pii_is_shuffle_free(spark):
+    """The scrub is a pure map — its plan must contain no Exchange."""
+    from kylin_on_parquet_v2_spark.pipeline import text as T
+
+    plan = T.redact_pii(spark.table("documents"))._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_domain_mix_caps_domains_and_broadcasts(spark):
+    """Rates derive from the target: oversized domains are downsampled to
+    ~target tokens, the kept set is deterministic under repartition, and the
+    phase-2 join broadcasts the |domains|-row rate table (the corpus never
+    re-shuffles)."""
+    docs = spark.table("documents")
+    target = 1000
+    kept = SP.domain_mix(docs, token_target=target)
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    per = {
+        r.source: (r.n, r.toks, r.rate)
+        for r in kept.groupBy("source")
+        .agg(F.count("*").alias("n"), F.sum("n_tokens").alias("toks"), F.min("rate").alias("rate"))
+        .collect()
+    }
+    totals = {
+        r.source: r.toks
+        for r in SP.domain_mix(docs, token_target=10**9)
+        .groupBy("source")
+        .agg(F.sum("n_tokens").alias("toks"))
+        .collect()
+    }
+    assert per, "mix kept nothing"
+    for src, (n, toks, rate) in per.items():
+        assert rate == pytest.approx(min(1.0, target / totals[src]))
+        # hash sampling is approximate: kept tokens track the target within
+        # a loose band (small strata), never exceeding total
+        assert toks <= totals[src]
+    a = {r.doc_id for r in kept.select("doc_id").collect()}
+    b = {
+        r.doc_id
+        for r in SP.domain_mix(docs.repartition(13), token_target=target)
+        .select("doc_id")
+        .collect()
+    }
+    assert a == b
