@@ -70,9 +70,16 @@ def _modules():
 # in-repo parity suite (tests/test_entry_oracle_parity.py — all oracles,
 # every round).
 _PRIORITY = [
-    # --- r07 driver window: the new query + everything the r07 commits
+    # --- r07 driver window: the new queries + everything the r07 commits
     # --- touched, then the queries whose last driver check is oldest
     # --- (r01-r03, then r04). 50 entries exactly.
+    "decontam_report",  # benchmark decontamination accounting (new r7)
+    "decontam_filter",  # GPT-3-rule clean corpus (new r7)
+    "decontam_by_source",  # per-benchmark contamination provenance (new r7)
+    "semantic_dedup_given",  # SemDeDup over a given clustering (new r7)
+    "semantic_dedup_kmeans",  # SemDeDup, trained k-means (rows-only, new r7)
+    "export_training_shards",  # deterministic shuffle-shard order (new r7)
+    "export_shard_manifest",  # per-shard docs/tokens manifest (new r7)
     "text_repetition_features",  # Gopher-style repetition gate (new r7)
     "text_redact_pii",  # deterministic PII scrub, exact redacted-string oracle (new r7)
     "sample_domain_mix",  # target-driven corpus mixing, broadcast rate join (new r7)
@@ -116,6 +123,9 @@ _PRIORITY = [
     "q19_discounted_revenue",
     "q4_order_priority",
     "q14_promo_revenue",
+    # --- below the 50-entry driver window: recent (r05/r06) greens plus
+    # --- the r01-r04 entries displaced by the new r7 queries, all
+    # --- still covered every round by the in-repo parity suite
     "cube_routed_having",
     "cube_routed_having_hidden",
     "cube_routed_window_share",
@@ -127,9 +137,6 @@ _PRIORITY = [
     "cube_routed_snowflake",
     "cube_routed_filter_dim",
     "cube_routed_global",
-    # --- below the 50-entry driver window: recent (r05/r06) greens plus
-    # --- the three r01-r04 entries displaced by the new r7 queries, all
-    # --- still covered every round by the in-repo parity suite
     "pack_token_budget",
     "q12_priority_lines",
     "lateral_explode_tokens",

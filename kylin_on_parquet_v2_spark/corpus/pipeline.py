@@ -13,7 +13,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kylin_on_parquet_v2_spark.corpus.base import views
+from kylin_on_parquet_v2_spark.pipeline import decontam as DC
 from kylin_on_parquet_v2_spark.pipeline import dedup as D
+from kylin_on_parquet_v2_spark.pipeline import export as EX
 from kylin_on_parquet_v2_spark.pipeline import multimodal as MM
 from kylin_on_parquet_v2_spark.pipeline import sampling as SP
 from kylin_on_parquet_v2_spark.pipeline import similarity as S
@@ -35,6 +37,26 @@ _PII_AUG = (
     " || lpad(cast(doc_id % 10000 as varchar), 4, '0')"
     " || ' from 10.0.' || cast(doc_id % 256 as varchar) || '.1'"
 )
+
+def _shingles_sql(n: int) -> str:
+    """DuckDB replica of pipeline.decontam.distinct_grams: per-doc DISTINCT
+    word n-grams of the normalized text, whole-text fallback for docs
+    shorter than n words (same shape as _SHINGLES3, parameterized)."""
+    joined = " || ' ' || ".join(f"ws[i+{j}]" for j in range(n))
+    return f"""
+    select doc_id, distinct_sh as sh from (
+        select doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(len(ws) - {n - 2}, 1)),
+                   i -> {joined}))) as distinct_sh
+        from (select doc_id, string_split({_NORM}, ' ') as ws from documents)
+        where len(ws) >= {n}
+        union all
+        select doc_id, {_NORM} as distinct_sh
+        from documents where len(string_split({_NORM}, ' ')) < {n}
+    )
+    """
+
 
 # word 3-gram shingles of the normalized text, deduped per doc
 _SHINGLES3 = f"""
@@ -365,7 +387,89 @@ def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def decontam_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination accounting: distinct word 5-grams per doc
+    vs the eval set's gram universe (docs with doc_id % 29 == 0 stand in
+    for the benchmark). The eval gram set is BROADCAST — the corpus side
+    is probed map-side, never shuffled on the gram (plan-asserted in
+    tests/test_pipeline.py)."""
+    views(spark, sf_dir)
+    docs = spark.table("documents")
+    eval_docs = docs.filter(F.col("doc_id") % 29 == 0)
+    return DC.contamination_report(docs, eval_docs, n=5).orderBy("doc_id")
+
+
+def decontam_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The clean corpus under the GPT-3 rule (drop on ANY shared 5-gram
+    with the eval set)."""
+    views(spark, sf_dir)
+    docs = spark.table("documents")
+    eval_docs = docs.filter(F.col("doc_id") % 29 == 0)
+    return DC.decontaminate(docs, eval_docs, n=5, max_ratio=0.0).orderBy("doc_id")
+
+
+def decontam_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(document, benchmark) contamination provenance: shared-gram
+    counts attributed to each eval source — the per-benchmark overlap
+    table a decontamination report publishes."""
+    views(spark, sf_dir)
+    docs = spark.table("documents")
+    eval_docs = docs.filter(F.col("doc_id") % 29 == 0)
+    return DC.contamination_by_source(docs, eval_docs, n=5).orderBy(
+        "doc_id", "eval_source"
+    )
+
+
+def semantic_dedup_given(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over a GIVEN clustering (the fixture's label column):
+    within each cluster the higher id of every cosine>=0.3 pair is
+    dropped. Fully SQL-replayable (the pairwise step is an equi self-join
+    on the cluster key — sum-of-cluster^2 cost, never all-pairs)."""
+    views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    return S.semantic_dedup(emb, threshold=0.3, cluster_col="label").orderBy("vec_id")
+
+
+def semantic_dedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with a TRAINED spherical-k-means clustering (the
+    production path: distributed Lloyd iterations, map-side Arrow-matmul
+    assignment). Float-training-dependent => rows-only; kept-set
+    invariants (witness-in-cluster, determinism, no kept near-dup pair
+    sharing a cluster) are asserted in tests/test_pipeline.py."""
+    views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    return S.semantic_dedup(emb, threshold=0.3, n_lists=8, train_iters=2).orderBy(
+        "vec_id"
+    )
+
+
+def export_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle into 8 training shards: the exact
+    (shard, position) order a trainer would read. md5(id:seed) is the
+    shuffle key — reproducible across reruns and engines; ranking windows
+    partition BY SHARD so nothing funnels through one partition."""
+    views(spark, sf_dir)
+    docs = spark.table("documents")
+    return EX.shuffled_positions(docs, n_shards=8, seed=1).orderBy("shard", "position")
+
+
+def export_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard manifest (docs + token sum) for the same sharding — the
+    epoch-sizing metadata emitted next to the shard files."""
+    views(spark, sf_dir)
+    docs = spark.table("documents")
+    assigned = EX.assign_shards(docs, n_shards=8, seed=1)
+    return EX.shard_manifest(assigned).orderBy("shard")
+
+
 QUERIES = {
+    "decontam_report": decontam_report,
+    "decontam_filter": decontam_filter,
+    "decontam_by_source": decontam_by_source,
+    "semantic_dedup_given": semantic_dedup_given,
+    "semantic_dedup_kmeans": semantic_dedup_kmeans,
+    "export_training_shards": export_training_shards,
+    "export_shard_manifest": export_shard_manifest,
     "sample_stratified": sample_stratified,
     "pack_token_budget": pack_token_budget,
     "dedup_exact": dedup_exact,
@@ -897,5 +1001,84 @@ ORACLES = {
                          else 1 + b2 % 30 end as int) as n_frames
         from b
         order by asset_id
+    """,
+    "decontam_report": f"""
+        with grams as ({_shingles_sql(5)}),
+        bad as (select distinct sh from grams where doc_id % 29 = 0)
+        select g.doc_id,
+               count(*) as total_grams,
+               coalesce(cast(sum(case when b.sh is not null then 1 else 0 end)
+                             as bigint), 0) as contaminated_grams,
+               round(sum(case when b.sh is not null then 1 else 0 end) * 1.0
+                     / count(*), 6) as contamination_ratio
+        from grams g left join bad b on g.sh = b.sh
+        group by g.doc_id
+        order by g.doc_id
+    """,
+    "decontam_filter": f"""
+        with grams as ({_shingles_sql(5)}),
+        bad as (select distinct sh from grams where doc_id % 29 = 0),
+        dirty as (select distinct g.doc_id from grams g join bad b on g.sh = b.sh)
+        select d.doc_id, d.text, d.lang, d.source, d.n_chars
+        from documents d
+        where not exists (select 1 from dirty x where x.doc_id = d.doc_id)
+        order by d.doc_id
+    """,
+    "decontam_by_source": f"""
+        with grams as ({_shingles_sql(5)}),
+        bad as (
+            select distinct g.sh, d.source as eval_source
+            from grams g join documents d on g.doc_id = d.doc_id
+            where g.doc_id % 29 = 0
+        )
+        select g.doc_id, b.eval_source, count(*) as shared_grams
+        from grams g join bad b on g.sh = b.sh
+        group by g.doc_id, b.eval_source
+        order by g.doc_id, b.eval_source
+    """,
+    "semantic_dedup_given": f"""
+        with rm as (
+            select distinct b.vec_id
+            from embeddings a join embeddings b
+              on a.label = b.label and a.vec_id < b.vec_id
+            where {_COS} >= 0.3
+        )
+        select e.vec_id, e.label as sem_cluster
+        from embeddings e
+        where not exists (select 1 from rm where rm.vec_id = e.vec_id)
+        order by e.vec_id
+    """,
+    "export_training_shards": """
+        with a as (
+            select doc_id,
+                   md5(cast(doc_id as varchar) || ':1') as shuffle_key
+            from documents
+        ),
+        s as (
+            select doc_id, shuffle_key,
+                   cast(('0x' || substring(shuffle_key, 1, 8))::bigint % 8
+                        as int) as shard
+            from a
+        )
+        select shard,
+               cast(row_number() over (partition by shard
+                                       order by shuffle_key, doc_id)
+                    as int) as position,
+               doc_id, shuffle_key
+        from s
+        order by shard, position
+    """,
+    "export_shard_manifest": f"""
+        with s as (
+            select doc_id, text,
+                   cast(('0x' || substring(md5(cast(doc_id as varchar) || ':1'),
+                                           1, 8))::bigint % 8 as int) as shard
+            from documents
+        )
+        select shard, count(*) as docs,
+               cast(sum(len(string_split({_NORM}, ' '))) as bigint) as tokens
+        from s
+        group by shard
+        order by shard
     """,
 }

@@ -1,0 +1,232 @@
+"""Benchmark decontamination: flag/drop corpus documents that share word
+n-grams with an evaluation set.
+
+The standard training-data hygiene step (GPT-3 appendix C / Llama 2 A.6
+style): any document whose normalized text contains an n-gram (default
+n=13) that also appears in a benchmark prompt/answer is contaminated and
+must be dropped before training, otherwise eval scores measure
+memorization. This is an *operator over two tables*, not a text UDF —
+which is exactly why it belongs in the engine:
+
+100 TB shape
+------------
+- The corpus side is shingled once (JVM ``transform`` over a split-token
+  array — no Python, no re-tokenization per gram) and exploded; cost is
+  linear in corpus tokens and embarrassingly parallel.
+- The eval side is *small by nature* (benchmarks are thousands of
+  documents, i.e. at most a few million distinct grams), so the gram set
+  is ``broadcast()`` and the contamination probe is a map-side broadcast
+  hash join: the 100 TB corpus is never shuffled. A plan test asserts
+  BroadcastHashJoin and the absence of a corpus-side Exchange before it.
+- The per-document rollup groups by doc id with map-side partial
+  aggregation (count/sum), the only shuffle in the job, sized by corpus
+  documents, not grams.
+
+Hashes/normalization reuse :mod:`kylin_on_parquet_v2_spark.pipeline.dedup`
+(md5/normalize chosen there so DuckDB replays every operator exactly).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kylin_on_parquet_v2_spark.pipeline.dedup import normalize_text, word_shingles
+
+
+def distinct_grams(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 13
+) -> DataFrame:
+    """Per-document DISTINCT word n-grams as (id, gram) rows.
+
+    The dedup is ``array_distinct`` INSIDE the doc's gram array, before the
+    explode — map-side, zero shuffle. (A global ``.distinct()`` over the
+    exploded rows would mean shuffling corpus-token-count rows; per-doc
+    distinctness never needs cross-partition work because a doc's grams are
+    born on the doc's partition.)
+
+    Documents shorter than ``n`` words degrade to their whole normalized
+    text (same fallback the dedup shinglers use): a short doc can still be
+    contaminated by an exact short benchmark prompt.
+    """
+    toks = docs.select(
+        F.col(id_col), F.split(normalize_text(F.col(text_col)), " ").alias("__ws")
+    )
+    return toks.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_shingles(F.col("__ws"), n))).alias("sh"),
+    )
+
+
+def eval_gram_set(
+    eval_docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 13
+) -> DataFrame:
+    """The benchmark's distinct gram set — one ``sh`` column, deduplicated.
+
+    This is the broadcast side: benchmarks are small (|grams| bounded by
+    eval tokens), so the caller can hold the whole set per executor.
+    """
+    return (
+        distinct_grams(eval_docs, text_col=text_col, id_col=id_col, n=n)
+        .select("sh")
+        .distinct()
+    )
+
+
+def _ratio(hit: Column, total: Column) -> Column:
+    return F.round(hit / total, 6)
+
+
+def contamination_by_source(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    *,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_text_col: str | None = None,
+    eval_id_col: str | None = None,
+    eval_source_col: str = "source",
+) -> DataFrame:
+    """Per-(document, benchmark) contamination provenance: which eval
+    source each shared gram came from — the table a decontamination report
+    publishes (per-benchmark overlap counts, GPT-3 appendix C style).
+
+    The broadcast side here is (gram, eval_source) pairs — still eval-set
+    sized. A gram present in several benchmarks attributes the document to
+    each of them (so ``shared_grams`` sums per source, not globally).
+    """
+    grams = distinct_grams(docs, text_col=text_col, id_col=id_col, n=n)
+    eid = eval_id_col or id_col
+    bad = (
+        distinct_grams(
+            eval_docs, text_col=eval_text_col or text_col, id_col=eid, n=n
+        )
+        .join(
+            eval_docs.select(
+                F.col(eid).alias("__eid"),
+                F.col(eval_source_col).alias("eval_source"),
+            ),
+            F.col(eid) == F.col("__eid"),
+        )
+        .select("sh", "eval_source")
+        .distinct()
+    )
+    return (
+        grams.join(F.broadcast(bad), "sh")
+        .groupBy(id_col, "eval_source")
+        .agg(F.count(F.lit(1)).alias("shared_grams"))
+    )
+
+
+def _maybe_hash(grams: DataFrame, hash_grams: bool) -> DataFrame:
+    """Optionally replace the gram string with its md5 digest: a fixed
+    16-byte join key instead of an ~n-word string — smaller broadcast,
+    cheaper probe compare. Collisions (2^-64 scale) can only ADD a flagged
+    gram, never hide one, so the decontamination direction is safe."""
+    if not hash_grams:
+        return grams
+    return grams.withColumn("sh", F.md5(F.col("sh").cast("binary")))
+
+
+def contamination_report(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    *,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_text_col: str | None = None,
+    eval_id_col: str | None = None,
+    hash_grams: bool = False,
+) -> DataFrame:
+    """Per-document contamination accounting.
+
+    Returns one row per corpus document: ``total_grams`` (distinct n-grams
+    in the doc), ``contaminated_grams`` (how many also occur anywhere in
+    the eval set) and ``contamination_ratio`` (their quotient, rounded so
+    the value survives cross-engine float comparison).
+
+    One broadcast join + one hash aggregation; the corpus is shuffled only
+    on the doc id for the rollup. ``hash_grams=True`` joins on md5 digests
+    instead of gram strings (fixed 16-byte keys — the scale default; the
+    string form stays the oracle-replayable spelling).
+    """
+    grams = _maybe_hash(
+        distinct_grams(docs, text_col=text_col, id_col=id_col, n=n), hash_grams
+    )
+    bad = _maybe_hash(
+        eval_gram_set(
+            eval_docs,
+            text_col=eval_text_col or text_col,
+            id_col=eval_id_col or id_col,
+            n=n,
+        ),
+        hash_grams,
+    ).withColumn("__hit", F.lit(1))
+    return (
+        grams.join(F.broadcast(bad), "sh", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("total_grams"),
+            F.coalesce(F.sum("__hit"), F.lit(0)).alias("contaminated_grams"),
+        )
+        .withColumn(
+            "contamination_ratio",
+            _ratio(F.col("contaminated_grams"), F.col("total_grams")),
+        )
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    *,
+    n: int = 13,
+    max_ratio: float = 0.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_text_col: str | None = None,
+    eval_id_col: str | None = None,
+    hash_grams: bool = False,
+) -> DataFrame:
+    """Return the clean corpus: documents whose contamination ratio is
+    <= ``max_ratio`` (default 0.0 = drop on ANY shared n-gram, the GPT-3
+    rule). Keeps the full document row; the report columns are dropped.
+
+    ``max_ratio == 0`` takes the cheap path: the DIRTY id set (docs with at
+    least one hit) is the distinct ids of the hit gram rows — sized by the
+    contaminated minority, so the final LEFT ANTI join's build side is
+    small (AQE broadcasts it) and the clean majority never feeds a
+    count/ratio aggregation at all. Positive ratios need the full per-doc
+    report; that keep-set is corpus-sized, so prefer persisting it once.
+    """
+    if max_ratio <= 0.0:
+        grams = _maybe_hash(
+            distinct_grams(docs, text_col=text_col, id_col=id_col, n=n), hash_grams
+        )
+        bad = _maybe_hash(
+            eval_gram_set(
+                eval_docs,
+                text_col=eval_text_col or text_col,
+                id_col=eval_id_col or id_col,
+                n=n,
+            ),
+            hash_grams,
+        )
+        dirty = (
+            grams.join(F.broadcast(bad), "sh", "left_semi").select(id_col).distinct()
+        )
+        return docs.join(dirty, id_col, "left_anti")
+    rep = contamination_report(
+        docs,
+        eval_docs,
+        n=n,
+        text_col=text_col,
+        id_col=id_col,
+        eval_text_col=eval_text_col,
+        eval_id_col=eval_id_col,
+        hash_grams=hash_grams,
+    )
+    keep = rep.filter(F.col("contamination_ratio") <= max_ratio).select(id_col)
+    return docs.join(keep, id_col, "inner")

@@ -553,3 +553,92 @@ def ann_lsh_topk(
         .filter(F.col("rn") <= k)
         .select("query_id", "cand_id", "cos", "rn")
     )
+
+
+def semantic_neardup_removed(
+    assigned: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "sem_cluster",
+) -> DataFrame:
+    """Ids removed by the SemDeDup rule: within each cluster, the HIGHER id
+    of every pair with cosine >= threshold (one distinct-ids frame).
+
+    The keep rule is the one-pass monotone variant — a row is removed iff
+    ANY lower-id cluster-mate sits within the threshold, whether or not
+    that mate is itself removed. This is deterministic, order-free, and
+    exactly replayable in SQL (the transitive keep-one-per-component
+    variant needs iterative connected components; for embedding near-dups
+    the chains it would additionally collapse are rare and the difference
+    is only which witness survives, never whether a near-dup pair survives
+    intact — no kept pair can be within the threshold IN THE SAME CLUSTER).
+
+    Cost is an equi self-join on the cluster key: sum over clusters of
+    |cluster|^2 comparisons — never all-pairs. Size the cluster count with
+    the usual sqrt(N) rule so clusters stay ~sqrt(N); AQE's skew split
+    handles a hot cluster's join partitions.
+    """
+    a = assigned.select(
+        F.col(cluster_col).alias("__cl"),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+    )
+    b = assigned.select(
+        F.col(cluster_col).alias("__cl"),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+    )
+    return (
+        a.join(b, "__cl")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.round(cosine(F.col("va"), F.col("vb")), 6) >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    *,
+    cluster_col: str | None = None,
+    n_lists: int = 16,
+    train_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+    dim: int = 64,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster the embedding space, then keep
+    one representative of every within-cluster near-duplicate pair.
+
+    Two modes:
+
+    - ``cluster_col=None`` (production): train the spherical k-means
+      quantizer distributed (:func:`train_ivf_centroids` — only the k x dim
+      matrix reaches the driver) and assign map-side via the Arrow matmul
+      (:func:`ivf_assign`). Engine-float-dependent => verify via invariant
+      tests, not a SQL oracle.
+    - ``cluster_col='label'`` (given clustering): reuse an existing
+      partition of the space; fully SQL-replayable, hence oracle-checkable.
+
+    Returns (id, sem_cluster) for the KEPT rows. The pairwise step never
+    crosses clusters — that is the SemDeDup approximation (its recall/cost
+    knob), identical in spirit to probing n_probe lists in IVF search.
+    """
+    if cluster_col is None:
+        cents = train_ivf_centroids(
+            corpus, n_lists, train_iters, id_col, vec_col, seed, dim
+        )
+        assigned = ivf_assign(
+            corpus, n_lists, id_col, vec_col, seed, dim, centroids=cents
+        ).withColumnRenamed("ivf_list", "sem_cluster")
+    else:
+        assigned = corpus.select(
+            F.col(id_col), F.col(vec_col), F.col(cluster_col).alias("sem_cluster")
+        )
+    removed = semantic_neardup_removed(
+        assigned, threshold, id_col=id_col, vec_col=vec_col
+    )
+    return assigned.join(removed, id_col, "left_anti").select(id_col, "sem_cluster")

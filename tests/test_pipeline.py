@@ -7,7 +7,9 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+from kylin_on_parquet_v2_spark.pipeline import decontam as DC
 from kylin_on_parquet_v2_spark.pipeline import dedup as D
+from kylin_on_parquet_v2_spark.pipeline import export as EX
 from kylin_on_parquet_v2_spark.pipeline import multimodal as MM
 from kylin_on_parquet_v2_spark.pipeline import sampling as SP
 from kylin_on_parquet_v2_spark.pipeline import similarity as S
@@ -549,3 +551,208 @@ def test_domain_mix_caps_domains_and_broadcasts(spark):
         .collect()
     }
     assert a == b
+
+
+# --- decontamination ---------------------------------------------------------
+
+
+def test_decontam_eval_docs_fully_contaminated(spark):
+    """Every eval document's grams are by definition all in the eval gram
+    set => ratio 1.0; and the report covers every corpus doc exactly once."""
+    docs = spark.table("documents")
+    eval_docs = docs.filter(F.col("doc_id") % 29 == 0)
+    rep = DC.contamination_report(docs, eval_docs, n=5)
+    assert rep.count() == docs.count()
+    eval_rows = rep.join(eval_docs.select("doc_id"), "doc_id").collect()
+    assert eval_rows and all(r["contamination_ratio"] == 1.0 for r in eval_rows)
+
+
+def test_decontam_filter_consistent_with_report(spark):
+    """decontaminate(max_ratio=0) == docs whose report says 0 contaminated
+    grams, and it strictly removes the eval set itself."""
+    docs = spark.table("documents")
+    eval_docs = docs.filter(F.col("doc_id") % 29 == 0)
+    clean = DC.decontaminate(docs, eval_docs, n=5)
+    rep = DC.contamination_report(docs, eval_docs, n=5)
+    expect = {r["doc_id"] for r in rep.filter(F.col("contaminated_grams") == 0).collect()}
+    got = {r["doc_id"] for r in clean.select("doc_id").collect()}
+    assert got == expect
+    assert not got & {r["doc_id"] for r in eval_docs.select("doc_id").collect()}
+
+
+def test_decontam_probe_is_broadcast_no_corpus_shuffle_on_gram(spark):
+    """The 100 TB contract: the eval gram set broadcasts; the corpus side is
+    probed map-side (BroadcastHashJoin), never sort-merge-shuffled on the
+    gram string."""
+    docs = spark.table("documents")
+    eval_docs = docs.filter(F.col("doc_id") % 29 == 0)
+    plan = (
+        DC.contamination_report(docs, eval_docs, n=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_decontam_hashed_grams_equivalent(spark):
+    """hash_grams=True (fixed 16-byte broadcast keys) must select exactly
+    the same documents and counts as the string-gram spelling."""
+    docs = spark.table("documents")
+    eval_docs = docs.filter(F.col("doc_id") % 29 == 0)
+    plain = DC.contamination_report(docs, eval_docs, n=5).collect()
+    hashed = DC.contamination_report(docs, eval_docs, n=5, hash_grams=True).collect()
+    key = lambda r: (r["doc_id"], r["total_grams"], r["contaminated_grams"])
+    assert sorted(map(key, plain)) == sorted(map(key, hashed))
+    c_plain = {r["doc_id"] for r in DC.decontaminate(docs, eval_docs, n=5).collect()}
+    c_hash = {
+        r["doc_id"]
+        for r in DC.decontaminate(docs, eval_docs, n=5, hash_grams=True).collect()
+    }
+    assert c_plain == c_hash
+
+
+def test_decontam_by_source_consistent_with_report(spark):
+    """Summing provenance counts per doc over DISTINCT-gram sources can
+    never be less than the doc's global contaminated_grams (a gram shared
+    with two benchmarks is attributed twice), and every doc flagged in the
+    report appears in the provenance table."""
+    docs = spark.table("documents")
+    eval_docs = docs.filter(F.col("doc_id") % 29 == 0)
+    rep = {
+        r["doc_id"]: r["contaminated_grams"]
+        for r in DC.contamination_report(docs, eval_docs, n=5).collect()
+        if r["contaminated_grams"] > 0
+    }
+    prov: dict[int, int] = {}
+    for r in DC.contamination_by_source(docs, eval_docs, n=5).collect():
+        prov[r["doc_id"]] = prov.get(r["doc_id"], 0) + r["shared_grams"]
+    assert set(prov) == set(rep)
+    assert all(prov[d] >= rep[d] for d in rep)
+
+
+def test_decontam_gram_expansion_is_shuffle_free(spark):
+    """Per-doc distinct grams are computed inside the doc's array (map-side
+    array_distinct) — the exploded gram frame must contain NO Exchange: a
+    global distinct here would shuffle corpus-token-count rows at 100 TB."""
+    docs = spark.table("documents")
+    plan = (
+        DC.distinct_grams(docs, n=5)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
+
+
+# --- semantic dedup ----------------------------------------------------------
+
+
+def test_semantic_dedup_kmeans_invariants(spark):
+    """Trained-clustering SemDeDup: kept is a subset, deterministic, and no
+    kept pair within one cluster sits inside the threshold (the rule's
+    guarantee); every removed id has a lower-id cluster-mate within it."""
+    emb = spark.table("embeddings")
+    kept = S.semantic_dedup(emb, threshold=0.3, n_lists=8, train_iters=2)
+    kept2 = S.semantic_dedup(emb, threshold=0.3, n_lists=8, train_iters=2)
+    k1 = sorted((r["vec_id"], r["sem_cluster"]) for r in kept.collect())
+    k2 = sorted((r["vec_id"], r["sem_cluster"]) for r in kept2.collect())
+    assert k1 == k2  # deterministic
+    all_ids = {r["vec_id"] for r in emb.select("vec_id").collect()}
+    kept_ids = {v for v, _ in k1}
+    assert kept_ids <= all_ids and kept_ids
+    removed = all_ids - kept_ids
+
+    # reconstruct the assignment to verify both directions of the rule
+    cents = S.train_ivf_centroids(emb, n_lists=8, iters=2)
+    assigned = S.ivf_assign(emb, n_lists=8, centroids=cents).withColumnRenamed(
+        "ivf_list", "sem_cluster"
+    )
+    rows = assigned.collect()
+    import numpy as np
+
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r["sem_cluster"], []).append(
+            (r["vec_id"], np.asarray(r["embedding"], dtype=np.float64))
+        )
+    def cos(a, b):
+        return round(float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), 6)
+
+    for members in by_cluster.values():
+        members.sort()
+        for i, (ida, va) in enumerate(members):
+            for idb, vb in members[i + 1 :]:
+                c = cos(va, vb)
+                if ida in kept_ids and idb in kept_ids:
+                    assert c < 0.3, (ida, idb, c)
+    # every removed id has SOME lower-id cluster-mate within threshold
+    for members in by_cluster.values():
+        ids = [m[0] for m in members]
+        for idb in ids:
+            if idb not in removed:
+                continue
+            vb = dict(members)[idb]
+            assert any(
+                ida < idb and cos(va, vb) >= 0.3 for ida, va in members
+            ), idb
+
+
+def test_semantic_dedup_pairwise_join_is_cluster_equi_join(spark):
+    """The pairwise step must be an equi join on the cluster key — never an
+    all-pairs nested loop over the corpus."""
+    emb = spark.table("embeddings")
+    assigned = emb.select(
+        "vec_id", "embedding", (F.col("label") % 4).alias("sem_cluster")
+    )
+    plan = (
+        S.semantic_neardup_removed(assigned, 0.3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert any("Join" in ln and "__cl" in ln for ln in plan.splitlines()), plan
+
+
+# --- training-shard export ---------------------------------------------------
+
+
+def test_export_positions_contiguous_and_complete(spark):
+    """Shard positions are 1..|shard| with no gaps; the union of shards is
+    exactly the corpus; the order is a pure function of (id, seed)."""
+    docs = spark.table("documents")
+    pos = EX.shuffled_positions(docs, n_shards=4, seed=9).collect()
+    assert len(pos) == docs.count()
+    by_shard: dict[int, list[int]] = {}
+    for r in pos:
+        by_shard.setdefault(r["shard"], []).append(r["position"])
+    assert set(by_shard) <= set(range(4))
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+
+
+def test_export_shards_write_matches_declared_order(spark, tmp_path):
+    """The written shard=k/ dirs replay the declared (key, id) order and a
+    re-export is byte-stable (same rows, same order)."""
+    docs = spark.table("documents")
+    path = str(tmp_path / "shards")
+    manifest = EX.export_shards(docs, path, n_shards=4, seed=9)
+    m = {r["shard"]: (r["docs"], r["tokens"]) for r in manifest.collect()}
+    assert sum(d for d, _ in m.values()) == docs.count()
+
+    back = spark.read.parquet(path)
+    declared = EX.shuffled_positions(docs, n_shards=4, seed=9).select(
+        "doc_id", F.col("shard").alias("shard_declared")
+    )
+    joined = back.join(declared, ["doc_id"])
+    # shard dirs agree with the declared assignment
+    assert joined.filter(F.col("shard") != F.col("shard_declared")).count() == 0
+    got = {
+        r["shard"]: r["n"]
+        for r in back.groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert {int(k): v for k, v in got.items()} == {k: d for k, (d, _) in m.items()}
+
+    # rows within a file are sorted by the shuffle key (spot-check shard 0)
+    s0 = spark.read.parquet(f"{path}/shard=0").select("shuffle_key").collect()
+    keys = [r["shuffle_key"] for r in s0]
+    assert keys == sorted(keys)
