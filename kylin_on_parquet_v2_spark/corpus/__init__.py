@@ -80,6 +80,8 @@ _PRIORITY = [
     "semantic_dedup_kmeans",  # SemDeDup, trained k-means (rows-only, new r7)
     "export_training_shards",  # deterministic shuffle-shard order (new r7)
     "export_shard_manifest",  # per-shard docs/tokens manifest (new r7)
+    "text_chunk_windows",  # token-windowed chunks w/ overlap (new r7)
+    "sample_split_corpus",  # deterministic train/val/test split (new r7)
     "text_repetition_features",  # Gopher-style repetition gate (new r7)
     "text_redact_pii",  # deterministic PII scrub, exact redacted-string oracle (new r7)
     "sample_domain_mix",  # target-driven corpus mixing, broadcast rate join (new r7)

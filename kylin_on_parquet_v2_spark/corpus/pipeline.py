@@ -408,6 +408,29 @@ def decontam_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DC.decontaminate(docs, eval_docs, n=5, max_ratio=0.0).orderBy("doc_id")
 
 
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-windowed training chunks with overlap (16-token windows,
+    4-token overlap): map-side, Exchange-free expansion, fully
+    deterministic => oracle-checked."""
+    views(spark, sf_dir)
+    docs = spark.table("documents")
+    return T.chunk_documents(docs, chunk_tokens=16, overlap=4).orderBy(
+        "doc_id", "chunk_id"
+    )
+
+
+def sample_split_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test split: membership is a pure
+    function of the doc id (stable under reruns/appends/engines), one CASE
+    expression at the scan — no shuffle, no sort."""
+    views(spark, sf_dir)
+    docs = spark.table("documents")
+    out = SP.split_corpus(
+        docs, {"train": 0.9, "val": 0.05, "test": 0.05}
+    )
+    return out.select("doc_id", "split").orderBy("doc_id")
+
+
 def decontam_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(document, benchmark) contamination provenance: shared-gram
     counts attributed to each eval source — the per-benchmark overlap
@@ -466,6 +489,8 @@ QUERIES = {
     "decontam_report": decontam_report,
     "decontam_filter": decontam_filter,
     "decontam_by_source": decontam_by_source,
+    "text_chunk_windows": text_chunk_windows,
+    "sample_split_corpus": sample_split_corpus,
     "semantic_dedup_given": semantic_dedup_given,
     "semantic_dedup_kmeans": semantic_dedup_kmeans,
     "export_training_shards": export_training_shards,
@@ -1023,6 +1048,37 @@ ORACLES = {
         from documents d
         where not exists (select 1 from dirty x where x.doc_id = d.doc_id)
         order by d.doc_id
+    """,
+    "text_chunk_windows": f"""
+        with t as (
+            select doc_id, string_split({_NORM}, ' ') as ws,
+                   len(string_split({_NORM}, ' ')) as n
+            from documents
+        ),
+        c as (
+            select doc_id, ws, n,
+                   unnest(range(0, case when n <= 16 then 1
+                                        else cast(ceil((n - 4) / 12.0) as bigint)
+                                   end)) as k
+            from t
+        )
+        select doc_id, cast(k as int) as chunk_id,
+               array_to_string(list_slice(ws, k * 12 + 1,
+                                          least(k * 12 + 16, n)), ' ')
+                   as chunk_text,
+               cast(least(k * 12 + 16, n) - k * 12 as int) as n_tokens
+        from c
+        order by doc_id, chunk_id
+    """,
+    "sample_split_corpus": f"""
+        select doc_id,
+               case when {_HASH_BUCKET} < {int(0.9 * 4294967296)}
+                    then 'train'
+                    when {_HASH_BUCKET} < {int((0.9 + 0.05) * 4294967296)}
+                    then 'val'
+                    else 'test' end as split
+        from documents
+        order by doc_id
     """,
     "decontam_by_source": f"""
         with grams as ({_shingles_sql(5)}),

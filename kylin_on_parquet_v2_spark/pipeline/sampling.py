@@ -143,3 +143,31 @@ def pack_token_budget(
             ),
         )
     )
+
+
+def split_corpus(
+    df: DataFrame,
+    fractions: dict[str, float],
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic train/val/test split: adds a ``split`` column chosen by
+    where the row's hash bucket falls among cumulative fraction thresholds.
+
+    Like :func:`hash_sample`, membership is a pure function of the key —
+    stable under reruns, repartitions, appends (a new doc never moves an
+    old doc's split) and engines; the assignment is one CASE expression at
+    the scan, no shuffle, no sort. Fractions must sum to 1 (validated).
+    """
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    bucket = hash_bucket(F.col(key_col))
+    expr = None
+    acc = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        acc += fractions[name]
+        cond = bucket < int(acc * _HASH_SPACE)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    return df.withColumn("split", expr)

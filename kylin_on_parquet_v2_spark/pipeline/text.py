@@ -186,3 +186,46 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.md5(F.substring(F.reverse(t), 1, 64).cast("binary")).alias("fp_tail"),
         F.length(t).alias("n_norm_chars"),
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 512,
+    overlap: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into token-windowed training chunks with overlap.
+
+    Output: (id, chunk_id, chunk_text, n_tokens) — chunk k covers tokens
+    [k*stride, k*stride + chunk_tokens) of the normalized whitespace
+    tokenization, stride = chunk_tokens - overlap; a doc at most one chunk
+    long stays whole. Pure JVM expressions (split once per doc, then a
+    transform over chunk starts + posexplode): the expansion is map-side,
+    Exchange-free, and linear in output tokens — the same shape as the
+    shingle explosion the dedup ops use. Deterministic, so fully
+    oracle-replayable.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = docs.select(
+        F.col(id_col),
+        F.split(normalize_text(F.col(text_col)), " ").alias("__ws"),
+    ).withColumn("__n", F.size(F.col("__ws")))
+    n_chunks = F.when(F.col("__n") <= chunk_tokens, F.lit(1)).otherwise(
+        F.ceil((F.col("__n") - F.lit(overlap)) / F.lit(float(stride)))
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks.cast("int") - 1),
+        lambda k: F.slice(F.col("__ws"), k * stride + 1, chunk_tokens),
+    )
+    return toks.select(
+        F.col(id_col),
+        F.posexplode(chunks).alias("chunk_id", "__chunk"),
+    ).select(
+        F.col(id_col),
+        F.col("chunk_id"),
+        F.array_join(F.col("__chunk"), " ").alias("chunk_text"),
+        F.size(F.col("__chunk")).alias("n_tokens"),
+    )

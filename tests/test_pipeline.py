@@ -756,3 +756,78 @@ def test_export_shards_write_matches_declared_order(spark, tmp_path):
     s0 = spark.read.parquet(f"{path}/shard=0").select("shuffle_key").collect()
     keys = [r["shuffle_key"] for r in s0]
     assert keys == sorted(keys)
+
+
+# --- chunking + splits ---------------------------------------------------------
+
+
+def test_chunk_windows_reconstruct_documents(spark):
+    """Dropping the first `overlap` tokens of every chunk after the first
+    and concatenating reconstructs the normalized doc exactly — no token
+    lost or duplicated; every chunk fits the window and is non-empty."""
+    from kylin_on_parquet_v2_spark.pipeline.text import chunk_documents
+
+    docs = spark.table("documents").filter(F.col("doc_id") < 50)
+    chunks = chunk_documents(docs, chunk_tokens=16, overlap=4).collect()
+    norm = {
+        r["doc_id"]: r["t"]
+        for r in docs.select(
+            "doc_id", D.normalize_text(F.col("text")).alias("t")
+        ).collect()
+    }
+    by_doc: dict[int, list] = {}
+    for r in chunks:
+        assert 1 <= r["n_tokens"] <= 16
+        assert len(r["chunk_text"].split(" ")) == r["n_tokens"]
+        by_doc.setdefault(r["doc_id"], []).append((r["chunk_id"], r["chunk_text"]))
+    assert set(by_doc) == set(norm)
+    for doc_id, lst in by_doc.items():
+        lst.sort()
+        assert [k for k, _ in lst] == list(range(len(lst)))
+        toks: list[str] = []
+        for k, text in lst:
+            t = text.split(" ")
+            toks.extend(t if k == 0 else t[4:])
+        assert " ".join(toks) == norm[doc_id], doc_id
+
+
+def test_chunk_windows_plan_is_map_side(spark):
+    from kylin_on_parquet_v2_spark.pipeline.text import chunk_documents
+
+    docs = spark.table("documents")
+    plan = (
+        chunk_documents(docs, chunk_tokens=16, overlap=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
+
+
+def test_chunk_windows_rejects_bad_overlap(spark):
+    from kylin_on_parquet_v2_spark.pipeline.text import chunk_documents
+
+    with pytest.raises(ValueError):
+        chunk_documents(spark.table("documents"), chunk_tokens=8, overlap=8)
+
+
+def test_split_corpus_fractions_and_stability(spark):
+    """Split sizes land near the requested fractions; membership is a pure
+    function of the key (identical after repartition); fractions must sum
+    to 1."""
+    docs = spark.table("documents")
+    out = SP.split_corpus(docs, {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    total = sum(counts.values())
+    assert total == docs.count()
+    assert abs(counts.get("train", 0) / total - 0.8) < 0.1
+    a = sorted((r["doc_id"], r["split"]) for r in out.select("doc_id", "split").collect())
+    b = sorted(
+        (r["doc_id"], r["split"])
+        for r in SP.split_corpus(
+            docs.repartition(13), {"train": 0.8, "val": 0.1, "test": 0.1}
+        ).select("doc_id", "split").collect()
+    )
+    assert a == b
+    with pytest.raises(ValueError):
+        SP.split_corpus(docs, {"train": 0.5, "val": 0.1})
