@@ -111,3 +111,45 @@ def test_stale_pending_cache_cleared_on_next_sql(spark, tmp_path):
     e.sql("select 3 as c")
     assert e.take_pending_cache(expect_df=df1) is None
     assert e._pending_cache is None  # discarded, not left behind
+
+
+def test_concurrent_mixed_queries_thread_safe(eng):
+    """Many threads hammering a mix of routed / pushdown / repeated queries
+    must produce exactly the single-threaded answers — no memo corruption,
+    no cross-query cache bleed, no exception. (The advisor flagged engine
+    cache handling twice; this pins the locked paths under contention.)"""
+    import threading
+
+    queries = [
+        ROUTED_SQL,
+        PUSHDOWN_SQL,
+        "select count(*) as n from lineitem",
+        "select l_linestatus, sum(l_extendedprice) as s from lineitem "
+        "group by l_linestatus",
+    ]
+    expected = [
+        sorted(tuple(r) for r in eng.sql(q).collect()) for q in queries
+    ]
+    errors: list[Exception] = []
+    results: dict[tuple[int, int], list] = {}
+
+    def run(tid: int) -> None:
+        try:
+            for i, q in enumerate(queries):
+                results[(tid, i)] = sorted(tuple(r) for r in eng.sql(q).collect())
+        except Exception as exc:  # noqa: BLE001 — recorded for the assert
+            errors.append(exc)
+
+    threads = [threading.Thread(target=run, args=(t,)) for t in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not errors, errors
+    assert len(results) == 6 * len(queries)
+    for (tid, i), rows in results.items():
+        assert rows == expected[i], (tid, i)
+    # memo still coherent afterwards: a repeat plans zero new routes
+    before = eng.metrics["plan_route_calls"]
+    eng.sql(ROUTED_SQL).collect()
+    assert eng.metrics["plan_route_calls"] == before
