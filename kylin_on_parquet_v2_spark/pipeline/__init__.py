@@ -8,6 +8,22 @@ oracle can replay them bit-for-bit. Python/pandas UDFs appear only where the
 semantics genuinely need them (multimodal decode), Arrow-batched.
 """
 
-from kylin_on_parquet_v2_spark.pipeline import dedup, multimodal, similarity, text
+from kylin_on_parquet_v2_spark.pipeline import (
+    decontam,
+    dedup,
+    export,
+    multimodal,
+    sampling,
+    similarity,
+    text,
+)
 
-__all__ = ["dedup", "similarity", "text", "multimodal"]
+__all__ = [
+    "decontam",
+    "dedup",
+    "export",
+    "multimodal",
+    "sampling",
+    "similarity",
+    "text",
+]

@@ -50,6 +50,9 @@ def assign_shards(
 ) -> DataFrame:
     """Corpus + (``shard``, ``shuffle_key``) columns. Pure projection —
     no shuffle until the caller repartitions or aggregates."""
+    clash = {"shard", "shuffle_key"} & set(df.columns)
+    if clash:
+        raise ValueError(f"input already has reserved column(s) {sorted(clash)}")
     key = shuffle_key(F.col(id_col), seed)
     return df.withColumn("shuffle_key", key).withColumn(
         "shard", shard_of(F.col("shuffle_key"), n_shards)

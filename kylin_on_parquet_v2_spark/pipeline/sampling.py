@@ -161,6 +161,10 @@ def split_corpus(
     total = sum(fractions.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"fractions must sum to 1, got {total}")
+    if not fractions or any(v <= 0 for v in fractions.values()):
+        raise ValueError("every split fraction must be positive")
+    if "split" in df.columns:
+        raise ValueError("input already has a 'split' column")
     bucket = hash_bucket(F.col(key_col))
     expr = None
     acc = 0.0
