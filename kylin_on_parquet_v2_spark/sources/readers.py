@@ -103,3 +103,57 @@ def read_kafka_stream(
         .option("startingOffsets", starting_offsets)
         .load()
     )
+
+
+def kafka_wire_schema() -> StructType:
+    """The exact record schema Spark's kafka source emits — the contract
+    every downstream transformer here is written against. Declared once so
+    the parser layer can be built and tested in environments without the
+    connector jar (like this one): any batch/streaming frame with this
+    schema — the real source, a replayed capture, a test fixture — feeds
+    the same pipeline.
+    """
+    from pyspark.sql.types import (
+        BinaryType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        TimestampType,
+    )
+
+    return StructType(
+        [
+            StructField("key", BinaryType()),
+            StructField("value", BinaryType()),
+            StructField("topic", StringType()),
+            StructField("partition", IntegerType()),
+            StructField("offset", LongType()),
+            StructField("timestamp", TimestampType()),
+            StructField("timestampType", IntegerType()),
+        ]
+    )
+
+
+def decode_kafka_events(frame: DataFrame, value_schema: StructType) -> DataFrame:
+    """Kafka wire records -> typed event rows (reference parity: the
+    streaming parser in ``stream-source-kafka`` — TimedJsonStreamParser
+    turns each message value into a typed event row keyed by the declared
+    table schema).
+
+    JSON-decodes ``value`` JVM-side (``from_json`` — no Python) against the
+    DECLARED schema (inference is banned, same rule as the CSV/JSON
+    readers) and keeps (topic, partition, offset, kafka_ts): offset is the
+    redelivery-dedup key downstream
+    (``streaming/segments.py::dedup_redelivery``), partition+offset the
+    exactly-once bookmark. Works identically on batch and streaming frames.
+    """
+    from pyspark.sql import functions as F
+
+    return frame.select(
+        "topic",
+        "partition",
+        "offset",
+        F.col("timestamp").alias("kafka_ts"),
+        F.from_json(F.col("value").cast("string"), value_schema).alias("__v"),
+    ).select("topic", "partition", "offset", "kafka_ts", "__v.*")

@@ -120,3 +120,116 @@ def test_kafka_unavailable_raises_clearly(spark):
     assert not kafka_available(spark)  # no connector jar in this container
     with pytest.raises(NotImplementedError, match="spark-sql-kafka"):
         read_kafka_stream(spark, "localhost:9092", "t")
+
+
+def test_kafka_wire_decode_roundtrip(spark):
+    """The parser layer is jar-independent: a batch frame carrying the
+    EXACT kafka source schema (kafka_wire_schema) decodes back to typed
+    event rows with (topic, partition, offset) preserved — the reference's
+    TimedJsonStreamParser contract (stream-source-kafka), written so the
+    real source drops in unchanged once the connector jar exists."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from kylin_on_parquet_v2_spark.sources.readers import (
+        decode_kafka_events,
+        kafka_wire_schema,
+    )
+
+    from kylin_on_parquet_v2_spark.session import register_views
+    from tests.conftest import SF_SMOKE
+
+    register_views(spark, SF_SMOKE)
+    events = spark.table("events").select("event_id", "user_id", "event_type").limit(50)
+    wire = events.select(
+        F.col("event_id").cast("string").cast("binary").alias("key"),
+        F.to_json(F.struct("event_id", "user_id", "event_type"))
+        .cast("binary")
+        .alias("value"),
+        F.lit("events").alias("topic"),
+        (F.col("event_id") % 3).cast("int").alias("partition"),
+        F.col("event_id").alias("offset"),
+        F.current_timestamp().alias("timestamp"),
+        F.lit(0).alias("timestampType"),
+    )
+    # the fixture must match the real source's schema EXACTLY
+    assert [(f.name, f.dataType) for f in wire.schema.fields] == [
+        (f.name, f.dataType) for f in kafka_wire_schema().fields
+    ]
+    payload = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+        ]
+    )
+    decoded = decode_kafka_events(wire, payload)
+    got = {
+        (r["event_id"], r["user_id"], r["event_type"], r["partition"], r["offset"])
+        for r in decoded.collect()
+    }
+    want = {
+        (r["event_id"], r["user_id"], r["event_type"], int(r["event_id"] % 3), r["event_id"])
+        for r in events.collect()
+    }
+    assert got == want
+
+
+def test_kafka_wire_streaming_redelivery_dedup(spark, tmp_path):
+    """End-to-end minus the jar: wire-schema records arrive TWICE (the
+    at-least-once redelivery a Kafka consumer produces after a failure),
+    the stream decodes through the same parser and dedups on
+    (topic, partition, offset) — the exactly-once bookmark — leaving one
+    typed row per message."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from kylin_on_parquet_v2_spark.sources.readers import (
+        decode_kafka_events,
+        kafka_wire_schema,
+    )
+
+    from kylin_on_parquet_v2_spark.session import register_views
+    from tests.conftest import SF_SMOKE
+
+    register_views(spark, SF_SMOKE)
+    events = spark.table("events").select("event_id", "event_type").limit(20)
+    wire = events.select(
+        F.col("event_id").cast("string").cast("binary").alias("key"),
+        F.to_json(F.struct("event_id", "event_type")).cast("binary").alias("value"),
+        F.lit("events").alias("topic"),
+        F.lit(0).cast("int").alias("partition"),
+        F.col("event_id").alias("offset"),
+        F.current_timestamp().alias("timestamp"),
+        F.lit(0).alias("timestampType"),
+    )
+    src = str(tmp_path / "wire")
+    wire.write.mode("overwrite").parquet(src)
+    wire.write.mode("append").parquet(src)  # redelivery: every record twice
+
+    stream = spark.readStream.schema(kafka_wire_schema()).parquet(src)
+    payload = StructType(
+        [StructField("event_id", LongType()), StructField("event_type", StringType())]
+    )
+    decoded = decode_kafka_events(stream, payload).dropDuplicates(
+        ["topic", "partition", "offset"]
+    )
+    q = (
+        decoded.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("kafka_wire_dedup")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.table("kafka_wire_dedup").collect()
+    assert len(rows) == 20
+    assert {r["event_id"] for r in rows} == {
+        r["event_id"] for r in events.collect()
+    }
