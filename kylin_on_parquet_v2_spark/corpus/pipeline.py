@@ -455,15 +455,17 @@ def semantic_dedup_given(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def semantic_dedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup with a TRAINED spherical-k-means clustering (the
-    production path: distributed Lloyd iterations, map-side Arrow-matmul
-    assignment). Float-training-dependent => rows-only; kept-set
-    invariants (witness-in-cluster, determinism, no kept near-dup pair
-    sharing a cluster) are asserted in tests/test_pipeline.py."""
+    production path: distributed Lloyd iterations over a deterministic
+    25% training sample — the FAISS-style quantizer-training shape —
+    map-side Arrow-matmul assignment of EVERY vector).
+    Float-training-dependent => rows-only; kept-set invariants
+    (witness-in-cluster, determinism, no kept near-dup pair sharing a
+    cluster) are asserted in tests/test_pipeline.py."""
     views(spark, sf_dir)
     emb = spark.table("embeddings")
-    return S.semantic_dedup(emb, threshold=0.3, n_lists=8, train_iters=2).orderBy(
-        "vec_id"
-    )
+    return S.semantic_dedup(
+        emb, threshold=0.3, n_lists=8, train_iters=2, train_fraction=0.25
+    ).orderBy("vec_id")
 
 
 def export_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:

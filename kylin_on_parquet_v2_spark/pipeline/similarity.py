@@ -579,20 +579,34 @@ def semantic_neardup_removed(
     the usual sqrt(N) rule so clusters stay ~sqrt(N); AQE's skew split
     handles a hot cluster's join partitions.
     """
+    # norms are evaluated ONCE PER ROW before the join (the higher-order
+    # aggregate folds run interpreted per element, so recomputing norm(v)
+    # per PAIR would triple the per-pair lambda work); dot/(na*nb) is
+    # bit-identical to cosine(va, vb) — same expression tree, norms just
+    # hoisted — so oracle hashes are unaffected.
     a = assigned.select(
         F.col(cluster_col).alias("__cl"),
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("va"),
-    )
+    ).withColumn("__na", norm(F.col("va")))
     b = assigned.select(
         F.col(cluster_col).alias("__cl"),
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("vb"),
-    )
+    ).withColumn("__nb", norm(F.col("vb")))
+    # spread the probe side over the executors: when the optimizer
+    # broadcasts b (small corpora), the quadratic pair filter would
+    # otherwise run inside a's raw scan partitioning — a single small file
+    # means ONE task doing sum-of-cluster^2 work. Round-robin is correct
+    # here because a broadcast join needs no co-partitioning; when both
+    # sides are big the join's own __cl exchange takes over and this
+    # repartition is just absorbed upstream of it.
+    a = a.repartition(assigned.sparkSession.sparkContext.defaultParallelism)
+    cos = dot(F.col("va"), F.col("vb")) / (F.col("__na") * F.col("__nb"))
     return (
         a.join(b, "__cl")
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(F.round(cosine(F.col("va"), F.col("vb")), 6) >= threshold)
+        .filter(F.round(cos, 6) >= threshold)
         .select(F.col("id_b").alias(id_col))
         .distinct()
     )
@@ -605,6 +619,7 @@ def semantic_dedup(
     cluster_col: str | None = None,
     n_lists: int = 16,
     train_iters: int = 2,
+    train_fraction: float = 1.0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 7,
@@ -612,6 +627,13 @@ def semantic_dedup(
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): cluster the embedding space, then keep
     one representative of every within-cluster near-duplicate pair.
+
+    ``train_fraction < 1`` trains the quantizer on a DETERMINISTIC hash
+    sample of the corpus (the standard practice at scale — k-means needs
+    ~100s of points per centroid, not the corpus; FAISS trains coarse
+    quantizers the same way) while ASSIGNMENT still covers every vector.
+    The sample is a pure function of the id, so retraining reproduces the
+    same centroids on any engine/partitioning.
 
     Two modes:
 
@@ -628,8 +650,13 @@ def semantic_dedup(
     knob), identical in spirit to probing n_probe lists in IVF search.
     """
     if cluster_col is None:
+        train_corpus = corpus
+        if train_fraction < 1.0:
+            from kylin_on_parquet_v2_spark.pipeline.sampling import hash_sample
+
+            train_corpus = hash_sample(corpus, id_col, train_fraction)
         cents = train_ivf_centroids(
-            corpus, n_lists, train_iters, id_col, vec_col, seed, dim
+            train_corpus, n_lists, train_iters, id_col, vec_col, seed, dim
         )
         assigned = ivf_assign(
             corpus, n_lists, id_col, vec_col, seed, dim, centroids=cents
