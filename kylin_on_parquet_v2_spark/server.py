@@ -107,7 +107,7 @@ class _Handler(BaseHTTPRequestHandler):
             self._reply(404, {"error": f"unknown path {self.path}"})
 
     def do_POST(self) -> None:  # noqa: N802
-        if self.path != "/api/query":
+        if self.path not in ("/api/query", "/api/explain"):
             self._reply(404, {"error": f"unknown path {self.path}"})
             return
         try:
@@ -117,6 +117,47 @@ class _Handler(BaseHTTPRequestHandler):
         except (KeyError, ValueError) as exc:
             self._reply(400, {"error": f"bad request: {exc}"})
             return
+        if self.path == "/api/explain":
+            self._explain(sql, req)
+            return
+        self._query(sql, req)
+
+    def _explain(self, sql: str, req: dict) -> None:
+        """Planning-only surface (reference parity: Kylin's query page
+        shows the realization for a statement without running it): routes
+        the SQL exactly like /api/query, returns the chosen realization
+        per context plus the formatted Spark physical plan — never
+        collects, never fills the result cache."""
+        try:
+            with self.lock:
+                df = self.engine.sql(
+                    sql,
+                    use_cube=bool(req.get("use_cube", True)),
+                    approx_distinct=bool(req.get("approx_distinct", False)),
+                    approx_topn=bool(req.get("approx_topn", False)),
+                    params=req.get("params"),
+                )
+                route = self.engine.last_route
+                routes = list(self.engine.last_routes)
+                # planning-only: drop any deferred cache fill so it can't
+                # leak into a later /api/query response
+                self.engine.take_pending_cache(expect_df=df)
+        except Exception as exc:
+            self._reply(400, {"error": str(exc).split("\n", 1)[0]})
+            return
+        self._reply(
+            200,
+            {
+                "columns": df.columns,
+                "route": _route_info(route),
+                "routes": [_route_info(r) for r in routes],
+                "n_contexts": len(routes),
+                "is_pushdown": route is None,
+                "plan": _explain_string(df),
+            },
+        )
+
+    def _query(self, sql: str, req: dict) -> None:
         limit = min(int(req.get("limit", MAX_RESULT_ROWS)), MAX_RESULT_ROWS)
         started = _dt.datetime.now()
         try:
@@ -179,6 +220,18 @@ class _Handler(BaseHTTPRequestHandler):
                 "duration_ms": round(ms, 1),
             },
         )
+
+
+def _explain_string(df) -> str:
+    """Formatted physical plan without executing (what ``df.explain`` would
+    print; captured instead of dumped to stdout)."""
+    qe = df._jdf.queryExecution()
+    try:
+        jvm = df.sparkSession._jvm
+        mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        return qe.explainString(mode)
+    except Exception:  # pragma: no cover — jvm access shape drift
+        return qe.executedPlan().toString()
 
 
 def make_server(

@@ -831,3 +831,51 @@ def test_split_corpus_fractions_and_stability(spark):
     assert a == b
     with pytest.raises(ValueError):
         SP.split_corpus(docs, {"train": 0.5, "val": 0.1})
+
+
+def test_chunk_windows_property_reconstruction(spark):
+    """Property: for ANY (chunk_tokens, overlap) the chunks reconstruct the
+    normalized doc exactly (drop `overlap` leading tokens of chunks > 0),
+    and every chunk is 1..chunk_tokens tokens."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from kylin_on_parquet_v2_spark.pipeline.text import chunk_documents
+
+    docs = spark.table("documents").filter(F.col("doc_id") < 12).cache()
+    norm = {
+        r["doc_id"]: r["t"]
+        for r in docs.select(
+            "doc_id", D.normalize_text(F.col("text")).alias("t")
+        ).collect()
+    }
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        chunk=st.integers(min_value=2, max_value=64),
+        overlap_frac=st.floats(min_value=0.0, max_value=0.9),
+    )
+    def check(chunk: int, overlap_frac: float) -> None:
+        overlap = min(int(chunk * overlap_frac), chunk - 1)
+        rows = chunk_documents(docs, chunk_tokens=chunk, overlap=overlap).collect()
+        by_doc: dict[int, list] = {}
+        for r in rows:
+            assert 1 <= r["n_tokens"] <= chunk
+            by_doc.setdefault(r["doc_id"], []).append((r["chunk_id"], r["chunk_text"]))
+        assert set(by_doc) == set(norm)
+        for doc_id, lst in by_doc.items():
+            lst.sort()
+            toks: list[str] = []
+            for k, text in lst:
+                t = text.split(" ")
+                toks.extend(t if k == 0 else t[overlap:])
+            assert " ".join(toks) == norm[doc_id], (doc_id, chunk, overlap)
+
+    try:
+        check()
+    finally:
+        docs.unpersist()

@@ -160,3 +160,52 @@ def test_cubes_and_metrics_endpoints(served):
     assert code == 200 and body["metrics"].get("routed", 0) >= 1
     code, body = _get(base, "/health")
     assert code == 200 and body["status"] == "ok"
+
+
+def _post_path(base: str, path: str, payload: dict) -> tuple[int, dict]:
+    req = urllib.request.Request(
+        f"{base}{path}",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_explain_endpoint_routes_without_executing(served):
+    """/api/explain returns the realization + formatted physical plan for
+    both a routed and a pushdown statement, and never bleeds a deferred
+    cache fill into the next /api/query."""
+    _, base = served
+    routed_sql = (
+        "select l_returnflag, sum(l_quantity) as s from lineitem "
+        "group by l_returnflag"
+    )
+    code, r = _post_path(base, "/api/explain", {"sql": routed_sql})
+    assert code == 200, r
+    assert r["route"] is not None and r["is_pushdown"] is False
+    assert r["route"]["cube"]
+    assert "plan" in r and "Physical Plan" in r["plan"]
+    assert "rows" not in r  # planning only
+
+    pd_sql = (
+        "select l_returnflag, count(*) as n from lineitem "
+        "where l_quantity > 30 group by l_returnflag"
+    )
+    code, p = _post_path(base, "/api/explain", {"sql": pd_sql})
+    assert code == 200, p
+    assert p["is_pushdown"] is True and p["route"] is None
+    assert "Physical Plan" in p["plan"]
+
+    # a subsequent real query is unaffected (no stale pending cache)
+    code, q = _post(base, {"sql": routed_sql})
+    assert code == 200 and q["row_count"] > 0
+
+    code, bad = _post_path(
+        base, "/api/explain", {"sql": "select nope from nothing"}
+    )
+    assert code == 400 and "error" in bad
