@@ -82,6 +82,7 @@ _PRIORITY = [
     "export_shard_manifest",  # per-shard docs/tokens manifest (new r7)
     "text_chunk_windows",  # token-windowed chunks w/ overlap (new r7)
     "sample_split_corpus",  # deterministic train/val/test split (new r7)
+    "streaming_decontam_gate",  # in-flight decontamination gate (new r7)
     "text_repetition_features",  # Gopher-style repetition gate (new r7)
     "text_redact_pii",  # deterministic PII scrub, exact redacted-string oracle (new r7)
     "sample_domain_mix",  # target-driven corpus mixing, broadcast rate join (new r7)

@@ -371,7 +371,50 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_decontam_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-flight decontamination: the documents fixture streams through a
+    foreachBatch gate that anti-joins each micro-batch against the STATIC
+    (cached, broadcast) eval-gram set; only clean rows land in the output
+    dir. The oracle is the batch GPT-3 rule grouped by source — a
+    micro-batch is a batch, so the gate must match it exactly."""
+    import tempfile
+
+    from kylin_on_parquet_v2_spark.pipeline import decontam as DC
+
+    views(spark, sf_dir)
+    docs = spark.table("documents")
+    eval_docs = docs.filter(F.col("doc_id") % 29 == 0)
+
+    key = os.path.abspath(sf_dir)
+    src = proc_tmp("decontam_stream_src", key.strip("/").replace("/", "_"))
+    os.makedirs(src, exist_ok=True)
+    link = os.path.join(src, "documents.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "documents.parquet"), link)
+
+    base = tempfile.mkdtemp(prefix="decontam_gate_")
+    out_dir = os.path.join(base, "clean")
+    ckpt = os.path.join(base, "ckpt")
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    q = DC.streaming_decontaminate(stream, eval_docs, out_dir, ckpt, n=5)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q._decontam_eval_grams.unpersist()
+    clean = spark.read.parquet(out_dir)
+    return (
+        clean.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
+    "streaming_decontam_gate": streaming_decontam_gate,
     "cube_routed_hybrid": cube_routed_hybrid,
     "cube_routed_hybrid_distinct": cube_routed_hybrid_distinct,
     "cube_routed_hybrid_funnel": cube_routed_hybrid_funnel,
@@ -385,7 +428,24 @@ QUERIES = {
     "streaming_stateful_totals": streaming_stateful_totals,
 }
 
+def _decontam_gate_oracle() -> str:
+    from kylin_on_parquet_v2_spark.corpus.pipeline import _shingles_sql
+
+    return f"""
+        with grams as ({_shingles_sql(5)}),
+        bad as (select distinct sh from grams where doc_id % 29 = 0),
+        dirty as (select distinct g.doc_id from grams g join bad b on g.sh = b.sh)
+        select source, count(*) as n_docs,
+               cast(sum(n_chars) as bigint) as sum_chars
+        from documents d
+        where not exists (select 1 from dirty x where x.doc_id = d.doc_id)
+        group by source
+        order by source
+    """
+
+
 ORACLES = {
+    "streaming_decontam_gate": _decontam_gate_oracle(),
     "cube_routed_hybrid_distinct": """
         select event_type,
                count(distinct user_id) as nd_users,

@@ -230,3 +230,56 @@ def decontaminate(
     )
     keep = rep.filter(F.col("contamination_ratio") <= max_ratio).select(id_col)
     return docs.join(keep, id_col, "inner")
+
+
+def streaming_decontaminate(
+    stream: DataFrame,
+    eval_docs: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    *,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_grams: bool = False,
+):
+    """In-flight contamination gate: documents stream through
+    ``foreachBatch`` and only clean rows reach ``out_dir``.
+
+    This is the production ingest shape (same pattern as
+    ``streaming/segments.py::ingest_stream``): the eval gram set is STATIC
+    for the run — computed once, cached, broadcast into every micro-batch's
+    probe — so per-batch cost is the batch's own gram explosion plus a
+    broadcast semi-join; a micro-batch is just a batch, so the operator
+    semantics are byte-identical to :func:`decontaminate` with
+    ``max_ratio=0``. Restart safety comes from the stream checkpoint: a
+    replayed batch rewrites the same epoch's output.
+
+    Returns the StreamingQuery handle (caller drives/stops it).
+    """
+    bad = _maybe_hash(
+        eval_gram_set(eval_docs, text_col=text_col, id_col=id_col, n=n), hash_grams
+    ).cache()
+    bad.count()  # materialize once; every micro-batch reuses the cached set
+
+    def _gate(batch: DataFrame, epoch_id: int) -> None:
+        grams = _maybe_hash(
+            distinct_grams(batch, text_col=text_col, id_col=id_col, n=n), hash_grams
+        )
+        dirty = (
+            grams.join(F.broadcast(bad), "sh", "left_semi").select(id_col).distinct()
+        )
+        (
+            batch.join(dirty, id_col, "left_anti")
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    query = (
+        stream.writeStream.foreachBatch(_gate)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    # hand the cached static set to the caller for unpersist-after-stop
+    query._decontam_eval_grams = bad
+    return query
