@@ -37,6 +37,15 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("-i", "--interactive", action="store_true", help="SQL REPL")
     p.add_argument("--port", type=int, default=7070, help="HTTP port for --serve")
     p.add_argument("-n", "--rows", type=int, default=50, help="max rows to print")
+    p.add_argument(
+        "--query-timeout",
+        type=float,
+        default=None,
+        metavar="SEC",
+        help="wall-time budget per query; past it the BadQueryDetector "
+        "watchdog cancels the query's Spark jobs (reference "
+        "kylin.query.timeout-seconds)",
+    )
     args = p.parse_args(argv)
 
     if not args.sql and not args.build_only and not args.serve and not args.interactive:
@@ -58,7 +67,9 @@ def main(argv: list[str] | None = None) -> int:
         "kylin_cli_cubes",
         os.path.abspath(args.sf_dir).strip("/").replace("/", "_"),
     )
-    eng = OlapEngine(spark, storage_dir=storage)
+    eng = OlapEngine(
+        spark, storage_dir=storage, query_timeout_sec=args.query_timeout
+    )
     eng.register_sources(args.sf_dir)
 
     if not args.no_cube:
@@ -83,8 +94,12 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     t0 = time.perf_counter()
-    df = eng.sql(args.sql, use_cube=not args.no_cube, approx_distinct=args.approx_distinct)
-    df.show(args.rows, truncate=False)
+    # tracked window: the --query-timeout watchdog can kill a runaway scan
+    with eng.tracked_query(description=args.sql):
+        df = eng.sql(
+            args.sql, use_cube=not args.no_cube, approx_distinct=args.approx_distinct
+        )
+        df.show(args.rows, truncate=False)
     took = time.perf_counter() - t0
     route = eng.last_route
     via = (
@@ -120,12 +135,13 @@ def _repl(eng, args) -> int:
                 print(eng.explain(stmt[8:], approx_distinct=args.approx_distinct))
             elif stmt:
                 t0 = time.perf_counter()
-                df = eng.sql(
-                    stmt,
-                    use_cube=not args.no_cube,
-                    approx_distinct=args.approx_distinct,
-                )
-                df.show(args.rows, truncate=False)
+                with eng.tracked_query(description=stmt):
+                    df = eng.sql(
+                        stmt,
+                        use_cube=not args.no_cube,
+                        approx_distinct=args.approx_distinct,
+                    )
+                    df.show(args.rows, truncate=False)
                 route = eng.last_route
                 via = (
                     f"cuboid {route.cuboid.dims} of {route.cube}"

@@ -377,7 +377,7 @@ def streaming_decontam_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cached, broadcast) eval-gram set; only clean rows land in the output
     dir. The oracle is the batch GPT-3 rule grouped by source — a
     micro-batch is a batch, so the gate must match it exactly."""
-    import tempfile
+    import shutil
 
     from kylin_on_parquet_v2_spark.pipeline import decontam as DC
 
@@ -390,19 +390,25 @@ def streaming_decontam_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(src, exist_ok=True)
     link = os.path.join(src, "documents.parquet")
     if not os.path.exists(link):
-        os.symlink(os.path.join(sf_dir, "documents.parquet"), link)
+        # symlink the ABSPATH (key) — a relative sf_dir would break the
+        # link once the stream reads it from another cwd (round-7 advisor)
+        os.symlink(os.path.join(key, "documents.parquet"), link)
 
-    base = tempfile.mkdtemp(prefix="decontam_gate_")
+    # proc_tmp-keyed run dir, cleaned per invocation: repeated bench passes
+    # reuse one path instead of leaking a fresh mkdtemp each run
+    base = proc_tmp("decontam_gate", key.strip("/").replace("/", "_"))
+    shutil.rmtree(base, ignore_errors=True)
     out_dir = os.path.join(base, "clean")
     ckpt = os.path.join(base, "ckpt")
     stream = spark.readStream.schema(docs.schema).parquet(src)
-    q = DC.streaming_decontaminate(stream, eval_docs, out_dir, ckpt, n=5)
+    q, eval_grams = DC.streaming_decontaminate(stream, eval_docs, out_dir, ckpt, n=5)
     try:
         q.processAllAvailable()
     finally:
         q.stop()
-        q._decontam_eval_grams.unpersist()
-    clean = spark.read.parquet(out_dir)
+        eval_grams.unpersist()
+    # __epoch is the sink's idempotence partition key, not document data
+    clean = spark.read.parquet(out_dir).drop("__epoch")
     return (
         clean.groupBy("source")
         .agg(

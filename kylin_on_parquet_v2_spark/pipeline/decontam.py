@@ -252,10 +252,22 @@ def streaming_decontaminate(
     probe — so per-batch cost is the batch's own gram explosion plus a
     broadcast semi-join; a micro-batch is just a batch, so the operator
     semantics are byte-identical to :func:`decontaminate` with
-    ``max_ratio=0``. Restart safety comes from the stream checkpoint: a
-    replayed batch rewrites the same epoch's output.
+    ``max_ratio=0``.
 
-    Returns the StreamingQuery handle (caller drives/stops it).
+    Exactly-once on replay (round-7 advisor finding #1): ``foreachBatch``
+    is at-least-once — a crash between the sink write and the checkpoint
+    commit replays the batch — so a plain ``mode('append')`` would
+    duplicate every replayed row. The gate instead writes each batch into
+    an ``__epoch=<epoch_id>`` partition dir with DYNAMIC partition
+    overwrite: a replayed epoch rewrites ONLY its own partition
+    (idempotent), committed epochs are untouched, and the partition column
+    costs nothing at read time (partition pruning; drop ``__epoch`` when
+    selecting). This is the standard exactly-once foreachBatch parquet
+    sink shape.
+
+    Returns ``(query, eval_grams)`` — the StreamingQuery handle (caller
+    drives/stops it) and the cached static gram set (caller unpersists it
+    after stop).
     """
     bad = _maybe_hash(
         eval_gram_set(eval_docs, text_col=text_col, id_col=id_col, n=n), hash_grams
@@ -271,7 +283,10 @@ def streaming_decontaminate(
         )
         (
             batch.join(dirty, id_col, "left_anti")
-            .write.mode("append")
+            .withColumn("__epoch", F.lit(int(epoch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__epoch")
             .parquet(out_dir)
         )
 
@@ -280,6 +295,4 @@ def streaming_decontaminate(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
-    # hand the cached static set to the caller for unpersist-after-stop
-    query._decontam_eval_grams = bad
-    return query
+    return query, bad

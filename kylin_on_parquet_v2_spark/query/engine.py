@@ -45,6 +45,7 @@ class OlapEngine:
         transformers: list | None = None,
         max_result_rows: int | None = None,
         result_cache_size: int = 0,
+        query_timeout_sec: float | None = None,
     ):
         from kylin_on_parquet_v2_spark.query.transformers import default_transformers
         from kylin_on_parquet_v2_spark.udafs import register_udafs
@@ -108,6 +109,13 @@ class OlapEngine:
         #: a cuboid route (and of those, exact project-only hits), fell
         #: back to pushdown, or were undigestible; plus per-cube hits.
         self.metrics: Counter = Counter()
+        #: running-query registry + BadQueryDetector watchdog (reference
+        #: ResultPlan.scala:89/115, BadQueryDetector.java:129-147):
+        #: query_timeout_sec is the default wall-time budget — queries
+        #: bracketed by tracked_query() past it are cancelled mid-flight.
+        from kylin_on_parquet_v2_spark.query.lifecycle import QueryTracker
+
+        self.tracker = QueryTracker(self.spark, query_timeout_sec)
 
     #: hard cap on rows a cached result may materialize on the driver when
     #: no explicit max_result_rows is configured — caching is opt-in but
@@ -264,6 +272,7 @@ class OlapEngine:
         approx_distinct: bool = False,
         approx_topn: bool = False,
         params: list | dict | None = None,
+        skip_result_cache: bool = False,
     ) -> DataFrame:
         """Answer ``query``; serve from a cuboid when provably equivalent.
 
@@ -275,6 +284,13 @@ class OlapEngine:
         (date range / whole history) be served by MERGING per-segment stored
         TopN lists — approximate with a declared bound (the reference's
         TopNMeasureType sum-merge capability); exact refusal is the default.
+
+        ``skip_result_cache=True`` bypasses the LRU result cache in BOTH
+        directions (no lookup, no fill) for this call: EXPLAIN surfaces use
+        it so the returned DataFrame always carries the statement's real
+        physical plan — a cache hit would be a LocalTableScan of collected
+        rows, which is the execution of the CACHE, not of the query
+        (round-7 advisor finding #2).
 
         ``params`` binds prepared-statement parameters (the reference's
         PreparedState path, corpus sql_dynamic/): a list for positional
@@ -298,7 +314,7 @@ class OlapEngine:
         # leave a stale pending that a later un-cacheable server request
         # pops and serves as ITS response (round-6 advisor finding #3).
         self._pending_cache = None
-        if self.result_cache_size and not validate:
+        if self.result_cache_size and not validate and not skip_result_cache:
             with self._cache_lock:
                 hit = self._cache.pop(cache_key, None)
                 if hit is not None:
@@ -312,7 +328,9 @@ class OlapEngine:
         with self._cache_lock:
             memo = self._route_memo.get(cache_key) if not validate else None
         if memo is not None:
-            out = self._replay_route(memo, cache_key, approx_distinct, t_plan)
+            out = self._replay_route(
+                memo, cache_key, approx_distinct, t_plan, skip_result_cache
+            )
             if out is not None:
                 return out
         df = self.spark.sql(query, args=params) if params is not None else self.spark.sql(query)
@@ -321,7 +339,7 @@ class OlapEngine:
         if not use_cube or not self.cubes:
             self._set_pool("heavy")
             self._note_route_time(t_plan)
-            return self._maybe_cache(cache_key, df)
+            return self._maybe_cache(cache_key, df, skip_result_cache)
         if memo is not None and memo[0] in ("pushdown", "undigestible"):
             # memoized negative decision: skip digest extraction and cube
             # scoring — spark.sql above already produced the answer
@@ -331,7 +349,7 @@ class OlapEngine:
                 self.workload[memo[1]] += 1
             self._set_pool("heavy")
             self._note_route_time(t_plan)
-            return self._maybe_cache(cache_key, df)
+            return self._maybe_cache(cache_key, df, skip_result_cache)
         digest = extract_digest(df)
         if digest is None:
             # multi-context: a join of two independently-routable aggregate
@@ -361,12 +379,12 @@ class OlapEngine:
                 self._note_route_time(t_plan)
                 if validate:
                     self._assert_same(joined, df)
-                return self._maybe_cache(cache_key, joined)
+                return self._maybe_cache(cache_key, joined, skip_result_cache)
             self.metrics["undigestible"] += 1
             self._set_pool("heavy")
             self._memoize_route(cache_key, ("undigestible",))
             self._note_route_time(t_plan)
-            return self._maybe_cache(cache_key, df)
+            return self._maybe_cache(cache_key, df, skip_result_cache)
         self.workload[digest.needed_cols()] += 1
         # realization choice (RealizationChooser parity): among all cubes
         # that can answer, prefer exact-match hits, then the narrowest
@@ -379,7 +397,7 @@ class OlapEngine:
             # cube-planner workload like the first execution did
             self._memoize_route(cache_key, ("pushdown", digest.needed_cols()))
             self._note_route_time(t_plan)
-            return self._maybe_cache(cache_key, df)
+            return self._maybe_cache(cache_key, df, skip_result_cache)
 
         inst, route = min(candidates, key=self._route_cost)
         self.metrics["routed"] += 1
@@ -394,7 +412,7 @@ class OlapEngine:
             self._assert_same(routed, df)
         self.last_route = route
         self.last_routes = [route]
-        return self._maybe_cache(cache_key, routed)
+        return self._maybe_cache(cache_key, routed, skip_result_cache)
 
     # -- routing-decision memo (round-6 verdict item 4) ----------------------
 
@@ -419,7 +437,12 @@ class OlapEngine:
         self.metrics["route_timed_calls"] += 1
 
     def _replay_route(
-        self, memo: tuple, cache_key: tuple, approx_distinct: bool, t_plan: float
+        self,
+        memo: tuple,
+        cache_key: tuple,
+        approx_distinct: bool,
+        t_plan: float,
+        skip_result_cache: bool = False,
     ) -> DataFrame | None:
         """Re-serve a memoized routing decision without re-analyzing the SQL
         or re-scoring every cube. Returns None when the decision can't be
@@ -446,7 +469,7 @@ class OlapEngine:
             self.last_route = route
             self.last_routes = [route]
             self._note_route_time(t_plan)
-            return self._maybe_cache(cache_key, routed)
+            return self._maybe_cache(cache_key, routed, skip_result_cache)
         if kind == "multi":
             _, mkind, obj = memo
             execute = {
@@ -469,7 +492,7 @@ class OlapEngine:
             self.metrics["routed_multi_context"] += 1
             self._set_pool("light")
             self._note_route_time(t_plan)
-            return self._maybe_cache(cache_key, joined)
+            return self._maybe_cache(cache_key, joined, skip_result_cache)
         # pushdown / undigestible: spark.sql is the answer either way — the
         # win is skipping digest extraction + cube scoring, not analysis
         return None
@@ -660,7 +683,9 @@ class OlapEngine:
         queries responsive while big pushdown scans run."""
         self.spark.sparkContext.setLocalProperty("spark.scheduler.pool", pool)
 
-    def _maybe_cache(self, key: tuple, df: DataFrame) -> DataFrame:
+    def _maybe_cache(
+        self, key: tuple, df: DataFrame, skip: bool = False
+    ) -> DataFrame:
         """Fill the LRU result cache (materializes the result — the
         reference also caches collected result sets, QueryService:463-560).
 
@@ -673,7 +698,7 @@ class OlapEngine:
         collect does NOT happen here: the fill is parked on
         ``_pending_cache`` and completed by ``complete_cache_fill`` — so a
         caller holding a routing lock never materializes inside it."""
-        if not self.result_cache_size:
+        if not self.result_cache_size or skip:
             return df
         routes = list(self.last_routes) + (
             [self.last_route] if self.last_route is not None else []
@@ -733,8 +758,10 @@ class OlapEngine:
         return self._fill_cache(key, df, route, routes)
 
     def explain(self, query: str, approx_distinct: bool = False) -> str:
-        """Human-readable routing decision + physical plan for ``query``."""
-        df = self.sql(query, approx_distinct=approx_distinct)
+        """Human-readable routing decision + physical plan for ``query``.
+        Bypasses the result cache so the plan is always the statement's
+        real execution strategy, never a LocalTableScan of cached rows."""
+        df = self.sql(query, approx_distinct=approx_distinct, skip_result_cache=True)
         route = self.last_route
         head = (
             f"route: cube={route.cube} cuboid={route.cuboid.dims} "
@@ -763,6 +790,67 @@ class OlapEngine:
     def pushdown(self, query: str) -> DataFrame:
         """The always-correct flat path (reference SparkSqlClient.scala:41-55)."""
         return self.spark.sql(query)
+
+    # -- query lifecycle: cancellation + wall-time budget ----------------------
+
+    def tracked_query(self, query_id: str | None = None,
+                      timeout_sec: float | None = None, description: str = ""):
+        """Context manager bracketing ONE query's execution window so it can
+        be cancelled by id (reference ResultPlan.scala:89: every query's
+        Spark jobs are tagged ``setJobGroup(queryId, ...,
+        interruptOnCancel=true)`` so ``cancelJobGroup`` can kill them;
+        SparkSqlClient.scala:78-93 does the same on the pushdown path).
+
+        Usage — plan AND collect inside the block, on the same thread (the
+        job group is a thread-local property, so only this thread's jobs
+        are tagged)::
+
+            with engine.tracked_query(timeout_sec=60) as qid:
+                rows = engine.sql(q).collect()   # killable via qid
+
+        ``timeout_sec`` (or the engine-level ``query_timeout_sec`` default)
+        arms the BadQueryDetector watchdog: past the budget the query's
+        jobs are cancelled mid-flight and the collect raises. The group tag
+        is cleared on exit so later queries on this thread are unaffected.
+        """
+        from contextlib import contextmanager
+
+        from kylin_on_parquet_v2_spark.query.lifecycle import new_query_id
+
+        @contextmanager
+        def _cm():
+            qid = query_id or new_query_id()
+            sc = self.spark.sparkContext
+            sc.setJobGroup(qid, (description or qid)[:200], True)
+            self.tracker.start(qid, description, timeout_sec)
+            try:
+                yield qid
+            finally:
+                self.tracker.finish(qid)
+                # drop the thread-local tags so this thread's NEXT query
+                # doesn't inherit a (possibly cancelled) group id
+                sc.setLocalProperty("spark.jobGroup.id", None)
+                sc.setLocalProperty("spark.job.description", None)
+                sc.setLocalProperty("spark.job.interruptOnCancel", None)
+                self.metrics["queries_cancelled_user"] = (
+                    self.tracker.n_cancelled_by_user
+                )
+                self.metrics["queries_cancelled_watchdog"] = (
+                    self.tracker.n_cancelled_by_watchdog
+                )
+
+        return _cm()
+
+    def stop_query(self, query_id: str, reason: str = "stopped by user") -> bool:
+        """Kill one running query's Spark jobs (ResultPlan.scala:115
+        ``cancelJobGroup``; REST stopQuery QueryController.java:217-220).
+        False when the id isn't currently running."""
+        return self.tracker.stop_query(query_id, reason)
+
+    def running_queries(self) -> list[dict]:
+        """Snapshot of in-flight tracked queries (id, sql, elapsed,
+        budget) — the read side of the stop endpoint."""
+        return self.tracker.running()
 
     # -- validation (dual execution) ------------------------------------------
 

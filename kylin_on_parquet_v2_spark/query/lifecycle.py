@@ -1,0 +1,211 @@
+"""Query lifecycle control: cancellation, wall-time budgets, and the
+running-query registry.
+
+Reference parity (the last operational subsystem from SURVEY.md §3):
+
+- every query's Spark jobs are tagged with a job group
+  (``kylin-spark-project/.../ResultPlan.scala:89`` ``setJobGroup(...,
+  interruptOnCancel = true)``; the pushdown path does the same,
+  ``SparkSqlClient.scala:78-93``), so
+- a user/admin can kill one running query without touching the process
+  (``ResultPlan.scala:115`` ``cancelJobGroup``; REST ``stopQuery`` at
+  ``server-base/.../controller/QueryController.java:217-220``), and
+- a watchdog thread detects queries exceeding a wall-time budget and kills
+  them (``server-base/.../BadQueryDetector.java:38,129-147`` — the
+  detector loop sleeps ``detectionInterval`` and cancels anything past
+  ``queryTimeout``).
+
+Spark-first mechanics: ``SparkContext.setJobGroup`` is a thread-local
+property in PySpark's pinned-thread mode (the default since Spark 3.2), so
+each concurrent query thread tags only its own jobs; ``cancelJobGroup``
+works from ANY thread (the watchdog, an HTTP stop request) because
+cancellation is by group id, not by thread. ``interruptOnCancel=True``
+interrupts the executor task threads, which Spark's scan/range/shuffle
+loops poll between batches — a cancelled scan dies in milliseconds, not at
+stage end.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+import uuid
+from collections import OrderedDict
+from dataclasses import dataclass, field
+
+
+@dataclass
+class RunningQuery:
+    """One in-flight query: the registry row the watchdog scans."""
+
+    query_id: str
+    sql: str
+    started_mono: float
+    started_wall: float
+    timeout_sec: float | None  # per-query budget; None = tracker default
+    cancelled: bool = False
+    cancel_reason: str | None = None
+    thread_name: str = field(default_factory=lambda: threading.current_thread().name)
+
+    def elapsed(self) -> float:
+        return time.monotonic() - self.started_mono
+
+
+class QueryTracker:
+    """Registry of running queries + BadQueryDetector-style watchdog.
+
+    ``start``/``finish`` bracket a query's execution window (set up by
+    :meth:`OlapEngine.tracked_query`); :meth:`stop_query` cancels one by id
+    (``cancelJobGroup``); a daemon watchdog thread — started lazily the
+    first time any budget exists — sweeps the registry every
+    ``detect_interval_sec`` and cancels queries past their budget, exactly
+    the reference's detector loop (``BadQueryDetector.java:129-147``).
+    """
+
+    #: finished-query cancellation verdicts kept for post-mortem lookup
+    CANCEL_HISTORY = 256
+
+    def __init__(
+        self,
+        spark,
+        default_timeout_sec: float | None = None,
+        detect_interval_sec: float = 0.5,
+    ):
+        self.spark = spark
+        self.default_timeout_sec = default_timeout_sec
+        self.detect_interval_sec = detect_interval_sec
+        self._running: dict[str, RunningQuery] = {}
+        self._cancelled: "OrderedDict[str, str]" = OrderedDict()
+        self._lock = threading.Lock()
+        self._watchdog: threading.Thread | None = None
+        self._stop_evt = threading.Event()
+        #: observability counters (merged into engine.metrics by callers)
+        self.n_cancelled_by_user = 0
+        self.n_cancelled_by_watchdog = 0
+
+    # -- registry -----------------------------------------------------------
+
+    def start(
+        self, query_id: str, sql: str = "", timeout_sec: float | None = None
+    ) -> RunningQuery:
+        rq = RunningQuery(
+            query_id=query_id,
+            sql=sql,
+            started_mono=time.monotonic(),
+            started_wall=time.time(),
+            timeout_sec=timeout_sec,
+        )
+        with self._lock:
+            self._running[query_id] = rq
+        # a budget only matters if something enforces it
+        if timeout_sec is not None or self.default_timeout_sec is not None:
+            self._ensure_watchdog()
+        return rq
+
+    def finish(self, query_id: str) -> None:
+        with self._lock:
+            self._running.pop(query_id, None)
+
+    def running(self) -> list[dict]:
+        """Snapshot for the /api/queries listing."""
+        with self._lock:
+            rqs = list(self._running.values())
+        return [
+            {
+                "query_id": rq.query_id,
+                "sql": rq.sql[:500],
+                "elapsed_sec": round(rq.elapsed(), 3),
+                "timeout_sec": rq.timeout_sec
+                if rq.timeout_sec is not None
+                else self.default_timeout_sec,
+                "cancelled": rq.cancelled,
+                "thread": rq.thread_name,
+            }
+            for rq in rqs
+        ]
+
+    def was_cancelled(self, query_id: str) -> str | None:
+        """Cancellation reason for ``query_id`` (running or recently
+        finished), or None if it was never cancelled — the server uses this
+        to turn a collection exception into a 'stopped' status instead of a
+        generic runtime error."""
+        with self._lock:
+            rq = self._running.get(query_id)
+            if rq is not None and rq.cancelled:
+                return rq.cancel_reason
+            return self._cancelled.get(query_id)
+
+    # -- cancellation --------------------------------------------------------
+
+    def stop_query(self, query_id: str, reason: str = "stopped by user") -> bool:
+        """Cancel one running query's Spark jobs (``cancelJobGroup``
+        parity). Returns False when the id isn't running (already done or
+        never seen) — the REST contract the reference's stopQuery has."""
+        with self._lock:
+            rq = self._running.get(query_id)
+            if rq is None:
+                return False
+            rq.cancelled = True
+            rq.cancel_reason = reason
+            self._cancelled[query_id] = reason
+            while len(self._cancelled) > self.CANCEL_HISTORY:
+                self._cancelled.popitem(last=False)
+            if "budget" in reason:
+                self.n_cancelled_by_watchdog += 1
+            else:
+                self.n_cancelled_by_user += 1
+        # outside the lock: a py4j call must never serialize the registry.
+        # cancelJobGroupAndFutureJobs (SPARK-44872) closes the race where
+        # the stop lands BEFORE the query's first job is submitted (plain
+        # cancelJobGroup only kills ACTIVE jobs — a slow-to-plan query
+        # would sail through a too-early cancel). Group ids are
+        # uuid-unique per query, so future-cancelling the group can never
+        # hit an unrelated later query.
+        sc = self.spark.sparkContext
+        try:
+            sc._jsc.sc().cancelJobGroupAndFutureJobs(query_id)
+        except Exception:  # pragma: no cover — private-API shape drift
+            sc.cancelJobGroup(query_id)
+        return True
+
+    # -- watchdog (BadQueryDetector.java:129-147 parity) ----------------------
+
+    def _ensure_watchdog(self) -> None:
+        with self._lock:
+            if self._watchdog is not None and self._watchdog.is_alive():
+                return
+            self._stop_evt.clear()
+            self._watchdog = threading.Thread(
+                target=self._detect_loop, name="bad-query-detector", daemon=True
+            )
+            self._watchdog.start()
+
+    def _detect_loop(self) -> None:
+        while not self._stop_evt.wait(self.detect_interval_sec):
+            now = time.monotonic()
+            with self._lock:
+                over = [
+                    (rq.query_id, budget)
+                    for rq in self._running.values()
+                    if not rq.cancelled
+                    for budget in [
+                        rq.timeout_sec
+                        if rq.timeout_sec is not None
+                        else self.default_timeout_sec
+                    ]
+                    if budget is not None and now - rq.started_mono >= budget
+                ]
+            for qid, budget in over:
+                self.stop_query(
+                    qid, reason=f"exceeded {budget}s wall-time budget (watchdog)"
+                )
+
+    def shutdown(self) -> None:
+        self._stop_evt.set()
+        wd = self._watchdog
+        if wd is not None:
+            wd.join(timeout=2.0)
+
+
+def new_query_id() -> str:
+    return "query-" + uuid.uuid4().hex[:12]

@@ -103,16 +103,28 @@ class _Handler(BaseHTTPRequestHandler):
         elif self.path == "/api/metrics":
             with self.lock:
                 self._reply(200, {"metrics": dict(eng.metrics)})
+        elif self.path == "/api/queries":
+            # running-query listing (the read side of stopQuery — the
+            # reference's query page shows in-flight queries + durations)
+            self._reply(200, {"queries": eng.running_queries()})
         else:
             self._reply(404, {"error": f"unknown path {self.path}"})
 
     def do_POST(self) -> None:  # noqa: N802
-        if self.path not in ("/api/query", "/api/explain"):
+        if self.path not in ("/api/query", "/api/explain", "/api/query/stop"):
             self._reply(404, {"error": f"unknown path {self.path}"})
             return
         try:
             length = int(self.headers.get("Content-Length", "0"))
             req = json.loads(self.rfile.read(length) or b"{}")
+            if self.path == "/api/query/stop":
+                # stopQuery parity (QueryController.java:217-220): cancel a
+                # running query's Spark jobs by its query_id. 'stopped'
+                # False = not running (finished already or unknown id).
+                qid = req["query_id"]
+                stopped = self.engine.stop_query(qid, reason="stopped via REST")
+                self._reply(200, {"query_id": qid, "stopped": stopped})
+                return
             sql = req["sql"]
         except (KeyError, ValueError) as exc:
             self._reply(400, {"error": f"bad request: {exc}"})
@@ -130,17 +142,22 @@ class _Handler(BaseHTTPRequestHandler):
         collects, never fills the result cache."""
         try:
             with self.lock:
+                # skip_result_cache: a cache HIT would hand back
+                # spark.createDataFrame(cached rows) and the 'plan' field
+                # would show a LocalTableScan of the cache instead of the
+                # statement's real physical plan (round-7 advisor #2)
                 df = self.engine.sql(
                     sql,
                     use_cube=bool(req.get("use_cube", True)),
                     approx_distinct=bool(req.get("approx_distinct", False)),
                     approx_topn=bool(req.get("approx_topn", False)),
                     params=req.get("params"),
+                    skip_result_cache=True,
                 )
                 route = self.engine.last_route
                 routes = list(self.engine.last_routes)
-                # planning-only: drop any deferred cache fill so it can't
-                # leak into a later /api/query response
+                # planning-only belt: drop any deferred cache fill so it
+                # can't leak into a later /api/query response
                 self.engine.take_pending_cache(expect_df=df)
         except Exception as exc:
             self._reply(400, {"error": str(exc).split("\n", 1)[0]})
@@ -160,54 +177,75 @@ class _Handler(BaseHTTPRequestHandler):
     def _query(self, sql: str, req: dict) -> None:
         limit = min(int(req.get("limit", MAX_RESULT_ROWS)), MAX_RESULT_ROWS)
         started = _dt.datetime.now()
-        try:
-            # Critical section covers ROUTING ONLY: engine.sql builds the
-            # (lazy) DataFrame and records last_route/last_routes on the
-            # engine; both are copied out before the lock drops. With the
-            # result cache enabled, the cache FILL is deferred too
-            # (defer_cache_fill set in make_server) — the pending fill is
-            # popped here and completed below, outside the lock, so a
-            # cacheable slow scan no longer serializes all connections
-            # (round-5 advisor finding #4).
-            with self.lock:
-                df = self.engine.sql(
-                    sql,
-                    use_cube=bool(req.get("use_cube", True)),
-                    approx_distinct=bool(req.get("approx_distinct", False)),
-                    approx_topn=bool(req.get("approx_topn", False)),
-                    params=req.get("params"),
+        timeout = req.get("timeout_sec")
+        # the whole request — routing AND collection — runs inside one
+        # tracked-query window (ResultPlan.scala:89 parity): every Spark job
+        # this handler thread submits carries the query_id job group, so
+        # POST /api/query/stop (or the wall-time watchdog) can kill it
+        # mid-flight. Clients may pass their own query_id to stop it later.
+        with self.engine.tracked_query(
+            query_id=req.get("query_id"),
+            timeout_sec=float(timeout) if timeout is not None else None,
+            description=sql,
+        ) as qid:
+            try:
+                # Critical section covers ROUTING ONLY: engine.sql builds the
+                # (lazy) DataFrame and records last_route/last_routes on the
+                # engine; both are copied out before the lock drops. With the
+                # result cache enabled, the cache FILL is deferred too
+                # (defer_cache_fill set in make_server) — the pending fill is
+                # popped here and completed below, outside the lock, so a
+                # cacheable slow scan no longer serializes all connections
+                # (round-5 advisor finding #4).
+                with self.lock:
+                    df = self.engine.sql(
+                        sql,
+                        use_cube=bool(req.get("use_cube", True)),
+                        approx_distinct=bool(req.get("approx_distinct", False)),
+                        approx_topn=bool(req.get("approx_topn", False)),
+                        params=req.get("params"),
+                    )
+                    route = self.engine.last_route
+                    routes = list(self.engine.last_routes)
+                    pending = self.engine.take_pending_cache(expect_df=df)
+            except Exception as exc:
+                # planning failures are the client's problem: bad SQL, unknown
+                # tables/columns (the reference's SQLException path)
+                self._reply(400, {"error": str(exc).split("\n", 1)[0]})
+                return
+            try:
+                # execution/collection outside the lock: concurrent requests'
+                # Spark jobs run in parallel (FIFO/FAIR across threads). When a
+                # deferred cache fill is pending, ONE collection both fills the
+                # cache and serves this response; oversized results fall back to
+                # the plain limited collect (and stay uncached).
+                cached_rows = (
+                    self.engine.complete_cache_fill(pending)
+                    if pending is not None
+                    else None
                 )
-                route = self.engine.last_route
-                routes = list(self.engine.last_routes)
-                pending = self.engine.take_pending_cache(expect_df=df)
-        except Exception as exc:
-            # planning failures are the client's problem: bad SQL, unknown
-            # tables/columns (the reference's SQLException path)
-            self._reply(400, {"error": str(exc).split("\n", 1)[0]})
-            return
-        try:
-            # execution/collection outside the lock: concurrent requests'
-            # Spark jobs run in parallel (FIFO/FAIR across threads). When a
-            # deferred cache fill is pending, ONE collection both fills the
-            # cache and serves this response; oversized results fall back to
-            # the plain limited collect (and stay uncached).
-            cached_rows = (
-                self.engine.complete_cache_fill(pending)
-                if pending is not None
-                else None
-            )
-            rows = (
-                cached_rows[:limit]
-                if cached_rows is not None
-                else df.limit(limit).collect()
-            )
-        except Exception as exc:  # runtime failure on a planned query
-            self._reply(500, {"error": str(exc).split("\n", 1)[0]})
-            return
+                rows = (
+                    cached_rows[:limit]
+                    if cached_rows is not None
+                    else df.limit(limit).collect()
+                )
+            except Exception as exc:  # runtime failure on a planned query
+                reason = self.engine.tracker.was_cancelled(qid)
+                if reason is not None:
+                    # killed by stopQuery or the watchdog — report the
+                    # cancelled status, not a generic server error
+                    self._reply(
+                        410,
+                        {"query_id": qid, "cancelled": True, "reason": reason},
+                    )
+                    return
+                self._reply(500, {"error": str(exc).split("\n", 1)[0]})
+                return
         ms = (_dt.datetime.now() - started).total_seconds() * 1000
         self._reply(
             200,
             {
+                "query_id": qid,
                 "columns": df.columns,
                 "rows": [[_json_cell(v) for v in r] for r in rows],
                 "row_count": len(rows),

@@ -1,0 +1,138 @@
+"""Regression tests for the round-7 advisor findings.
+
+#1 (medium): streaming_decontaminate must be replay-idempotent — foreachBatch
+is at-least-once, so a replayed epoch must rewrite its own output, not append
+a second copy.
+#2 (low): explain surfaces must bypass the result cache so the reported plan
+is the statement's real physical plan, never a LocalTableScan of cached rows.
+#3 (low): the streaming gate corpus fixture must not leak temp dirs / rely on
+private attributes (covered by the gate returning (query, eval_grams) — used
+here — plus the corpus query staying oracle-green).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def _run_gate_once(spark, src, out_dir, ckpt, schema):
+    from kylin_on_parquet_v2_spark.pipeline.decontam import streaming_decontaminate
+
+    docs = spark.read.schema(schema).parquet(src)
+    eval_docs = docs.filter(F.col("doc_id") % 29 == 0)
+    stream = spark.readStream.schema(schema).parquet(src)
+    q, grams = streaming_decontaminate(stream, eval_docs, out_dir, ckpt, n=5)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        grams.unpersist()
+
+
+def test_streaming_gate_replay_is_idempotent(spark, tmp_path):
+    """A replayed epoch (fresh checkpoint, same output dir — the worst-case
+    crash-between-write-and-commit replay) rewrites its own partition
+    instead of appending a duplicate copy of every row."""
+    src = str(tmp_path / "src")
+    out_dir = str(tmp_path / "clean")
+    docs = spark.read.parquet(os.path.join(SF_SMOKE, "documents.parquet"))
+    docs.write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    _run_gate_once(spark, src, out_dir, str(tmp_path / "ckpt1"), schema)
+    first = spark.read.parquet(out_dir)
+    assert "__epoch" in first.columns  # the idempotence partition key
+    # materialize NOW — the replay rewrites the files underneath
+    first_rows = sorted(map(str, first.drop("__epoch").collect()))
+    assert len(first_rows) > 0
+
+    # replay: new checkpoint => the same files re-batch as the same epoch
+    # ids; dynamic partition overwrite must leave the output unchanged
+    # (the old mode('append') sink doubled it)
+    _run_gate_once(spark, src, out_dir, str(tmp_path / "ckpt2"), schema)
+    replay_rows = sorted(
+        map(str, spark.read.parquet(out_dir).drop("__epoch").collect())
+    )
+    assert replay_rows == first_rows
+
+
+def test_explain_bypasses_result_cache(spark, tmp_path):
+    from kylin_on_parquet_v2_spark.query.engine import OlapEngine
+
+    eng = OlapEngine(
+        spark, storage_dir=str(tmp_path / "cubes"), result_cache_size=4
+    )
+    eng.register_sources(SF_SMOKE)
+    q = "select r_name from region order by r_name"
+    eng.sql(q).collect()  # fills the cache
+    # sanity: without the bypass the SECOND call serves collected rows —
+    # its "plan" is a scan of the cache, not of the statement
+    cached_plan = eng.sql(q)._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in cached_plan  # createDataFrame(cached rows)
+    # explain() must show the real plan even with the cache hot
+    plan = eng.explain(q)
+    assert "ExistingRDD" not in plan and "LocalTableScan" not in plan
+    assert "parquet" in plan  # the statement's actual scan
+    # and the bypass flag leaves the cache itself untouched (still a hit)
+    still_cached = eng.sql(q)._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in still_cached
+
+
+def test_server_explain_reports_real_plan_on_cache_hit(spark, tmp_path):
+    import json
+    import threading
+    import urllib.request
+
+    from kylin_on_parquet_v2_spark.query.engine import OlapEngine
+    from kylin_on_parquet_v2_spark.server import make_server
+
+    eng = OlapEngine(
+        spark, storage_dir=str(tmp_path / "cubes"), result_cache_size=4
+    )
+    eng.register_sources(SF_SMOKE)
+    srv = make_server(eng)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+
+    def post(path, payload):
+        req = urllib.request.Request(
+            f"{base}{path}",
+            data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"},
+            method="POST",
+        )
+        with urllib.request.urlopen(req) as resp:
+            return json.loads(resp.read())
+
+    try:
+        sql = "select n_name from nation order by n_name"
+        post("/api/query", {"sql": sql})  # cache fill
+        body = post("/api/explain", {"sql": sql})
+        assert "ExistingRDD" not in body["plan"]
+        assert "LocalTableScan" not in body["plan"]
+        assert "parquet" in body["plan"]
+    finally:
+        srv.shutdown()
+
+
+def test_gate_fixture_reuses_run_dir(spark):
+    """Corpus fixture hygiene: two invocations reuse ONE proc_tmp-keyed run
+    dir (cleaned per run) instead of leaking a mkdtemp each call."""
+    import glob
+    import tempfile
+
+    from kylin_on_parquet_v2_spark.corpus.streaming_corpus import (
+        streaming_decontam_gate,
+    )
+
+    before = set(glob.glob(os.path.join(tempfile.gettempdir(), "decontam_gate_*")))
+    r1 = streaming_decontam_gate(spark, SF_SMOKE).collect()
+    r2 = streaming_decontam_gate(spark, SF_SMOKE).collect()
+    assert r1 == r2
+    after = set(glob.glob(os.path.join(tempfile.gettempdir(), "decontam_gate_*")))
+    assert after == before  # no new top-level mkdtemp leaks

@@ -1,0 +1,147 @@
+"""Query cancellation / wall-time budget (the reference's last operational
+subsystem: ResultPlan.scala:89/115 setJobGroup/cancelJobGroup,
+SparkSqlClient.scala:78-93 interruptOnCancel, QueryController.java:217-220
+REST stopQuery, BadQueryDetector.java:129-147 watchdog)."""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+import urllib.error
+import urllib.request
+
+import pytest
+
+from kylin_on_parquet_v2_spark.query.engine import OlapEngine
+from kylin_on_parquet_v2_spark.server import make_server
+
+# A deliberately slow pushdown scan: ~5e11 generated rows would take minutes
+# on local[32]; Spark's Range tasks poll the kill flag between batches, so a
+# cancel lands in milliseconds. If cancellation were broken the pytest run
+# would stall here — that IS the regression signal.
+SLOW_SQL = "select sum(id % 10) as s from range(500000000000)"
+
+#: generous bound: the collect must die from the cancel, not run to the end
+CANCEL_DEADLINE_SEC = 60
+
+
+def test_stop_query_mid_flight(spark, tmp_path):
+    eng = OlapEngine(spark, storage_dir=str(tmp_path / "cubes"))
+    stopped: list[bool] = []
+    with eng.tracked_query(description=SLOW_SQL) as qid:
+        # the registry sees the query while it runs
+        assert any(q["query_id"] == qid for q in eng.running_queries())
+        timer = threading.Timer(1.0, lambda: stopped.append(eng.stop_query(qid)))
+        timer.start()
+        t0 = time.monotonic()
+        with pytest.raises(Exception) as ei:
+            eng.sql(SLOW_SQL).collect()
+        elapsed = time.monotonic() - t0
+        timer.join()
+    assert stopped == [True]
+    assert elapsed < CANCEL_DEADLINE_SEC, "cancel did not interrupt the scan"
+    assert "cancel" in str(ei.value).lower()
+    assert eng.tracker.was_cancelled(qid) == "stopped by user"
+    # finished => no longer running; stopping again reports not-found
+    assert all(q["query_id"] != qid for q in eng.running_queries())
+    assert eng.stop_query(qid) is False
+    # the engine keeps serving after a kill (the whole point: one runaway
+    # query dies, the session survives)
+    assert eng.sql("select 41 + 1 as x").collect()[0]["x"] == 42
+    assert eng.metrics["queries_cancelled_user"] >= 1
+
+
+def test_watchdog_kills_over_budget_query(spark, tmp_path):
+    eng = OlapEngine(
+        spark, storage_dir=str(tmp_path / "cubes"), query_timeout_sec=2.0
+    )
+    with eng.tracked_query(description="budgeted slow scan") as qid:
+        t0 = time.monotonic()
+        with pytest.raises(Exception):
+            eng.sql(SLOW_SQL).collect()
+        elapsed = time.monotonic() - t0
+    assert elapsed < CANCEL_DEADLINE_SEC
+    reason = eng.tracker.was_cancelled(qid)
+    assert reason is not None and "budget" in reason
+    assert eng.metrics["queries_cancelled_watchdog"] >= 1
+    # fast queries inside the SAME budget regime are untouched
+    with eng.tracked_query(description="fast") as qid2:
+        assert eng.sql("select 1 as x").collect()[0]["x"] == 1
+    assert eng.tracker.was_cancelled(qid2) is None
+
+
+def test_per_query_timeout_overrides_default(spark, tmp_path):
+    # engine default is generous; the per-query budget is the binding one
+    eng = OlapEngine(
+        spark, storage_dir=str(tmp_path / "cubes"), query_timeout_sec=3600.0
+    )
+    with eng.tracked_query(timeout_sec=2.0, description="tight budget") as qid:
+        with pytest.raises(Exception):
+            eng.sql(SLOW_SQL).collect()
+    reason = eng.tracker.was_cancelled(qid)
+    assert reason is not None and "2.0s" in reason
+
+
+def _post(base: str, path: str, payload: dict) -> tuple[int, dict]:
+    req = urllib.request.Request(
+        f"{base}{path}",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def _get(base: str, path: str) -> tuple[int, dict]:
+    with urllib.request.urlopen(f"{base}{path}") as resp:
+        return resp.status, json.loads(resp.read())
+
+
+def test_server_stop_endpoint(spark, tmp_path):
+    eng = OlapEngine(spark, storage_dir=str(tmp_path / "cubes"))
+    srv = make_server(eng)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        # stopping an unknown id is a clean no-op, not an error
+        code, body = _post(base, "/api/query/stop", {"query_id": "nope"})
+        assert code == 200 and body["stopped"] is False
+
+        results: list[tuple[int, dict]] = []
+        t = threading.Thread(
+            target=lambda: results.append(
+                _post(base, "/api/query", {"sql": SLOW_SQL, "query_id": "kill-me"})
+            )
+        )
+        t.start()
+        # wait until the slow query shows up in the running listing
+        deadline = time.monotonic() + 30
+        while time.monotonic() < deadline:
+            _, listing = _get(base, "/api/queries")
+            if any(q["query_id"] == "kill-me" for q in listing["queries"]):
+                break
+            time.sleep(0.2)
+        else:
+            pytest.fail("slow query never appeared in /api/queries")
+
+        code, body = _post(base, "/api/query/stop", {"query_id": "kill-me"})
+        assert code == 200 and body["stopped"] is True
+
+        t.join(timeout=CANCEL_DEADLINE_SEC)
+        assert not t.is_alive(), "request did not return after stop"
+        code, body = results[0]
+        assert code == 410, body
+        assert body["cancelled"] is True and body["query_id"] == "kill-me"
+        assert "stopped via REST" in body["reason"]
+
+        # the server keeps serving after the kill
+        code, body = _post(base, "/api/query", {"sql": "select 7 as x"})
+        assert code == 200 and body["rows"] == [[7]]
+        assert body["query_id"]  # every response carries its id
+    finally:
+        srv.shutdown()
