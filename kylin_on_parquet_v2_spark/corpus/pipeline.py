@@ -9,10 +9,12 @@ whose fake features are Python-side).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kylin_on_parquet_v2_spark.corpus.base import views
+from kylin_on_parquet_v2_spark.corpus.base import proc_tmp, views
 from kylin_on_parquet_v2_spark.pipeline import decontam as DC
 from kylin_on_parquet_v2_spark.pipeline import dedup as D
 from kylin_on_parquet_v2_spark.pipeline import export as EX
@@ -212,15 +214,21 @@ def similarity_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN over the PERSISTED index: the corpus assigned once into
     ivf_list-partitioned parquet (built incrementally — half via build(),
     half via add()), queries read ONLY the probed list dirs (partition
-    pruning), no per-query assignment scan. Results identical to
-    similarity_ann_ivf by construction (same seeded quantizer) => rows-only;
-    the index==direct equivalence and the pruning plan are tested."""
-    import tempfile
+    pruning), no per-query assignment scan. The quantizer is k-means
+    TRAINED on the build half (IVFIndex.build's default since r8 — recall
+    is pinned in tests) and frozen for add(), so results are
+    float-training-dependent => rows-only; the index==direct equivalence,
+    recall floor, and the pruning plan are tested."""
+    import shutil
 
     views(spark, sf_dir)
     emb = spark.table("embeddings")
     mid = emb.agg(F.expr("percentile_approx(vec_id, 0.5)")).first()[0]
-    store = tempfile.mkdtemp(prefix="kylin_ivf_index_")
+    # proc_tmp-keyed store cleaned per run (no mkdtemp leak across passes)
+    store = proc_tmp(
+        "ivf_index", os.path.abspath(sf_dir).strip("/").replace("/", "_")
+    )
+    shutil.rmtree(store, ignore_errors=True)
     idx = S.IVFIndex(spark, store)
     idx.build(emb.filter(F.col("vec_id") <= mid))
     idx.add(emb.filter(F.col("vec_id") > mid))

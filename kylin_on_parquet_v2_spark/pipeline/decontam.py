@@ -77,6 +77,35 @@ def _ratio(hit: Column, total: Column) -> Column:
     return F.round(hit / total, 6)
 
 
+
+#: distinct eval grams above which the probe side is no longer FORCE
+#: broadcast (round-7 verdict item 5): benchmarks are a few million grams
+#: at most, but a caller passing a huge "eval" set (say, another corpus
+#: shard by mistake) would OOM every executor through F.broadcast — the
+#: hint bypasses Spark's own size guard. Each gram row is ~(n words) of
+#: string (~100 B); 5M grams ~ 500 MB built hash relation per executor,
+#: the sane ceiling.
+DEFAULT_EVAL_BROADCAST_LIMIT = 5_000_000
+
+
+def _probe_side(bad: DataFrame, limit: int | None) -> DataFrame:
+    """The eval gram set hinted for the contamination probe join.
+
+    ``limit=None`` trusts the caller (always force-broadcast — the classic
+    benchmark-sized case, zero extra jobs). With a limit, ONE cheap count
+    of the small side decides: at or under it, force-broadcast (the 100 TB
+    fast path — the corpus is never shuffled on the gram); past it, force
+    a sort-merge join instead. The explicit merge hint matters because a
+    gram set born from an explode has no reliable size statistics — left
+    unhinted, Catalyst could still pick broadcast from an underestimate
+    and OOM, which is exactly what the guard exists to prevent. Mirrors
+    ``dedup_filter``'s un-forced-broadcast design.
+    """
+    if limit is None or bad.count() <= limit:
+        return F.broadcast(bad)
+    return bad.hint("merge")
+
+
 def contamination_by_source(
     docs: DataFrame,
     eval_docs: DataFrame,
@@ -87,6 +116,7 @@ def contamination_by_source(
     eval_text_col: str | None = None,
     eval_id_col: str | None = None,
     eval_source_col: str = "source",
+    eval_broadcast_limit: int | None = DEFAULT_EVAL_BROADCAST_LIMIT,
 ) -> DataFrame:
     """Per-(document, benchmark) contamination provenance: which eval
     source each shared gram came from — the table a decontamination report
@@ -113,7 +143,7 @@ def contamination_by_source(
         .distinct()
     )
     return (
-        grams.join(F.broadcast(bad), "sh")
+        grams.join(_probe_side(bad, eval_broadcast_limit), "sh")
         .groupBy(id_col, "eval_source")
         .agg(F.count(F.lit(1)).alias("shared_grams"))
     )
@@ -139,6 +169,7 @@ def contamination_report(
     eval_text_col: str | None = None,
     eval_id_col: str | None = None,
     hash_grams: bool = False,
+    eval_broadcast_limit: int | None = DEFAULT_EVAL_BROADCAST_LIMIT,
 ) -> DataFrame:
     """Per-document contamination accounting.
 
@@ -165,7 +196,7 @@ def contamination_report(
         hash_grams,
     ).withColumn("__hit", F.lit(1))
     return (
-        grams.join(F.broadcast(bad), "sh", "left")
+        grams.join(_probe_side(bad, eval_broadcast_limit), "sh", "left")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("total_grams"),
@@ -189,6 +220,7 @@ def decontaminate(
     eval_text_col: str | None = None,
     eval_id_col: str | None = None,
     hash_grams: bool = False,
+    eval_broadcast_limit: int | None = DEFAULT_EVAL_BROADCAST_LIMIT,
 ) -> DataFrame:
     """Return the clean corpus: documents whose contamination ratio is
     <= ``max_ratio`` (default 0.0 = drop on ANY shared n-gram, the GPT-3
@@ -215,7 +247,9 @@ def decontaminate(
             hash_grams,
         )
         dirty = (
-            grams.join(F.broadcast(bad), "sh", "left_semi").select(id_col).distinct()
+            grams.join(_probe_side(bad, eval_broadcast_limit), "sh", "left_semi")
+            .select(id_col)
+            .distinct()
         )
         return docs.join(dirty, id_col, "left_anti")
     rep = contamination_report(
@@ -227,6 +261,7 @@ def decontaminate(
         eval_text_col=eval_text_col,
         eval_id_col=eval_id_col,
         hash_grams=hash_grams,
+        eval_broadcast_limit=eval_broadcast_limit,
     )
     keep = rep.filter(F.col("contamination_ratio") <= max_ratio).select(id_col)
     return docs.join(keep, id_col, "inner")
@@ -242,6 +277,7 @@ def streaming_decontaminate(
     text_col: str = "text",
     id_col: str = "doc_id",
     hash_grams: bool = False,
+    eval_broadcast_limit: int | None = DEFAULT_EVAL_BROADCAST_LIMIT,
 ):
     """In-flight contamination gate: documents stream through
     ``foreachBatch`` and only clean rows reach ``out_dir``.
@@ -272,14 +308,21 @@ def streaming_decontaminate(
     bad = _maybe_hash(
         eval_gram_set(eval_docs, text_col=text_col, id_col=id_col, n=n), hash_grams
     ).cache()
-    bad.count()  # materialize once; every micro-batch reuses the cached set
+    # materialize once (every micro-batch reuses the cached set) and reuse
+    # the SAME count for the broadcast-size guard — zero extra jobs
+    n_grams = bad.count()
+    probe = (
+        F.broadcast(bad)
+        if eval_broadcast_limit is None or n_grams <= eval_broadcast_limit
+        else bad.hint("merge")
+    )
 
     def _gate(batch: DataFrame, epoch_id: int) -> None:
         grams = _maybe_hash(
             distinct_grams(batch, text_col=text_col, id_col=id_col, n=n), hash_grams
         )
         dirty = (
-            grams.join(F.broadcast(bad), "sh", "left_semi").select(id_col).distinct()
+            grams.join(probe, "sh", "left_semi").select(id_col).distinct()
         )
         (
             batch.join(dirty, id_col, "left_anti")

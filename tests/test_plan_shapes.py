@@ -146,6 +146,70 @@ def test_shape_semantic_neardup(spark):
     assert shape["sort_merge_join"] + shape["broadcast_hash_join"] >= 1
 
 
+_RR = re.compile(r"\bRoundRobinPartitioning\b")
+
+
+def test_semantic_neardup_repartition_is_gated(spark):
+    """Round-7 verdict #1: the probe-side round-robin spread exists ONLY to
+    rescue an under-partitioned input (single small file => one task doing
+    sum-of-cluster^2 work). A many-partition corpus must NOT pay an extra
+    full shuffle of rows x embedding vectors on the way into the pair
+    join."""
+    emb = spark.table("embeddings").select(
+        "vec_id", "embedding", (F.col("label") % 4).alias("sem_cluster")
+    )
+    par = spark.sparkContext.defaultParallelism
+
+    # under-partitioned input (raw sf0.001 scan is a single split): the
+    # operator round-robins it up to defaultParallelism
+    assert emb.rdd.getNumPartitions() < par
+    plan_small = (
+        S.semantic_neardup_removed(emb, 0.3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert len(_RR.findall(plan_small)) == 1
+
+    # many-partition input (a real many-file scan, not an injected
+    # repartition — that would show up on BOTH sides of the self-join):
+    # the plan must contain NO RoundRobinPartitioning at all
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        emb.repartition(par * 2).write.parquet(f"{td}/wide")
+        wide = spark.read.parquet(f"{td}/wide")
+        assert wide.rdd.getNumPartitions() >= par
+        plan_wide = (
+            S.semantic_neardup_removed(wide, 0.3)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert len(_RR.findall(plan_wide)) == 0
+
+
+def test_decontam_broadcast_guard(spark):
+    """Round-7 verdict #5: an over-threshold eval gram set must NOT be
+    force-broadcast (F.broadcast bypasses Spark's own size guard and would
+    OOM executors); the probe falls back to a sort-merge join. Values are
+    identical on either path."""
+    docs = _docs(spark)
+    eval_docs = docs.filter(F.col("doc_id") % 29 == 0)
+
+    fast = DC.decontaminate(docs, eval_docs, n=5)
+    guarded = DC.decontaminate(docs, eval_docs, n=5, eval_broadcast_limit=1)
+    plan_fast = fast._jdf.queryExecution().executedPlan().toString()
+    plan_guarded = guarded._jdf.queryExecution().executedPlan().toString()
+    # default: gram probe is a forced broadcast semi-join
+    assert "BroadcastHashJoin" in plan_fast
+    # over the limit: the probe join degrades to sort-merge (the final
+    # anti-join on the small dirty-id set may still broadcast — that one
+    # is bounded by the contaminated minority, not by the eval set)
+    assert "SortMergeJoin" in plan_guarded
+    same = sorted(map(str, fast.collect())) == sorted(map(str, guarded.collect()))
+    assert same
+    # report path honors the guard too
+    rep = DC.contamination_report(docs, eval_docs, n=5, eval_broadcast_limit=1)
+    assert "SortMergeJoin" in rep._jdf.queryExecution().executedPlan().toString()
+
+
 def test_shape_exact_dedup(spark):
     docs = _docs(spark)
     assert _shape(D.exact_dedup(docs)) == {
