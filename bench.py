@@ -36,17 +36,31 @@ def main() -> None:
 
     # Pay cube-build cost once, outside query timing — including the hybrid
     # fixture (stream ingest + segmented events cube), which is offline
-    # build work in the same sense as the main cubes.
-    t0 = time.perf_counter()
-    entry_mod._engine(spark, sf_dir)
+    # build work in the same sense as the main cubes. Each phase is timed
+    # separately (round-7 verdict item 3: one opaque build_sec cannot
+    # localize a drift), and the standard-cube phase further splits into
+    # per-cube wall-clock spans via corpus.base.BUILD_TIMINGS.
+    from kylin_on_parquet_v2_spark.corpus import base as corpus_base
     from kylin_on_parquet_v2_spark.corpus.cube_routed import _bucketed_engine
     from kylin_on_parquet_v2_spark.corpus.measures import _kll_engine
     from kylin_on_parquet_v2_spark.corpus.streaming_corpus import _hybrid_engine
 
-    _hybrid_engine(spark, sf_dir)
-    _bucketed_engine(spark, sf_dir)  # bucketed-layout cube (r6)
-    _kll_engine(spark, sf_dir)  # KLL percentile cube (r6)
+    build_detail: dict[str, float] = {}
+    t0 = time.perf_counter()
+    for phase, fn in (
+        ("standard_cubes", entry_mod._engine),
+        ("hybrid_ingest", _hybrid_engine),
+        ("bucketed_cube", _bucketed_engine),
+        ("kll_cube", _kll_engine),
+    ):
+        tp = time.perf_counter()
+        fn(spark, sf_dir)
+        build_detail[phase] = round(time.perf_counter() - tp, 4)
     build_s = time.perf_counter() - t0
+    # per-cube spans inside the concurrent standard_cubes phase (overlapping
+    # wall-clock, so they may sum past the phase — they localize, not add)
+    for cube, sec in corpus_base.BUILD_TIMINGS.items():
+        build_detail[f"cube:{cube}"] = sec
 
     # Warm every source view once (first scan + codegen JIT) so per-query
     # timings measure the query, not which query touches a table first —
@@ -138,6 +152,7 @@ def main() -> None:
                 "queries": timings,  # per-query MEDIAN over `repeats` passes
                 "queries_min": mins,
                 "queries_all": samples,
+                "build": build_detail,  # per-phase + per-cube build seconds
             },
             f,
             indent=1,

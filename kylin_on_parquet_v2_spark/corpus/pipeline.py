@@ -416,6 +416,48 @@ def decontam_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DC.decontaminate(docs, eval_docs, n=5, max_ratio=0.0).orderBy("doc_id")
 
 
+def decontam_filter_shuffled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME clean corpus through the guarded probe path (new r8):
+    ``eval_broadcast_limit=0`` forces the sort-merge fallback the
+    broadcast-size guard takes when an eval set is too big to hold
+    per-executor. Identical oracle to decontam_filter — the guard is a
+    join-strategy choice, never a semantics choice."""
+    views(spark, sf_dir)
+    docs = spark.table("documents")
+    eval_docs = docs.filter(F.col("doc_id") % 29 == 0)
+    return DC.decontaminate(
+        docs, eval_docs, n=5, max_ratio=0.0, eval_broadcast_limit=0
+    ).orderBy("doc_id")
+
+
+def dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level exact dedup (new r8, RefinedWeb/CCNet granularity):
+    every 8-word passage kept only at its first corpus-wide occurrence;
+    per-doc survival stats + an md5 of the kept text (position order), so
+    the oracle proves the reassembly bit-for-bit."""
+    views(spark, sf_dir)
+    return D.passage_dedup(spark.table("documents"), window=8).orderBy("doc_id")
+
+
+def corpus_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary statistics (new r8): top-20 word bigrams by
+    document frequency with total occurrence counts — one shuffle of
+    distinct (gram, doc) pairs, k rows to the driver."""
+    views(spark, sf_dir)
+    return T.top_ngrams(spark.table("documents"), n=2, k=20)
+
+
+def text_quality_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quantile quality gate (new r8, Gopher-style percentile
+    cut): keep docs at/above their language's 25th percentile of n_chars.
+    percentile_disc => engine-exact thresholds; |langs|-row broadcast join,
+    corpus never shuffled."""
+    views(spark, sf_dir)
+    docs = spark.table("documents")
+    out = T.quality_quantile_gate(docs, metric_col="n_chars", group_col="lang", q=0.25)
+    return out.select("doc_id", "lang", "source", "n_chars").orderBy("doc_id")
+
+
 def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-windowed training chunks with overlap (16-token windows,
     4-token overlap): map-side, Exchange-free expansion, fully
@@ -498,7 +540,11 @@ def export_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "decontam_report": decontam_report,
     "decontam_filter": decontam_filter,
+    "decontam_filter_shuffled": decontam_filter_shuffled,
     "decontam_by_source": decontam_by_source,
+    "dedup_passages": dedup_passages,
+    "corpus_top_ngrams": corpus_top_ngrams,
+    "text_quality_quantile": text_quality_quantile,
     "text_chunk_windows": text_chunk_windows,
     "sample_split_corpus": sample_split_corpus,
     "semantic_dedup_given": semantic_dedup_given,
@@ -1057,6 +1103,73 @@ ORACLES = {
         select d.doc_id, d.text, d.lang, d.source, d.n_chars
         from documents d
         where not exists (select 1 from dirty x where x.doc_id = d.doc_id)
+        order by d.doc_id
+    """,
+    "decontam_filter_shuffled": f"""
+        with grams as ({_shingles_sql(5)}),
+        bad as (select distinct sh from grams where doc_id % 29 = 0),
+        dirty as (select distinct g.doc_id from grams g join bad b on g.sh = b.sh)
+        select d.doc_id, d.text, d.lang, d.source, d.n_chars
+        from documents d
+        where not exists (select 1 from dirty x where x.doc_id = d.doc_id)
+        order by d.doc_id
+    """,
+    "dedup_passages": f"""
+        with t as (select doc_id, string_split({_NORM}, ' ') as ws from documents),
+        p as (
+            select doc_id, cast(k as int) as pos,
+                   array_to_string(
+                       list_slice(ws, k * 8 + 1, least((k + 1) * 8, len(ws))), ' '
+                   ) as passage
+            from (select doc_id, ws,
+                         unnest(range(0, cast(ceil(len(ws) / 8.0) as bigint))) as k
+                  from t)
+        ),
+        f as (
+            select doc_id, pos, passage,
+                   row_number() over (partition by passage
+                                      order by doc_id, pos) as rn
+            from p
+        )
+        select doc_id,
+               count(*) as n_passages,
+               cast(sum(case when rn = 1 then 1 else 0 end) as bigint)
+                   as kept_passages,
+               md5(coalesce(
+                   string_agg(case when rn = 1 then passage end, ' '
+                              order by pos), '')) as kept_digest
+        from f group by doc_id order by doc_id
+    """,
+    "corpus_top_ngrams": f"""
+        with t as (select doc_id, string_split({_NORM}, ' ') as ws from documents),
+        g as (
+            select doc_id,
+                   unnest(list_transform(range(1, greatest(len(ws), 1)),
+                                         i -> ws[i] || ' ' || ws[i+1])) as gram
+            from t where len(ws) >= 2
+            union all
+            select doc_id, {_NORM} as gram
+            from documents where len(string_split({_NORM}, ' ')) < 2
+        )
+        select gram, count(*) as occurrences,
+               count(distinct doc_id) as doc_freq
+        from g group by gram
+        order by doc_freq desc, occurrences desc, gram
+        limit 20
+    """,
+    "text_quality_quantile": """
+        with ranked as (
+            select lang, n_chars,
+                   cume_dist() over (partition by lang order by n_chars) as cd
+            from documents
+        ),
+        thr as (
+            select lang, min(n_chars) as thr from ranked
+            where cd >= 0.25 group by lang
+        )
+        select d.doc_id, d.lang, d.source, d.n_chars
+        from documents d join thr t on d.lang = t.lang
+        where d.n_chars >= t.thr
         order by d.doc_id
     """,
     "text_chunk_windows": f"""

@@ -415,3 +415,89 @@ def dedup_filter(
         clusters = duplicate_clusters(docs, text_col, id_col)
     losers = clusters.filter(F.col(id_col) != F.col("cluster_id")).select(id_col)
     return docs.join(losers, id_col, "left_anti")
+
+
+def passage_windows(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+) -> DataFrame:
+    """(id, pos, passage) rows: each document split into NON-overlapping
+    ``window``-word passages (the last one may be shorter).
+
+    Map-side only: tokenize once per doc, build the window array with one
+    transform over a sequence of window starts (each window is a
+    ``slice`` of the materialized token array — never a re-split), then
+    posexplode. Zero shuffle; cost linear in corpus tokens.
+    """
+    toks = docs.select(
+        F.col(id_col), F.split(normalize_text(F.col(text_col)), " ").alias("__ws")
+    )
+    n_windows = F.ceil(F.size("__ws") / F.lit(window)).cast("int")
+    passages = F.transform(
+        F.sequence(F.lit(0), n_windows - 1),
+        lambda i: F.concat_ws(" ", F.slice(F.col("__ws"), i * window + 1, window)),
+    )
+    return toks.select(
+        F.col(id_col), F.posexplode(passages).alias("pos", "passage")
+    )
+
+
+def passage_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+) -> DataFrame:
+    """Passage-level exact deduplication (the RefinedWeb / CCNet move, at
+    passage rather than suffix-array granularity): every ``window``-word
+    passage is kept only at its FIRST occurrence corpus-wide (first =
+    lowest (doc_id, pos)); later repeats — boilerplate, quoted text,
+    templated spans — are dropped WITHIN documents that otherwise survive.
+    Document-level dedup cannot see these; this operator is the standard
+    next rung of aggressiveness.
+
+    Returns one row per document: ``n_passages``, ``kept_passages``, and
+    ``kept_digest`` — md5 of the kept passages re-concatenated in position
+    order, proving the reassembly is deterministic (the oracle recomputes
+    it bit-for-bit).
+
+    100 TB shape: passage generation is map-side (:func:`passage_windows`);
+    the keep-first decision is ONE window over the passage hash (shuffle
+    keyed by md5 — uniformly distributed, no skew by construction); the
+    per-doc rollup is the second and last shuffle, keyed by doc id. No
+    joins, no driver state. Window='8 words' keeps passage cardinality ~
+    corpus_tokens/8 — the same row count the shingle pipelines already
+    carry.
+    """
+    from pyspark.sql.window import Window
+
+    p = passage_windows(docs, text_col=text_col, id_col=id_col, window=window)
+    w = Window.partitionBy(F.md5(F.col("passage").cast("binary"))).orderBy(
+        F.col(id_col), F.col("pos")
+    )
+    flagged = p.withColumn("__rn", F.row_number().over(w))
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_passages"),
+            F.sum(F.when(F.col("__rn") == 1, 1).otherwise(0)).alias("kept_passages"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    F.col("__rn") == 1,
+                                    F.struct(F.col("pos"), F.col("passage")),
+                                )
+                            )
+                        ),
+                        lambda s: s["passage"],
+                    ),
+                ).cast("binary")
+            ).alias("kept_digest"),
+        )
+    )

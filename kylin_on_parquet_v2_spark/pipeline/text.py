@@ -229,3 +229,66 @@ def chunk_documents(
         F.array_join(F.col("__chunk"), " ").alias("chunk_text"),
         F.size(F.col("__chunk")).alias("n_tokens"),
     )
+
+
+def top_ngrams(
+    docs: DataFrame,
+    n: int = 2,
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-level n-gram statistics: the ``k`` most document-frequent
+    word n-grams with their total occurrence counts — the vocabulary /
+    boilerplate-survey table a tokenizer-training or filter-authoring pass
+    starts from.
+
+    100 TB shape: tokenize + shingle map-side (one pass, no re-split);
+    one groupBy(gram) aggregation — occurrences is algebraic (map-side
+    partial count), doc_freq is COUNT DISTINCT, which Spark expands to the
+    two-level (gram, doc) pre-aggregation so the shuffle carries distinct
+    pairs, not raw occurrences; then a k-row TakeOrderedAndProject — the
+    driver receives k rows, never the gram table."""
+    toks = docs.select(
+        F.col(id_col), F.split(normalize_text(F.col(text_col)), " ").alias("__ws")
+    )
+    all_rows = toks.select(
+        F.col(id_col), F.explode(word_shingles(F.col("__ws"), n)).alias("gram")
+    )
+    return (
+        all_rows.groupBy("gram")
+        .agg(
+            F.count(F.lit(1)).alias("occurrences"),
+            F.countDistinct(F.col(id_col)).alias("doc_freq"),
+        )
+        .orderBy(F.col("doc_freq").desc(), F.col("occurrences").desc(), F.col("gram"))
+        .limit(k)
+    )
+
+
+def quality_quantile_gate(
+    docs: DataFrame,
+    metric_col: str = "n_chars",
+    group_col: str = "lang",
+    q: float = 0.25,
+) -> DataFrame:
+    """Quantile-based quality gate (Gopher-style percentile cuts): keep
+    documents at or above their GROUP's q-quantile of ``metric_col`` —
+    absolute thresholds are wrong across languages/domains whose metric
+    distributions differ, so the cut is computed per group.
+
+    ``percentile_disc`` (an actual member value, no interpolation) keeps
+    the threshold engine-exact for the oracle. 100 TB shape: the
+    thresholds table is ONE groupBy over |groups| rows (map-side partial
+    ordered-set aggregation), broadcast back; the gate itself is a
+    map-side filter — the corpus is never shuffled."""
+    thr = docs.groupBy(group_col).agg(
+        F.expr(
+            f"percentile_disc({q}) within group (order by {metric_col})"
+        ).alias("__thr")
+    )
+    return (
+        docs.join(F.broadcast(thr), group_col)
+        .filter(F.col(metric_col) >= F.col("__thr"))
+        .drop("__thr")
+    )

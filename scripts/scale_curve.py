@@ -1,0 +1,161 @@
+"""Scale-curve spot-check (round-7 verdict item 7): run the heaviest
+pipeline operators at sf0.1 and at a synthetic 10x replica ("sf1") and
+report the scaling exponent alpha where t ~ N^alpha (alpha = log10(t10/t1)
+for a 10x step). Plan shapes predict ~linear (alpha ~ 1); anything
+super-linear is a finding.
+
+The 10x replica is for PERFORMANCE measurement only (TESTDATA.md data is
+never modified): each of the 10 copies is the sf0.1 corpus under a
+DENSITY-PRESERVING per-copy transform, so a linear operator sees exactly
+10x the work:
+
+- documents: every word gets a per-copy suffix (regexp, pure JVM), so
+  shingles/grams never match ACROSS copies — each copy keeps the
+  fixture's exact duplicate/contamination structure, and total duplicate
+  pairs scale 10x (not the 45x a verbatim replication's cross-copy
+  10-cliques would inject);
+- embeddings: a per-copy deterministic coordinate sign-flip — an
+  ORTHOGONAL transform, so all within-copy dot products/norms (and hence
+  every near-dup pair and k-means geometry) are preserved bit-for-bit in
+  structure, while cross-copy cosines become pseudo-random noise.
+
+Usage: python scripts/scale_curve.py [out.json]
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_BASE = "/root/testdata/sf0.1"
+COPIES = 10
+
+
+def build_replica(spark, out_dir: str) -> None:
+    from pyspark.sql import functions as F
+
+    from kylin_on_parquet_v2_spark.session import SOURCE_TABLES
+
+    os.makedirs(out_dir, exist_ok=True)
+    docs = spark.read.parquet(os.path.join(SF_BASE, "documents.parquet"))
+    emb = spark.read.parquet(os.path.join(SF_BASE, "embeddings.parquet"))
+    n_docs = docs.agg(F.max("doc_id")).first()[0] + 1
+    n_vecs = emb.agg(F.max("vec_id")).first()[0] + 1
+
+    doc_parts = []
+    emb_parts = []
+    for c in range(COPIES):
+        tag = f"c{c}"
+        doc_parts.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(c * n_docs)).alias("doc_id"),
+                # per-copy word suffix: shingles match only within a copy
+                F.regexp_replace("text", r"(\S+)", r"$1" + tag).alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+        # per-copy orthogonal sign-flip (deterministic in (copy, dim idx))
+        flip = F.transform(
+            "embedding",
+            lambda x, j, c=c: x
+            * F.when(F.pmod(F.hash(F.lit(c) * 1000 + j), 2) == 0, F.lit(1.0))
+            .otherwise(F.lit(-1.0))
+            .cast("float"),
+        )
+        emb_parts.append(
+            emb.select(
+                (F.col("vec_id") + F.lit(c * n_vecs)).alias("vec_id"),
+                flip.alias("embedding"),
+                "label",
+            )
+        )
+    all_docs = doc_parts[0]
+    for p in doc_parts[1:]:
+        all_docs = all_docs.unionAll(p)
+    all_emb = emb_parts[0]
+    for p in emb_parts[1:]:
+        all_emb = all_emb.unionAll(p)
+    # 10x the files too, so scan parallelism scales with the data
+    all_docs.repartition(COPIES).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "documents.parquet")
+    )
+    all_emb.repartition(COPIES).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "embeddings.parquet")
+    )
+    for t in SOURCE_TABLES:
+        if t in ("documents", "embeddings"):
+            continue
+        link = os.path.join(out_dir, f"{t}.parquet")
+        if not os.path.exists(link):
+            os.symlink(os.path.join(SF_BASE, f"{t}.parquet"), link)
+
+
+def main() -> None:
+    from kylin_on_parquet_v2_spark.corpus.pipeline import (
+        dedup_clusters,
+        dedup_incremental_refresh,
+        decontam_filter,
+        export_training_shards,
+        semantic_dedup_given,
+    )
+    from kylin_on_parquet_v2_spark.session import get_spark, register_views
+
+    spark = get_spark("scale-curve")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    replica = "/tmp/kylin_scale_sfx10"
+    shutil.rmtree(replica, ignore_errors=True)
+    t0 = time.perf_counter()
+    build_replica(spark, replica)
+    print(f"replica built in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+    ops = {
+        "dedup_incremental_refresh": dedup_incremental_refresh,
+        "dedup_clusters": dedup_clusters,
+        "semantic_dedup_given": semantic_dedup_given,
+        "decontam_filter": decontam_filter,
+        "export_training_shards": export_training_shards,
+    }
+
+    def run(fn, sf_dir: str) -> tuple[float, int]:
+        # fresh view registration per run; noop sink = full materialization
+        register_views(spark, sf_dir)
+        t = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t, df.count()
+
+    out: dict = {"copies": COPIES, "ops": {}}
+    for name, fn in ops.items():
+        # warm pass at sf0.1 first so codegen/session costs don't inflate
+        # the small-side timing (which would UNDERSTATE the exponent)
+        run(fn, SF_BASE)
+        t1, n1 = run(fn, SF_BASE)
+        t10, n10 = run(fn, replica)
+        alpha = math.log10(t10 / t1)
+        out["ops"][name] = {
+            "sec_sf0.1": round(t1, 3),
+            "sec_sf1": round(t10, 3),
+            "rows_sf0.1": n1,
+            "rows_sf1": n10,
+            "ratio": round(t10 / t1, 2),
+            "alpha": round(alpha, 3),
+        }
+        print(name, out["ops"][name], file=sys.stderr)
+
+    path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scale_curve.json"
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

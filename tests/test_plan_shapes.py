@@ -185,6 +185,54 @@ def test_semantic_neardup_repartition_is_gated(spark):
         assert len(_RR.findall(plan_wide)) == 0
 
 
+def test_shape_passage_dedup(spark):
+    docs = _docs(spark)
+    assert _shape(D.passage_dedup(docs, window=8)) == {
+        # passage explode map-side (1 generate); keep-first is ONE window
+        # keyed by the passage md5; per-doc rollup is the second and last
+        # shuffle. No joins of any kind.
+        "shuffle_exchange": 2,
+        "broadcast_exchange": 0,
+        "broadcast_hash_join": 0,
+        "sort_merge_join": 0,
+        "nested_loop_join": 0,
+        "window": 1,
+        "generate": 1,
+    }
+
+
+def test_shape_top_ngrams(spark):
+    from kylin_on_parquet_v2_spark.pipeline import text as T
+
+    assert _shape(T.top_ngrams(_docs(spark), n=2, k=20)) == {
+        # COUNT DISTINCT expands to the two-level (gram, doc) agg => two
+        # hash exchanges carrying distinct pairs; k rows to the driver
+        "shuffle_exchange": 2,
+        "broadcast_exchange": 0,
+        "broadcast_hash_join": 0,
+        "sort_merge_join": 0,
+        "nested_loop_join": 0,
+        "window": 0,
+        "generate": 1,
+    }
+
+
+def test_shape_quality_quantile_gate(spark):
+    from kylin_on_parquet_v2_spark.pipeline import text as T
+
+    assert _shape(T.quality_quantile_gate(_docs(spark))) == {
+        # thresholds: one |langs|-sized ordered-set aggregation, broadcast
+        # back; the gate is a map-side filter — the corpus never shuffles
+        "shuffle_exchange": 1,
+        "broadcast_exchange": 1,
+        "broadcast_hash_join": 1,
+        "sort_merge_join": 0,
+        "nested_loop_join": 0,
+        "window": 0,
+        "generate": 0,
+    }
+
+
 def test_decontam_broadcast_guard(spark):
     """Round-7 verdict #5: an over-threshold eval gram set must NOT be
     force-broadcast (F.broadcast bypasses Spark's own size guard and would
