@@ -61,44 +61,92 @@ def _modules():
 
 # The driver's correctness harness checks the FIRST 50 ``queries()`` entries
 # only. Rotate the window each round so every contract query eventually gets a
-# driver check. r07 window: the new q12 dual-shipmode query first, then the
-# queries the r07 commits touched (the signed-zero oracle fix, two-phase KLL,
-# route memoization, bucketed namespacing), then everything whose last driver
-# check is oldest (r01-r03 first, then r04) — the r01-r06 union already
-# covers all contract queries, and this keeps the worst-case staleness
-# bounded. Everything stays covered every round by the driver-calibrated
-# in-repo parity suite (tests/test_entry_oracle_parity.py — all oracles,
-# every round).
+# driver check. r08 window: the four NEW r8 queries first (passage dedup,
+# top-ngrams, quantile gate, shuffled-probe decontam parity), then every
+# query the r8 commits touched (the decontam broadcast guard, the SemDeDup
+# repartition gate, the trained-by-default IVF index, the idempotent
+# streaming gate sink), then the entries whose last driver check is oldest
+# (the r01-r04 block the r7 window displaced). The r01-r07 union already
+# covers all contract queries; everything stays covered every round by the
+# driver-calibrated in-repo parity suite (tests/test_entry_oracle_parity.py
+# — all oracles, every round).
 _PRIORITY = [
-    # --- r07 driver window: the new queries + everything the r07 commits
-    # --- touched, then the queries whose last driver check is oldest
-    # --- (r01-r03, then r04). 50 entries exactly.
-    "decontam_report",  # benchmark decontamination accounting (new r7)
-    "decontam_filter",  # GPT-3-rule clean corpus (new r7)
-    "decontam_by_source",  # per-benchmark contamination provenance (new r7)
-    "semantic_dedup_given",  # SemDeDup over a given clustering (new r7)
-    "semantic_dedup_kmeans",  # SemDeDup, trained k-means (rows-only, new r7)
-    "export_training_shards",  # deterministic shuffle-shard order (new r7)
-    "export_shard_manifest",  # per-shard docs/tokens manifest (new r7)
-    "text_chunk_windows",  # token-windowed chunks w/ overlap (new r7)
-    "sample_split_corpus",  # deterministic train/val/test split (new r7)
-    "streaming_decontam_gate",  # in-flight decontamination gate (new r7)
-    "text_repetition_features",  # Gopher-style repetition gate (new r7)
-    "text_redact_pii",  # deterministic PII scrub, exact redacted-string oracle (new r7)
-    "sample_domain_mix",  # target-driven corpus mixing, broadcast rate join (new r7)
-    "q12_shipmode",  # TPC-H q12 TRUE dual-shipmode form (22/22 shapes)
-    "jdbc_source_agg",  # JDBC source END TO END via embedded Derby (new r7)
-    "csv_source_roundtrip",  # declared-schema CSV source round-trip (new r7)
-    "orc_source_roundtrip",  # ORC source round-trip (new r7)
-    "ordered_set_aggs",  # ANSI PERCENTILE_CONT/DISC WITHIN GROUP + MEDIAN (new r7)
-    "scalar_conformance_math",  # r06 red row: signed-zero oracle fix must flip it green
-    "percentile_kll_sketch",  # KLL build now two-phase (no whole-group collect)
-    "cube_routed_percentile_sketch",  # percentile routing after engine memo refactor
-    "cube_routed_hybrid_percentile",  # sketch merge across the split, post-refactor
-    "cube_routed_topn_pinned",  # stored TopN exactness after memo refactor
-    "cube_routed_topn_range",  # merged-list TopN after memo refactor
-    "cube_routed_bucketed",  # bucketed tables now namespaced by storage dir
-    "cube_routed_hybrid",  # hybrid serving through the memoized route path
+    # --- r08 driver window (50 entries): the four NEW r8 queries, then
+    # --- everything the r8 commits touched, then the oldest-checked
+    # --- (r01-r04) block
+    "decontam_filter_shuffled",
+    "dedup_passages",
+    "corpus_top_ngrams",
+    "text_quality_quantile",
+    "semantic_dedup_given",
+    "semantic_dedup_kmeans",
+    "decontam_report",
+    "decontam_filter",
+    "decontam_by_source",
+    "streaming_decontam_gate",
+    "similarity_ann_ivf_indexed",
+    "similarity_ann_ivf_trained",
+    "cube_routed_having",
+    "cube_routed_having_hidden",
+    "cube_routed_window_share",
+    "cube_routed_window_lag",
+    "streaming_stream_join",
+    "cube_routed_segment_prune",
+    "cube_routed_q1_revenue",
+    "cube_routed_rollup",
+    "cube_routed_snowflake",
+    "cube_routed_filter_dim",
+    "cube_routed_global",
+    "pack_token_budget",
+    "q12_priority_lines",
+    "lateral_explode_tokens",
+    "cube_routed_hybrid_distinct",
+    "cube_routed_hybrid_funnel",
+    "cube_routed_hybrid_rollup",
+    "scalar_conformance_string",
+    "scalar_conformance_datetime",
+    "scalar_conformance_nullary",
+    "cube_routed_intersect_rollup",
+    "dedup_incremental_refresh",
+    "cube_routed_window_islands",
+    "cube_routed_grouping_indicator",
+    "multimodal_frame_sample",
+    "multimodal_resize_plan",
+    "cube_routed_multi_col_distinct",
+    "date_month_arithmetic",
+    "dynamic_params",
+    "except_all_pairs",
+    "intersect_all_pairs",
+    "ordinal_group_order",
+    "window_nth_value",
+    "similarity_ann_lsh",
+    "multimodal_decode_features",
+    "q8_market_share",
+    "q9_product_profit",
+    "q13_customer_distribution",
+    # --- below the 50-entry driver window: r05-r07 greens displaced by
+    # --- the r8 rotation, all still covered every round by the in-repo
+    # --- parity suite
+    "export_training_shards",
+    "export_shard_manifest",
+    "text_chunk_windows",
+    "sample_split_corpus",
+    "text_repetition_features",
+    "text_redact_pii",
+    "sample_domain_mix",
+    "q12_shipmode",
+    "jdbc_source_agg",
+    "csv_source_roundtrip",
+    "orc_source_roundtrip",
+    "ordered_set_aggs",
+    "scalar_conformance_math",
+    "percentile_kll_sketch",
+    "cube_routed_percentile_sketch",
+    "cube_routed_hybrid_percentile",
+    "cube_routed_topn_pinned",
+    "cube_routed_topn_range",
+    "cube_routed_bucketed",
+    "cube_routed_hybrid",
     "hll_approx_distinct",
     "extended_column_first",
     "raw_detail_values",
@@ -126,48 +174,6 @@ _PRIORITY = [
     "q19_discounted_revenue",
     "q4_order_priority",
     "q14_promo_revenue",
-    # --- below the 50-entry driver window: recent (r05/r06) greens plus
-    # --- the r01-r04 entries displaced by the new r7 queries, all
-    # --- still covered every round by the in-repo parity suite
-    "cube_routed_having",
-    "cube_routed_having_hidden",
-    "cube_routed_window_share",
-    "cube_routed_window_lag",
-    "streaming_stream_join",
-    "cube_routed_segment_prune",
-    "cube_routed_q1_revenue",
-    "cube_routed_rollup",
-    "cube_routed_snowflake",
-    "cube_routed_filter_dim",
-    "cube_routed_global",
-    "pack_token_budget",
-    "q12_priority_lines",
-    "lateral_explode_tokens",
-    "cube_routed_hybrid_distinct",
-    "cube_routed_hybrid_funnel",
-    "cube_routed_hybrid_rollup",
-    "scalar_conformance_string",
-    "scalar_conformance_datetime",
-    "scalar_conformance_nullary",
-    "cube_routed_intersect_rollup",
-    "dedup_incremental_refresh",
-    "cube_routed_window_islands",
-    "cube_routed_grouping_indicator",
-    "similarity_ann_ivf_indexed",
-    "multimodal_frame_sample",
-    "multimodal_resize_plan",
-    "cube_routed_multi_col_distinct",
-    "date_month_arithmetic",
-    "dynamic_params",
-    "except_all_pairs",
-    "intersect_all_pairs",
-    "ordinal_group_order",
-    "window_nth_value",
-    "similarity_ann_lsh",
-    "multimodal_decode_features",
-    "q8_market_share",
-    "q9_product_profit",
-    "q13_customer_distribution",
     "q15_top_supplier",
     "q17_small_quantity",
     "q22_missed_opportunity",
@@ -198,7 +204,6 @@ _PRIORITY = [
     "sample_stratified",
     "cube_routed_q1",
     "unpivot_metrics",
-    "similarity_ann_ivf_trained",
     "percentile_approx_sketch",
     "mass_in_filter",
     "array_functions",

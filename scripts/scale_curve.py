@@ -62,19 +62,32 @@ def build_replica(spark, out_dir: str) -> None:
                 "n_chars",
             )
         )
-        # per-copy orthogonal sign-flip (deterministic in (copy, dim idx))
-        flip = F.transform(
-            "embedding",
-            lambda x, j, c=c: x
-            * F.when(F.pmod(F.hash(F.lit(c) * 1000 + j), 2) == 0, F.lit(1.0))
-            .otherwise(F.lit(-1.0))
-            .cast("float"),
-        )
+        # per-copy orthogonal sign-flip (deterministic in (copy, dim idx));
+        # the copy index is bound via a factory — pyspark counts a default
+        # arg as a third lambda parameter and rejects it
+        def _flip_fn(copy):
+            def f(x, j):
+                sign = (
+                    F.when(
+                        F.pmod(F.hash(F.lit(copy) * 1000 + j), 2) == 0, F.lit(1.0)
+                    )
+                    .otherwise(F.lit(-1.0))
+                    .cast("float")
+                )
+                return x * sign
+
+            return f
+
+        flip = F.transform("embedding", _flip_fn(c))
         emb_parts.append(
             emb.select(
                 (F.col("vec_id") + F.lit(c * n_vecs)).alias("vec_id"),
                 flip.alias("embedding"),
-                "label",
+                # per-copy label offset: given-label clusters REPLICATE
+                # instead of merging (verbatim labels would fuse each
+                # cluster 10x and square its pair work — an artifact of
+                # the replica, not of the operator)
+                (F.col("label") + F.lit(c * 1000)).cast("int").alias("label"),
             )
         )
     all_docs = doc_parts[0]
