@@ -230,7 +230,9 @@ def similarity_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(store, ignore_errors=True)
     idx = S.IVFIndex(spark, store)
-    idx.build(emb.filter(F.col("vec_id") <= mid))
+    # sample-trained quantizer (the FAISS practice: k-means needs ~100s of
+    # points per centroid, not the corpus) — deterministic hash sample
+    idx.build(emb.filter(F.col("vec_id") <= mid), train_fraction=0.25)
     idx.add(emb.filter(F.col("vec_id") > mid))
     queries = emb.filter(F.col("vec_id") < 20)
     return idx.topk(queries, k=5).orderBy("query_id", "rn")
