@@ -83,6 +83,50 @@ def test_per_query_timeout_overrides_default(spark, tmp_path):
     assert reason is not None and "2.0s" in reason
 
 
+def test_cancel_isolates_concurrent_queries(spark, tmp_path):
+    """Killing one query must not touch a concurrently running one — the
+    job group is per-query, not per-engine (the whole point of
+    setJobGroup over cancelAllJobs)."""
+    eng = OlapEngine(spark, storage_dir=str(tmp_path / "cubes"))
+    results: dict = {}
+
+    def victim():
+        with eng.tracked_query(query_id="victim-q", description=SLOW_SQL):
+            try:
+                eng.sql(SLOW_SQL).collect()
+                results["victim"] = "completed"
+            except Exception:
+                results["victim"] = "cancelled"
+
+    def bystander():
+        # moderate real work on the same SparkSession, own job group
+        with eng.tracked_query(description="bystander"):
+            try:
+                rows = eng.sql(
+                    "select count(*) as n, sum(id % 7) as s from range(200000000)"
+                ).collect()
+                results["bystander"] = (rows[0]["n"], rows[0]["s"])
+            except Exception as exc:  # pragma: no cover — the failure mode
+                results["bystander"] = f"FAILED: {exc}"
+
+    tv = threading.Thread(target=victim)
+    tb = threading.Thread(target=bystander)
+    tv.start()
+    tb.start()
+    time.sleep(1.5)
+    assert eng.stop_query("victim-q") is True
+    tv.join(timeout=CANCEL_DEADLINE_SEC)
+    tb.join(timeout=CANCEL_DEADLINE_SEC)
+    assert not tv.is_alive() and not tb.is_alive()
+    assert results["victim"] == "cancelled"
+    # 200M rows: count exact; sum(id % 7) has a closed form but equality
+    # with the engine's own small recompute is the simpler oracle
+    expect = spark.sql(
+        "select count(*) as n, sum(id % 7) as s from range(200000000)"
+    ).collect()[0]
+    assert results["bystander"] == (expect["n"], expect["s"])
+
+
 def _post(base: str, path: str, payload: dict) -> tuple[int, dict]:
     req = urllib.request.Request(
         f"{base}{path}",
