@@ -838,6 +838,9 @@ class OlapEngine:
                 self.metrics["queries_cancelled_watchdog"] = (
                     self.tracker.n_cancelled_by_watchdog
                 )
+                self.metrics["queries_slow_reported"] = (
+                    self.tracker.n_slow_reported
+                )
 
         return _cm()
 
@@ -851,6 +854,14 @@ class OlapEngine:
         """Snapshot of in-flight tracked queries (id, sql, elapsed,
         budget) — the read side of the stop endpoint."""
         return self.tracker.running()
+
+    def shutdown(self) -> None:
+        """Orderly teardown: cancel every running tracked query, then stop
+        the watchdog thread. The SparkSession is NOT stopped (it is shared
+        with the caller)."""
+        for q in self.tracker.running():
+            self.tracker.stop_query(q["query_id"], reason="engine shutdown")
+        self.tracker.shutdown()
 
     # -- validation (dual execution) ------------------------------------------
 

@@ -70,18 +70,29 @@ class QueryTracker:
         spark,
         default_timeout_sec: float | None = None,
         detect_interval_sec: float = 0.5,
+        slow_threshold_sec: float | None = None,
     ):
         self.spark = spark
         self.default_timeout_sec = default_timeout_sec
         self.detect_interval_sec = detect_interval_sec
+        #: the reference's detector has TWO levels: queries past the
+        #: alert threshold are REPORTED as slow (BadQueryDetector "Slow"
+        #: notification, BadQueryDetector.java:138-141) and only those
+        #: past the kill budget are cancelled. None = report at half the
+        #: kill budget (when one exists).
+        self.slow_threshold_sec = slow_threshold_sec
         self._running: dict[str, RunningQuery] = {}
         self._cancelled: "OrderedDict[str, str]" = OrderedDict()
+        #: slow-query log (query_id -> snapshot), capped like the cancel
+        #: history — the read side of "which dashboards need a cube"
+        self.slow_queries: "OrderedDict[str, dict]" = OrderedDict()
         self._lock = threading.Lock()
         self._watchdog: threading.Thread | None = None
         self._stop_evt = threading.Event()
         #: observability counters (merged into engine.metrics by callers)
         self.n_cancelled_by_user = 0
         self.n_cancelled_by_watchdog = 0
+        self.n_slow_reported = 0
 
     # -- registry -----------------------------------------------------------
 
@@ -97,8 +108,12 @@ class QueryTracker:
         )
         with self._lock:
             self._running[query_id] = rq
-        # a budget only matters if something enforces it
-        if timeout_sec is not None or self.default_timeout_sec is not None:
+        # a budget/threshold only matters if something enforces it
+        if (
+            timeout_sec is not None
+            or self.default_timeout_sec is not None
+            or self.slow_threshold_sec is not None
+        ):
             self._ensure_watchdog()
         return rq
 
@@ -183,18 +198,40 @@ class QueryTracker:
     def _detect_loop(self) -> None:
         while not self._stop_evt.wait(self.detect_interval_sec):
             now = time.monotonic()
+            over: list[tuple[str, float]] = []
             with self._lock:
-                over = [
-                    (rq.query_id, budget)
-                    for rq in self._running.values()
-                    if not rq.cancelled
-                    for budget in [
+                for rq in self._running.values():
+                    if rq.cancelled:
+                        continue
+                    budget = (
                         rq.timeout_sec
                         if rq.timeout_sec is not None
                         else self.default_timeout_sec
-                    ]
-                    if budget is not None and now - rq.started_mono >= budget
-                ]
+                    )
+                    elapsed = now - rq.started_mono
+                    # level 1: report slow (once per query) — the
+                    # reference's "Slow" notification, no kill
+                    alert = (
+                        self.slow_threshold_sec
+                        if self.slow_threshold_sec is not None
+                        else (budget / 2 if budget is not None else None)
+                    )
+                    if (
+                        alert is not None
+                        and elapsed >= alert
+                        and rq.query_id not in self.slow_queries
+                    ):
+                        self.slow_queries[rq.query_id] = {
+                            "sql": rq.sql[:500],
+                            "elapsed_sec": round(elapsed, 3),
+                            "thread": rq.thread_name,
+                        }
+                        self.n_slow_reported += 1
+                        while len(self.slow_queries) > self.CANCEL_HISTORY:
+                            self.slow_queries.popitem(last=False)
+                    # level 2: kill past the budget
+                    if budget is not None and elapsed >= budget:
+                        over.append((rq.query_id, budget))
             for qid, budget in over:
                 self.stop_query(
                     qid, reason=f"exceeded {budget}s wall-time budget (watchdog)"

@@ -106,7 +106,17 @@ class _Handler(BaseHTTPRequestHandler):
         elif self.path == "/api/queries":
             # running-query listing (the read side of stopQuery — the
             # reference's query page shows in-flight queries + durations)
-            self._reply(200, {"queries": eng.running_queries()})
+            # plus the slow-query log (BadQueryDetector "Slow" reports)
+            self._reply(
+                200,
+                {
+                    "queries": eng.running_queries(),
+                    "slow": [
+                        {"query_id": qid, **info}
+                        for qid, info in eng.tracker.slow_queries.items()
+                    ],
+                },
+            )
         else:
             self._reply(404, {"error": f"unknown path {self.path}"})
 

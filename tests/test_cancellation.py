@@ -83,6 +83,43 @@ def test_per_query_timeout_overrides_default(spark, tmp_path):
     assert reason is not None and "2.0s" in reason
 
 
+def test_slow_report_level_does_not_kill(spark, tmp_path):
+    """BadQueryDetector's first level (BadQueryDetector.java:138-141):
+    queries past the ALERT threshold are reported as slow — not killed —
+    and only the kill budget cancels. A query slower than the alert but
+    faster than (no) budget completes and lands in the slow log."""
+    eng = OlapEngine(spark, storage_dir=str(tmp_path / "cubes"))
+    eng.tracker.slow_threshold_sec = 1.0
+    eng.tracker.detect_interval_sec = 0.2
+    with eng.tracked_query(description="slow but legal") as qid:
+        rows = eng.sql("select sum(id % 7) as s from range(30000000000)").collect()
+        assert rows
+    assert qid in eng.tracker.slow_queries
+    assert eng.tracker.was_cancelled(qid) is None  # reported, never killed
+    assert eng.metrics["queries_slow_reported"] >= 1
+
+
+def test_engine_shutdown_cancels_running(spark, tmp_path):
+    eng = OlapEngine(spark, storage_dir=str(tmp_path / "cubes"))
+    done: dict = {}
+
+    def run():
+        with eng.tracked_query(query_id="shutdown-victim"):
+            try:
+                eng.sql(SLOW_SQL).collect()
+                done["r"] = "completed"
+            except Exception:
+                done["r"] = "cancelled"
+
+    t = threading.Thread(target=run)
+    t.start()
+    time.sleep(1.5)
+    eng.shutdown()
+    t.join(timeout=CANCEL_DEADLINE_SEC)
+    assert not t.is_alive() and done["r"] == "cancelled"
+    assert eng.tracker.was_cancelled("shutdown-victim") == "engine shutdown"
+
+
 def test_cancel_isolates_concurrent_queries(spark, tmp_path):
     """Killing one query must not touch a concurrently running one — the
     job group is per-query, not per-engine (the whole point of
