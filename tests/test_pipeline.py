@@ -356,6 +356,32 @@ def test_ivf_index_build_query_add(spark, tmp_path):
     ), plan
 
 
+def test_minhash_lsh_recall_vs_exact_jaccard(spark):
+    """Measured recall of the banded-LSH candidate generator against the
+    EXACT n-gram Jaccard pairs (feasible to enumerate at sf0.001).
+    Deterministic (md5 minhashes), so the pin is exact: on the fixture,
+    every true pair with Jaccard >= 0.5 is an LSH candidate (recall 1.0
+    with 8 minhashes in 4 bands of 2 — high-similarity pairs share whole
+    bands with near-certainty, which is the theory the band layout buys).
+    Candidate count stays within 1.5x of the true pairs (candidates are
+    verified downstream; this bounds the wasted verification work)."""
+    from kylin_on_parquet_v2_spark.pipeline import dedup as D
+
+    docs = spark.table("documents")
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.ngram_jaccard_pairs(
+            docs, threshold=0.5, max_df=10**9
+        ).collect()
+    }
+    cand = {
+        (r["doc_a"], r["doc_b"]) for r in D.minhash_lsh_pairs(docs).collect()
+    }
+    assert exact, "fixture must contain true near-duplicate pairs"
+    assert exact <= cand  # recall 1.0 at Jaccard >= 0.5
+    assert len(cand) <= 1.5 * len(exact)
+
+
 def test_ivf_recall_vs_bruteforce(spark):
     """Round-7 verdict item 4: measured recall@k of the IVF quantizers
     against the exact brute-force top-k. Deterministic (seeded init, fixed
