@@ -124,13 +124,19 @@ def dedup_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature table (no history text re-scan), yet the accumulated
     clusters EQUAL a full recompute — the oracle replays the full-corpus
     LSH graph with the recursive CTE."""
-    import tempfile
+    import shutil
 
     views(spark, sf_dir)
     docs = spark.table("documents")
     lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
     split = (lo + hi) // 2
-    store = tempfile.mkdtemp(prefix="kylin_inc_dedup_")
+    # proc_tmp-keyed store cleaned per run: the refresh contract needs a
+    # FRESH store each call (it replays batch 1 + batch 2), and reusing
+    # one path avoids leaking a signature table per bench pass
+    store = proc_tmp(
+        "inc_dedup", os.path.abspath(sf_dir).strip("/").replace("/", "_")
+    )
+    shutil.rmtree(store, ignore_errors=True)
     inc = D.IncrementalDedup(spark, store)
     inc.refresh(docs.filter(F.col("doc_id") <= split))
     inc.refresh(docs.filter(F.col("doc_id") > split))
