@@ -75,6 +75,7 @@ _PRIORITY = [
     # --- everything the r8 commits touched, then the oldest-checked
     # --- (r01-r04) block
     "decontam_filter_shuffled",
+    "decontam_chargram_report",
     "dedup_passages",
     "corpus_top_ngrams",
     "text_quality_quantile",
@@ -123,10 +124,10 @@ _PRIORITY = [
     "multimodal_decode_features",
     "q8_market_share",
     "q9_product_profit",
-    "q13_customer_distribution",
     # --- below the 50-entry driver window: r05-r07 greens displaced by
     # --- the r8 rotation, all still covered every round by the in-repo
     # --- parity suite
+    "q13_customer_distribution",
     "export_training_shards",
     "export_shard_manifest",
     "text_chunk_windows",

@@ -438,6 +438,20 @@ def decontam_filter_shuffled(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def decontam_chargram_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-12-gram contamination accounting (new r8): the
+    whitespace-free decontamination unit CJK-style scripts need — word
+    shingling over untokenizable text sees whole sentences as one token
+    and misses every real overlap. Same broadcast probe + per-doc rollup
+    shape as the word path."""
+    views(spark, sf_dir)
+    docs = spark.table("documents")
+    eval_docs = docs.filter(F.col("doc_id") % 29 == 0)
+    return DC.contamination_report(docs, eval_docs, n=12, unit="char").orderBy(
+        "doc_id"
+    )
+
+
 def dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Passage-level exact dedup (new r8, RefinedWeb/CCNet granularity):
     every 8-word passage kept only at its first corpus-wide occurrence;
@@ -549,6 +563,7 @@ QUERIES = {
     "decontam_report": decontam_report,
     "decontam_filter": decontam_filter,
     "decontam_filter_shuffled": decontam_filter_shuffled,
+    "decontam_chargram_report": decontam_chargram_report,
     "decontam_by_source": decontam_by_source,
     "dedup_passages": dedup_passages,
     "corpus_top_ngrams": corpus_top_ngrams,
@@ -1112,6 +1127,26 @@ ORACLES = {
         from documents d
         where not exists (select 1 from dirty x where x.doc_id = d.doc_id)
         order by d.doc_id
+    """,
+    "decontam_chargram_report": f"""
+        with t as (select doc_id, {_NORM} as txt from documents),
+        grams as (
+            select doc_id, unnest(list_distinct(list_transform(
+                       range(1, greatest(length(txt) - 11, 1) + 1),
+                       i -> substr(txt, i, 12)))) as sh
+            from t where length(txt) >= 12
+            union all
+            select doc_id, txt as sh from t where length(txt) < 12
+        ),
+        bad as (select distinct sh from grams where doc_id % 29 = 0)
+        select g.doc_id, count(*) as total_grams,
+               coalesce(cast(sum(case when b.sh is not null then 1 else 0 end)
+                             as bigint), 0) as contaminated_grams,
+               round(sum(case when b.sh is not null then 1 else 0 end) * 1.0
+                     / count(*), 6) as contamination_ratio
+        from grams g left join bad b on g.sh = b.sh
+        group by g.doc_id
+        order by g.doc_id
     """,
     "decontam_filter_shuffled": f"""
         with grams as ({_shingles_sql(5)}),

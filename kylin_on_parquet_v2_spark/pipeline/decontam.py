@@ -31,13 +31,25 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from kylin_on_parquet_v2_spark.pipeline.dedup import normalize_text, word_shingles
+from kylin_on_parquet_v2_spark.pipeline.dedup import (
+    char_shingles,
+    normalize_text,
+    word_shingles,
+)
 
 
 def distinct_grams(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 13
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+    unit: str = "word",
 ) -> DataFrame:
-    """Per-document DISTINCT word n-grams as (id, gram) rows.
+    """Per-document DISTINCT n-grams as (id, gram) rows; ``unit`` picks
+    word n-grams (the GPT-3 spelling, default) or CHARACTER n-grams —
+    the whitespace-free variant scripts like CJK need (word shingling
+    over untokenizable text would treat whole sentences as one token and
+    miss every real overlap).
 
     The dedup is ``array_distinct`` INSIDE the doc's gram array, before the
     explode — map-side, zero shuffle. (A global ``.distinct()`` over the
@@ -49,6 +61,14 @@ def distinct_grams(
     text (same fallback the dedup shinglers use): a short doc can still be
     contaminated by an exact short benchmark prompt.
     """
+    if unit == "char":
+        norm = docs.select(
+            F.col(id_col), normalize_text(F.col(text_col)).alias("__t")
+        )
+        return norm.select(
+            F.col(id_col),
+            F.explode(F.array_distinct(char_shingles(F.col("__t"), n))).alias("sh"),
+        )
     toks = docs.select(
         F.col(id_col), F.split(normalize_text(F.col(text_col)), " ").alias("__ws")
     )
@@ -59,7 +79,11 @@ def distinct_grams(
 
 
 def eval_gram_set(
-    eval_docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 13
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+    unit: str = "word",
 ) -> DataFrame:
     """The benchmark's distinct gram set — one ``sh`` column, deduplicated.
 
@@ -67,7 +91,7 @@ def eval_gram_set(
     eval tokens), so the caller can hold the whole set per executor.
     """
     return (
-        distinct_grams(eval_docs, text_col=text_col, id_col=id_col, n=n)
+        distinct_grams(eval_docs, text_col=text_col, id_col=id_col, n=n, unit=unit)
         .select("sh")
         .distinct()
     )
@@ -170,6 +194,7 @@ def contamination_report(
     eval_id_col: str | None = None,
     hash_grams: bool = False,
     eval_broadcast_limit: int | None = DEFAULT_EVAL_BROADCAST_LIMIT,
+    unit: str = "word",
 ) -> DataFrame:
     """Per-document contamination accounting.
 
@@ -184,7 +209,8 @@ def contamination_report(
     string form stays the oracle-replayable spelling).
     """
     grams = _maybe_hash(
-        distinct_grams(docs, text_col=text_col, id_col=id_col, n=n), hash_grams
+        distinct_grams(docs, text_col=text_col, id_col=id_col, n=n, unit=unit),
+        hash_grams,
     )
     bad = _maybe_hash(
         eval_gram_set(
@@ -192,6 +218,7 @@ def contamination_report(
             text_col=eval_text_col or text_col,
             id_col=eval_id_col or id_col,
             n=n,
+            unit=unit,
         ),
         hash_grams,
     ).withColumn("__hit", F.lit(1))
@@ -221,6 +248,7 @@ def decontaminate(
     eval_id_col: str | None = None,
     hash_grams: bool = False,
     eval_broadcast_limit: int | None = DEFAULT_EVAL_BROADCAST_LIMIT,
+    unit: str = "word",
 ) -> DataFrame:
     """Return the clean corpus: documents whose contamination ratio is
     <= ``max_ratio`` (default 0.0 = drop on ANY shared n-gram, the GPT-3
@@ -235,7 +263,8 @@ def decontaminate(
     """
     if max_ratio <= 0.0:
         grams = _maybe_hash(
-            distinct_grams(docs, text_col=text_col, id_col=id_col, n=n), hash_grams
+            distinct_grams(docs, text_col=text_col, id_col=id_col, n=n, unit=unit),
+            hash_grams,
         )
         bad = _maybe_hash(
             eval_gram_set(
@@ -243,6 +272,7 @@ def decontaminate(
                 text_col=eval_text_col or text_col,
                 id_col=eval_id_col or id_col,
                 n=n,
+                unit=unit,
             ),
             hash_grams,
         )
@@ -262,6 +292,7 @@ def decontaminate(
         eval_id_col=eval_id_col,
         hash_grams=hash_grams,
         eval_broadcast_limit=eval_broadcast_limit,
+        unit=unit,
     )
     keep = rep.filter(F.col("contamination_ratio") <= max_ratio).select(id_col)
     return docs.join(keep, id_col, "inner")

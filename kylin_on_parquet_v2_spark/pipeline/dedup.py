@@ -45,6 +45,23 @@ def word_shingles(col: Column, n: int = 3) -> Column:
     ).otherwise(F.array(F.array_join(col, " ")))
 
 
+def char_shingles(col: Column, n: int = 12) -> Column:
+    """Character n-gram shingles as an array column (JVM-side, no UDF) —
+    the whitespace-free alternative for scripts word shingling cannot
+    tokenize (CJK, Thai; also robust to creative spacing in spam).
+
+    Same contract as :func:`word_shingles`: texts shorter than ``n``
+    degrade to one whole-text shingle, and the input must be a
+    MATERIALIZED string attribute (Column.substr inside the lambda embeds
+    a copy of its input subtree — an inline normalize would re-run the
+    regex per shingle)."""
+    starts = F.sequence(F.lit(1), F.greatest(F.length(col) - (n - 1), F.lit(1)))
+    return F.when(
+        F.length(col) >= n,
+        F.transform(starts, lambda i: col.substr(i, F.lit(n))),
+    ).otherwise(F.array(col))
+
+
 def shingle_rows(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
