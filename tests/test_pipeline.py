@@ -356,6 +356,35 @@ def test_ivf_index_build_query_add(spark, tmp_path):
     ), plan
 
 
+def test_char_shingles_units(spark):
+    """Character n-grams: count/content for a normal text, whole-text
+    fallback under n chars, and the char unit catching an overlap word
+    shingling cannot see (whitespace-free 'CJK-style' strings)."""
+    from kylin_on_parquet_v2_spark.pipeline import decontam as DC
+
+    docs = spark.createDataFrame(
+        [(1, "abcdefghijklmn"), (2, "tiny"), (3, "XXabcdefghijZZ")],
+        "doc_id long, text string",
+    )
+    grams = {
+        (r["doc_id"], r["sh"])
+        for r in DC.distinct_grams(docs, n=12, unit="char").collect()
+    }
+    # doc 1: len 14 => three 12-grams
+    assert {(1, "abcdefghijkl"), (1, "bcdefghijklm"), (1, "cdefghijklmn")} <= grams
+    assert sum(1 for d, _ in grams if d == 1) == 3
+    # doc 2: shorter than n => one whole-text gram
+    assert {(d, s) for d, s in grams if d == 2} == {(2, "tiny")}
+    # word shingling sees docs 1 and 3 as single disjoint tokens; the char
+    # unit finds their real 10-char overlap ('abcdefghij')
+    eval_docs = docs.filter("doc_id = 1")
+    corpus = docs.filter("doc_id = 3")
+    clean_word = DC.decontaminate(corpus, eval_docs, n=10, unit="word")
+    clean_char = DC.decontaminate(corpus, eval_docs, n=10, unit="char")
+    assert clean_word.count() == 1  # word unit: no shared 10-word gram
+    assert clean_char.count() == 0  # char unit: the overlap is found
+
+
 def test_minhash_lsh_recall_vs_exact_jaccard(spark):
     """Measured recall of the banded-LSH candidate generator against the
     EXACT n-gram Jaccard pairs (feasible to enumerate at sf0.001).
