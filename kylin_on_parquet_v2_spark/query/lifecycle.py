@@ -139,6 +139,14 @@ class QueryTracker:
             for rq in rqs
         ]
 
+    def slow(self) -> list[dict]:
+        """Snapshot of the slow-query log (lock-held copy — the watchdog
+        mutates the dict concurrently)."""
+        with self._lock:
+            return [
+                {"query_id": qid, **info} for qid, info in self.slow_queries.items()
+            ]
+
     def was_cancelled(self, query_id: str) -> str | None:
         """Cancellation reason for ``query_id`` (running or recently
         finished), or None if it was never cancelled — the server uses this

@@ -109,13 +109,7 @@ class _Handler(BaseHTTPRequestHandler):
             # plus the slow-query log (BadQueryDetector "Slow" reports)
             self._reply(
                 200,
-                {
-                    "queries": eng.running_queries(),
-                    "slow": [
-                        {"query_id": qid, **info}
-                        for qid, info in eng.tracker.slow_queries.items()
-                    ],
-                },
+                {"queries": eng.running_queries(), "slow": eng.tracker.slow()},
             )
         else:
             self._reply(404, {"error": f"unknown path {self.path}"})
