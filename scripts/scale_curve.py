@@ -113,8 +113,11 @@ def build_replica(spark, out_dir: str) -> None:
 
 def main() -> None:
     from kylin_on_parquet_v2_spark.corpus.pipeline import (
+        corpus_top_ngrams,
+        decontam_chargram_report,
         dedup_clusters,
         dedup_incremental_refresh,
+        dedup_passages,
         decontam_filter,
         export_training_shards,
         semantic_dedup_given,
@@ -136,6 +139,10 @@ def main() -> None:
         "semantic_dedup_given": semantic_dedup_given,
         "decontam_filter": decontam_filter,
         "export_training_shards": export_training_shards,
+        # r8 operators
+        "dedup_passages": dedup_passages,
+        "corpus_top_ngrams": corpus_top_ngrams,
+        "decontam_chargram_report": decontam_chargram_report,
     }
 
     def run(fn, sf_dir: str) -> tuple[float, int]:

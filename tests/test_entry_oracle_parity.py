@@ -19,6 +19,18 @@ def test_every_query_has_oracle_or_is_declared():
     assert not missing, f"oracle_sql keys without queries(): {missing}"
 
 
+def test_priority_rotation_names_are_real():
+    """The driver checks only the first 50 queries() entries, ordered by
+    corpus._PRIORITY — a typo in a rotated name would silently drop that
+    query out of its intended window slot instead of failing anywhere."""
+    from kylin_on_parquet_v2_spark.corpus import _PRIORITY
+
+    ghosts = [n for n in _PRIORITY if n not in _QUERIES]
+    assert not ghosts, f"_PRIORITY names with no queries() entry: {ghosts}"
+    dupes = [n for n in set(_PRIORITY) if _PRIORITY.count(n) > 1]
+    assert not dupes, f"duplicate _PRIORITY entries: {dupes}"
+
+
 @pytest.mark.parametrize("name", sorted(_ORACLES))
 def test_oracle_parity(spark, duck, name):
     df = _QUERIES[name](spark, SF_SMOKE)
