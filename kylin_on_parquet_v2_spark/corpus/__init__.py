@@ -61,8 +61,9 @@ def _modules():
 
 # The driver's correctness harness checks the FIRST 50 ``queries()`` entries
 # only. Rotate the window each round so every contract query eventually gets a
-# driver check. r08 window: the four NEW r8 queries first (passage dedup,
-# top-ngrams, quantile gate, shuffled-probe decontam parity), then every
+# driver check. r08 window: the six NEW r8 queries first (shuffled-probe and
+# char-gram decontam, passage dedup, best-kept dedup, top-ngrams, quantile
+# gate), then every
 # query the r8 commits touched (the decontam broadcast guard, the SemDeDup
 # repartition gate, the trained-by-default IVF index, the idempotent
 # streaming gate sink), then the entries whose last driver check is oldest
@@ -71,12 +72,13 @@ def _modules():
 # driver-calibrated in-repo parity suite (tests/test_entry_oracle_parity.py
 # — all oracles, every round).
 _PRIORITY = [
-    # --- r08 driver window (50 entries): the four NEW r8 queries, then
+    # --- r08 driver window (50 entries): the six NEW r8 queries, then
     # --- everything the r8 commits touched, then the oldest-checked
     # --- (r01-r04) block
     "decontam_filter_shuffled",
     "decontam_chargram_report",
     "dedup_passages",
+    "dedup_best_kept_corpus",
     "corpus_top_ngrams",
     "text_quality_quantile",
     "semantic_dedup_given",
@@ -123,10 +125,10 @@ _PRIORITY = [
     "similarity_ann_lsh",
     "multimodal_decode_features",
     "q8_market_share",
-    "q9_product_profit",
     # --- below the 50-entry driver window: r05-r07 greens displaced by
     # --- the r8 rotation, all still covered every round by the in-repo
     # --- parity suite
+    "q9_product_profit",
     "q13_customer_distribution",
     "export_training_shards",
     "export_shard_manifest",

@@ -117,6 +117,22 @@ def dedup_filtered_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_best_kept_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup endpoint (new r8): each near-duplicate cluster
+    keeps its LONGEST member (max n_chars, ties toward the lower id)
+    instead of the minimum id — truncated copies lose to the full
+    article. Oracle replays the cluster graph with the recursive CTE and
+    the same ranking."""
+    views(spark, sf_dir)
+    docs = spark.table("documents")
+    kept = D.dedup_filter(docs, keep="best", quality_col="n_chars")
+    return (
+        kept.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("sum_chars"))
+        .orderBy("source")
+    )
+
+
 def dedup_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup maintenance (the build_increment of the dedup
     pipeline): the corpus arrives in two batches; each refresh shingles
@@ -566,6 +582,7 @@ QUERIES = {
     "decontam_chargram_report": decontam_chargram_report,
     "decontam_by_source": decontam_by_source,
     "dedup_passages": dedup_passages,
+    "dedup_best_kept_corpus": dedup_best_kept_corpus,
     "corpus_top_ngrams": corpus_top_ngrams,
     "text_quality_quantile": text_quality_quantile,
     "text_chunk_windows": text_chunk_windows,
@@ -848,6 +865,51 @@ ORACLES = {
         ),
         losers as (
             select id from walk group by id having min(label) <> id
+        )
+        select source, count(*) as n_docs,
+               cast(sum(n_chars) as bigint) as sum_chars
+        from documents
+        where doc_id not in (select id from losers)
+        group by source
+        order by source
+    """,
+    "dedup_best_kept_corpus": f"""
+        with recursive sig as (
+            select doc_id, {_MH_COLS}
+            from ({_SHINGLES3})
+            group by doc_id
+        ),
+        banded as (
+            select doc_id, '0|' || mh0 || '|' || mh1 as bucket from sig
+            union all select doc_id, '1|' || mh2 || '|' || mh3 from sig
+            union all select doc_id, '2|' || mh4 || '|' || mh5 from sig
+            union all select doc_id, '3|' || mh6 || '|' || mh7 from sig
+        ),
+        pairs as (
+            select distinct a.doc_id as doc_a, b.doc_id as doc_b
+            from banded a join banded b
+              on a.bucket = b.bucket and a.doc_id < b.doc_id
+        ),
+        edges as (
+            select doc_a as src, doc_b as dst from pairs
+            union all select doc_b, doc_a from pairs
+        ),
+        walk(id, label) as (
+            select src, src from edges
+            union
+            select e.dst, w.label from walk w join edges e on e.src = w.id
+        ),
+        comp as (
+            select id, min(label) as cluster_id from walk group by id
+        ),
+        ranked as (
+            select c.id, c.cluster_id,
+                   row_number() over (partition by c.cluster_id
+                                      order by d.n_chars desc, c.id) as rn
+            from comp c join documents d on d.doc_id = c.id
+        ),
+        losers as (
+            select id from ranked where rn > 1
         )
         select source, count(*) as n_docs,
                cast(sum(n_chars) as bigint) as sum_chars

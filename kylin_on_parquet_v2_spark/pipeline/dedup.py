@@ -415,10 +415,24 @@ def dedup_filter(
     text_col: str = "text",
     id_col: str = "doc_id",
     clusters: DataFrame | None = None,
+    keep: str = "min_id",
+    quality_col: str | None = None,
 ) -> DataFrame:
     """The dedup pipeline's endpoint: the corpus with near-duplicate
-    clusters collapsed to one representative each (the cluster's minimum
-    id). Unpaired documents pass through untouched.
+    clusters collapsed to one representative each. Unpaired documents pass
+    through untouched.
+
+    ``keep`` picks the representative:
+
+    - ``"min_id"`` (default): the cluster's minimum id — deterministic and
+      free (the cluster label IS the representative).
+    - ``"best"``: the member maximizing ``quality_col`` (ties toward the
+      lower id) — the curation-grade rule: near-duplicate groups usually
+      contain one full article and several truncated/boilerplated copies,
+      and keeping the longest/highest-quality member retains strictly more
+      signal at identical dedup rate. Costs one window over the PAIRED
+      MINORITY only (clusters are sized by duplicate docs, not the
+      corpus).
 
     One anti-join against the non-representative member list. The loser
     list is NOT forced broadcast: in a high-duplication web corpus (30-60%
@@ -430,7 +444,25 @@ def dedup_filter(
     """
     if clusters is None:
         clusters = duplicate_clusters(docs, text_col, id_col)
-    losers = clusters.filter(F.col(id_col) != F.col("cluster_id")).select(id_col)
+    if keep == "best":
+        if quality_col is None:
+            raise ValueError("keep='best' needs a quality_col")
+        from pyspark.sql.window import Window
+
+        quality = docs.select(F.col(id_col), F.col(quality_col).alias("__q"))
+        ranked = clusters.join(quality, id_col).withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("cluster_id").orderBy(
+                    F.col("__q").desc(), F.col(id_col)
+                )
+            ),
+        )
+        losers = ranked.filter(F.col("__rn") > 1).select(id_col)
+    elif keep == "min_id":
+        losers = clusters.filter(F.col(id_col) != F.col("cluster_id")).select(id_col)
+    else:
+        raise ValueError(f"unknown keep rule {keep!r}")
     return docs.join(losers, id_col, "left_anti")
 
 
