@@ -61,9 +61,9 @@ def _modules():
 
 # The driver's correctness harness checks the FIRST 50 ``queries()`` entries
 # only. Rotate the window each round so every contract query eventually gets a
-# driver check. r08 window: the six NEW r8 queries first (shuffled-probe and
-# char-gram decontam, passage dedup, best-kept dedup, top-ngrams, quantile
-# gate), then every
+# driver check. r08 window: the seven NEW r8 queries first (the end-to-end
+# lifecycle DAG, shuffled-probe and char-gram decontam, passage dedup,
+# best-kept dedup, top-ngrams, quantile gate), then every
 # query the r8 commits touched (the decontam broadcast guard, the SemDeDup
 # repartition gate, the trained-by-default IVF index, the idempotent
 # streaming gate sink), then the entries whose last driver check is oldest
@@ -72,9 +72,10 @@ def _modules():
 # driver-calibrated in-repo parity suite (tests/test_entry_oracle_parity.py
 # — all oracles, every round).
 _PRIORITY = [
-    # --- r08 driver window (50 entries): the six NEW r8 queries, then
+    # --- r08 driver window (50 entries): the seven NEW r8 queries, then
     # --- everything the r8 commits touched, then the oldest-checked
     # --- (r01-r04) block
+    "pipeline_end_to_end",
     "decontam_filter_shuffled",
     "decontam_chargram_report",
     "dedup_passages",
@@ -124,10 +125,10 @@ _PRIORITY = [
     "window_nth_value",
     "similarity_ann_lsh",
     "multimodal_decode_features",
-    "q8_market_share",
     # --- below the 50-entry driver window: r05-r07 greens displaced by
     # --- the r8 rotation, all still covered every round by the in-repo
     # --- parity suite
+    "q8_market_share",
     "q9_product_profit",
     "q13_customer_distribution",
     "export_training_shards",

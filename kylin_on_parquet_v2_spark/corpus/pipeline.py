@@ -117,6 +117,29 @@ def dedup_filtered_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation lifecycle as ONE lazy DAG (new r8): per-language
+    quantile quality gate -> n-gram decontamination against the eval set
+    -> LSH near-dup collapse (computed on the surviving corpus) ->
+    deterministic train/val/test split -> per-(split, source) stats.
+    Every stage is an operator this corpus already proves in isolation;
+    this entry proves they COMPOSE — one Catalyst plan, no staging tables,
+    and the oracle replays all four stages in a single recursive-CTE SQL.
+    """
+    views(spark, sf_dir)
+    docs = spark.table("documents")
+    eval_docs = docs.filter(F.col("doc_id") % 29 == 0)
+    gated = T.quality_quantile_gate(docs, metric_col="n_chars", group_col="lang", q=0.25)
+    clean = DC.decontaminate(gated, eval_docs, n=5, max_ratio=0.0)
+    kept = D.dedup_filter(clean)
+    out = SP.split_corpus(kept, {"train": 0.9, "val": 0.05, "test": 0.05})
+    return (
+        out.groupBy("split", "source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("sum_chars"))
+        .orderBy("split", "source")
+    )
+
+
 def dedup_best_kept_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware dedup endpoint (new r8): each near-duplicate cluster
     keeps its LONGEST member (max n_chars, ties toward the lower id)
@@ -583,6 +606,7 @@ QUERIES = {
     "decontam_by_source": decontam_by_source,
     "dedup_passages": dedup_passages,
     "dedup_best_kept_corpus": dedup_best_kept_corpus,
+    "pipeline_end_to_end": pipeline_end_to_end,
     "corpus_top_ngrams": corpus_top_ngrams,
     "text_quality_quantile": text_quality_quantile,
     "text_chunk_windows": text_chunk_windows,
@@ -872,6 +896,99 @@ ORACLES = {
         where doc_id not in (select id from losers)
         group by source
         order by source
+    """,
+    "pipeline_end_to_end": f"""
+        with recursive
+        thr_src as (
+            select lang, n_chars,
+                   cume_dist() over (partition by lang order by n_chars) as cd
+            from documents
+        ),
+        thr as (select lang, min(n_chars) as t from thr_src
+                where cd >= 0.25 group by lang),
+        gated as (
+            select d.* from documents d join thr on d.lang = thr.lang
+            where d.n_chars >= thr.t
+        ),
+        eval_ws as (select doc_id, string_split({_NORM}, ' ') as ws
+                    from documents where doc_id % 29 = 0),
+        eval_grams as (
+            select distinct sh from (
+                select unnest(list_distinct(list_transform(
+                           range(1, greatest(len(ws) - 3, 1)),
+                           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                || ' ' || ws[i+3] || ' ' || ws[i+4]))) as sh
+                from eval_ws where len(ws) >= 5
+                union all
+                select {_NORM} as sh from documents
+                where doc_id % 29 = 0
+                  and len(string_split({_NORM}, ' ')) < 5
+            )
+        ),
+        g_ws as (select doc_id, string_split({_NORM}, ' ') as ws from gated),
+        g_grams as (
+            select doc_id, unnest(list_distinct(list_transform(
+                       range(1, greatest(len(ws) - 3, 1)),
+                       i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                            || ' ' || ws[i+3] || ' ' || ws[i+4]))) as sh
+            from g_ws where len(ws) >= 5
+            union all
+            select doc_id, {_NORM} as sh from gated
+            where len(string_split({_NORM}, ' ')) < 5
+        ),
+        dirty as (select distinct g.doc_id
+                  from g_grams g join eval_grams b on g.sh = b.sh),
+        clean as (select * from gated
+                  where doc_id not in (select doc_id from dirty)),
+        c_ws as (select doc_id, string_split({_NORM}, ' ') as ws from clean),
+        c_sh as (
+            select doc_id, unnest(list_distinct(list_transform(
+                       range(1, greatest(len(ws) - 1, 1)),
+                       i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) as sh
+            from c_ws where len(ws) >= 3
+            union all
+            select doc_id, {_NORM} as sh from clean
+            where len(string_split({_NORM}, ' ')) < 3
+        ),
+        sig as (
+            select doc_id, {_MH_COLS}
+            from c_sh group by doc_id
+        ),
+        banded as (
+            select doc_id, '0|' || mh0 || '|' || mh1 as bucket from sig
+            union all select doc_id, '1|' || mh2 || '|' || mh3 from sig
+            union all select doc_id, '2|' || mh4 || '|' || mh5 from sig
+            union all select doc_id, '3|' || mh6 || '|' || mh7 from sig
+        ),
+        pairs as (
+            select distinct a.doc_id as doc_a, b.doc_id as doc_b
+            from banded a join banded b
+              on a.bucket = b.bucket and a.doc_id < b.doc_id
+        ),
+        edges as (
+            select doc_a as src, doc_b as dst from pairs
+            union all select doc_b, doc_a from pairs
+        ),
+        walk(id, label) as (
+            select src, src from edges
+            union
+            select e.dst, w.label from walk w join edges e on e.src = w.id
+        ),
+        losers as (
+            select id from walk group by id having min(label) <> id
+        ),
+        kept as (select * from clean
+                 where doc_id not in (select id from losers))
+        select case when ((doc_id % 2147483647) * 2654435761) % 4294967296
+                        < 3865470566 then 'train'
+                    when ((doc_id % 2147483647) * 2654435761) % 4294967296
+                        < 4080218931 then 'val'
+                    else 'test' end as split,
+               source, count(*) as n_docs,
+               cast(sum(n_chars) as bigint) as sum_chars
+        from kept
+        group by 1, source
+        order by split, source
     """,
     "dedup_best_kept_corpus": f"""
         with recursive sig as (
