@@ -123,8 +123,11 @@ def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     -> LSH near-dup collapse (computed on the surviving corpus) ->
     deterministic train/val/test split -> per-(split, source) stats.
     Every stage is an operator this corpus already proves in isolation;
-    this entry proves they COMPOSE — one Catalyst plan, no staging tables,
-    and the oracle replays all four stages in a single recursive-CTE SQL.
+    this entry proves they COMPOSE — one lazy DataFrame composition with
+    no intermediate files (the only in-memory materialization points are
+    the dedup stage's localCheckpoints, which truncate the iterative
+    label-propagation lineage) — and the oracle replays all four stages
+    in a single recursive-CTE SQL.
     """
     views(spark, sf_dir)
     docs = spark.table("documents")
