@@ -71,6 +71,7 @@ class QueryTracker:
         default_timeout_sec: float | None = None,
         detect_interval_sec: float = 0.5,
         slow_threshold_sec: float | None = None,
+        low_memory_alert_mb: int | None = None,
     ):
         self.spark = spark
         self.default_timeout_sec = default_timeout_sec
@@ -81,6 +82,12 @@ class QueryTracker:
         #: past the kill budget are cancelled. None = report at half the
         #: kill budget (when one exists).
         self.slow_threshold_sec = slow_threshold_sec
+        #: the detector's third report level (BadQueryDetector.java:165-167
+        #: getSystemAvailMB() < alertMB): when system available memory dips
+        #: under this many MB while queries run, count an alert — the
+        #: operator signal that the box, not one query, is the problem.
+        #: None disables the check.
+        self.low_memory_alert_mb = low_memory_alert_mb
         self._running: dict[str, RunningQuery] = {}
         self._cancelled: "OrderedDict[str, str]" = OrderedDict()
         #: slow-query log (query_id -> snapshot), capped like the cancel
@@ -93,6 +100,8 @@ class QueryTracker:
         self.n_cancelled_by_user = 0
         self.n_cancelled_by_watchdog = 0
         self.n_slow_reported = 0
+        self.n_low_memory_alerts = 0
+        self.last_avail_mb: int | None = None
 
     # -- registry -----------------------------------------------------------
 
@@ -113,6 +122,7 @@ class QueryTracker:
             timeout_sec is not None
             or self.default_timeout_sec is not None
             or self.slow_threshold_sec is not None
+            or self.low_memory_alert_mb is not None
         ):
             self._ensure_watchdog()
         return rq
@@ -244,12 +254,37 @@ class QueryTracker:
                 self.stop_query(
                     qid, reason=f"exceeded {budget}s wall-time budget (watchdog)"
                 )
+            # level 3: low system memory while queries run (the reference
+            # reports it and lets the operator decide; killing on memory
+            # would punish an innocent query for the box's state)
+            if self.low_memory_alert_mb is not None:
+                avail = _system_avail_mb()
+                self.last_avail_mb = avail
+                if (
+                    avail is not None
+                    and avail < self.low_memory_alert_mb
+                    and self._running
+                ):
+                    self.n_low_memory_alerts += 1
 
     def shutdown(self) -> None:
         self._stop_evt.set()
         wd = self._watchdog
         if wd is not None:
             wd.join(timeout=2.0)
+
+
+def _system_avail_mb() -> int | None:
+    """MemAvailable from /proc/meminfo in MB (Linux; None elsewhere) —
+    the same 'system available' signal the reference detector samples."""
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemAvailable:"):
+                    return int(line.split()[1]) // 1024
+    except OSError:  # pragma: no cover — non-Linux
+        return None
+    return None
 
 
 def new_query_id() -> str:

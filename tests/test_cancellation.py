@@ -99,6 +99,21 @@ def test_slow_report_level_does_not_kill(spark, tmp_path):
     assert eng.metrics["queries_slow_reported"] >= 1
 
 
+def test_low_memory_alert_level(spark, tmp_path):
+    """BadQueryDetector's third report (BadQueryDetector.java:165-167):
+    system available memory under the alert floor while queries run is
+    counted — reported, never killed (the box, not one query, is the
+    problem). An absurdly high floor makes the condition always true."""
+    eng = OlapEngine(spark, storage_dir=str(tmp_path / "cubes"))
+    eng.tracker.low_memory_alert_mb = 10**9  # always "low"
+    eng.tracker.detect_interval_sec = 0.1
+    with eng.tracked_query(description="memory probe") as qid:
+        eng.sql("select sum(id % 7) as s from range(5000000000)").collect()
+    assert eng.tracker.n_low_memory_alerts >= 1
+    assert eng.tracker.last_avail_mb is not None
+    assert eng.tracker.was_cancelled(qid) is None  # never killed for memory
+
+
 def test_engine_shutdown_cancels_running(spark, tmp_path):
     eng = OlapEngine(spark, storage_dir=str(tmp_path / "cubes"))
     done: dict = {}
