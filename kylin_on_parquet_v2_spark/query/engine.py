@@ -46,6 +46,8 @@ class OlapEngine:
         max_result_rows: int | None = None,
         result_cache_size: int = 0,
         query_timeout_sec: float | None = None,
+        slow_query_sec: float | None = None,
+        low_memory_alert_mb: int | None = None,
     ):
         from kylin_on_parquet_v2_spark.query.transformers import default_transformers
         from kylin_on_parquet_v2_spark.udafs import register_udafs
@@ -111,11 +113,18 @@ class OlapEngine:
         self.metrics: Counter = Counter()
         #: running-query registry + BadQueryDetector watchdog (reference
         #: ResultPlan.scala:89/115, BadQueryDetector.java:129-147):
-        #: query_timeout_sec is the default wall-time budget — queries
-        #: bracketed by tracked_query() past it are cancelled mid-flight.
+        #: query_timeout_sec is the default wall-time KILL budget,
+        #: slow_query_sec the report-only alert threshold (default: half
+        #: the budget), low_memory_alert_mb the system-memory report floor
+        #: — queries bracketed by tracked_query() are watched on all three.
         from kylin_on_parquet_v2_spark.query.lifecycle import QueryTracker
 
-        self.tracker = QueryTracker(self.spark, query_timeout_sec)
+        self.tracker = QueryTracker(
+            self.spark,
+            query_timeout_sec,
+            slow_threshold_sec=slow_query_sec,
+            low_memory_alert_mb=low_memory_alert_mb,
+        )
 
     #: hard cap on rows a cached result may materialize on the driver when
     #: no explicit max_result_rows is configured — caching is opt-in but
