@@ -14,7 +14,6 @@ from __future__ import annotations
 
 import os
 
-import pytest
 from pyspark.sql import functions as F
 
 from tests.conftest import SF_SMOKE
