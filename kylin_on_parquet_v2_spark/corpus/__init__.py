@@ -61,7 +61,7 @@ def _modules():
 
 # The driver's correctness harness checks the FIRST 50 ``queries()`` entries
 # only. Rotate the window each round so every contract query eventually gets a
-# driver check. r08 window: the seven NEW r8 queries first (the end-to-end
+# driver check. r08 window: the eight NEW r8 queries first (the end-to-end
 # lifecycle DAG, shuffled-probe and char-gram decontam, passage dedup,
 # best-kept dedup, top-ngrams, quantile gate), then every
 # query the r8 commits touched (the decontam broadcast guard, the SemDeDup
@@ -72,7 +72,7 @@ def _modules():
 # driver-calibrated in-repo parity suite (tests/test_entry_oracle_parity.py
 # — all oracles, every round).
 _PRIORITY = [
-    # --- r08 driver window (50 entries): the seven NEW r8 queries, then
+    # --- r08 driver window (50 entries): the eight NEW r8 queries, then
     # --- everything the r8 commits touched, then the oldest-checked
     # --- (r01-r04) block
     "pipeline_end_to_end",
@@ -82,6 +82,7 @@ _PRIORITY = [
     "dedup_best_kept_corpus",
     "corpus_top_ngrams",
     "text_quality_quantile",
+    "corpus_profile_stats",
     "semantic_dedup_given",
     "semantic_dedup_kmeans",
     "decontam_report",
@@ -124,10 +125,10 @@ _PRIORITY = [
     "ordinal_group_order",
     "window_nth_value",
     "similarity_ann_lsh",
-    "multimodal_decode_features",
     # --- below the 50-entry driver window: r05-r07 greens displaced by
     # --- the r8 rotation, all still covered every round by the in-repo
     # --- parity suite
+    "multimodal_decode_features",
     "q8_market_share",
     "q9_product_profit",
     "q13_customer_distribution",

@@ -511,6 +511,15 @@ def corpus_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.top_ngrams(spark.table("documents"), n=2, k=20)
 
 
+def corpus_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset profile (new r8): doc count, total/median chars,
+    language diversity, mean whitespace tokens — the dataset-card table.
+    One scan, one |groups|-row shuffle; median via percentile_disc so the
+    oracle replays it exactly (cume_dist spelling)."""
+    views(spark, sf_dir)
+    return T.corpus_profile(spark.table("documents")).orderBy("source")
+
+
 def text_quality_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language quantile quality gate (new r8, Gopher-style percentile
     cut): keep docs at/above their language's 25th percentile of n_chars.
@@ -612,6 +621,7 @@ QUERIES = {
     "pipeline_end_to_end": pipeline_end_to_end,
     "corpus_top_ngrams": corpus_top_ngrams,
     "text_quality_quantile": text_quality_quantile,
+    "corpus_profile_stats": corpus_profile_stats,
     "text_chunk_windows": text_chunk_windows,
     "sample_split_corpus": sample_split_corpus,
     "semantic_dedup_given": semantic_dedup_given,
@@ -1381,6 +1391,23 @@ ORACLES = {
         from g group by gram
         order by doc_freq desc, occurrences desc, gram
         limit 20
+    """,
+    "corpus_profile_stats": f"""
+        with ranked as (
+            select source, n_chars,
+                   cume_dist() over (partition by source order by n_chars) as cd
+            from documents
+        ),
+        med as (select source, min(n_chars) as m from ranked
+                where cd >= 0.5 group by source)
+        select d.source, count(*) as n_docs,
+               cast(sum(d.n_chars) as bigint) as total_chars,
+               min(med.m) as median_chars,
+               count(distinct d.lang) as n_langs,
+               round(avg(len(string_split({_NORM}, ' '))), 4) as avg_tokens
+        from documents d join med on d.source = med.source
+        group by d.source
+        order by d.source
     """,
     "text_quality_quantile": """
         with ranked as (

@@ -266,6 +266,41 @@ def top_ngrams(
     )
 
 
+def corpus_profile(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    metric_col: str = "n_chars",
+) -> DataFrame:
+    """Per-group dataset profile: the table a dataset card publishes —
+    document count, total/median size, language diversity, and mean token
+    count. One groupBy over |groups| output rows with map-side partial
+    aggregation (the ordered-set median included); token counts are pure
+    JVM expressions computed in the same pass, so the corpus is scanned
+    once and shuffled only on the group key."""
+    return (
+        docs.select(
+            F.col(group_col),
+            F.col(metric_col),
+            F.col("lang"),
+            token_count(F.col(text_col)).alias("__toks"),
+        )
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(metric_col).alias("total_chars"),
+            # percentile_disc returns an actual member value but types it
+            # double — cast back to the metric's integer type so the value
+            # (and the oracle's dtype) stay exact
+            F.expr(
+                f"percentile_disc(0.5) within group (order by {metric_col})"
+            ).cast("bigint").alias("median_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.round(F.avg("__toks"), 4).alias("avg_tokens"),
+        )
+    )
+
+
 def quality_quantile_gate(
     docs: DataFrame,
     metric_col: str = "n_chars",
