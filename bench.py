@@ -43,6 +43,7 @@ def main() -> None:
     from kylin_on_parquet_v2_spark.corpus import base as corpus_base
     from kylin_on_parquet_v2_spark.corpus.cube_routed import _bucketed_engine
     from kylin_on_parquet_v2_spark.corpus.measures import _kll_engine
+    from kylin_on_parquet_v2_spark.corpus.ssb import ssb_engine as _ssb_engine
     from kylin_on_parquet_v2_spark.corpus.streaming_corpus import _hybrid_engine
 
     build_detail: dict[str, float] = {}
@@ -52,6 +53,7 @@ def main() -> None:
         ("hybrid_ingest", _hybrid_engine),
         ("bucketed_cube", _bucketed_engine),
         ("kll_cube", _kll_engine),
+        ("ssb_cubes", _ssb_engine),
     ):
         tp = time.perf_counter()
         fn(spark, sf_dir)

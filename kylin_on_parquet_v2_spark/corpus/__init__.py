@@ -31,6 +31,7 @@ def _modules():
         pipeline,
         setops,
         sources_corpus,
+        ssb,
         streaming_corpus,
         subquery,
         tpch,
@@ -40,6 +41,7 @@ def _modules():
     return [
         tpch,
         cube_routed,
+        ssb,
         windows,
         grouping,
         setops,

@@ -549,15 +549,20 @@ class OlapEngine:
     @staticmethod
     def _route_cost(c) -> tuple:
         """Exact-match hits first, then FEWEST LAYOUT ROWS (the real scan
-        cost — RealizationChooser/Cuboid cost parity); dim count only as
-        the tiebreak/fallback when row metadata is absent (absent = unknown
-        sorts last; measured 0 = cheapest)."""
+        cost — RealizationChooser/Cuboid cost parity); dim count as the
+        tiebreak/fallback when row metadata is absent (absent = unknown
+        sorts last; measured 0 = cheapest). At equal rows AND dims — e.g.
+        the SSB supplier-variant pair materializing the identical cuboid —
+        the cube with FEWER declared measures wins (narrower layout rows =
+        fewer bytes scanned), then cube name for full determinism."""
         inst_, route_ = c
         rows = inst_.layout_rows.get(route_.cuboid.cuboid_id)
         return (
             not route_.exact,
             float("inf") if rows is None else rows,
             route_.cuboid.n_dims,
+            len(inst_.desc.measures),
+            inst_.desc.name,
         )
 
     def _execute_join_digest(self, jd, approx_distinct: bool) -> DataFrame | None:
@@ -829,9 +834,18 @@ class OlapEngine:
         @contextmanager
         def _cm():
             qid = query_id or new_query_id()
+            # the Spark job group is ALWAYS a fresh server-generated id:
+            # cancelJobGroupAndFutureJobs leaves the group id in the
+            # context's cancelled-groups set, so tagging a client-supplied
+            # (reusable) query_id would kill a legitimate retry on arrival
+            # (round-8 advisor, medium). stop_query resolves query_id ->
+            # group_id through the tracker registry.
+            group_id = new_query_id()
+            # register FIRST (raises on a duplicate running query_id —
+            # the server's 409) so a rejected request never tags the thread
+            self.tracker.start(qid, description, timeout_sec, group_id=group_id)
             sc = self.spark.sparkContext
-            sc.setJobGroup(qid, (description or qid)[:200], True)
-            self.tracker.start(qid, description, timeout_sec)
+            sc.setJobGroup(group_id, (description or qid)[:200], True)
             try:
                 yield qid
             finally:
