@@ -355,9 +355,23 @@ def streaming_decontaminate(
         dirty = (
             grams.join(probe, "sh", "left_semi").select(id_col).distinct()
         )
+        clean = batch.join(dirty, id_col, "left_anti")
+        if clean.isEmpty():
+            # dynamic partition overwrite rewrites only partitions PRESENT
+            # in the write: a replayed epoch whose filtered batch is now
+            # EMPTY (checkpoint loss + changed source re-batching under the
+            # same epoch id) would otherwise leave the previous attempt's
+            # stale __epoch partition in place (round-8 advisor). Delete it
+            # explicitly; absent is fine (the common empty-epoch case).
+            from kylin_on_parquet_v2_spark.fs import fs_for
+
+            part_dir = f"{out_dir}/__epoch={int(epoch_id)}"
+            fs = fs_for(part_dir, batch.sparkSession)
+            if fs.exists(part_dir):
+                fs.rmtree(part_dir)
+            return
         (
-            batch.join(dirty, id_col, "left_anti")
-            .withColumn("__epoch", F.lit(int(epoch_id)))
+            clean.withColumn("__epoch", F.lit(int(epoch_id)))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("__epoch")

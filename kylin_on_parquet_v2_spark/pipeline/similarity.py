@@ -574,6 +574,27 @@ def ann_lsh_topk(
     )
 
 
+def _map_side_only(df: DataFrame) -> bool:
+    """True when ``df``'s optimized logical plan is shuffle-free (scan +
+    projections/filters only) — the precondition for probing
+    ``.rdd.getNumPartitions()`` safely under AQE (finalizing the plan on a
+    frame WITH exchanges eagerly executes those upstream stages, unreused
+    by the subsequent action). Inspects the optimized plan string, which
+    plans nothing and runs nothing. Conservative: a false positive on a
+    column name merely skips an optional repartition."""
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    blockers = (
+        "Join",
+        "Aggregate",
+        "Repartition",
+        "Window",
+        "Sort",
+        "Deduplicate",
+        "Union",
+    )
+    return not any(b in plan for b in blockers)
+
+
 def semantic_neardup_removed(
     assigned: DataFrame,
     threshold: float = 0.95,
@@ -624,8 +645,17 @@ def semantic_neardup_removed(
     # material at 100 TB — there the scan's own parallelism (or the join's
     # __cl exchange) already spreads the work. Plan-asserted both ways in
     # tests/test_plan_shapes.py.
+    #
+    # The partition probe itself runs ONLY on map-side inputs (scan +
+    # project/filter, the ivf_assign shape every internal caller passes):
+    # under AQE, `.rdd` finalizes the physical plan and eagerly EXECUTES any
+    # upstream shuffle stages, and that work is not reused by the join's
+    # separate QueryExecution — a caller handing us a frame with exchanges
+    # would pay its upstream stages twice (round-8 advisor). A plan that
+    # already contains a shuffle is also exactly the case where the probe's
+    # purpose is moot: the exchange spreads the work on its own.
     sc = assigned.sparkSession.sparkContext
-    if a.rdd.getNumPartitions() < sc.defaultParallelism:
+    if _map_side_only(a) and a.rdd.getNumPartitions() < sc.defaultParallelism:
         a = a.repartition(sc.defaultParallelism)
     cos = dot(F.col("va"), F.col("vb")) / (F.col("__na") * F.col("__nb"))
     return (

@@ -43,6 +43,13 @@ class RunningQuery:
     started_mono: float
     started_wall: float
     timeout_sec: float | None  # per-query budget; None = tracker default
+    #: the Spark job-group id this query's jobs are tagged with. Distinct
+    #: from query_id: clients may supply (and REUSE, across retries) their
+    #: own query_id, but cancelJobGroupAndFutureJobs poisons a group id in
+    #: SparkContext's cancelled-groups set — a retry sharing the group of a
+    #: stopped query would be killed on arrival. The group id is therefore
+    #: always server-generated and unique (round-8 advisor, medium).
+    group_id: str = ""
     cancelled: bool = False
     cancel_reason: str | None = None
     thread_name: str = field(default_factory=lambda: threading.current_thread().name)
@@ -101,21 +108,33 @@ class QueryTracker:
         self.n_cancelled_by_watchdog = 0
         self.n_slow_reported = 0
         self.n_low_memory_alerts = 0
+        self.n_watchdog_errors = 0
         self.last_avail_mb: int | None = None
 
     # -- registry -----------------------------------------------------------
 
     def start(
-        self, query_id: str, sql: str = "", timeout_sec: float | None = None
+        self,
+        query_id: str,
+        sql: str = "",
+        timeout_sec: float | None = None,
+        group_id: str | None = None,
     ) -> RunningQuery:
+        """Register a query. Raises ValueError when ``query_id`` is already
+        running: two live queries sharing an id would collide in this
+        registry (one finish() untracks the other; one stop kills both) —
+        the server surfaces this as HTTP 409."""
         rq = RunningQuery(
             query_id=query_id,
             sql=sql,
             started_mono=time.monotonic(),
             started_wall=time.time(),
             timeout_sec=timeout_sec,
+            group_id=group_id or query_id,
         )
         with self._lock:
+            if query_id in self._running:
+                raise ValueError(f"query_id {query_id!r} is already running")
             self._running[query_id] = rq
         # a budget/threshold only matters if something enforces it
         if (
@@ -170,10 +189,18 @@ class QueryTracker:
 
     # -- cancellation --------------------------------------------------------
 
-    def stop_query(self, query_id: str, reason: str = "stopped by user") -> bool:
+    def stop_query(
+        self,
+        query_id: str,
+        reason: str = "stopped by user",
+        by_watchdog: bool = False,
+    ) -> bool:
         """Cancel one running query's Spark jobs (``cancelJobGroup``
         parity). Returns False when the id isn't running (already done or
-        never seen) — the REST contract the reference's stopQuery has."""
+        never seen) — the REST contract the reference's stopQuery has.
+        ``by_watchdog`` attributes the kill in the counters explicitly
+        (round-8 advisor: inferring it from a 'budget' substring in the
+        free-text reason miscounted user stops that mention budgets)."""
         with self._lock:
             rq = self._running.get(query_id)
             if rq is None:
@@ -183,22 +210,24 @@ class QueryTracker:
             self._cancelled[query_id] = reason
             while len(self._cancelled) > self.CANCEL_HISTORY:
                 self._cancelled.popitem(last=False)
-            if "budget" in reason:
+            if by_watchdog:
                 self.n_cancelled_by_watchdog += 1
             else:
                 self.n_cancelled_by_user += 1
+            group_id = rq.group_id
         # outside the lock: a py4j call must never serialize the registry.
         # cancelJobGroupAndFutureJobs (SPARK-44872) closes the race where
         # the stop lands BEFORE the query's first job is submitted (plain
         # cancelJobGroup only kills ACTIVE jobs — a slow-to-plan query
         # would sail through a too-early cancel). Group ids are
-        # uuid-unique per query, so future-cancelling the group can never
-        # hit an unrelated later query.
+        # server-generated and unique per execution (never the client's
+        # reusable query_id), so future-cancelling the group can never
+        # hit an unrelated later query or a retry of this one.
         sc = self.spark.sparkContext
         try:
-            sc._jsc.sc().cancelJobGroupAndFutureJobs(query_id)
+            sc._jsc.sc().cancelJobGroupAndFutureJobs(group_id)
         except Exception:  # pragma: no cover — private-API shape drift
-            sc.cancelJobGroup(query_id)
+            sc.cancelJobGroup(group_id)
         return True
 
     # -- watchdog (BadQueryDetector.java:129-147 parity) ----------------------
@@ -215,6 +244,17 @@ class QueryTracker:
 
     def _detect_loop(self) -> None:
         while not self._stop_evt.wait(self.detect_interval_sec):
+            # each sweep is guarded: an exception escaping one iteration
+            # (a py4j hiccup past stop_query's fallback, /proc/meminfo
+            # weirdness) must not kill the daemon thread silently — later
+            # over-budget queries would then run forever with no signal
+            # (round-8 advisor). Errors are counted, the loop lives on.
+            try:
+                self._detect_once()
+            except Exception:
+                self.n_watchdog_errors += 1
+
+    def _detect_once(self) -> None:
             now = time.monotonic()
             over: list[tuple[str, float]] = []
             with self._lock:
@@ -252,7 +292,9 @@ class QueryTracker:
                         over.append((rq.query_id, budget))
             for qid, budget in over:
                 self.stop_query(
-                    qid, reason=f"exceeded {budget}s wall-time budget (watchdog)"
+                    qid,
+                    reason=f"exceeded {budget}s wall-time budget (watchdog)",
+                    by_watchdog=True,
                 )
             # level 3: low system memory while queries run (the reference
             # reports it and lets the operator decide; killing on memory

@@ -184,14 +184,23 @@ class _Handler(BaseHTTPRequestHandler):
         timeout = req.get("timeout_sec")
         # the whole request — routing AND collection — runs inside one
         # tracked-query window (ResultPlan.scala:89 parity): every Spark job
-        # this handler thread submits carries the query_id job group, so
-        # POST /api/query/stop (or the wall-time watchdog) can kill it
-        # mid-flight. Clients may pass their own query_id to stop it later.
-        with self.engine.tracked_query(
+        # this handler thread submits carries a server-generated job group,
+        # so POST /api/query/stop (or the wall-time watchdog) can kill it
+        # mid-flight. Clients may pass their own query_id to stop it later;
+        # the id maps to the internal group through the tracker, so a retry
+        # reusing a stopped query's id is safe. Two CONCURRENT requests
+        # sharing a query_id would collide in the registry — rejected 409.
+        cm = self.engine.tracked_query(
             query_id=req.get("query_id"),
             timeout_sec=float(timeout) if timeout is not None else None,
             description=sql,
-        ) as qid:
+        )
+        try:
+            qid = cm.__enter__()
+        except ValueError as exc:  # duplicate running query_id
+            self._reply(409, {"error": str(exc)})
+            return
+        try:
             try:
                 # Critical section covers ROUTING ONLY: engine.sql builds the
                 # (lazy) DataFrame and records last_route/last_routes on the
@@ -245,6 +254,8 @@ class _Handler(BaseHTTPRequestHandler):
                     return
                 self._reply(500, {"error": str(exc).split("\n", 1)[0]})
                 return
+        finally:
+            cm.__exit__(None, None, None)
         ms = (_dt.datetime.now() - started).total_seconds() * 1000
         self._reply(
             200,
