@@ -306,6 +306,10 @@ def quality_quantile_gate(
     metric_col: str = "n_chars",
     group_col: str = "lang",
     q: float = 0.25,
+    *,
+    thresholds_from=None,
+    table: str = "documents",
+    approx: bool = False,
 ) -> DataFrame:
     """Quantile-based quality gate (Gopher-style percentile cuts): keep
     documents at or above their GROUP's q-quantile of ``metric_col`` —
@@ -316,12 +320,38 @@ def quality_quantile_gate(
     the threshold engine-exact for the oracle. 100 TB shape: the
     thresholds table is ONE groupBy over |groups| rows (map-side partial
     ordered-set aggregation), broadcast back; the gate itself is a
-    map-side filter — the corpus is never shuffled."""
-    thr = docs.groupBy(group_col).agg(
-        F.expr(
-            f"percentile_disc({q}) within group (order by {metric_col})"
-        ).alias("__thr")
-    )
+    map-side filter — the corpus is never shuffled.
+
+    ``thresholds_from`` (an :class:`OlapEngine`, round-8 verdict item 6):
+    serve the |groups|-row thresholds table from a percentile-SKETCH
+    cuboid instead of scanning the corpus — at 100 TB the exact path's one
+    full ordered-set pass over every document is precisely the scan a
+    pre-aggregated cube exists to avoid. OPT-IN like approx_topn: the
+    engine's percentile measure carries declared sketch accuracy (histogram
+    bin width / KLL rank error), so callers must pass ``approx=True`` to
+    accept it; the default exact contract refuses. (With unit-width
+    offset-aligned histogram bins over an integer metric the sketch
+    quantile coincides with percentile_disc — accuracy is a property of the
+    DECLARED binning, which this function cannot verify, hence the opt-in.)
+    The gate filter itself stays on the corpus scan either way.
+    """
+    if thresholds_from is not None:
+        if not approx:
+            raise ValueError(
+                "cube-served quantile thresholds come from a percentile "
+                "sketch with declared accuracy; pass approx=True to accept "
+                "it (the exact path computes percentile_disc on the corpus)"
+            )
+        thr = thresholds_from.sql(
+            f"select {group_col}, percentile_approx({metric_col}, {q}) as __thr "
+            f"from {table} group by {group_col}"
+        )
+    else:
+        thr = docs.groupBy(group_col).agg(
+            F.expr(
+                f"percentile_disc({q}) within group (order by {metric_col})"
+            ).alias("__thr")
+        )
     return (
         docs.join(F.broadcast(thr), group_col)
         .filter(F.col(metric_col) >= F.col("__thr"))

@@ -967,3 +967,42 @@ def test_chunk_windows_property_reconstruction(spark):
         check()
     finally:
         docs.unpersist()
+
+
+def test_quantile_gate_sketch_thresholds_routed_and_exact(spark):
+    """r8 verdict #6: the quantile gate's thresholds table can be served
+    from the percentile-sketch cuboid (opt-in). With unit-width
+    offset-aligned bins over the integer token count the sketch threshold
+    must EQUAL the exact percentile_disc threshold per group."""
+    from kylin_on_parquet_v2_spark.corpus.pipeline import _docs_quality_engine
+    from kylin_on_parquet_v2_spark.pipeline.text import quality_quantile_gate
+
+    eng = _docs_quality_engine(spark, SF_SMOKE)
+    docs = spark.table("documents_q")
+    sketch = {
+        r["lang"]: r["__thr"]
+        for r in eng.sql(
+            "select lang, percentile_approx(n_tokens, 0.25) as __thr "
+            "from documents_q group by lang"
+        ).collect()
+    }
+    assert eng.last_route is not None
+    assert eng.last_route.cube == "docs_quality_cube"
+    exact = {
+        r["lang"]: r["__thr"]
+        for r in docs.groupBy("lang")
+        .agg(
+            F.expr(
+                "percentile_disc(0.25) within group (order by n_tokens)"
+            ).alias("__thr")
+        )
+        .collect()
+    }
+    assert {k: float(v) for k, v in sketch.items()} == {
+        k: float(v) for k, v in exact.items()
+    }
+    # the exactness contract is opt-in: no approx=True, no sketch serving
+    with pytest.raises(ValueError, match="approx=True"):
+        quality_quantile_gate(
+            docs, metric_col="n_tokens", thresholds_from=eng, table="documents_q"
+        )
