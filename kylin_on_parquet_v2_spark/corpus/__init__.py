@@ -63,34 +63,82 @@ def _modules():
 
 # The driver's correctness harness checks the FIRST 50 ``queries()`` entries
 # only. Rotate the window each round so every contract query eventually gets a
-# driver check. r08 window: the eight NEW r8 queries first (the end-to-end
-# lifecycle DAG, shuffled-probe and char-gram decontam, passage dedup,
-# best-kept dedup, top-ngrams, quantile gate), then every
-# query the r8 commits touched (the decontam broadcast guard, the SemDeDup
-# repartition gate, the trained-by-default IVF index, the idempotent
-# streaming gate sink), then the entries whose last driver check is oldest
-# (the r01-r04 block the r7 window displaced). The r01-r07 union already
-# covers all contract queries; everything stays covered every round by the
-# driver-calibrated in-repo parity suite (tests/test_entry_oracle_parity.py
-# — all oracles, every round).
+# driver check. r09 window: the 14 NEW r9 queries first (the 13 SSB flights
+# exercising multi-cube competition + the sketch-served quantile gate), then
+# every query the r9 commits touched (the gate's new thresholds_from path,
+# the SemDeDup .rdd-probe gating, the streaming gate's empty-replay fix),
+# then the entries whose last driver check is oldest (the r05-r07 block the
+# r8 window displaced). The r01-r08 union already covers all contract
+# queries; everything stays covered every round by the driver-calibrated
+# in-repo parity suite (tests/test_entry_oracle_parity.py — all oracles,
+# every round).
 _PRIORITY = [
-    # --- r08 driver window (50 entries): the eight NEW r8 queries, then
-    # --- everything the r8 commits touched, then the oldest-checked
-    # --- (r01-r04) block
+    # --- r09 driver window (50 entries): the 14 NEW r9 queries, then
+    # --- everything the r9 commits touched, then the oldest-checked
+    # --- (r05-r07) block
+    "ssb_q1_1",
+    "ssb_q1_2",
+    "ssb_q1_3",
+    "ssb_q2_1",
+    "ssb_q2_2",
+    "ssb_q2_3",
+    "ssb_q3_1",
+    "ssb_q3_2",
+    "ssb_q3_3",
+    "ssb_q3_4",
+    "ssb_q4_1",
+    "ssb_q4_2",
+    "ssb_q4_3",
+    "cube_routed_quality_quantile",
+    "text_quality_quantile",
+    "semantic_dedup_given",
+    "semantic_dedup_kmeans",
+    "streaming_decontam_gate",
+    "multimodal_decode_features",
+    "q8_market_share",
+    "q9_product_profit",
+    "q13_customer_distribution",
+    "export_training_shards",
+    "export_shard_manifest",
+    "text_chunk_windows",
+    "sample_split_corpus",
+    "text_repetition_features",
+    "text_redact_pii",
+    "sample_domain_mix",
+    "q12_shipmode",
+    "jdbc_source_agg",
+    "csv_source_roundtrip",
+    "orc_source_roundtrip",
+    "ordered_set_aggs",
+    "scalar_conformance_math",
+    "percentile_kll_sketch",
+    "cube_routed_percentile_sketch",
+    "cube_routed_hybrid_percentile",
+    "cube_routed_topn_pinned",
+    "cube_routed_topn_range",
+    "cube_routed_bucketed",
+    "cube_routed_hybrid",
+    "hll_approx_distinct",
+    "extended_column_first",
+    "raw_detail_values",
+    "asof_join_events",
+    "range_join_binned",
+    "dedup_exact",
+    "dedup_minhash_signatures",
+    "dedup_minhash_lsh_pairs",
+    # --- below the 50-entry driver window: the r8-checked block displaced
+    # --- by the r9 rotation + the r05-r07 remainder, all still covered
+    # --- every round by the in-repo parity suite
     "pipeline_end_to_end",
     "decontam_filter_shuffled",
     "decontam_chargram_report",
     "dedup_passages",
     "dedup_best_kept_corpus",
     "corpus_top_ngrams",
-    "text_quality_quantile",
     "corpus_profile_stats",
-    "semantic_dedup_given",
-    "semantic_dedup_kmeans",
     "decontam_report",
     "decontam_filter",
     "decontam_by_source",
-    "streaming_decontam_gate",
     "similarity_ann_ivf_indexed",
     "similarity_ann_ivf_trained",
     "cube_routed_having",
@@ -127,41 +175,6 @@ _PRIORITY = [
     "ordinal_group_order",
     "window_nth_value",
     "similarity_ann_lsh",
-    # --- below the 50-entry driver window: r05-r07 greens displaced by
-    # --- the r8 rotation, all still covered every round by the in-repo
-    # --- parity suite
-    "multimodal_decode_features",
-    "q8_market_share",
-    "q9_product_profit",
-    "q13_customer_distribution",
-    "export_training_shards",
-    "export_shard_manifest",
-    "text_chunk_windows",
-    "sample_split_corpus",
-    "text_repetition_features",
-    "text_redact_pii",
-    "sample_domain_mix",
-    "q12_shipmode",
-    "jdbc_source_agg",
-    "csv_source_roundtrip",
-    "orc_source_roundtrip",
-    "ordered_set_aggs",
-    "scalar_conformance_math",
-    "percentile_kll_sketch",
-    "cube_routed_percentile_sketch",
-    "cube_routed_hybrid_percentile",
-    "cube_routed_topn_pinned",
-    "cube_routed_topn_range",
-    "cube_routed_bucketed",
-    "cube_routed_hybrid",
-    "hll_approx_distinct",
-    "extended_column_first",
-    "raw_detail_values",
-    "asof_join_events",
-    "range_join_binned",
-    "dedup_exact",
-    "dedup_minhash_signatures",
-    "dedup_minhash_lsh_pairs",
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "similarity_bruteforce_topk",

@@ -19,7 +19,12 @@ DENSITY-PRESERVING per-copy transform, so a linear operator sees exactly
   every near-dup pair and k-means geometry) are preserved bit-for-bit in
   structure, while cross-copy cosines become pseudo-random noise.
 
-Usage: python scripts/scale_curve.py [out.json]
+Usage: python scripts/scale_curve.py [out.json] [--copies N] [--ops a,b,c]
+
+``--copies 100`` (round-8 verdict item 5) brackets the exponent from
+ABOVE: at 10x, sf0.1 still sits under local[32]'s parallelism floor, so
+the measured alphas are lower bounds; at 100x every stage is
+parallelism-saturated and the 10x->100x slope approximates the asymptote.
 """
 
 from __future__ import annotations
@@ -37,7 +42,7 @@ SF_BASE = "/root/testdata/sf0.1"
 COPIES = 10
 
 
-def build_replica(spark, out_dir: str) -> None:
+def build_replica(spark, out_dir: str, copies: int = COPIES) -> None:
     from pyspark.sql import functions as F
 
     from kylin_on_parquet_v2_spark.session import SOURCE_TABLES
@@ -50,7 +55,7 @@ def build_replica(spark, out_dir: str) -> None:
 
     doc_parts = []
     emb_parts = []
-    for c in range(COPIES):
+    for c in range(copies):
         tag = f"c{c}"
         doc_parts.append(
             docs.select(
@@ -96,11 +101,11 @@ def build_replica(spark, out_dir: str) -> None:
     all_emb = emb_parts[0]
     for p in emb_parts[1:]:
         all_emb = all_emb.unionAll(p)
-    # 10x the files too, so scan parallelism scales with the data
-    all_docs.repartition(COPIES).write.mode("overwrite").parquet(
+    # scale the file count too, so scan parallelism scales with the data
+    all_docs.repartition(copies).write.mode("overwrite").parquet(
         os.path.join(out_dir, "documents.parquet")
     )
-    all_emb.repartition(COPIES).write.mode("overwrite").parquet(
+    all_emb.repartition(copies).write.mode("overwrite").parquet(
         os.path.join(out_dir, "embeddings.parquet")
     )
     for t in SOURCE_TABLES:
@@ -127,11 +132,23 @@ def main() -> None:
     spark = get_spark("scale-curve")
     spark.sparkContext.setLogLevel("ERROR")
 
-    replica = "/tmp/kylin_scale_sfx10"
+    args = sys.argv[1:]
+    copies = COPIES
+    only_ops: list[str] | None = None
+    if "--copies" in args:
+        i = args.index("--copies")
+        copies = int(args[i + 1])
+        del args[i : i + 2]
+    if "--ops" in args:
+        i = args.index("--ops")
+        only_ops = args[i + 1].split(",")
+        del args[i : i + 2]
+
+    replica = f"/tmp/kylin_scale_sfx{copies}"
     shutil.rmtree(replica, ignore_errors=True)
     t0 = time.perf_counter()
-    build_replica(spark, replica)
-    print(f"replica built in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    build_replica(spark, replica, copies=copies)
+    print(f"{copies}x replica built in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
     ops = {
         "dedup_incremental_refresh": dedup_incremental_refresh,
@@ -144,6 +161,8 @@ def main() -> None:
         "corpus_top_ngrams": corpus_top_ngrams,
         "decontam_chargram_report": decontam_chargram_report,
     }
+    if only_ops is not None:
+        ops = {k: v for k, v in ops.items() if k in only_ops}
 
     def run(fn, sf_dir: str) -> tuple[float, int]:
         # fresh view registration per run; noop sink = full materialization
@@ -153,25 +172,25 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t, df.count()
 
-    out: dict = {"copies": COPIES, "ops": {}}
+    out: dict = {"copies": copies, "ops": {}}
     for name, fn in ops.items():
         # warm pass at sf0.1 first so codegen/session costs don't inflate
         # the small-side timing (which would UNDERSTATE the exponent)
         run(fn, SF_BASE)
         t1, n1 = run(fn, SF_BASE)
         t10, n10 = run(fn, replica)
-        alpha = math.log10(t10 / t1)
+        alpha = math.log10(t10 / t1) / math.log10(copies)
         out["ops"][name] = {
             "sec_sf0.1": round(t1, 3),
-            "sec_sf1": round(t10, 3),
+            f"sec_x{copies}": round(t10, 3),
             "rows_sf0.1": n1,
-            "rows_sf1": n10,
+            f"rows_x{copies}": n10,
             "ratio": round(t10 / t1, 2),
             "alpha": round(alpha, 3),
         }
         print(name, out["ops"][name], file=sys.stderr)
 
-    path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scale_curve.json"
+    path = args[0] if args else "/tmp/scale_curve.json"
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
