@@ -579,6 +579,12 @@ def _docs_quality_engine(spark: SparkSession, sf_dir: str):
                     "hist_ntok",
                     FunctionDesc("PERCENTILE_APPROX", "n_tokens", _NTOK_HIST),
                 ),
+                # dataset-card measures: totals + the AVG decomposition pair
+                # (AVG = SUM(col)/COUNT(col), the router's Calcite-style
+                # rewrite needs both)
+                MeasureDesc("sum_chars", FunctionDesc("SUM", "n_chars")),
+                MeasureDesc("sum_ntok", FunctionDesc("SUM", "n_tokens")),
+                MeasureDesc("count_ntok", FunctionDesc("COUNT", "n_tokens")),
             ),
         )
     )
@@ -612,6 +618,40 @@ def cube_routed_quality_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert route is not None, "expected sketch route for quantile thresholds"
     assert route.cube == "docs_quality_cube", route
     return out.select("doc_id", "lang", "source", "n_tokens").orderBy("doc_id")
+
+
+def cube_routed_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-source dataset-card profile served ENTIRELY from the
+    documents quality cube in one routed query mixing every measure
+    family: COUNT(*), SUM re-agg (total chars), histogram-sketch median
+    (exact under the unit-bin alignment — see _NTOK_HIST), exact
+    DimCountDistinct (lang is a dimension), and the AVG → SUM/COUNT
+    decomposition — the reference serves dashboard tiles exactly this way
+    (one cuboid scan instead of a corpus pass per tile)."""
+    eng = _docs_quality_engine(spark, sf_dir)
+    df = eng.sql(
+        """
+        select source,
+               count(*) as n_docs,
+               sum(n_chars) as total_chars,
+               percentile_approx(n_tokens, 0.5) as median_tokens,
+               count(distinct lang) as n_langs,
+               avg(n_tokens) as avg_tokens
+        from documents_q
+        group by source
+        """
+    )
+    route = eng.last_route
+    assert route is not None, "expected cuboid route for profile stats"
+    assert route.cube == "docs_quality_cube", route
+    return df.select(
+        "source",
+        "n_docs",
+        "total_chars",
+        F.col("median_tokens").cast("bigint").alias("median_tokens"),
+        "n_langs",
+        F.round("avg_tokens", 4).alias("avg_tokens"),
+    ).orderBy("source")
 
 
 def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -705,6 +745,7 @@ QUERIES = {
     "corpus_top_ngrams": corpus_top_ngrams,
     "text_quality_quantile": text_quality_quantile,
     "cube_routed_quality_quantile": cube_routed_quality_quantile,
+    "cube_routed_profile_stats": cube_routed_profile_stats,
     "corpus_profile_stats": corpus_profile_stats,
     "text_chunk_windows": text_chunk_windows,
     "sample_split_corpus": sample_split_corpus,
@@ -1507,6 +1548,31 @@ ORACLES = {
         from documents d join thr t on d.lang = t.lang
         where d.n_chars >= t.thr
         order by d.doc_id
+    """,
+    # the cube-served dataset card: sketch median == percentile_disc under
+    # the unit-bin alignment; token counts are the raw whitespace split the
+    # documents_q view materializes
+    "cube_routed_profile_stats": """
+        with d as (
+            select source, lang, n_chars,
+                   len(string_split(text, ' ')) as n_tokens
+            from documents
+        ),
+        ranked as (
+            select source, n_tokens,
+                   cume_dist() over (partition by source order by n_tokens) as cd
+            from d
+        ),
+        med as (select source, min(n_tokens) as m from ranked
+                where cd >= 0.5 group by source)
+        select d.source, count(*) as n_docs,
+               cast(sum(d.n_chars) as bigint) as total_chars,
+               min(med.m) as median_tokens,
+               count(distinct d.lang) as n_langs,
+               round(avg(d.n_tokens), 4) as avg_tokens
+        from d join med on d.source = med.source
+        group by d.source
+        order by d.source
     """,
     # the sketch-served variant replays the EXACT disc gate: unit-width
     # offset-aligned histogram bins over an integer metric make the sketch
