@@ -1,0 +1,93 @@
+"""Randomized dual-execution over the SSB multi-cube surface.
+
+The SSB block is the one place FOUR realizations with different
+aggregation-group lattices compete for every query, so the chooser +
+agg-group pruning + derived recovery + measure-width tiebreak interact in
+ways no hand-written flight enumerates. Property: for ANY generated
+aggregate in the model's shape, the routed answer must equal the flat
+Spark answer — ``OlapEngine.sql(validate=True)`` raises on mismatch.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+# grouping candidates: (select-list SQL, required lookup joins)
+_DIMS = [
+    ("d_year", {"ssb_dates"}),
+    ("d_yearmonthnum", {"ssb_dates"}),
+    ("d_weeknuminyear", {"ssb_dates"}),
+    ("c_region", {"ssb_customer"}),
+    ("c_nation", {"ssb_customer"}),
+    ("c_city", {"ssb_customer"}),
+    ("s_region", {"ssb_supplier"}),
+    ("s_nation", {"ssb_supplier"}),
+    ("s_city", {"ssb_supplier"}),
+    ("p_mfgr", {"ssb_part"}),
+    ("p_category", {"ssb_part"}),
+    ("lo_quantity", set()),
+    ("lo_discount", set()),
+]
+
+_FILTERS = [
+    ("d_year between 1996 and 1998", {"ssb_dates"}),
+    ("c_region = 'EUROPE'", {"ssb_customer"}),
+    ("s_region in ('ASIA', 'AMERICA')", {"ssb_supplier"}),
+    ("p_mfgr = 'MFGR#3'", {"ssb_part"}),
+    ("lo_discount between 2 and 8", set()),
+    ("lo_quantity < 30", set()),
+]
+
+_MEASURES = [
+    "sum(lo_revenue) as m1",
+    "count(*) as m2",
+    "sum(lo_supplycost) as m3",
+    "sum(lo_extendedprice * lo_discount) as m4",
+]
+
+_JOIN_SQL = {
+    "ssb_dates": "join ssb_dates on lo_orderdate = d_datekey",
+    "ssb_customer": "join ssb_customer on lo_custkey = c_custkey",
+    "ssb_supplier": "join ssb_supplier on lo_suppkey = s_suppkey",
+    "ssb_part": "join ssb_part on lo_partkey = p_partkey",
+}
+
+
+def _gen(rng: random.Random) -> str:
+    dims = rng.sample(_DIMS, rng.randint(1, 3))
+    filters = rng.sample(_FILTERS, rng.randint(0, 2))
+    measures = rng.sample(_MEASURES, rng.randint(1, 2))
+    needed = set().union(*(d[1] for d in dims), *(f[1] for f in filters))
+    sel = [d[0] for d in dims]
+    joins = " ".join(_JOIN_SQL[t] for t in sorted(needed))
+    where = (" where " + " and ".join(f[0] for f in filters)) if filters else ""
+    return (
+        f"select {', '.join(sel + measures)} from v_lineorder {joins}"
+        f"{where} group by {', '.join(sel)}"
+    )
+
+
+@pytest.mark.parametrize("seed", range(30))
+def test_ssb_random_aggregate_routed_equals_flat(spark, seed):
+    from kylin_on_parquet_v2_spark.corpus.ssb import ssb_engine
+
+    eng = ssb_engine(spark, SF_SMOKE)
+    sql = _gen(random.Random(seed))
+    eng.sql(sql, validate=True)  # raises on routed != flat
+    # the generator only emits model-shaped aggregates over cube-covered
+    # columns, so SOME realization must serve every coverable shape (guards
+    # against the property degenerating into pushdown-vs-pushdown)
+    if eng.last_route is None and not eng.last_routes:
+        assert _uncoverable(sql), f"unexpected pushdown for: {sql}"
+
+
+def _uncoverable(sql: str) -> bool:
+    """The one shape no SSB cube covers: quantity/discount (cube1-only
+    dims) mixed with supplier or part columns (variant-2/3/full-only)."""
+    qd = ("lo_quantity" in sql) or ("lo_discount" in sql)
+    supplier_or_part = ("ssb_supplier" in sql) or ("ssb_part" in sql)
+    return qd and supplier_or_part
