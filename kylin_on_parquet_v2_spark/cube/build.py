@@ -173,6 +173,15 @@ class CubeInstance:
     #: range is itself) so segment-filter folding can relax a lower bound
     #: that lands inside a merged range instead of wrongly pruning it.
     segment_ranges: dict[str, str] = field(default_factory=dict)
+    #: per-segment dimension value ranges: segment value -> {dim: [min, max]}
+    #: (reference DimensionRangeInfo / CubeSegment.dimensionRangeInfoMap,
+    #: recorded by UpdateCubeInfoAfterBuildStep). The SegmentPruner-parity
+    #: fold in the router drops segments whose [min,max] provably cannot
+    #: satisfy a filter conjunct on ANY dimension — not just the partition
+    #: column. Only primitive orderable dims are recorded (string / integral
+    #: / double); NULLs are ignored by min/max, which is sound because the
+    #: translated conjuncts are null-rejecting comparisons.
+    dim_ranges: dict[str, dict[str, list]] = field(default_factory=dict)
     #: (shard col, literal SQL, buckets) -> shard id; memoizes the one-row
     #: Spark job that computes pmod(hash(literal)) with JVM hash semantics,
     #: so repeated shard-pruned queries pay it once (not persisted)
@@ -240,6 +249,7 @@ class CubeInstance:
             "snapshots": self.snapshots,
             "computed_columns": self.computed_canon,
             "segment_ranges": self.segment_ranges,
+            "dim_ranges": self.dim_ranges,
             "column_tables": self.column_tables,
         }
         FS.write_json(self.meta_path(), meta)
@@ -292,6 +302,9 @@ class CubeInstance:
         inst.snapshots = dict(meta.get("snapshots", {}))
         inst.computed_canon = dict(meta.get("computed_columns", {}))
         inst.segment_ranges = dict(meta.get("segment_ranges", {}))
+        inst.dim_ranges = {
+            seg: dict(dims) for seg, dims in meta.get("dim_ranges", {}).items()
+        }
         inst.column_tables = dict(meta.get("column_tables", {}))
         known = set(inst.scheduler.cuboids)
         if not inst.layouts or not set(inst.layouts) <= known:
@@ -365,6 +378,56 @@ class CubeInstance:
         for v in vals:
             fs.remove(os.path.join(d, str(v)))
         self._committed_cache = None
+
+
+#: dimension dtypes eligible for range recording — primitive, orderable,
+#: and JSON-roundtrip-exact (dates/timestamps are excluded: the partition
+#: column fold already covers time, and decimals could misprune at binary
+#: float boundaries)
+_RANGE_DTYPES = frozenset(
+    {"string", "tinyint", "smallint", "int", "bigint", "float", "double"}
+)
+
+
+def record_dim_ranges(inst: CubeInstance, spark: SparkSession) -> None:
+    """Recompute the per-segment dimension min/max map from the base layout
+    (reference parity: ``UpdateCubeInfoAfterBuildStep`` computes each built
+    segment's ``DimensionRangeInfo``; ``SegmentPruner.check`` consumes it at
+    query time). Called at every lifecycle commit point — full build,
+    incremental append, merge, retention — so the map always matches the
+    dirs on disk. Cost: ONE aggregate over the base layout producing
+    |segments| rows (build-side, amortized like the layouts themselves);
+    recomputing the whole map keeps merge/retention bookkeeping trivially
+    consistent instead of patching entries per event."""
+    if not inst.segmented or not inst.layouts:
+        inst.dim_ranges = {}
+        return
+    base_id = max(
+        inst.layouts, key=lambda cid: inst.scheduler.cuboids[cid].n_dims
+    )
+    base = inst._layout_df_raw(spark, inst.scheduler.cuboids[base_id])
+    dims = [
+        f.name
+        for f in base.schema.fields
+        if f.name in inst.desc.dimensions
+        and f.dataType.simpleString() in _RANGE_DTYPES
+    ]
+    if not dims:
+        inst.dim_ranges = {}
+        return
+    aggs = []
+    for d in dims:
+        aggs.append(F.min(d).alias(f"__mn_{d}"))
+        aggs.append(F.max(d).alias(f"__mx_{d}"))
+    out: dict[str, dict[str, list]] = {}
+    for r in base.groupBy(SEGMENT_COL).agg(*aggs).collect():
+        entry: dict[str, list] = {}
+        for d in dims:
+            mn, mx = r[f"__mn_{d}"], r[f"__mx_{d}"]
+            if mn is not None and mx is not None:  # all-NULL dim: unprunable
+                entry[d] = [mn, mx]
+        out[str(r[SEGMENT_COL])] = entry
+    inst.dim_ranges = out
 
 
 class CubeBuilder:
@@ -522,6 +585,7 @@ class CubeBuilder:
         # nothing visible to serving scans
         if inst.segmented:
             inst.commit_segments(self.spark, inst.segments(self.spark))
+            record_dim_ranges(inst, self.spark)
         inst.save_meta()
         return inst
 
@@ -1000,6 +1064,7 @@ class CubeBuilder:
         # commit point: every layout now holds the batch's rows; the markers
         # make them visible to serving scans and to change detection
         inst.commit_segments(self.spark, segments)
+        record_dim_ranges(inst, self.spark)
         inst.save_meta()
         return segments
 

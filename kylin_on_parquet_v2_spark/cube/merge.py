@@ -22,6 +22,7 @@ from kylin_on_parquet_v2_spark.cube import measures as M
 from kylin_on_parquet_v2_spark.cube.build import (
     SEGMENT_COL,
     CubeInstance,
+    record_dim_ranges,
     with_shard_partition,
 )
 
@@ -181,6 +182,9 @@ def merge_segments(
     # every layout has swapped: the absorbed dir values retire from the
     # READY ledger (their rows now live under the merged dir)
     inst.uncommit_segments(spark, [s for s in segments if s != new_segment])
+    # the merged dir's dimension ranges are the union of what it absorbed —
+    # recomputed from the base layout like every other lifecycle commit
+    record_dim_ranges(inst, spark)
     inst.save_meta()
 
 
@@ -243,6 +247,7 @@ def apply_retention(
                 fs.rmtree(seg_dir)
     for seg in drop:
         inst.segment_ranges.pop(seg, None)
+        inst.dim_ranges.pop(seg, None)
     inst.uncommit_segments(spark, drop)
     inst.save_meta()
     return drop

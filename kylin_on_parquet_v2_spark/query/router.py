@@ -46,6 +46,11 @@ class Route:
     derived: list[JoinTable] = field(default_factory=list)
     #: pruning predicates on the segment partition column
     segment_filters: list[str] = field(default_factory=list)
+    #: segments PROVABLY disjoint from the filter by their recorded
+    #: per-dimension min/max (SegmentPruner + DimensionRangeInfo parity) —
+    #: excluded from the scan via NOT IN, so segments with no recorded
+    #: ranges (e.g. freshly appended) are always kept
+    segment_reject: list[str] = field(default_factory=list)
     #: alias -> hll measure name, for COUNT DISTINCT served approximately
     #: (the reference's hllc measure semantics — opt-in via engine.sql)
     approx_distinct: dict[str, str] = field(default_factory=dict)
@@ -229,6 +234,114 @@ def _fold_segment_filters(digest: SqlDigest, inst: CubeInstance) -> list[str]:
         if op in ("<=", "<", "="):
             out.append(f"{SEGMENT_COL} <= '{seg.isoformat()}'")
     return out
+
+
+_CMP_LIT = r"('(?:[^']|'')*'|-?\d+(?:\.\d+)?)"
+
+
+def _parse_range_literal(tok: str):
+    """SQL literal -> python value for range comparison: quoted string (with
+    '' unescape) or int/float. None = unsupported literal form."""
+    tok = tok.strip()
+    if tok.startswith("'") and tok.endswith("'"):
+        return tok[1:-1].replace("''", "'")
+    try:
+        return int(tok)
+    except ValueError:
+        try:
+            return float(tok)
+        except ValueError:
+            return None
+
+
+def _fold_dim_range_reject(digest: SqlDigest, inst: CubeInstance) -> list[str]:
+    """Segments PROVABLY disjoint from the filter by their recorded
+    per-dimension [min, max] (reference SegmentPruner.check +
+    DimensionRangeInfo: a compare filter on ANY dimension prunes segments
+    whose value range cannot satisfy it — not just partition-column dates).
+
+    Same conservatism as the other folds: top-level AND conjuncts only,
+    whole-filter OR/NOT disables, an unparseable conjunct is simply not
+    used, and the verdict is NOT-IN of provable rejects — a segment with no
+    recorded ranges (freshly appended, all-NULL dim) is always kept. The
+    original row filter still runs, so a missed prune costs scan width,
+    never correctness."""
+    sql = digest.filter_sql
+    if not inst.segmented or not inst.dim_ranges or not sql:
+        return []
+    if re.search(r"\bOR\b|\bNOT\b", sql, re.IGNORECASE):
+        return []
+    dims = set(inst.desc.dimensions)
+    # (dim, checker(mn, mx) -> bool satisfiable) per translated conjunct
+    checks: list[tuple[str, object]] = []
+    cmp_pat = re.compile(
+        rf"\(*\s*([A-Za-z_]\w*)\s*(>=|<=|=|<|>)\s*{_CMP_LIT}\s*\)*\s*"
+    )
+    between_pat = re.compile(
+        rf"(?:between\(\s*([A-Za-z_]\w*)\s*,\s*{_CMP_LIT}\s*,\s*{_CMP_LIT}\s*\)"
+        rf"|([A-Za-z_]\w*)\s+BETWEEN\s+{_CMP_LIT}\s+AND\s+{_CMP_LIT})\s*",
+        re.IGNORECASE,
+    )
+    in_pat = re.compile(
+        rf"\(*\s*([A-Za-z_]\w*)\s+IN\s*\(\s*({_CMP_LIT}(?:\s*,\s*{_CMP_LIT})*)\s*\)\s*\)*\s*",
+        re.IGNORECASE,
+    )
+
+    def _cmp_check(op: str, v):
+        return {
+            "=": lambda mn, mx: mn <= v <= mx,
+            "<": lambda mn, mx: mn < v,
+            "<=": lambda mn, mx: mn <= v,
+            ">": lambda mn, mx: mx > v,
+            ">=": lambda mn, mx: mx >= v,
+        }[op]
+
+    for part in _split_conjuncts(sql):
+        m = cmp_pat.fullmatch(part)
+        if m and m.group(1) in dims:
+            v = _parse_range_literal(m.group(3))
+            if v is not None:
+                checks.append((m.group(1), _cmp_check(m.group(2), v)))
+            continue
+        b = between_pat.fullmatch(part)
+        if b:
+            col = b.group(1) or b.group(4)
+            lo_t, hi_t = (g for g in (b.group(2), b.group(3), b.group(5), b.group(6)) if g)
+            lo, hi = _parse_range_literal(lo_t), _parse_range_literal(hi_t)
+            if col in dims and lo is not None and hi is not None:
+                checks.append(
+                    (col, lambda mn, mx, lo=lo, hi=hi: mx >= lo and mn <= hi)
+                )
+            continue
+        i = in_pat.fullmatch(part)
+        if i and i.group(1) in dims:
+            vals = [
+                _parse_range_literal(t)
+                for t in re.findall(_CMP_LIT, i.group(2))
+            ]
+            if all(v is not None for v in vals) and vals:
+                checks.append(
+                    (i.group(1), lambda mn, mx, vs=vals: any(mn <= v <= mx for v in vs))
+                )
+    if not checks:
+        return []
+    rejected = []
+    for seg, ranges in inst.dim_ranges.items():
+        for dim, ok in checks:
+            bounds = ranges.get(dim)
+            if bounds is None:
+                continue  # unknown range: cannot prove disjoint
+            mn, mx = bounds
+            try:
+                satisfiable = ok(mn, mx)
+            except TypeError:
+                # literal/bounds type mismatch (str vs numeric): skip the
+                # conjunct for this segment — missed prune, never wrong
+                continue
+            if not satisfiable:
+                rejected.append(seg)
+                break
+    return rejected
 
 
 def _fold_shard_filter(digest: SqlDigest, inst: CubeInstance, cuboid: Cuboid) -> tuple[str, str] | None:
@@ -609,6 +722,7 @@ def plan_route(
         exact=exact,
         derived=list(derived.values()),
         segment_filters=seg_filters,
+        segment_reject=_fold_dim_range_reject(digest, inst),
         approx_distinct=approx,
         bitmap_distinct=bitmap,
         bitmap_cond=bitmap_cond,
@@ -828,6 +942,29 @@ def apply_derived_joins(df: DataFrame, route: Route, inst: CubeInstance, spark) 
     return df
 
 
+def _typed_segment_values(df: DataFrame, values: list[str]) -> list:
+    """Segment-dir strings converted to the layout's inferred partition
+    dtype (DateType/TimestampType dirs read back typed), so partition
+    predicates stay metadata-prunable. Unconvertible values fall back to
+    the raw string — the comparison then degrades to a row filter, which
+    is still correct."""
+    from pyspark.sql.types import DateType, TimestampType
+
+    dtype = df.schema[SEGMENT_COL].dataType
+    out: list = []
+    for v in values:
+        try:
+            if isinstance(dtype, DateType):
+                out.append(_dt.date.fromisoformat(v))
+            elif isinstance(dtype, TimestampType):
+                out.append(_dt.datetime.fromisoformat(v))
+            else:
+                out.append(v)
+        except ValueError:
+            out.append(v)
+    return out
+
+
 def routed_layout_scan(
     digest: SqlDigest, inst: CubeInstance, route: Route, spark
 ) -> DataFrame:
@@ -841,6 +978,19 @@ def routed_layout_scan(
     # Catalyst turns them into PartitionFilters (no data read outside range)
     for pred in route.segment_filters:
         df = df.filter(F.expr(pred))
+    if route.segment_reject:
+        # dimension-range pruning (SegmentPruner parity): drop segments
+        # whose recorded per-dim [min,max] provably cannot satisfy the
+        # filter. The literals are converted to the partition column's
+        # INFERRED type (parquet partition dirs read back as date/int/...)
+        # rather than casting the column — a cast on the partition
+        # attribute would block metadata-level dir pruning and demote this
+        # to a post-scan row filter.
+        df = df.filter(
+            ~F.col(SEGMENT_COL).isin(
+                _typed_segment_values(df, route.segment_reject)
+            )
+        )
     if SEGMENT_COL in df.columns:
         df = df.drop(SEGMENT_COL)
     if route.shard_eq is not None and SHARD_COL in df.columns:
