@@ -411,6 +411,10 @@ class OlapEngine:
         inst, route = min(candidates, key=self._route_cost)
         self.metrics["routed"] += 1
         self._set_pool("vip" if route.exact else "light")
+        if route.segment_reject:
+            # observability for the DimensionRangeInfo fold: how many whole
+            # segments the dim-range pruner removed from this scan
+            self.metrics["segments_range_pruned"] += len(route.segment_reject)
         if route.exact:
             self.metrics["exact_hits"] += 1
         self.metrics[f"cube:{route.cube}"] += 1
@@ -470,6 +474,8 @@ class OlapEngine:
             self.metrics["route_memo_hits"] += 1
             self.workload[digest.needed_cols()] += 1
             self.metrics["routed"] += 1
+            if route.segment_reject:
+                self.metrics["segments_range_pruned"] += len(route.segment_reject)
             if route.exact:
                 self.metrics["exact_hits"] += 1
             self.metrics[f"cube:{route.cube}"] += 1

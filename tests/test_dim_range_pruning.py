@@ -99,6 +99,16 @@ def test_equality_on_correlated_dim_prunes_other_months(eng, spark):
     assert months == {f"{i:02d}" for i in range(1, 13)} - {"03"}
 
 
+def test_range_prune_metric_counts(eng):
+    before = eng.metrics["segments_range_pruned"]
+    eng.sql("select count(*) as n from orders_m where o_month = 7")
+    route = eng.last_route
+    assert route is not None and route.segment_reject
+    assert (
+        eng.metrics["segments_range_pruned"] - before == len(route.segment_reject)
+    )
+
+
 def test_between_and_in_forms_prune(eng):
     eng.sql(
         """
