@@ -91,6 +91,7 @@ _PRIORITY = [
     "ssb_q4_3",
     "cube_routed_quality_quantile",
     "cube_routed_profile_stats",
+    "corpus_bpe_pairs",
     "text_quality_quantile",
     "semantic_dedup_given",
     "semantic_dedup_kmeans",
@@ -125,7 +126,6 @@ _PRIORITY = [
     "asof_join_events",
     "range_join_binned",
     "dedup_exact",
-    "dedup_minhash_signatures",
     # --- below the 50-entry driver window: the r8-checked block displaced
     # --- by the r9 rotation + the r05-r07 remainder, all still covered
     # --- every round by the in-repo parity suite
@@ -175,6 +175,7 @@ _PRIORITY = [
     "ordinal_group_order",
     "window_nth_value",
     "similarity_ann_lsh",
+    "dedup_minhash_signatures",
     "dedup_minhash_lsh_pairs",
     "dedup_simhash",
     "dedup_ngram_jaccard",

@@ -520,6 +520,15 @@ def corpus_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.corpus_profile(spark.table("documents")).orderBy("source")
 
 
+def corpus_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE tokenizer-training merge step (new r9): top-20 adjacent
+    character pairs weighted by word frequency. The corpus-sized shuffle is
+    the word-frequency groupBy (map-side-compressed to vocab size); pair
+    counting runs over the vocab only."""
+    views(spark, sf_dir)
+    return T.bpe_pair_counts(spark.table("documents"), k=20)
+
+
 def text_quality_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language quantile quality gate (new r8, Gopher-style percentile
     cut): keep docs at/above their language's 25th percentile of n_chars.
@@ -745,6 +754,7 @@ QUERIES = {
     "corpus_top_ngrams": corpus_top_ngrams,
     "text_quality_quantile": text_quality_quantile,
     "cube_routed_quality_quantile": cube_routed_quality_quantile,
+    "corpus_bpe_pairs": corpus_bpe_pairs,
     "cube_routed_profile_stats": cube_routed_profile_stats,
     "corpus_profile_stats": corpus_profile_stats,
     "text_chunk_windows": text_chunk_windows,
@@ -1548,6 +1558,21 @@ ORACLES = {
         from documents d join thr t on d.lang = t.lang
         where d.n_chars >= t.thr
         order by d.doc_id
+    """,
+    "corpus_bpe_pairs": f"""
+        with words as (
+            select w, count(*) as freq from (
+                select unnest(string_split({_NORM}, ' ')) as w from documents
+            ) where len(w) >= 2 group by w
+        ),
+        pairs as (
+            select substr(w, i, 2) as pair, freq
+            from words, unnest(range(1, len(w))) as t(i)
+        )
+        select pair, cast(sum(freq) as bigint) as pair_count
+        from pairs group by pair
+        order by pair_count desc, pair
+        limit 20
     """,
     # the cube-served dataset card: sketch median == percentile_disc under
     # the unit-bin alignment; token counts are the raw whitespace split the

@@ -266,6 +266,43 @@ def top_ngrams(
     )
 
 
+def bpe_pair_counts(
+    docs: DataFrame, k: int = 20, text_col: str = "text"
+) -> DataFrame:
+    """One BPE-training merge step at corpus scale: the ``k`` most frequent
+    ADJACENT CHARACTER PAIRS weighted by word frequency — the statistic a
+    byte-pair-encoding tokenizer trainer computes to pick its next merge
+    (Sennrich et al. 2016). Characters here are the initial symbol
+    vocabulary; a production trainer iterates this step over merged
+    symbols, which is driver-side control flow over the same shuffle shape.
+
+    100 TB shape: the only corpus-sized shuffle is the word-frequency
+    groupBy, which map-side partial aggregation compresses to the VOCAB
+    size per task before the exchange; pair explosion + counting then run
+    over |vocab| rows (millions, not the corpus), and the final top-k is a
+    TakeOrderedAndProject — k rows to the driver, never the pair table."""
+    words = (
+        docs.select(
+            F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("w")
+        )
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+        "freq",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), "pair")
+        .limit(k)
+    )
+
+
 def corpus_profile(
     docs: DataFrame,
     group_col: str = "source",
