@@ -265,7 +265,16 @@ def _fold_dim_range_reject(digest: SqlDigest, inst: CubeInstance) -> list[str]:
     used, and the verdict is NOT-IN of provable rejects — a segment with no
     recorded ranges (freshly appended, all-NULL dim) is always kept. The
     original row filter still runs, so a missed prune costs scan width,
-    never correctness."""
+    never correctness.
+
+    Staleness contract (same as the TSRange fold's segment_filters): the
+    reject list is frozen into the Route, and Routes are memoized — any
+    segment-lifecycle mutation must invalidate the engine's route memo.
+    ``OlapEngine.refresh_cube`` (the path that wraps append + auto-merge +
+    retention) clears it; callers driving ``cube/merge.py`` directly must
+    clear ``engine._route_memo`` themselves. A merged dir REUSES its first
+    absorbed segment's name with wider ranges, so a stale reject of that
+    name would wrongly prune the whole merged range."""
     sql = digest.filter_sql
     if not inst.segmented or not inst.dim_ranges or not sql:
         return []
