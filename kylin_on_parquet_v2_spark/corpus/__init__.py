@@ -63,17 +63,18 @@ def _modules():
 
 # The driver's correctness harness checks the FIRST 50 ``queries()`` entries
 # only. Rotate the window each round so every contract query eventually gets a
-# driver check. r09 window: the 14 NEW r9 queries first (the 13 SSB flights
-# exercising multi-cube competition + the sketch-served quantile gate), then
-# every query the r9 commits touched (the gate's new thresholds_from path,
-# the SemDeDup .rdd-probe gating, the streaming gate's empty-replay fix),
-# then the entries whose last driver check is oldest (the r05-r07 block the
+# driver check. r09 window: the 16 NEW r9 queries first (the 13 SSB flights
+# exercising multi-cube competition, the sketch-served quantile gate, the
+# cube-served dataset card, the BPE pair counter), then every query the r9
+# commits touched (the gate's new thresholds_from path, the SemDeDup
+# .rdd-probe gating, the streaming gate's empty-replay fix), then the
+# entries whose last driver check is oldest (the r05-r07 block the
 # r8 window displaced). The r01-r08 union already covers all contract
 # queries; everything stays covered every round by the driver-calibrated
 # in-repo parity suite (tests/test_entry_oracle_parity.py — all oracles,
 # every round).
 _PRIORITY = [
-    # --- r09 driver window (50 entries): the 14 NEW r9 queries, then
+    # --- r09 driver window (50 entries): the 16 NEW r9 queries, then
     # --- everything the r9 commits touched, then the oldest-checked
     # --- (r05-r07) block
     "ssb_q1_1",

@@ -31,7 +31,7 @@ from concurrent.futures import ThreadPoolExecutor
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kylin_on_parquet_v2_spark.corpus.base import BUILD_TIMINGS, proc_tmp, views
+from kylin_on_parquet_v2_spark.corpus.base import BUILD_TIMINGS, proc_tmp
 from kylin_on_parquet_v2_spark.query.engine import OlapEngine
 from kylin_on_parquet_v2_spark.ssb import (
     ALL_SSB_CUBES,
@@ -51,12 +51,11 @@ def ssb_engine(spark: SparkSession, sf_dir: str) -> OlapEngine:
     eng = _ENGINES.get(key)
     if eng is not None and eng.spark is spark:
         return eng
-    views(spark, sf_dir)
-    register_ssb_views(spark)
     storage = proc_tmp("ssb_cubes", key.strip("/").replace("/", "_"))
     eng = OlapEngine(spark, storage_dir=storage)
     eng.register_sources(sf_dir)
-    register_ssb_views(spark)  # register_sources may re-bootstrap views
+    # AFTER register_sources: the derived views read the source views
+    register_ssb_views(spark)
     eng.add_model(SSB_MODEL)
 
     def _timed_build(desc):

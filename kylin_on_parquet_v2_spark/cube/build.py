@@ -415,17 +415,36 @@ def record_dim_ranges(inst: CubeInstance, spark: SparkSession) -> None:
     if not dims:
         inst.dim_ranges = {}
         return
+    float_dims = {
+        f.name
+        for f in base.schema.fields
+        if f.name in dims and f.dataType.simpleString() in ("float", "double")
+    }
     aggs = []
     for d in dims:
         aggs.append(F.min(d).alias(f"__mn_{d}"))
         aggs.append(F.max(d).alias(f"__mx_{d}"))
+        if d in float_dims:
+            # NaN poisons the bounds (Spark orders NaN above every double,
+            # so max() returns NaN and every range check goes false —
+            # a segment whose NaN rows WOULD satisfy `d > x` would be
+            # wrongly pruned). A segment with any NaN in the dim records
+            # no entry for it: unprunable on that dim, always kept.
+            aggs.append(
+                F.max(F.when(F.isnan(F.col(d)), 1).otherwise(0)).alias(
+                    f"__nan_{d}"
+                )
+            )
     out: dict[str, dict[str, list]] = {}
     for r in base.groupBy(SEGMENT_COL).agg(*aggs).collect():
         entry: dict[str, list] = {}
         for d in dims:
             mn, mx = r[f"__mn_{d}"], r[f"__mx_{d}"]
-            if mn is not None and mx is not None:  # all-NULL dim: unprunable
-                entry[d] = [mn, mx]
+            if mn is None or mx is None:  # all-NULL dim: unprunable
+                continue
+            if d in float_dims and r[f"__nan_{d}"]:
+                continue
+            entry[d] = [mn, mx]
         out[str(r[SEGMENT_COL])] = entry
     inst.dim_ranges = out
 

@@ -591,6 +591,8 @@ def _map_side_only(df: DataFrame) -> bool:
         "Sort",
         "Deduplicate",
         "Union",
+        "Limit",  # GlobalLimit/LocalLimit: .rdd would run the limit's stages
+        "Rebalance",
     )
     return not any(b in plan for b in blockers)
 

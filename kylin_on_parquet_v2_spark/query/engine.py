@@ -198,6 +198,13 @@ class OlapEngine:
             # retention after merge (reference order: new segment READY ->
             # retired segments leave the queryable set)
             apply_retention(self.spark, inst)
+            # clear AGAIN after merge/retention mutate the segment dirs and
+            # dim_ranges: a concurrent query planned between the first clear
+            # and the merge could memoize a segment_reject computed from
+            # PRE-merge ranges — the merged dir reuses an absorbed segment's
+            # name, so replaying that reject would drop its widened rows
+            self._cache.clear()
+            self._route_memo.clear()
         return built
 
     def register_hybrid(
@@ -851,7 +858,13 @@ class OlapEngine:
             # the server's 409) so a rejected request never tags the thread
             self.tracker.start(qid, description, timeout_sec, group_id=group_id)
             sc = self.spark.sparkContext
-            sc.setJobGroup(group_id, (description or qid)[:200], True)
+            try:
+                sc.setJobGroup(group_id, (description or qid)[:200], True)
+            except BaseException:
+                # a py4j hiccup here must not leak a forever-'running'
+                # registry entry (every retry of this query_id would 409)
+                self.tracker.finish(qid)
+                raise
             try:
                 yield qid
             finally:

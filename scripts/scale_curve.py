@@ -137,7 +137,11 @@ def main() -> None:
     only_ops: list[str] | None = None
     if "--copies" in args:
         i = args.index("--copies")
+        if i + 1 >= len(args):
+            raise SystemExit("--copies needs a value")
         copies = int(args[i + 1])
+        if copies < 2:
+            raise SystemExit("--copies must be >= 2 (the exponent divides by log10(copies))")
         del args[i : i + 2]
     if "--ops" in args:
         i = args.index("--ops")

@@ -144,3 +144,12 @@ def test_watchdog_survives_a_sweep_exception(spark):
     assert tracker.n_watchdog_errors >= 1
     tracker.finish("doomed")
     tracker.shutdown()
+
+
+def test_rdd_probe_blocks_limited_inputs(spark):
+    """GlobalLimit/LocalLimit plans must also fail the map-side probe —
+    finalizing them under AQE would eagerly run the limit's stages."""
+    from kylin_on_parquet_v2_spark.pipeline.similarity import _map_side_only
+
+    base = spark.range(100).selectExpr("id as vec_id", "array(1.0, 2.0) as embedding")
+    assert not _map_side_only(base.limit(10))

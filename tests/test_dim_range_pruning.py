@@ -211,3 +211,38 @@ def test_merge_widens_ranges_and_stops_pruning(eng, spark):
         "select count(*) as n from orders_m where o_month = 2"
     ).collect()[0]["n"]
     assert after == before
+
+
+def test_nan_float_dim_records_no_bounds_and_never_prunes(spark, tmp_path):
+    """Spark orders NaN above every double, so max() over a NaN-bearing
+    segment returns NaN and every range check would go false — the segment
+    would be wrongly pruned even though its NaN rows SATISFY `val > x`
+    under Spark semantics. Such segments must record no bounds for the dim."""
+    rows = [
+        (1, 5.0, "2020-01-05"),
+        (2, float("nan"), "2020-01-06"),
+        (3, 7.0, "2020-02-05"),
+    ]
+    spark.createDataFrame(rows, "id long, val double, d string").selectExpr(
+        "id", "val", "cast(d as timestamp) as d"
+    ).createOrReplaceTempView("nanfact")
+    eng = OlapEngine(spark, storage_dir=str(tmp_path / "nan_cubes"))
+    eng.add_model(
+        DataModel(name="nan_star", fact_table="nanfact", partition_column="d")
+    )
+    eng.build_cube(
+        CubeDesc(
+            name="nan_cube",
+            model_name="nan_star",
+            dimensions=("val",),
+            measures=(MeasureDesc("_count", FunctionDesc("COUNT")),),
+            segment_granularity="month",
+        )
+    )
+    inst = eng.cubes["nan_cube"]
+    assert "val" not in inst.dim_ranges["2020-01-01"]  # NaN present: no bounds
+    assert inst.dim_ranges["2020-02-01"]["val"] == [7.0, 7.0]
+    eng.sql("select count(*) as n from nanfact where val > 5", validate=True)
+    route = eng.last_route
+    assert route is not None
+    assert "2020-01-01" not in route.segment_reject

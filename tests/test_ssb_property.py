@@ -87,7 +87,9 @@ def test_ssb_random_aggregate_routed_equals_flat(spark, seed):
 
 def _uncoverable(sql: str) -> bool:
     """The one shape no SSB cube covers: quantity/discount (cube1-only
-    dims) mixed with supplier or part columns (variant-2/3/full-only)."""
+    dims) mixed with SUPPLIER columns — cube1 has no supplier dims and the
+    supplier variants lack the joint pair. Part columns do NOT make a
+    quantity/discount query uncoverable: cube1 carries lo_partkey, so
+    derived P_* recovery still serves it."""
     qd = ("lo_quantity" in sql) or ("lo_discount" in sql)
-    supplier_or_part = ("ssb_supplier" in sql) or ("ssb_part" in sql)
-    return qd and supplier_or_part
+    return qd and "ssb_supplier" in sql
