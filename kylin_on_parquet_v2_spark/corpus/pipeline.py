@@ -574,6 +574,18 @@ def _docs_quality_engine(spark: SparkSession, sf_dir: str):
         "SELECT doc_id, lang, source, n_chars, "
         "size(split(text, ' ')) AS n_tokens FROM documents"
     )
+    # the sketch's percentile_disc-exactness silently depends on n_tokens
+    # staying inside the declared [0, 111] histogram domain — out-of-domain
+    # values would clamp into the edge bins and skew thresholds without any
+    # signal (round-9 advisor). Fail LOUDLY at build time instead: one
+    # column-pruned max over the view the build is about to scan anyway.
+    max_ntok = spark.table("documents_q").agg(F.max("n_tokens")).first()[0]
+    if max_ntok is not None and max_ntok > 111:
+        raise ValueError(
+            f"documents_q.n_tokens max {max_ntok} exceeds the declared "
+            f"histogram domain [0, 111] ({_NTOK_HIST}) — widen _NTOK_HIST "
+            "or the sketch-served quantiles stop matching percentile_disc"
+        )
     storage = proc_tmp("docs_quality_cubes", key.strip("/").replace("/", "_"))
     eng = OlapEngine(spark, storage_dir=storage)
     eng.add_model(DataModel(name="docs_quality_star", fact_table="documents_q"))

@@ -349,6 +349,8 @@ def streaming_decontaminate(
     )
 
     def _gate(batch: DataFrame, epoch_id: int) -> None:
+        from pyspark.sql import Observation
+
         grams = _maybe_hash(
             distinct_grams(batch, text_col=text_col, id_col=id_col, n=n), hash_grams
         )
@@ -360,24 +362,32 @@ def streaming_decontaminate(
         # the write: a replayed epoch whose filtered batch is now EMPTY
         # (checkpoint loss + changed source re-batching under the same
         # epoch id) would otherwise leave the previous attempt's stale
-        # __epoch partition in place (round-8 advisor). Pre-delete the
-        # epoch's partition dir — a driver-side fs call, NO Spark job (an
-        # isEmpty() probe here cost ~0.3s of gram explosion per micro-batch
-        # in the common non-empty case). Replay safety is unchanged: a
-        # crash after the delete re-enters this same at-least-once batch.
-        from kylin_on_parquet_v2_spark.fs import fs_for
-
-        part_dir = f"{out_dir}/__epoch={int(epoch_id)}"
-        fs = fs_for(part_dir, batch.sparkSession)
-        if fs.exists(part_dir):
-            fs.rmtree(part_dir)
+        # __epoch partition in place (round-8 advisor). WRITE FIRST — the
+        # dynamic overwrite keeps the common non-empty replay atomic-ish
+        # (the previous attempt's partition swaps out at commit, never
+        # transiently absent for concurrent readers) — and only when the
+        # writer observed ZERO output rows delete the stale partition dir
+        # (round-9 advisor: the earlier unconditional pre-delete traded
+        # that atomicity away). The row count rides the write's own job
+        # via Observation — no extra Spark job (an isEmpty() probe here
+        # cost ~0.3s of gram explosion per micro-batch). A crash between
+        # the write and the delete re-enters this same at-least-once batch.
+        obs = Observation()
         (
-            clean.withColumn("__epoch", F.lit(int(epoch_id)))
+            clean.observe(obs, F.count(F.lit(1)).alias("n"))
+            .withColumn("__epoch", F.lit(int(epoch_id)))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("__epoch")
             .parquet(out_dir)
         )
+        if obs.get["n"] == 0:
+            from kylin_on_parquet_v2_spark.fs import fs_for
+
+            part_dir = f"{out_dir}/__epoch={int(epoch_id)}"
+            fs = fs_for(part_dir, batch.sparkSession)
+            if fs.exists(part_dir):
+                fs.rmtree(part_dir)
 
     query = (
         stream.writeStream.foreachBatch(_gate)

@@ -574,27 +574,59 @@ def ann_lsh_topk(
     )
 
 
+#: logical operators that are PROVABLY map-side: no shuffle, no stage
+#: boundary, no eager work when ``.rdd`` finalizes the plan under AQE.
+#: Everything else — known shuffler or not — fails the probe (allowlist,
+#: round-9 advisor: a blockLIST missed unlisted shuffle-introducing nodes
+#: like CoGroup, and substring-matching the plan STRING false-positived on
+#: column names containing a keyword).
+_MAP_SIDE_NODES = frozenset(
+    {
+        "Project",
+        "Filter",
+        "Generate",  # explode — row-generating but still per-partition
+        "LogicalRelation",  # DSv1 file scan
+        "LogicalRelationWithTable",
+        "DataSourceV2Relation",
+        "DataSourceV2ScanRelation",
+        "HiveTableRelation",
+        "LocalRelation",
+        "OneRowRelation",
+        "Range",
+        "SubqueryAlias",
+        "View",
+        "Expand",
+        "SerializeFromObject",
+        "DeserializeToObject",
+        "MapElements",
+        "TypedFilter",
+    }
+)
+
+
 def _map_side_only(df: DataFrame) -> bool:
     """True when ``df``'s optimized logical plan is shuffle-free (scan +
     projections/filters only) — the precondition for probing
     ``.rdd.getNumPartitions()`` safely under AQE (finalizing the plan on a
     frame WITH exchanges eagerly executes those upstream stages, unreused
-    by the subsequent action). Inspects the optimized plan string, which
-    plans nothing and runs nothing. Conservative: a false positive on a
-    column name merely skips an optional repartition."""
-    plan = df._jdf.queryExecution().optimizedPlan().toString()
-    blockers = (
-        "Join",
-        "Aggregate",
-        "Repartition",
-        "Window",
-        "Sort",
-        "Deduplicate",
-        "Union",
-        "Limit",  # GlobalLimit/LocalLimit: .rdd would run the limit's stages
-        "Rebalance",
-    )
-    return not any(b in plan for b in blockers)
+    by the subsequent action). Walks the optimized logical plan TREE and
+    requires every node class to be on the map-side allowlist — unknown
+    node kinds fail closed (the only cost of a false negative is skipping
+    an optional repartition), and column names can never false-positive
+    the way plan-string substring checks did (round-9 advisor)."""
+    stack = [df._jdf.queryExecution().optimizedPlan()]
+    while stack:
+        node = stack.pop()
+        if node.getClass().getSimpleName() not in _MAP_SIDE_NODES:
+            return False
+        if node.subqueries().size() > 0:
+            # a subquery expression (e.g. a scalar-subquery filter) runs as
+            # its own job when the plan finalizes — not map-side either
+            return False
+        children = node.children()
+        for i in range(children.size()):
+            stack.append(children.apply(i))
+    return True
 
 
 def semantic_neardup_removed(

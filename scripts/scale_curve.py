@@ -145,6 +145,8 @@ def main() -> None:
         del args[i : i + 2]
     if "--ops" in args:
         i = args.index("--ops")
+        if i + 1 >= len(args):
+            raise SystemExit("--ops needs a comma-separated list of op names")
         only_ops = args[i + 1].split(",")
         del args[i : i + 2]
 
@@ -166,6 +168,11 @@ def main() -> None:
         "decontam_chargram_report": decontam_chargram_report,
     }
     if only_ops is not None:
+        unknown = [o for o in only_ops if o not in ops]
+        if unknown:
+            raise SystemExit(
+                f"unknown op(s) {unknown}; known: {', '.join(sorted(ops))}"
+            )
         ops = {k: v for k, v in ops.items() if k in only_ops}
 
     def run(fn, sf_dir: str) -> tuple[float, int]:
