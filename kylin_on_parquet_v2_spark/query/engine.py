@@ -425,7 +425,10 @@ class OlapEngine:
         if route.exact:
             self.metrics["exact_hits"] += 1
         self.metrics[f"cube:{route.cube}"] += 1
-        self._memoize_route(cache_key, ("routed", digest, inst.desc.name, route))
+        self._memoize_route(
+            cache_key,
+            ("routed", digest, inst.desc.name, route, inst.lifecycle_epoch),
+        )
         self._note_route_time(t_plan)
         routed = self._execute_planned(digest, inst, route)
         if validate:
@@ -472,9 +475,15 @@ class OlapEngine:
         the memo kind check below."""
         kind = memo[0]
         if kind == "routed":
-            _, digest, inst_name, route = memo
+            _, digest, inst_name, route, epoch = memo
             inst = self.cubes.get(inst_name)
-            if inst is None:
+            if inst is None or inst.lifecycle_epoch != epoch:
+                # the cube is gone, or its segment lifecycle moved on since
+                # the decision was frozen (merge/retention/append outside
+                # refresh_cube): the Route's segment_filters/segment_reject
+                # may be stale — a merged dir reuses an absorbed segment's
+                # name with WIDER ranges, so replaying the old reject would
+                # silently drop its rows. Drop the entry and re-plan.
                 with self._cache_lock:
                     self._route_memo.pop(cache_key, None)
                 return None

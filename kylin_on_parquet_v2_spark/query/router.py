@@ -236,15 +236,75 @@ def _fold_segment_filters(digest: SqlDigest, inst: CubeInstance) -> list[str]:
     return out
 
 
-_CMP_LIT = r"('(?:[^']|'')*'|-?\d+(?:\.\d+)?)"
+#: one comparable SQL literal as Catalyst renders it into filter_sql:
+#: quoted string, typed DATE/TIMESTAMP literal, suffixed numeric (300.00BD,
+#: 5L, ...), or any of those wrapped in the CAST(lit AS type) the analyzer
+#: inserts for implicit casts (CAST('1995-06-15' AS DATE),
+#: CAST(300.00BD AS DECIMAL(10,2)))
+_CMP_LIT = (
+    r"((?:CAST\s*\(\s*)?"
+    r"(?:(?:DATE\s*|TIMESTAMP(?:_NTZ)?\s*)?'(?:[^']|'')*'"
+    r"|-?\d+(?:\.\d+)?(?:BD|L|S|Y|D|F)?)"
+    r"(?:\s+AS\s+\w+(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?\s*\))?)"
+)
+
+_CAST_PAT = re.compile(
+    r"(?is)^CAST\s*\(\s*(.*?)\s+AS\s+(\w+)(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?\s*\)$"
+)
 
 
 def _parse_range_literal(tok: str):
-    """SQL literal -> python value for range comparison: quoted string (with
-    '' unescape) or int/float. None = unsupported literal form."""
+    """SQL literal -> python value for range comparison: quoted string
+    (with '' unescape), int/float, typed DATE/TIMESTAMP literals parsed to
+    date/datetime, suffixed numerics (``BD`` -> exact Decimal), and
+    CAST-wrapped forms of all of these re-parsed through the CAST's target
+    type. None = unsupported literal form (missed prune, never wrong)."""
+    import decimal
+
     tok = tok.strip()
+    c = _CAST_PAT.match(tok)
+    if c:
+        body, target = c.group(1), c.group(2).upper()
+        inner = _parse_range_literal(body)
+        if inner is None:
+            return None
+        try:
+            if target == "DATE":
+                return (
+                    inner
+                    if isinstance(inner, _dt.date)
+                    else _dt.date.fromisoformat(str(inner))
+                )
+            if target in ("TIMESTAMP", "TIMESTAMP_NTZ"):
+                return (
+                    inner
+                    if isinstance(inner, _dt.datetime)
+                    else _dt.datetime.fromisoformat(str(inner))
+                )
+            if target == "DECIMAL":
+                return decimal.Decimal(str(inner))
+        except (ValueError, decimal.InvalidOperation):
+            return None
+        return inner  # widening numeric/string cast: value unchanged
+    m = re.match(r"(?is)^(DATE|TIMESTAMP(?:_NTZ)?)\s*'(.*)'$", tok)
+    if m:
+        body = m.group(2).replace("''", "'")
+        try:
+            if m.group(1).upper() == "DATE":
+                return _dt.date.fromisoformat(body)
+            return _dt.datetime.fromisoformat(body)
+        except ValueError:
+            return None
     if tok.startswith("'") and tok.endswith("'"):
         return tok[1:-1].replace("''", "'")
+    s = re.match(r"(?i)^(-?\d+(?:\.\d+)?)(BD|L|S|Y|D|F)$", tok)
+    if s:
+        body, suffix = s.group(1), s.group(2).upper()
+        if suffix == "BD":
+            return decimal.Decimal(body)
+        if suffix in ("L", "S", "Y"):
+            return int(body)
+        return float(body)
     try:
         return int(tok)
     except ValueError:
@@ -252,6 +312,70 @@ def _parse_range_literal(tok: str):
             return float(tok)
         except ValueError:
             return None
+
+
+def _coerce_range_literal(v, family: str | None):
+    """Coerce a parsed filter literal into the dimension's recorded-range
+    comparison domain (reference DataTypeOrder: each dtype compares in its
+    own order). None = not comparable for this dim — the conjunct is simply
+    not used (missed prune, never wrong). Plain dims (family None) refuse
+    date/datetime literals; date dims accept ISO strings; timestamp dims
+    promote a DATE literal to midnight (exactly Spark's ANSI cast in
+    ``ts_dim >= DATE '...'``); decimal dims compare exactly via Decimal
+    (binary-float comparison against decimal bounds could misprune)."""
+    import decimal
+
+    if family is None:
+        if isinstance(v, (_dt.date, _dt.datetime)):
+            return None
+        return v
+    try:
+        if family == "date":
+            if isinstance(v, _dt.datetime):
+                return None  # sub-day bound on a date dim: skip
+            if isinstance(v, _dt.date):
+                return v
+            if isinstance(v, str):
+                return _dt.date.fromisoformat(v)
+            return None
+        if family == "timestamp":
+            if isinstance(v, _dt.datetime):
+                return v
+            if isinstance(v, _dt.date):
+                return _dt.datetime(v.year, v.month, v.day)
+            if isinstance(v, str):
+                return _dt.datetime.fromisoformat(v)
+            return None
+        if family == "decimal":
+            if isinstance(v, decimal.Decimal):
+                return v
+            if isinstance(v, (int, str)):
+                return decimal.Decimal(v)
+            if isinstance(v, float):
+                # float literals rendered by Catalyst are exact decimal
+                # text in filter_sql; a genuine float re-parses via str
+                return decimal.Decimal(str(v))
+            return None
+    except (ValueError, decimal.InvalidOperation):
+        return None
+    return None
+
+
+def _coerce_bounds(bounds: list, family: str | None):
+    """Recorded [min, max] -> comparison domain (see _coerce_range_literal);
+    serialized ISO/decimal strings re-parse here. Raises on malformed
+    bounds — callers treat that as 'cannot prove disjoint'."""
+    import decimal
+
+    if family is None:
+        return bounds
+    if family == "date":
+        return [_dt.date.fromisoformat(b) for b in bounds]
+    if family == "timestamp":
+        return [_dt.datetime.fromisoformat(b) for b in bounds]
+    if family == "decimal":
+        return [decimal.Decimal(b) for b in bounds]
+    return bounds
 
 
 def _fold_dim_range_reject(digest: SqlDigest, inst: CubeInstance) -> list[str]:
@@ -268,13 +392,15 @@ def _fold_dim_range_reject(digest: SqlDigest, inst: CubeInstance) -> list[str]:
     never correctness.
 
     Staleness contract (same as the TSRange fold's segment_filters): the
-    reject list is frozen into the Route, and Routes are memoized — any
-    segment-lifecycle mutation must invalidate the engine's route memo.
-    ``OlapEngine.refresh_cube`` (the path that wraps append + auto-merge +
-    retention) clears it; callers driving ``cube/merge.py`` directly must
-    clear ``engine._route_memo`` themselves. A merged dir REUSES its first
-    absorbed segment's name with wider ranges, so a stale reject of that
-    name would wrongly prune the whole merged range."""
+    reject list is frozen into the Route, and Routes are memoized — a
+    merged dir REUSES its first absorbed segment's name with wider ranges,
+    so a stale reject of that name would wrongly prune the whole merged
+    range. ENFORCED by ``CubeInstance.lifecycle_epoch`` (round-9 advisor):
+    every commit/uncommit/dim-range recompute bumps the epoch, the engine
+    stores it in the memo entry, and ``_replay_route`` discards entries
+    whose epoch mismatches — callers driving ``cube/merge.py`` directly no
+    longer need to clear ``engine._route_memo`` by hand (refresh_cube still
+    clears wholesale as defense in depth)."""
     sql = digest.filter_sql
     if not inst.segmented or not inst.dim_ranges or not sql:
         return []
@@ -305,10 +431,38 @@ def _fold_dim_range_reject(digest: SqlDigest, inst: CubeInstance) -> list[str]:
             ">=": lambda mn, mx: mx >= v,
         }[op]
 
+    families = inst.dim_range_types or {}
+
+    #: Catalyst wraps the COLUMN side of typed comparisons in the implicit
+    #: widening cast (``CAST(o_mdec AS DECIMAL(12,2)) IN (...)``). Strip it
+    #: ONLY when the cast target's family matches the dim's recorded family
+    #: (a same-family widening cast is exact and order-preserving; anything
+    #: else — date->timestamp, decimal->double — changes comparison
+    #: semantics and must fall through unparsed: missed prune, never wrong).
+    _col_cast = re.compile(
+        r"(?i)CAST\s*\(\s*([A-Za-z_]\w*)\s+AS\s+(\w+)"
+        r"(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?\s*\)"
+    )
+    _target_fam = {
+        "DATE": "date",
+        "TIMESTAMP": "timestamp",
+        "TIMESTAMP_NTZ": "timestamp",
+        "DECIMAL": "decimal",
+    }
+
+    def _strip_col_casts(m: re.Match) -> str:
+        col = m.group(1)
+        if families.get(col) == _target_fam.get(m.group(2).upper()):
+            return col
+        return m.group(0)
+
     for part in _split_conjuncts(sql):
+        part = _col_cast.sub(_strip_col_casts, part)
         m = cmp_pat.fullmatch(part)
         if m and m.group(1) in dims:
-            v = _parse_range_literal(m.group(3))
+            v = _coerce_range_literal(
+                _parse_range_literal(m.group(3)), families.get(m.group(1))
+            )
             if v is not None:
                 checks.append((m.group(1), _cmp_check(m.group(2), v)))
             continue
@@ -316,7 +470,9 @@ def _fold_dim_range_reject(digest: SqlDigest, inst: CubeInstance) -> list[str]:
         if b:
             col = b.group(1) or b.group(4)
             lo_t, hi_t = (g for g in (b.group(2), b.group(3), b.group(5), b.group(6)) if g)
-            lo, hi = _parse_range_literal(lo_t), _parse_range_literal(hi_t)
+            fam = families.get(col)
+            lo = _coerce_range_literal(_parse_range_literal(lo_t), fam)
+            hi = _coerce_range_literal(_parse_range_literal(hi_t), fam)
             if col in dims and lo is not None and hi is not None:
                 checks.append(
                     (col, lambda mn, mx, lo=lo, hi=hi: mx >= lo and mn <= hi)
@@ -324,8 +480,9 @@ def _fold_dim_range_reject(digest: SqlDigest, inst: CubeInstance) -> list[str]:
             continue
         i = in_pat.fullmatch(part)
         if i and i.group(1) in dims:
+            fam = families.get(i.group(1))
             vals = [
-                _parse_range_literal(t)
+                _coerce_range_literal(_parse_range_literal(t), fam)
                 for t in re.findall(_CMP_LIT, i.group(2))
             ]
             if all(v is not None for v in vals) and vals:
@@ -340,12 +497,13 @@ def _fold_dim_range_reject(digest: SqlDigest, inst: CubeInstance) -> list[str]:
             bounds = ranges.get(dim)
             if bounds is None:
                 continue  # unknown range: cannot prove disjoint
-            mn, mx = bounds
             try:
+                mn, mx = _coerce_bounds(bounds, families.get(dim))
                 satisfiable = ok(mn, mx)
-            except TypeError:
-                # literal/bounds type mismatch (str vs numeric): skip the
-                # conjunct for this segment — missed prune, never wrong
+            except (TypeError, ValueError, ArithmeticError):
+                # literal/bounds type mismatch or malformed serialized
+                # bound: skip the conjunct for this segment — missed
+                # prune, never wrong
                 continue
             if not satisfiable:
                 rejected.append(seg)

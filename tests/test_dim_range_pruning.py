@@ -246,3 +246,181 @@ def test_nan_float_dim_records_no_bounds_and_never_prunes(spark, tmp_path):
     route = eng.last_route
     assert route is not None
     assert "2020-01-01" not in route.segment_reject
+
+
+# --- typed dims: DATE / TIMESTAMP / DECIMAL (round-9 verdict item 2) -------
+
+#: o_cdate is a non-partition DATE dim (order date + 3 days: correlated with
+#: the month segments but straddling boundaries), o_mts a TIMESTAMP dim with
+#: one value per segment, o_mdec a DECIMAL dim with one value per segment
+_VIEW_T = """
+CREATE OR REPLACE TEMPORARY VIEW orders_t AS
+SELECT o_orderkey, o_orderpriority, o_totalprice, o_orderdate,
+       date_add(cast(o_orderdate as date), 3) AS o_cdate,
+       date_trunc('month', o_orderdate) AS o_mts,
+       cast(month(o_orderdate) * 100 as decimal(10,2)) AS o_mdec
+FROM orders
+"""
+
+MODEL_T = DataModel(
+    name="orders_t_star", fact_table="orders_t", partition_column="o_orderdate"
+)
+
+CUBE_T = CubeDesc(
+    name="orders_t_cube",
+    model_name="orders_t_star",
+    dimensions=("o_orderpriority", "o_cdate", "o_mts", "o_mdec"),
+    measures=(
+        MeasureDesc("_count", FunctionDesc("COUNT")),
+        MeasureDesc("sum_price", FunctionDesc("SUM", "o_totalprice")),
+        MeasureDesc("count_price", FunctionDesc("COUNT", "o_totalprice")),
+    ),
+    segment_granularity="month",
+)
+
+
+@pytest.fixture(scope="module")
+def eng_t(spark, tmp_path_factory):
+    e = OlapEngine(spark, storage_dir=str(tmp_path_factory.mktemp("dimrange_t")))
+    e.register_sources(SF_SMOKE)
+    spark.sql(_VIEW_T)
+    e.add_model(MODEL_T)
+    e.build_cube(CUBE_T)
+    return e
+
+
+def test_typed_dims_record_serialized_ranges(eng_t):
+    inst = eng_t.cubes["orders_t_cube"]
+    assert inst.dim_range_types == {
+        "o_cdate": "date",
+        "o_mts": "timestamp",
+        "o_mdec": "decimal",
+    }
+    for seg, ranges in inst.dim_ranges.items():
+        y, m = seg[:4], seg[5:7]
+        # date bounds: ISO strings; the +3-day shift keeps the min inside
+        # the month (>= the 4th) and lets the max straddle into the next
+        mn, mx = ranges["o_cdate"]
+        assert isinstance(mn, str) and isinstance(mx, str)
+        assert mn <= mx
+        assert mn >= f"{y}-{m}-04"  # earliest possible: month's 1st + 3 days
+        # timestamp dim holds exactly the month start
+        assert ranges["o_mts"][0] == ranges["o_mts"][1] == f"{y}-{m}-01 00:00:00"
+        # decimal dim holds exactly month*100, serialized exactly
+        assert ranges["o_mdec"][0] == ranges["o_mdec"][1] == f"{int(m) * 100}.00"
+
+
+def test_date_dim_filter_prunes_with_partition_filter(eng_t, spark):
+    import re
+
+    sql = """
+        select o_orderpriority, count(*) as n from orders_t
+        where o_cdate = '1995-06-15' group by o_orderpriority
+    """
+    eng_t.sql(sql, validate=True)  # routed == flat
+    route = eng_t.last_route
+    assert route is not None and route.cube == "orders_t_cube"
+    inst = eng_t.cubes["orders_t_cube"]
+    # expected rejects straight from the recorded ISO bounds
+    expect = [
+        seg
+        for seg, r in inst.dim_ranges.items()
+        if "o_cdate" in r
+        and not (r["o_cdate"][0] <= "1995-06-15" <= r["o_cdate"][1])
+    ]
+    assert sorted(route.segment_reject) == sorted(expect)
+    assert len(expect) >= len(inst.dim_ranges) - 2  # at most June+May survive
+    # and the rejects land as a PARTITION filter (metadata-level dir pruning)
+    old = spark.conf.get("spark.sql.maxMetadataStringLength", "100")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "100000")
+    try:
+        df = eng_t.sql(sql)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", old)
+    m = re.search(r"PartitionFilters: \[(.*?)\], PushedFilters", plan, re.S)
+    assert m is not None, plan[:800]
+    assert "NOT" in m.group(1), m.group(1)[:300]
+
+
+def test_date_dim_between_prunes(eng_t):
+    eng_t.sql(
+        """
+        select count(*) as n from orders_t
+        where o_cdate between '1995-03-10' and '1995-03-20'
+        """,
+        validate=True,
+    )
+    route = eng_t.last_route
+    assert route is not None and route.segment_reject
+    # every rejected segment's recorded date range is provably outside
+    inst = eng_t.cubes["orders_t_cube"]
+    for seg in route.segment_reject:
+        mn, mx = inst.dim_ranges[seg]["o_cdate"]
+        assert mx < "1995-03-10" or mn > "1995-03-20"
+
+
+def test_timestamp_dim_filter_prunes(eng_t):
+    eng_t.sql(
+        """
+        select count(*) as n from orders_t
+        where o_mts = timestamp '1995-03-01 00:00:00'
+        """,
+        validate=True,
+    )
+    route = eng_t.last_route
+    assert route is not None
+    inst = eng_t.cubes["orders_t_cube"]
+    survivors = set(inst.dim_ranges) - set(route.segment_reject)
+    assert survivors == {"1995-03-01"}
+
+
+def test_decimal_dim_filter_prunes_exactly(eng_t):
+    eng_t.sql(
+        "select count(*) as n from orders_t where o_mdec = 300.00",
+        validate=True,
+    )
+    route = eng_t.last_route
+    assert route is not None
+    inst = eng_t.cubes["orders_t_cube"]
+    survivors = set(inst.dim_ranges) - set(route.segment_reject)
+    assert survivors == {s for s in inst.dim_ranges if s[5:7] == "03"}
+    # IN-list form
+    eng_t.sql(
+        "select count(*) as n from orders_t where o_mdec in (100.00, 1200.00)",
+        validate=True,
+    )
+    r2 = eng_t.last_route
+    assert r2 is not None and r2.segment_reject
+    assert all(s[5:7] not in ("01", "12") for s in r2.segment_reject)
+
+
+def test_typed_ranges_survive_meta_roundtrip(eng_t, spark):
+    from kylin_on_parquet_v2_spark.cube.build import CubeInstance
+
+    inst = eng_t.cubes["orders_t_cube"]
+    inst.save_meta()
+    reloaded = CubeInstance.load(CUBE_T, MODEL_T, inst.storage_dir, spark)
+    assert reloaded is not None
+    assert reloaded.dim_range_types == inst.dim_range_types
+    assert reloaded.dim_ranges == inst.dim_ranges
+
+
+def test_date_dim_prune_dual_scale(spark, tmp_path):
+    """Round-9 verdict item 2 'done' bar: the non-partition date-dim prune
+    case dual-executed and verified at BOTH sf0.001 and sf0.01."""
+    from tests.conftest import SF_CORRECTNESS
+
+    for i, sf in enumerate((SF_SMOKE, SF_CORRECTNESS)):
+        e = OlapEngine(spark, storage_dir=str(tmp_path / f"sf{i}"))
+        e.register_sources(sf)
+        spark.sql(_VIEW_T)
+        e.add_model(MODEL_T)
+        e.build_cube(CUBE_T)
+        e.sql(
+            "select count(*) as n from orders_t where o_cdate = '1995-06-15'",
+            validate=True,  # routed == flat at this scale
+        )
+        route = e.last_route
+        assert route is not None and route.segment_reject, sf

@@ -153,3 +153,65 @@ def test_concurrent_mixed_queries_thread_safe(eng):
     before = eng.metrics["plan_route_calls"]
     eng.sql(ROUTED_SQL).collect()
     assert eng.metrics["plan_route_calls"] == before
+
+
+def test_memo_survives_direct_merge_without_manual_clear(spark, tmp_path):
+    """Round-9 advisor (medium): a caller driving cube/merge.py DIRECTLY —
+    outside OlapEngine.refresh_cube, without touching engine._route_memo —
+    must still get the merged segment's rows. A merged dir reuses its first
+    absorbed segment's name with WIDER dim ranges, so a stale memoized
+    segment_reject would silently drop them; the lifecycle epoch stored in
+    the memo entry forces a re-plan instead."""
+    from kylin_on_parquet_v2_spark.cube.merge import merge_segments
+    from kylin_on_parquet_v2_spark.metadata import (
+        CubeDesc,
+        DataModel,
+        FunctionDesc,
+        MeasureDesc,
+    )
+
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY VIEW orders_memo AS
+        SELECT o_orderkey, o_totalprice, o_orderdate,
+               month(o_orderdate) AS o_month
+        FROM orders
+        """
+    )
+    e = OlapEngine(spark, storage_dir=str(tmp_path / "memo_merge_cubes"))
+    e.register_sources(SF_SMOKE)
+    e.add_model(
+        DataModel(
+            name="orders_memo_star",
+            fact_table="orders_memo",
+            partition_column="o_orderdate",
+        )
+    )
+    e.build_cube(
+        CubeDesc(
+            name="orders_memo_cube",
+            model_name="orders_memo_star",
+            dimensions=("o_month",),
+            measures=(MeasureDesc("_count", FunctionDesc("COUNT")),),
+            segment_granularity="month",
+        )
+    )
+    sql = "select count(*) as n from orders_memo where o_month = 2"
+    before = e.sql(sql).collect()[0]["n"]
+    assert before > 0
+    route = e.last_route
+    assert route is not None and route.segment_reject  # Feb filter memoized
+
+    inst = e.cubes["orders_memo_cube"]
+    segs = sorted(inst.segments(spark))[:3]  # Jan..Mar of the first year
+    merged = segs[0]  # the Jan dir name now holds Jan+Feb+Mar rows
+    merge_segments(spark, inst, segs, merged)
+    # NO manual e._route_memo.clear() — the epoch check must handle it
+
+    after = e.sql(sql).collect()[0]["n"]
+    assert after == before, (
+        f"stale memoized segment_reject dropped merged rows: {after} != {before}"
+    )
+    replayed = e.last_route
+    assert replayed is not None
+    assert merged not in replayed.segment_reject
