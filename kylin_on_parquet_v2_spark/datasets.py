@@ -174,6 +174,9 @@ EVENTS_CUBE_SEG = CubeDesc(
     measures=(
         MeasureDesc("_count", FunctionDesc("COUNT")),
         MeasureDesc("sum_value", FunctionDesc("SUM", "value")),
+        # COUNT(value) completes the AVG(value) -> SUM/COUNT decomposition
+        # pair, so AVG serves across the hybrid batch/realtime split too
+        MeasureDesc("count_value", FunctionDesc("COUNT", "value")),
         MeasureDesc("min_value", FunctionDesc("MIN", "value")),
         MeasureDesc("max_value", FunctionDesc("MAX", "value")),
         MeasureDesc("bm_user", FunctionDesc("COUNT_DISTINCT", "user_id", "bitmap")),

@@ -34,6 +34,9 @@ class LocalFS:
     def listdir(self, path: str) -> list[str]:
         return os.listdir(path)
 
+    def isdir(self, path: str) -> bool:
+        return os.path.isdir(path)
+
     def makedirs(self, path: str) -> None:
         os.makedirs(path, exist_ok=True)
 
@@ -103,6 +106,9 @@ class HadoopFS:
     def listdir(self, path: str) -> list[str]:
         stats = self._fs(path).listStatus(self._path(path))
         return [st.getPath().getName() for st in stats]
+
+    def isdir(self, path: str) -> bool:
+        return bool(self._fs(path).getFileStatus(self._path(path)).isDirectory())
 
     def makedirs(self, path: str) -> None:
         self._fs(path).mkdirs(self._path(path))
