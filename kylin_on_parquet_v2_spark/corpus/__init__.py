@@ -63,20 +63,75 @@ def _modules():
 
 # The driver's correctness harness checks the FIRST 50 ``queries()`` entries
 # only. Rotate the window each round so every contract query eventually gets a
-# driver check. r09 window: the 16 NEW r9 queries first (the 13 SSB flights
-# exercising multi-cube competition, the sketch-served quantile gate, the
-# cube-served dataset card, the BPE pair counter), then every query the r9
-# commits touched (the gate's new thresholds_from path, the SemDeDup
-# .rdd-probe gating, the streaming gate's empty-replay fix), then the
-# entries whose last driver check is oldest (the r05-r07 block the
-# r8 window displaced). The r01-r08 union already covers all contract
-# queries; everything stays covered every round by the driver-calibrated
-# in-repo parity suite (tests/test_entry_oracle_parity.py — all oracles,
-# every round).
+# driver check. r10 window: the 3 NEW r10 queries first (compacted-tail
+# hybrid serving, BPE train+encode, multimodal perceptual near-dup), then
+# every query the r10 commits touched (the hybrid family — EVENTS_CUBE_SEG
+# gained the COUNT(value) AVG-decomposition measure; the streaming gate's
+# write-first atomicity fix; the SemDeDup probe's plan-tree walk; the
+# docs-quality domain assert; the dim-range fold's typed-dtype extension
+# behind the segment-prune/dim-minmax routes; corpus_bpe_pairs as the
+# training half of the new encode), then the entries whose last driver
+# check is oldest (the block the r9 rotation displaced). The r01-r09 union
+# already covers all contract queries; everything stays covered every round
+# by the driver-calibrated in-repo parity suite
+# (tests/test_entry_oracle_parity.py — all oracles, every round).
 _PRIORITY = [
-    # --- r09 driver window (50 entries): the 16 NEW r9 queries, then
-    # --- everything the r9 commits touched, then the oldest-checked
-    # --- (r05-r07) block
+    # --- r10 driver window (50 entries): 3 NEW, then r10-touched, then
+    # --- the oldest-checked block
+    "hybrid_compacted_tail",
+    "corpus_bpe_encode",
+    "multimodal_perceptual_dedup",
+    "streaming_decontam_gate",
+    "cube_routed_hybrid",
+    "cube_routed_hybrid_distinct",
+    "cube_routed_hybrid_funnel",
+    "cube_routed_hybrid_rollup",
+    "cube_routed_hybrid_percentile",
+    "semantic_dedup_given",
+    "semantic_dedup_kmeans",
+    "cube_routed_quality_quantile",
+    "cube_routed_profile_stats",
+    "cube_routed_segment_prune",
+    "cube_routed_dim_minmax",
+    "corpus_bpe_pairs",
+    "pipeline_end_to_end",
+    "decontam_filter_shuffled",
+    "decontam_chargram_report",
+    "dedup_passages",
+    "dedup_best_kept_corpus",
+    "corpus_top_ngrams",
+    "corpus_profile_stats",
+    "decontam_report",
+    "decontam_filter",
+    "decontam_by_source",
+    "similarity_ann_ivf_indexed",
+    "similarity_ann_ivf_trained",
+    "cube_routed_having",
+    "cube_routed_having_hidden",
+    "cube_routed_window_share",
+    "cube_routed_window_lag",
+    "streaming_stream_join",
+    "cube_routed_q1_revenue",
+    "cube_routed_rollup",
+    "cube_routed_snowflake",
+    "cube_routed_filter_dim",
+    "cube_routed_global",
+    "pack_token_budget",
+    "q12_priority_lines",
+    "lateral_explode_tokens",
+    "scalar_conformance_string",
+    "scalar_conformance_datetime",
+    "scalar_conformance_nullary",
+    "cube_routed_intersect_rollup",
+    "dedup_incremental_refresh",
+    "cube_routed_window_islands",
+    "cube_routed_grouping_indicator",
+    "multimodal_frame_sample",
+    "multimodal_resize_plan",
+    # --- below the 50-entry driver window: the r9-checked block (most
+    # --- recently driver-verified) + the remainder, all still covered
+    # --- every round by the in-repo parity suite
+    "cube_routed_multi_col_distinct",
     "ssb_q1_1",
     "ssb_q1_2",
     "ssb_q1_3",
@@ -90,13 +145,7 @@ _PRIORITY = [
     "ssb_q4_1",
     "ssb_q4_2",
     "ssb_q4_3",
-    "cube_routed_quality_quantile",
-    "cube_routed_profile_stats",
-    "corpus_bpe_pairs",
     "text_quality_quantile",
-    "semantic_dedup_given",
-    "semantic_dedup_kmeans",
-    "streaming_decontam_gate",
     "multimodal_decode_features",
     "q8_market_share",
     "q9_product_profit",
@@ -116,59 +165,15 @@ _PRIORITY = [
     "scalar_conformance_math",
     "percentile_kll_sketch",
     "cube_routed_percentile_sketch",
-    "cube_routed_hybrid_percentile",
     "cube_routed_topn_pinned",
     "cube_routed_topn_range",
     "cube_routed_bucketed",
-    "cube_routed_hybrid",
     "hll_approx_distinct",
     "extended_column_first",
     "raw_detail_values",
     "asof_join_events",
     "range_join_binned",
     "dedup_exact",
-    # --- below the 50-entry driver window: the r8-checked block displaced
-    # --- by the r9 rotation + the r05-r07 remainder, all still covered
-    # --- every round by the in-repo parity suite
-    "pipeline_end_to_end",
-    "decontam_filter_shuffled",
-    "decontam_chargram_report",
-    "dedup_passages",
-    "dedup_best_kept_corpus",
-    "corpus_top_ngrams",
-    "corpus_profile_stats",
-    "decontam_report",
-    "decontam_filter",
-    "decontam_by_source",
-    "similarity_ann_ivf_indexed",
-    "similarity_ann_ivf_trained",
-    "cube_routed_having",
-    "cube_routed_having_hidden",
-    "cube_routed_window_share",
-    "cube_routed_window_lag",
-    "streaming_stream_join",
-    "cube_routed_segment_prune",
-    "cube_routed_q1_revenue",
-    "cube_routed_rollup",
-    "cube_routed_snowflake",
-    "cube_routed_filter_dim",
-    "cube_routed_global",
-    "pack_token_budget",
-    "q12_priority_lines",
-    "lateral_explode_tokens",
-    "cube_routed_hybrid_distinct",
-    "cube_routed_hybrid_funnel",
-    "cube_routed_hybrid_rollup",
-    "scalar_conformance_string",
-    "scalar_conformance_datetime",
-    "scalar_conformance_nullary",
-    "cube_routed_intersect_rollup",
-    "dedup_incremental_refresh",
-    "cube_routed_window_islands",
-    "cube_routed_grouping_indicator",
-    "multimodal_frame_sample",
-    "multimodal_resize_plan",
-    "cube_routed_multi_col_distinct",
     "date_month_arithmetic",
     "dynamic_params",
     "except_all_pairs",
@@ -216,7 +221,6 @@ _PRIORITY = [
     "cube_routed_agg_over_union",
     "cube_routed_island_ratio",
     "cube_routed_month_series",
-    "cube_routed_dim_minmax",
     "intersect_count_retention",
     "intersect_count_funnel",
     "dedup_clusters",

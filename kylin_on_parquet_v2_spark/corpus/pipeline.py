@@ -529,6 +529,112 @@ def corpus_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.bpe_pair_counts(spark.table("documents"), k=20)
 
 
+def multimodal_perceptual_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup over multimodal assets (round-9 verdict item 4):
+    a 32-bit dHash over the decoded feature strip as pure JVM expressions,
+    candidate pairs from a 4x8 band-bucket equi-join (never all-pairs —
+    plan-asserted in tests), exact hamming<=3 verify on collisions. The
+    pigeonhole bound (3 < 4 bands) makes the banded result EXACT, so the
+    DuckDB oracle — deliberately the naive all-pairs O(n^2) join — must
+    hash-match, which also proves the banding's completeness claim."""
+    views(spark, sf_dir)
+    assets = MM.synthesize_assets(spark.table("documents"))
+    hashed = MM.dhash_features(assets)
+    return MM.perceptual_neardup_pairs(hashed, max_hamming=3).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def _dhash_oracle_expr() -> str:
+    """DuckDB replica of multimodal.dhash_features: payload bytes via hex
+    extraction (payload == utf-8 text bytes in synthesize_assets), feature
+    numerator byte%64, bit i = gradient sign, packed little-endian."""
+    hx = "hex(encode(text))"
+    terms = []
+    for bit in range(32):
+
+        def b(i: int) -> str:
+            pos = 2 * i + 1
+            return (
+                f"(case when len({hx}) >= {pos + 1} then "
+                f"{_hex_byte(hx, i)} else 0 end)"
+            )
+
+        terms.append(
+            f"(case when ({b(bit + 1)} % 64) > ({b(bit)} % 64) "
+            f"then {1 << bit} else 0 end)"
+        )
+    return " + ".join(terms)
+
+
+def corpus_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE train + APPLY (round-9 verdict item 3, the consuming half of
+    corpus_bpe_pairs): learn 6 merges with the driver-side loop over the
+    cached vocab shuffle shape, then tokenize every document with the
+    learned list as a pure JVM expression pass — k literal string replaces
+    per word, map-side inside the corpus scan, no Python and no shuffle.
+    Oracle: DuckDB replays the ENTIRE training loop as 6 chained top-pair
+    CTEs and the encode as the same replace chain, so token counts and the
+    md5 of every document's token sequence are hash-checked."""
+    views(spark, sf_dir)
+    docs = spark.table("documents")
+    merges = T.bpe_learn_merges(docs, n_merges=6)
+    return T.bpe_encode(docs, merges).orderBy("doc_id")
+
+
+def _bpe_encode_oracle(k: int = 6) -> str:
+    """DuckDB replay of bpe_learn_merges + bpe_encode: step CTE t{i} picks
+    round i's most frequent adjacent pair (count desc, pair asc — the
+    engine's exact tiebreak) from vocab v{i-1}, v{i} applies it, and the
+    final encode chains all k replaces over each word's spaced symbol
+    string (identical ' a  b ' representation, so replace() merges every
+    non-overlapping occurrence left-to-right exactly like the engine)."""
+    spaced_w = "regexp_replace(w, '(.)', ' \\1 ', 'g')"
+    steps = []
+    for i in range(1, k + 1):
+        steps.append(
+            f"""t{i} as (
+            select ' ' || split_part(pair, ' ', 1) || '  ' ||
+                   split_part(pair, ' ', 2) || ' ' as pat{i},
+                   ' ' || replace(pair, ' ', '') || ' ' as rep{i}
+            from (
+                select syms[i] || ' ' || syms[i + 1] as pair, freq
+                from (select string_split(trim(s), '  ') as syms, freq
+                      from v{i - 1}),
+                     unnest(range(1, len(syms))) as t(i)
+            )
+            group by pair
+            order by sum(freq) desc, pair
+            limit 1
+        ),
+        v{i} as (select freq, replace(s, pat{i}, rep{i}) as s
+                 from v{i - 1}, t{i})"""
+        )
+    enc_expr = spaced_w
+    for i in range(1, k + 1):
+        enc_expr = f"replace({enc_expr}, pat{i}, rep{i})"
+    tables = ", ".join(f"t{i}" for i in range(1, k + 1))
+    return f"""
+        with words as (
+            select w, count(*) as freq from (
+                select unnest(string_split({_NORM}, ' ')) as w from documents
+            ) where len(w) >= 2 group by w
+        ),
+        v0 as (select freq, {spaced_w} as s from words),
+        {", ".join(steps)},
+        enc as (
+            select doc_id, flatten(list_transform(
+                list_filter(string_split({_NORM}, ' '), w -> w <> ''),
+                w -> string_split(trim({enc_expr}), '  ')
+            )) as toks
+            from documents, {tables}
+        )
+        select doc_id, cast(len(toks) as int) as n_bpe_tokens,
+               md5(array_to_string(toks, ' ')) as tok_md5
+        from enc order by doc_id
+    """
+
+
 def text_quality_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language quantile quality gate (new r8, Gopher-style percentile
     cut): keep docs at/above their language's 25th percentile of n_chars.
@@ -767,6 +873,8 @@ QUERIES = {
     "text_quality_quantile": text_quality_quantile,
     "cube_routed_quality_quantile": cube_routed_quality_quantile,
     "corpus_bpe_pairs": corpus_bpe_pairs,
+    "corpus_bpe_encode": corpus_bpe_encode,
+    "multimodal_perceptual_dedup": multimodal_perceptual_dedup,
     "cube_routed_profile_stats": cube_routed_profile_stats,
     "corpus_profile_stats": corpus_profile_stats,
     "text_chunk_windows": text_chunk_windows,
@@ -1585,6 +1693,21 @@ ORACLES = {
         from pairs group by pair
         order by pair_count desc, pair
         limit 20
+    """,
+    "corpus_bpe_encode": _bpe_encode_oracle(6),
+    # deliberately the NAIVE all-pairs join: hash-matching the engine's
+    # banded equi-join proves the pigeonhole completeness claim
+    "multimodal_perceptual_dedup": f"""
+        with h as (
+            select doc_id as asset_id,
+                   cast({_dhash_oracle_expr()} as bigint) as dhash
+            from documents
+        )
+        select a.asset_id as id_a, b.asset_id as id_b,
+               cast(bit_count(xor(a.dhash, b.dhash)) as int) as hamming
+        from h a join h b on a.asset_id < b.asset_id
+        where bit_count(xor(a.dhash, b.dhash)) <= 3
+        order by id_a, id_b
     """,
     # the cube-served dataset card: sketch median == percentile_disc under
     # the unit-bin alignment; token counts are the raw whitespace split the

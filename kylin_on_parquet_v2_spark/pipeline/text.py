@@ -303,6 +303,128 @@ def bpe_pair_counts(
     )
 
 
+#: BPE symbol-string representation: every symbol wrapped in its OWN
+#: leading+trailing space (``'ab'`` -> ``' a  b '``), so adjacent symbols
+#: are separated by exactly two spaces and the merge-replace pattern
+#: ``' a  b '`` shares NO characters with a neighbouring occurrence —
+#: plain left-to-right replace() then merges ALL non-overlapping
+#: occurrences in one pass, exactly the classic BPE merge application.
+#: (A single-space representation breaks on runs: replacing ' a b ' in
+#: ' a b a b ' consumes the second occurrence's leading space.)
+
+
+def _bpe_spaced(col):
+    return F.regexp_replace(col, "(.)", " $1 ")
+
+
+def _bpe_symbols(col):
+    """Spaced representation -> array of current symbols."""
+    return F.split(F.trim(col), "  ")
+
+
+def _bpe_apply(col, merges: list[tuple[str, str]]):
+    """Apply ``merges`` in order to a spaced symbol string — pure JVM
+    string replaces, literal (never regex), one per learned merge."""
+    for a, b in merges:
+        col = F.replace(col, F.lit(f" {a}  {b} "), F.lit(f" {a}{b} "))
+    return col
+
+
+def bpe_learn_merges(
+    docs: DataFrame, n_merges: int = 6, text_col: str = "text"
+) -> list[tuple[str, str]]:
+    """BPE tokenizer training (Sennrich et al. 2016): ``n_merges`` rounds
+    of count-adjacent-pairs -> merge the most frequent, the consuming half
+    of :func:`bpe_pair_counts` (one round of which is the
+    ``corpus_bpe_pairs`` statistic). Ties break deterministically on the
+    pair string ascending, so the learned list is engine-replayable.
+
+    100 TB shape: the ONLY corpus-sized shuffle is the word-frequency
+    groupBy (map-side combined to vocab size), cached once; each round is
+    then one job over the |vocab|-row frame — pair explode + count + a
+    1-row TakeOrderedAndProject to the driver — and the merge application
+    is one literal string replace stacked onto the cached vocab. The
+    driver holds k pairs, never data."""
+    words = (
+        docs.select(
+            F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("w")
+        )
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    vocab = words.select(_bpe_spaced("w").alias("s"), "freq").cache()
+    merges: list[tuple[str, str]] = []
+    cur = vocab
+    try:
+        for _ in range(n_merges):
+            syms = _bpe_symbols(F.col("s"))
+            # fully-merged single-symbol words drop out BEFORE the pair
+            # explode (sequence(1, 0) would generate DESCENDING [1, 0] and
+            # index out of bounds under ANSI element_at)
+            pairs = cur.where(F.size(syms) >= 2).select(
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(syms) - 1),
+                        lambda i: F.concat(
+                            F.element_at(_bpe_symbols(F.col("s")), i),
+                            F.lit(" "),
+                            F.element_at(_bpe_symbols(F.col("s")), i + 1),
+                        ),
+                    )
+                ).alias("pair"),
+                "freq",
+            )
+            top = (
+                pairs.groupBy("pair")
+                .agg(F.sum("freq").alias("pair_count"))
+                .orderBy(F.col("pair_count").desc(), "pair")
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            a, b = top[0]["pair"].split(" ")  # symbols never contain spaces
+            merges.append((a, b))
+            cur = cur.withColumn("s", _bpe_apply(F.col("s"), [(a, b)]))
+    finally:
+        vocab.unpersist()
+    return merges
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize the corpus with a learned merge list — the consuming half
+    of BPE training (round-9 verdict item 3). Pure JVM expression pass: per
+    word, the k merges apply as k literal string replaces over the spaced
+    symbol representation; no Python, no UDF, NO SHUFFLE — the encode runs
+    map-side inside the corpus scan, which is what an encode of 100 TB
+    requires (output partitioning = scan partitioning).
+
+    Output per document: ``n_bpe_tokens`` and ``tok_md5`` (md5 of the
+    space-joined token sequence) — enough to oracle-check every token of
+    every document without shipping token arrays through the compare."""
+    words = F.filter(
+        F.split(normalize_text(F.col(text_col)), " "),
+        lambda w: w != F.lit(""),
+    )
+    toks = F.flatten(
+        F.transform(
+            words,
+            lambda w: _bpe_symbols(_bpe_apply(_bpe_spaced(w), merges)),
+        )
+    )
+    return docs.select(F.col(id_col), toks.alias("__toks")).select(
+        id_col,
+        F.size("__toks").alias("n_bpe_tokens"),
+        F.md5(F.array_join("__toks", " ").cast("binary")).alias("tok_md5"),
+    )
+
+
 def corpus_profile(
     docs: DataFrame,
     group_col: str = "source",
