@@ -600,6 +600,17 @@ _MAP_SIDE_NODES = frozenset(
         "DeserializeToObject",
         "MapElements",
         "TypedFilter",
+        # Python evaluation nodes that are still strictly per-partition
+        # (Arrow/pickle batch projections — no distribution requirement, so
+        # physical planning inserts no Exchange under them). ivf_assign's
+        # pandas_udf plans as ArrowEvalPython: failing it skipped the
+        # SemDeDup probe-side repartition and cost +1.4s at sf0.1.
+        # FlatMapGroupsInPandas / CoGroup stay OUT: grouped applyInPandas
+        # requires a ClusteredDistribution => hidden Exchange.
+        "ArrowEvalPython",
+        "BatchEvalPython",
+        "MapInPandas",
+        "PythonMapInArrow",
     }
 )
 

@@ -241,6 +241,26 @@ class OlapEngine:
         self._cache.clear()
         self._route_memo.clear()
 
+    def compact_realtime(
+        self, cube_name: str, max_fragments: int = 8
+    ) -> dict[str, tuple[int, int]]:
+        """Maintenance pass over a hybrid realization's realtime store
+        (reference: the coordinator schedules FragmentFilesMerger when a
+        segment's fragment count crosses the trigger): compact partition
+        dirs that accumulated more than ``max_fragments`` micro-batch file
+        sets into size-targeted files. Safe while serving — per-dir
+        write-then-swap, the actively-appending newest dir is skipped, and
+        compaction moves bytes, never rows, so in-flight and subsequent
+        hybrid queries are unaffected (the HybridPart's cached column set
+        is schema-level and survives). Returns {segment: (files before,
+        files after)} for the dirs rewritten."""
+        from kylin_on_parquet_v2_spark.streaming.compaction import maybe_compact
+
+        part = self.hybrids[cube_name]
+        return maybe_compact(
+            self.spark, part.realtime_dir, max_fragments=max_fragments
+        )
+
     def recommend_cuboids(
         self,
         name: str,

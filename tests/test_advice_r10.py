@@ -34,8 +34,13 @@ def test_map_side_probe_keyword_column_name_not_false_positive(spark):
 
 
 def test_map_side_probe_fails_closed_on_unlisted_nodes(spark):
-    """Node kinds not on the allowlist (mapInPandas, cogroup-style plans)
-    must fail the probe even though no blocklisted name appears."""
+    """Per-partition Python evaluation (mapInPandas, scalar pandas_udf)
+    stays map-side — no hidden distribution requirement — while GROUPED
+    applyInPandas (FlatMapGroupsInPandas needs a ClusteredDistribution =>
+    physical Exchange) must fail the probe even though no shuffle node
+    appears in the LOGICAL plan."""
+    from pyspark.sql.functions import pandas_udf
+
     from kylin_on_parquet_v2_spark.pipeline.similarity import _map_side_only
 
     df = spark.range(20).selectExpr("id as vec_id")
@@ -43,7 +48,13 @@ def test_map_side_probe_fails_closed_on_unlisted_nodes(spark):
     def passthrough(batches):
         yield from batches
 
-    assert not _map_side_only(df.mapInPandas(passthrough, "vec_id long"))
+    assert _map_side_only(df.mapInPandas(passthrough, "vec_id long"))
+
+    @pandas_udf("long")
+    def twice(s):
+        return s * 2
+
+    assert _map_side_only(df.select(twice("vec_id").alias("v")))
     grouped = df.groupBy("vec_id").applyInPandas(
         lambda pdf: pdf, "vec_id long"
     )

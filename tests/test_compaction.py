@@ -239,3 +239,53 @@ def test_epoch_store_replay_stays_idempotent_after_compaction(spark, tmp_path):
     assert sorted(
         map(str, spark.read.parquet(out_dir).drop("__epoch").collect())
     ) == first
+
+
+def test_engine_compact_realtime_mid_session_keeps_answers(spark, frag_store, tmp_path):
+    """The engine-level maintenance pass (reference: coordinator-scheduled
+    FragmentFilesMerger): compacting a REGISTERED hybrid tail between two
+    identical queries must leave the answers hash-identical while the store
+    drops to the size target."""
+    import shutil
+
+    from kylin_on_parquet_v2_spark.datasets import EVENTS_CUBE_SEG, EVENTS_MODEL_SEG
+    from kylin_on_parquet_v2_spark.query.engine import OlapEngine
+    from kylin_on_parquet_v2_spark.session import register_views
+
+    store = str(tmp_path / "segments")
+    shutil.copytree(frag_store, store)
+    register_views(spark, SF_SMOKE)
+    days = sorted(
+        r[0]
+        for r in spark.table("events")
+        .select(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("d"))
+        .distinct()
+        .collect()
+    )
+    eng = OlapEngine(spark, storage_dir=str(tmp_path / "cubes"))
+    eng.add_model(EVENTS_MODEL_SEG)
+    eng.build_cube(EVENTS_CUBE_SEG, segment_range=(None, days[len(days) // 2]))
+    eng.register_hybrid("events_cube_seg", store)
+    sql = (
+        "select event_type, count(*) as n, sum(value) as s, avg(value) as a "
+        "from events group by event_type order by event_type"
+    )
+
+    def run():
+        df = eng.sql(sql).select(
+            "event_type", "n", F.round("s", 2).alias("s"), F.round("a", 4).alias("a")
+        )
+        return [tuple(r) for r in df.collect()]
+
+    before = run()
+    assert eng.last_route is not None and eng.last_route.hybrid_tail
+
+    report = eng.compact_realtime("events_cube_seg", max_fragments=3)
+    assert report  # the fragmented tail had dirs above threshold
+    # newest dir skipped (it may still be receiving appends)
+    newest = _seg_dirs(store)[-1].split("=", 1)[1]
+    assert newest not in report
+
+    after = run()
+    assert after == before
+    assert eng.last_route is not None and eng.last_route.hybrid_tail
