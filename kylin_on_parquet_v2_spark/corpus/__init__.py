@@ -81,6 +81,7 @@ _PRIORITY = [
     "hybrid_compacted_tail",
     "corpus_bpe_encode",
     "multimodal_perceptual_dedup",
+    "multimodal_asset_dedup",
     "streaming_decontam_gate",
     "cube_routed_hybrid",
     "cube_routed_hybrid_distinct",
@@ -127,10 +128,10 @@ _PRIORITY = [
     "cube_routed_window_islands",
     "cube_routed_grouping_indicator",
     "multimodal_frame_sample",
-    "multimodal_resize_plan",
     # --- below the 50-entry driver window: the r9-checked block (most
     # --- recently driver-verified) + the remainder, all still covered
     # --- every round by the in-repo parity suite
+    "multimodal_resize_plan",
     "cube_routed_multi_col_distinct",
     "ssb_q1_1",
     "ssb_q1_2",

@@ -545,6 +545,24 @@ def multimodal_perceptual_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_asset_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup carried to the COLLAPSE decision: the banded
+    dHash pairs are edges, and connected components (the same min-label
+    propagation the text dedup family uses) assign every touched asset its
+    component representative — a~b, b~c collapse {a,b,c} even though a~c
+    was never emitted. Proves the multimodal family composes into the full
+    dedup pipeline (pairs -> clusters -> keep-one), not just pair listing.
+    Oracle: all-pairs hamming graph + recursive min-reachable-id CTE."""
+    views(spark, sf_dir)
+    assets = MM.synthesize_assets(spark.table("documents"))
+    pairs = MM.perceptual_neardup_pairs(
+        MM.dhash_features(assets), max_hamming=3
+    ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+    return D.duplicate_clusters(None, id_col="asset_id", pairs=pairs).orderBy(
+        "asset_id"
+    )
+
+
 def _dhash_oracle_expr() -> str:
     """DuckDB replica of multimodal.dhash_features: payload bytes via hex
     extraction (payload == utf-8 text bytes in synthesize_assets), feature
@@ -875,6 +893,7 @@ QUERIES = {
     "corpus_bpe_pairs": corpus_bpe_pairs,
     "corpus_bpe_encode": corpus_bpe_encode,
     "multimodal_perceptual_dedup": multimodal_perceptual_dedup,
+    "multimodal_asset_dedup": multimodal_asset_dedup,
     "cube_routed_profile_stats": cube_routed_profile_stats,
     "corpus_profile_stats": corpus_profile_stats,
     "text_chunk_windows": text_chunk_windows,
@@ -1708,6 +1727,29 @@ ORACLES = {
         from h a join h b on a.asset_id < b.asset_id
         where bit_count(xor(a.dhash, b.dhash)) <= 3
         order by id_a, id_b
+    """,
+    "multimodal_asset_dedup": f"""
+        with recursive h as (
+            select doc_id as asset_id,
+                   cast({_dhash_oracle_expr()} as bigint) as dhash
+            from documents
+        ),
+        pairs as (
+            select a.asset_id as doc_a, b.asset_id as doc_b
+            from h a join h b on a.asset_id < b.asset_id
+            where bit_count(xor(a.dhash, b.dhash)) <= 3
+        ),
+        edges as (
+            select doc_a as src, doc_b as dst from pairs
+            union all select doc_b, doc_a from pairs
+        ),
+        walk(id, label) as (
+            select src, src from edges
+            union
+            select e.dst, w.label from walk w join edges e on e.src = w.id
+        )
+        select id as asset_id, min(label) as cluster_id
+        from walk group by id order by asset_id
     """,
     # the cube-served dataset card: sketch median == percentile_disc under
     # the unit-bin alignment; token counts are the raw whitespace split the

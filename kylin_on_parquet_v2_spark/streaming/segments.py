@@ -65,6 +65,8 @@ def ingest_segments(
     granularity: str = "hour",
     schema: StructType | None = None,
     max_files_per_trigger: int = 1,
+    compact_every: int | None = None,
+    max_fragments: int = 8,
 ) -> None:
     """Stream a growing directory of Parquet files into segment-partitioned
     Parquet (the reference's real-time ingest path, file source standing in
@@ -72,6 +74,7 @@ def ingest_segments(
 
     Runs with Trigger.AvailableNow: processes everything present, then stops
     — deterministic for tests; a production deployment drops the trigger.
+    ``compact_every``/``max_fragments``: see :func:`ingest_stream`.
     """
     if schema is None:
         schema = spark.read.parquet(source_dir).schema
@@ -88,6 +91,8 @@ def ingest_segments(
         ts_col=ts_col,
         granularity=granularity,
         available_now=True,
+        compact_every=compact_every,
+        max_fragments=max_fragments,
     )
     q.awaitTermination()
 
@@ -100,6 +105,8 @@ def ingest_stream(
     ts_col: str = "ts",
     granularity: str = "hour",
     available_now: bool = False,
+    compact_every: int | None = None,
+    max_fragments: int = 8,
 ):
     """Source-agnostic half of the ingest path: ANY streaming DataFrame —
     the file source above, Spark's built-in unbounded ``rate`` source
@@ -108,7 +115,19 @@ def ingest_stream(
     classpath — flows through the identical segment-stamp + foreachBatch
     Parquet append. Returns the started StreamingQuery; with
     ``available_now`` the caller is expected to awaitTermination, otherwise
-    to stop() it (continuous ingest)."""
+    to stop() it (continuous ingest).
+
+    ``compact_every``: run the fragment-compaction maintenance pass every N
+    micro-batches, inline in the foreachBatch callback (reference: the
+    coordinator schedules FragmentFilesMerger on the fragment-count
+    trigger). Inline is the SAFEST placement — foreachBatch serializes the
+    single writer, so compaction never races an append — and it bounds the
+    small-files growth of a long-running stream by construction: between
+    passes a dir gains at most ``compact_every`` file sets, so the store
+    never holds more than ``max_fragments + compact_every`` fragments per
+    closed dir. The newest (still-appending) dir is always left alone."""
+    from kylin_on_parquet_v2_spark.streaming.compaction import maybe_compact
+
     stream = _normalize_ts(stream, ts_col)
     with_seg = stream.withColumn(
         SEGMENT_COL,
@@ -117,6 +136,10 @@ def ingest_stream(
 
     def _write_batch(batch: DataFrame, epoch_id: int) -> None:
         batch.write.mode("append").partitionBy(SEGMENT_COL).parquet(out_dir)
+        if compact_every and epoch_id % compact_every == compact_every - 1:
+            maybe_compact(
+                batch.sparkSession, out_dir, max_fragments=max_fragments
+            )
 
     writer = with_seg.writeStream.foreachBatch(_write_batch).option(
         "checkpointLocation", checkpoint_dir

@@ -289,3 +289,28 @@ def test_engine_compact_realtime_mid_session_keeps_answers(spark, frag_store, tm
     after = run()
     assert after == before
     assert eng.last_route is not None and eng.last_route.hybrid_tail
+
+
+def test_ingest_with_inline_compaction_bounds_fragments(spark, tmp_path):
+    """compact_every wires the maintenance pass into the foreachBatch
+    callback (single writer => compaction never races an append): a
+    6-micro-batch ingest with compact_every=2 keeps every closed day dir
+    at a bounded file count, and the store's rows equal the source."""
+    from kylin_on_parquet_v2_spark.session import register_views
+
+    register_views(spark, SF_SMOKE)
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "segments")
+    spark.table("events").repartition(6).write.parquet(src)
+    ingest_segments(
+        spark, src, out, str(tmp_path / "ckpt"), granularity="day",
+        max_files_per_trigger=1, compact_every=2, max_fragments=2,
+    )
+    segs = _seg_dirs(out)
+    # every closed (non-newest) dir was compacted on the trigger cadence:
+    # at most max_fragments + compact_every file sets ever accumulate
+    for seg in segs[:-1]:
+        assert len(_files(out, seg)) <= 4, (seg, _files(out, seg))
+    # vs 6 fragments everywhere without the trigger (frag_store fixture)
+    total = spark.read.parquet(out).count()
+    assert total == spark.table("events").count()
