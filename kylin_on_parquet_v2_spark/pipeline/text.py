@@ -392,6 +392,58 @@ def bpe_learn_merges(
     return merges
 
 
+#: persisted merge-list format version — a loader refuses an incompatible
+#: layout instead of silently mis-tokenizing every document
+BPE_MERGES_VERSION = 1
+
+
+def save_bpe_merges(
+    path: str,
+    merges: list[tuple[str, str]],
+    spark=None,
+    meta: dict | None = None,
+) -> None:
+    """Persist a learned merge list so a new process encodes without
+    retraining — the tokenizer analogue of reopening a built cube (same
+    version-stamped-JSON-through-the-storage-shim pattern as the IVF
+    quantizer and the global dictionary). Merge ORDER is the tokenizer:
+    it is preserved exactly."""
+    import os
+
+    from kylin_on_parquet_v2_spark import fs as FS
+
+    parent = os.path.dirname(path)
+    if parent:
+        FS.fs_for(parent, spark).makedirs(parent)
+    payload: dict = {
+        "version": BPE_MERGES_VERSION,
+        "n_merges": len(merges),
+        "merges": [[a, b] for a, b in merges],
+    }
+    if meta:
+        payload["meta"] = meta
+    FS.write_json(path, payload, spark)
+
+
+def load_bpe_merges(path: str, spark=None) -> list[tuple[str, str]]:
+    """Reload a persisted merge list; raises on a version/shape mismatch."""
+    from kylin_on_parquet_v2_spark import fs as FS
+
+    payload = FS.read_json(path, spark)
+    if payload.get("version") != BPE_MERGES_VERSION:
+        raise ValueError(
+            f"unsupported BPE merge-list version {payload.get('version')!r} "
+            f"at {path} (expected {BPE_MERGES_VERSION})"
+        )
+    merges = [tuple(m) for m in payload.get("merges", [])]
+    if len(merges) != payload.get("n_merges") or any(
+        len(m) != 2 or not all(isinstance(s, str) and s for s in m)
+        for m in merges
+    ):
+        raise ValueError(f"corrupt BPE merge list at {path}")
+    return merges
+
+
 def bpe_encode(
     docs: DataFrame,
     merges: list[tuple[str, str]],

@@ -189,3 +189,37 @@ def test_max_hamming_must_stay_under_band_count(spark):
     hashed = MM.dhash_features(MM.synthesize_assets(docs.limit(5)))
     with pytest.raises(ValueError, match="pigeonhole"):
         MM.perceptual_neardup_pairs(hashed, max_hamming=4)
+
+
+def test_bpe_merges_persist_and_reload(spark, tmp_path):
+    """A reloaded merge list encodes identically — the tokenizer artifact
+    survives process restarts like the IVF quantizer and the dictionary."""
+    import pytest
+
+    from kylin_on_parquet_v2_spark.pipeline.text import (
+        load_bpe_merges,
+        save_bpe_merges,
+    )
+
+    docs = spark.createDataFrame(list(TEXTS.items()), "doc_id long, text string")
+    merges = bpe_learn_merges(docs, n_merges=5)
+    path = str(tmp_path / "tok" / "merges.json")
+    save_bpe_merges(path, merges, spark, meta={"corpus": "unit"})
+    reloaded = load_bpe_merges(path, spark)
+    assert reloaded == merges  # order preserved exactly
+    a = sorted(map(tuple, bpe_encode(docs, merges).collect()))
+    b = sorted(map(tuple, bpe_encode(docs, reloaded).collect()))
+    assert a == b
+
+    # version / shape guards fail loudly
+    import json
+
+    bad = tmp_path / "bad.json"
+    bad.write_text(json.dumps({"version": 99, "n_merges": 0, "merges": []}))
+    with pytest.raises(ValueError, match="version"):
+        load_bpe_merges(str(bad), spark)
+    bad.write_text(
+        json.dumps({"version": 1, "n_merges": 2, "merges": [["a", "b"]]})
+    )
+    with pytest.raises(ValueError, match="corrupt"):
+        load_bpe_merges(str(bad), spark)
