@@ -57,6 +57,18 @@ def build_replica(spark, out_dir: str, copies: int = COPIES) -> None:
     emb_parts = []
     for c in range(copies):
         tag = f"c{c}"
+        # NOTE on byte-level perceptual ops (multimodal dHash): the per-word
+        # suffix is the right isolation for SHINGLE-keyed ops but leaves
+        # cross-copy byte strips within a few hamming bits of each other,
+        # so a NARROW (32-bit) perceptual hash pairs copies quadratically —
+        # the same class of artifact as the r8 verbatim-label semantic run.
+        # Prefix-based decorrelation was tried and is structurally unsound
+        # (a per-copy prefix shared by every doc in the copy zeroes/aligns
+        # the leading hash bits and inflates WITHIN-copy pairs instead).
+        # The honest replica measurement for perceptual dedup therefore
+        # uses the WIDER hash (dhash bits=64 — the production geometry; see
+        # PERFORMANCE.md), whose cross-copy distances concentrate far above
+        # the threshold without any replica contortions.
         doc_parts.append(
             docs.select(
                 (F.col("doc_id") + F.lit(c * n_docs)).alias("doc_id"),
@@ -118,6 +130,7 @@ def build_replica(spark, out_dir: str, copies: int = COPIES) -> None:
 
 def main() -> None:
     from kylin_on_parquet_v2_spark.corpus.pipeline import (
+        corpus_bpe_encode,
         corpus_top_ngrams,
         decontam_chargram_report,
         dedup_clusters,
@@ -125,6 +138,8 @@ def main() -> None:
         dedup_passages,
         decontam_filter,
         export_training_shards,
+        multimodal_asset_dedup,
+        multimodal_perceptual_dedup,
         semantic_dedup_given,
     )
     from kylin_on_parquet_v2_spark.session import get_spark, register_views
@@ -166,6 +181,10 @@ def main() -> None:
         "dedup_passages": dedup_passages,
         "corpus_top_ngrams": corpus_top_ngrams,
         "decontam_chargram_report": decontam_chargram_report,
+        # r10 operators
+        "corpus_bpe_encode": corpus_bpe_encode,
+        "multimodal_perceptual_dedup": multimodal_perceptual_dedup,
+        "multimodal_asset_dedup": multimodal_asset_dedup,
     }
     if only_ops is not None:
         unknown = [o for o in only_ops if o not in ops]

@@ -223,3 +223,40 @@ def test_bpe_merges_persist_and_reload(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="corrupt"):
         load_bpe_merges(str(bad), spark)
+
+
+# --- property: BPE == reference on adversarial random corpora ------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+#: two-letter alphabet maximizes merge collisions and consecutive-pair
+#: runs (aaaa, abab) — exactly where left-to-right merge application and
+#: tiebreaks can silently diverge
+_WORD = st.text(alphabet="ab", min_size=1, max_size=6)
+_DOC = st.lists(_WORD, min_size=1, max_size=6).map(" ".join)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=st.lists(_DOC, min_size=1, max_size=6))
+def test_bpe_property_matches_reference(spark, docs):
+    texts = {i + 1: t for i, t in enumerate(docs)}
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    merges = bpe_learn_merges(df, n_merges=3)
+    ref_merges, ref_encode = _ref_bpe(texts, 3)
+    assert merges == ref_merges
+    got = {r["doc_id"]: (r["n_bpe_tokens"], r["tok_md5"])
+           for r in bpe_encode(df, merges).collect()}
+    for d, t in texts.items():
+        toks = []
+        for w in _norm(t).split(" "):
+            if w:
+                toks += ref_encode(w)
+        assert got[d] == (
+            len(toks),
+            hashlib.md5((" ".join(toks)).encode()).hexdigest(),
+        ), (d, t, toks, merges)
