@@ -63,8 +63,9 @@ def _modules():
 
 # The driver's correctness harness checks the FIRST 50 ``queries()`` entries
 # only. Rotate the window each round so every contract query eventually gets a
-# driver check. r10 window: the 3 NEW r10 queries first (compacted-tail
-# hybrid serving, BPE train+encode, multimodal perceptual near-dup), then
+# driver check. r10 window: the 4 NEW r10 queries first (compacted-tail
+# hybrid serving, BPE train+encode, multimodal perceptual near-dup,
+# INTERSECT_VALUE decoded from the stored bitmap), then
 # every query the r10 commits touched (the hybrid family — EVENTS_CUBE_SEG
 # gained the COUNT(value) AVG-decomposition measure; the streaming gate's
 # write-first atomicity fix; the SemDeDup probe's plan-tree walk; the
@@ -81,6 +82,7 @@ _PRIORITY = [
     "hybrid_compacted_tail",
     "corpus_bpe_encode",
     "multimodal_perceptual_dedup",
+    "intersect_value_parts",
     "multimodal_asset_dedup",
     "streaming_decontam_gate",
     "cube_routed_hybrid",

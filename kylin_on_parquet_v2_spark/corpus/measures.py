@@ -118,6 +118,35 @@ def intersect_count_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def intersect_value_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT_VALUE — the actual member values present in every cohort,
+    not just their count (reference ``BitmapIntersectValueAggFunc.java`` +
+    ``RetentionPartialResult.valueResult()``: ``"[v1,v2,...]"``, empty
+    string when the intersection is empty). ROUTED onto the stored bitmap:
+    per-cohort word bags bit_and-ed, surviving bits decoded back through
+    the measure's global dictionary (the reference emits raw Roaring ids;
+    we decode so an independent engine can reproduce the answer). The
+    sibling intersect_count in the same query shares the cohort pipeline
+    shape and pins the count == the value list's length."""
+    from kylin_on_parquet_v2_spark.corpus.base import engine
+
+    eng = engine(spark, sf_dir)
+    df = eng.sql(
+        """
+        select l_linestatus,
+               intersect_value(l_partkey, l_returnflag, array('A','R')) as parts_in_both,
+               intersect_count(l_partkey, l_returnflag, array('A','R')) as n_parts_in_both
+        from lineitem
+        group by l_linestatus
+        order by l_linestatus
+        """
+    )
+    route = eng.last_route
+    assert route is not None, "expected bitmap route for intersect_value_parts"
+    assert route.bitmap_intersect_value and route.bitmap_intersect, route
+    return df
+
+
 def cube_routed_intersect_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT_COUNT (and a plain bitmap distinct) under ROLLUP, routed:
     each grouping set re-ORs the stored word bags at its own granularity and
@@ -305,6 +334,7 @@ QUERIES = {
     "topn_per_group": topn_per_group,
     "intersect_count_retention": intersect_count_retention,
     "intersect_count_funnel": intersect_count_funnel,
+    "intersect_value_parts": intersect_value_parts,
     "cube_routed_intersect_rollup": cube_routed_intersect_rollup,
     "hll_approx_distinct": hll_approx_distinct,
     "extended_column_first": extended_column_first,
@@ -389,6 +419,21 @@ ORACLES = {
                    max(case when event_type = 'purchase' then 1 else 0 end) as bought
             from events group by user_id
         ) t
+    """,
+    "intersect_value_parts": """
+        with groups as (select distinct l_linestatus from lineitem),
+             bf as (
+                select l_linestatus, l_partkey from lineitem
+                where l_returnflag in ('A','R')
+                group by l_linestatus, l_partkey
+                having count(distinct l_returnflag) = 2
+             )
+        select g.l_linestatus,
+               coalesce('[' || string_agg(cast(bf.l_partkey as varchar), ',' order by bf.l_partkey) || ']', '') as parts_in_both,
+               cast(count(bf.l_partkey) as bigint) as n_parts_in_both
+        from groups g left join bf on g.l_linestatus = bf.l_linestatus
+        group by g.l_linestatus
+        order by g.l_linestatus
     """,
     # hll_approx_distinct: rows-only (estimates are engine-specific)
     "extended_column_first": """

@@ -193,6 +193,21 @@ def bitmap_intersect_count(
     cohort set would overcount), and the intersection cardinality is the sum
     of ``bit_count(bit_and(masks))``. Two shuffles over cohort-filtered
     layout rows — never a fact scan."""
+    inter = _intersect_words(df, keys, name, filter_col, values_sql)
+    grouped = inter.groupBy(*keys) if keys else inter.groupBy()
+    return grouped.agg(F.sum(F.bit_count("__m")).alias(alias))
+
+
+def _intersect_words(
+    df: DataFrame,
+    keys: list[str],
+    name: str,
+    filter_col: str,
+    values_sql: list[str],
+) -> DataFrame:
+    """Shared cohort pipeline: per (group, word-chunk) the bit_and of the
+    per-cohort OR-merged masks, keeping only chunks present in ALL cohorts.
+    Returns (keys..., __bkt, __m) rows — the intersected bitmap words."""
     n = len(values_sql)
     in_list = ", ".join(values_sql)
     cohorts = (
@@ -201,10 +216,72 @@ def bitmap_intersect_count(
         .groupBy(*keys, filter_col, F.col("__w.__bkt").alias("__bkt"))
         .agg(F.bit_or("__w.__mask").alias("__mask"))
     )
-    inter = (
+    return (
         cohorts.groupBy(*keys, "__bkt")
         .agg(F.bit_and("__mask").alias("__m"), F.count(F.lit(1)).alias("__nc"))
         .filter(F.col("__nc") == n)
+        .drop("__nc")
     )
-    grouped = inter.groupBy(*keys) if keys else inter.groupBy()
-    return grouped.agg(F.sum(F.bit_count("__m")).alias(alias))
+
+
+def bitmap_intersect_value(
+    df: DataFrame,
+    keys: list[str],
+    name: str,
+    filter_col: str,
+    values_sql: list[str],
+    alias: str,
+    dictionary: DataFrame,
+) -> DataFrame:
+    """INTERSECT_VALUE from stored word bags: the actual member VALUES
+    present in every cohort, not just their count (reference
+    ``BitmapIntersectValueAggFunc.java`` + ``RetentionPartialResult
+    .valueResult()`` — ``"[v1,v2,...]"``, empty string when the
+    intersection is empty).
+
+    Same cohort bit_and pipeline as :func:`bitmap_intersect_count`; the
+    surviving bits are then decoded JVM-side — each set bit of a chunk is
+    ``did = bkt*64 + i`` (a ``filter(transform(sequence(0,63),...))``
+    expression, no Python) — and joined back through the measure's global
+    dictionary to recover the original values. The reference emits the raw
+    Roaring ids (its iterator order = id order); we decode through the
+    dictionary so the result is meaningful to the caller and reproducible
+    by an independent engine, and sort by the decoded value. The dictionary
+    join is id-equi on the decode side whose row count is the intersection
+    cardinality — tiny next to the layout scan."""
+    inter = _intersect_words(df, keys, name, filter_col, values_sql)
+    dids = inter.select(
+        *keys,
+        F.explode(
+            F.expr(
+                "filter(transform(sequence(0, 63), i -> "
+                "if((shiftright(__m, i) & 1) = 1, "
+                "cast(__bkt as bigint) * 64 + i, cast(null as bigint))), "
+                "x -> x is not null)"
+            )
+        ).alias("__did"),
+    )
+    # no broadcast hint: the dictionary side can be arbitrarily large (one
+    # row per distinct value corpus-wide) while the decode side is only the
+    # intersection members — AQE picks the build side at runtime
+    decoded = dids.join(
+        dictionary.select("did", "value"),
+        dids["__did"] == F.col("did"),
+        "inner",
+    )
+    grouped = decoded.groupBy(*keys) if keys else decoded.groupBy()
+    members = F.array_sort(F.collect_list("value"))
+    # empty intersection -> "" (valueResult's contract), not "[]": reachable
+    # on the keyless global form, where agg-over-zero-rows still emits a row
+    return grouped.agg(
+        F.when(
+            F.size(members) > 0,
+            F.concat(
+                F.lit("["),
+                F.array_join(F.transform(members, lambda v: v.cast("string")), ","),
+                F.lit("]"),
+            ),
+        )
+        .otherwise(F.lit(""))
+        .alias(alias)
+    )

@@ -85,7 +85,7 @@ class AggCall:
     #: — the cohort filter condition (unqualified SQL) and its columns
     cond_sql: str | None = None
     cond_cols: frozenset[str] = frozenset()
-    #: func == "INTERSECT_COUNT": the cohort filter column and the cohort
+    #: func == "INTERSECT_COUNT"/"INTERSECT_VALUE": the cohort filter column and the cohort
     #: literal SQLs (``intersect_count(col, filter_col, array(...))``)
     filter_col: str | None = None
     values: tuple[str, ...] = ()
@@ -270,17 +270,21 @@ def _attr_names(jexpr) -> set[str]:
     return names
 
 
-def _intersect_call(jexpr) -> tuple[str, str, tuple[str, ...]] | None:
-    """``intersect_count(col, filter_col, array(lit, ...))`` (the registered
-    pandas UDAF — reference ``IntersectCount.scala`` spelling) ->
-    (value column, filter column, deduplicated cohort literal SQLs).
+def _intersect_call(jexpr) -> tuple[str, str, str, tuple[str, ...]] | None:
+    """``intersect_count/intersect_value(col, filter_col, array(lit, ...))``
+    (the registered pandas UDAFs — reference ``IntersectCount.scala`` /
+    ``BitmapIntersectValueAggFunc.java`` spellings) ->
+    (func, value column, filter column, deduplicated cohort literal SQLs).
     Extracted from the expression TREE, not its SQL string: PythonUDAF.sql()
     renders array literals unquoted, which is ambiguous to reparse."""
     try:
         if _cls(jexpr) != "AggregateExpression":
             return None
         fn = jexpr.aggregateFunction()
-        if _cls(fn) != "PythonUDAF" or str(fn.name()) != "intersect_count":
+        if _cls(fn) != "PythonUDAF" or str(fn.name()) not in (
+            "intersect_count",
+            "intersect_value",
+        ):
             return None
         args = _seq(fn.children())
         if len(args) != 3:
@@ -297,7 +301,8 @@ def _intersect_call(jexpr) -> tuple[str, str, tuple[str, ...]] | None:
                 vals.append(lit.sql())
         if not vals:
             return None
-        return str(args[0].name()), str(args[1].name()), tuple(vals)
+        func = "INTERSECT_VALUE" if str(fn.name()) == "intersect_value" else "INTERSECT_COUNT"
+        return func, str(args[0].name()), str(args[1].name()), tuple(vals)
     except Exception:
         return None
 
@@ -1108,12 +1113,12 @@ def _extract(plan) -> SqlDigest | None:  # noqa: C901 — one dispatch walk
                 continue
             ic = _intersect_call(child)
             if ic is not None:
-                vcol, fcol, vals = ic
+                ifunc, vcol, fcol, vals = ic
                 digest.select.append(
                     SelectItem(
                         name=alias,
                         agg=AggCall(
-                            func="INTERSECT_COUNT",
+                            func=ifunc,
                             column=vcol,
                             distinct=False,
                             alias=alias,

@@ -69,6 +69,14 @@ class Route:
     bitmap_intersect: dict[str, tuple[str, str, tuple[str, ...]]] = field(
         default_factory=dict
     )
+    #: alias -> (bitmap measure name, filter column, cohort literal SQLs):
+    #: INTERSECT_VALUE — same per-cohort bit_and as INTERSECT_COUNT, but the
+    #: surviving bits are decoded back through the measure's global
+    #: dictionary to the actual member values
+    #: (BitmapIntersectValueAggFunc.java / RetentionPartialResult.valueResult)
+    bitmap_intersect_value: dict[str, tuple[str, str, tuple[str, ...]]] = field(
+        default_factory=dict
+    )
     #: (sum alias, measure name, rank column) when the query is served by a
     #: stored TopN measure (TopNMeasureType.java:411-441 rewrite): the layout
     #: row's array<struct<key,val>> is exploded instead of scanning the rank
@@ -740,6 +748,7 @@ def plan_route(
     bitmap: dict[str, str] = {}
     bitmap_cond: dict[str, tuple[str, str]] = {}
     bitmap_intersect: dict[str, tuple[str, str, tuple[str, ...]]] = {}
+    bitmap_intersect_value: dict[str, tuple[str, str, tuple[str, ...]]] = {}
     dim_served: dict[str, str] = {}
 
     def _need(col: str) -> bool:
@@ -765,7 +774,7 @@ def plan_route(
             return None
 
     for agg in digest.aggs:
-        if agg.func == "INTERSECT_COUNT":
+        if agg.func in ("INTERSECT_COUNT", "INTERSECT_VALUE"):
             # intersect_count(col, filter_col, array(...)): EXACT from the
             # stored bitmap — per-cohort word bags bit_and-ed together
             # (AggregatePlan.scala:68-92 routes the same call onto
@@ -781,7 +790,10 @@ def plan_route(
                 or not _need(agg.filter_col)
             ):
                 return None
-            bitmap_intersect[agg.alias] = (bm.name, agg.filter_col, agg.values)
+            if agg.func == "INTERSECT_VALUE":
+                bitmap_intersect_value[agg.alias] = (bm.name, agg.filter_col, agg.values)
+            else:
+                bitmap_intersect[agg.alias] = (bm.name, agg.filter_col, agg.values)
         elif agg.distinct:
             if agg.func != "COUNT":
                 return None
@@ -879,7 +891,8 @@ def plan_route(
         and digest.grouping_sets is None
         and set(cuboid.dims) == set(digest.group_cols)
         and not any(
-            a.distinct or a.func in ("AVG", "PERCENTILE", "INTERSECT_COUNT")
+            a.distinct
+            or a.func in ("AVG", "PERCENTILE", "INTERSECT_COUNT", "INTERSECT_VALUE")
             for a in digest.aggs
         )
     )
@@ -894,6 +907,7 @@ def plan_route(
         bitmap_distinct=bitmap,
         bitmap_cond=bitmap_cond,
         bitmap_intersect=bitmap_intersect,
+        bitmap_intersect_value=bitmap_intersect_value,
         shard_eq=_fold_shard_filter(digest, inst, cuboid),
         dim_served=dim_served,
     )
@@ -1258,6 +1272,7 @@ def execute_route(
         # (SelectItem, measure, cond_sql) / (SelectItem, measure, fcol, vals)
         cond_items: list[tuple] = []
         intersect_items: list[tuple] = []
+        value_items: list[tuple] = []
         for item in digest.select:
             if item.group_col is not None or item.grouping_of is not None:
                 continue
@@ -1268,6 +1283,9 @@ def execute_route(
             elif item.name in route.bitmap_intersect:
                 mname, fcol, vals = route.bitmap_intersect[item.name]
                 intersect_items.append((item, mname, fcol, vals))
+            elif item.name in route.bitmap_intersect_value:
+                mname, fcol, vals = route.bitmap_intersect_value[item.name]
+                value_items.append((item, mname, fcol, vals))
             elif agg.distinct:
                 if agg.columns:
                     # multi-column distinct over layout rows (SQL semantics:
@@ -1326,6 +1344,12 @@ def execute_route(
         from kylin_on_parquet_v2_spark.cube import dictionary as GD
         from kylin_on_parquet_v2_spark.cube.build import join_null_safe
 
+        def _dict_for(mname: str):
+            """The global dictionary the named bitmap measure was encoded
+            through — INTERSECT_VALUE decodes surviving bits back to values."""
+            m = next(m for m in inst.desc.measures if m.name == mname)
+            return inst.dict_df(df.sparkSession, m.function.parameter)
+
         if digest.grouping_sets is not None:
             # ROLLUP/CUBE/GROUPING SETS: one cuboid aggregation per grouping
             # set, unioned back with typed NULLs for the aggregated-away
@@ -1374,6 +1398,21 @@ def execute_route(
                     branch = branch.withColumn(
                         item.name, F.coalesce(F.col(item.name), F.lit(0)).cast("long")
                     )
+                # INTERSECT_VALUE per set: same re-OR/bit_and soundness
+                # argument; an empty intersection has no decoded row ->
+                # coalesce to "" (valueResult's empty-result contract)
+                for item, mname, fcol, vals in value_items:
+                    vals_df = GD.bitmap_intersect_value(
+                        df, list(gset), mname, fcol, list(vals), item.name,
+                        _dict_for(mname),
+                    )
+                    if branch is None:
+                        branch = vals_df
+                    else:
+                        branch = join_null_safe(branch, vals_df, list(gset), "left")
+                    branch = branch.withColumn(
+                        item.name, F.coalesce(F.col(item.name), F.lit(""))
+                    )
                 sel = []
                 for item in digest.select:
                     if item.group_col is not None:
@@ -1401,8 +1440,10 @@ def execute_route(
         elif agg_cols:
             grouped = df.groupBy(*digest.group_cols) if digest.group_cols else df.groupBy()
             result = grouped.agg(*agg_cols)
-        elif (bitmap_items or cond_items or intersect_items) and not digest.group_cols:
-            result = None  # global query whose only aggs are bitmap counts
+        elif (
+            bitmap_items or cond_items or intersect_items or value_items
+        ) and not digest.group_cols:
+            result = None  # global query whose only aggs are bag-served
         else:
             # SELECT DISTINCT / group-cols-only output: GroupedData.agg()
             # rejects an empty list — dedup over the full grouping set
@@ -1445,6 +1486,18 @@ def execute_route(
                     result = join_null_safe(result, counts, digest.group_cols, "left")
                 result = result.withColumn(
                     item.name, F.coalesce(F.col(item.name), F.lit(0)).cast("long")
+                )
+            for item, mname, fcol, vals in value_items:
+                vals_df = GD.bitmap_intersect_value(
+                    df, digest.group_cols, mname, fcol, list(vals), item.name,
+                    _dict_for(mname),
+                )
+                if result is None:
+                    result = vals_df
+                else:
+                    result = join_null_safe(result, vals_df, digest.group_cols, "left")
+                result = result.withColumn(
+                    item.name, F.coalesce(F.col(item.name), F.lit(""))
                 )
         # Project by source group column, aliasing to the query's output name
         # (a bare item.name lookup breaks on `SELECT col AS c ... GROUP BY col`).

@@ -42,3 +42,31 @@ def register_udafs(spark: SparkSession) -> None:
         return len(inter) if inter is not None else 0
 
     spark.udf.register("intersect_count", intersect_count)
+
+    @pandas_udf("string")
+    def intersect_value(col: pd.Series, filt: pd.Series, values: pd.Series) -> str:
+        """``intersect_value(col, filter_col, array(...))`` — the member
+        VALUES present in every cohort, formatted ``"[v1,v2,...]"`` sorted
+        ascending, ``""`` when empty (reference
+        ``BitmapIntersectValueAggFunc.java`` / ``RetentionPartialResult
+        .valueResult()``; we emit decoded values, not dictionary ids, so an
+        independent engine can reproduce the answer)."""
+        inter: set | None = None
+        for v in values.iloc[0]:
+            cohort = set(col[(filt == v) & col.notna()])
+            inter = cohort if inter is None else (inter & cohort)
+            if not inter:
+                break
+        if not inter:
+            return ""
+
+        def _fmt(x) -> str:
+            # pandas promotes nullable int64 to float64: re-narrow integral
+            # floats so the rendering matches the JVM cast of the true type
+            if isinstance(x, float) and x.is_integer():
+                return str(int(x))
+            return str(x)
+
+        return "[" + ",".join(_fmt(x) for x in sorted(inter)) + "]"
+
+    spark.udf.register("intersect_value", intersect_value)

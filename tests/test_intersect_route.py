@@ -137,3 +137,80 @@ def test_unroutable_intersect_falls_back_to_pushdown(engine, spark):
     assert engine.last_route is None  # no bitmap measure on etype
     # cohorts: uid=1 -> {view}; uid=2 -> {view, click}; intersection = {view}
     assert df.collect()[0].n == 1
+
+
+def test_grouped_intersect_value_routes_and_matches(engine):
+    """INTERSECT_VALUE (BitmapIntersectValueAggFunc.java /
+    RetentionPartialResult.valueResult parity): the member VALUES in every
+    cohort, "[v1,v2,...]" sorted, "" when empty — decoded back through the
+    measure's global dictionary on the routed path."""
+    df = engine.sql(
+        """
+        select g, intersect_value(uid, etype, array('view','click')) as vc
+        from ev_f group by g order by g
+        """,
+        validate=True,
+    )
+    route = engine.last_route
+    assert route is not None and route.bitmap_intersect_value, route
+    got = {r.g: r.vc for r in df.collect()}
+    # empty intersection and missing cohort both render the empty string
+    assert got == {"x": "[2]", "y": "", "z": ""}
+
+
+def test_global_intersect_value_routes(engine):
+    df = engine.sql(
+        "select intersect_value(uid, etype, array('view','click')) as vc from ev_f",
+        validate=True,
+    )
+    assert engine.last_route is not None and engine.last_route.bitmap_intersect_value
+    assert df.collect()[0].vc == "[2]"
+
+    # single cohort degenerates to the sorted cohort membership
+    df1 = engine.sql(
+        "select intersect_value(uid, etype, array('view')) as v from ev_f",
+        validate=True,
+    )
+    assert df1.collect()[0].v == "[1,2,3,5]"
+
+
+def test_global_empty_intersect_value_is_empty_string(engine):
+    # keyless agg still emits one row; valueResult contract says "" not "[]"
+    df = engine.sql(
+        "select intersect_value(uid, etype, array('click','absent')) as v from ev_f",
+        validate=True,
+    )
+    assert df.collect()[0].v == ""
+
+
+def test_intersect_value_decodes_across_word_chunks(spark, tmp_path):
+    """>64 distinct members force the word-bag bitmap onto multiple 64-bit
+    chunks — the decode (bit -> bkt*64+i -> dictionary value) must recover
+    every member exactly, and sort by the decoded VALUE, not the
+    dictionary id (the two orders differ: dids are assigned in hash-bucket
+    order, uids here are descending strings of varying magnitude)."""
+    uids = list(range(1000, 1070)) + [5, 42]
+    rows = [("view", u) for u in uids] + [("click", u) for u in uids if u % 3 == 0]
+    spark.createDataFrame(rows, "etype string, uid int").createOrReplaceTempView(
+        "ev_wide"
+    )
+    eng = OlapEngine(spark, storage_dir=str(tmp_path / "ivw"))
+    eng.add_model(DataModel(name="evw_star", fact_table="ev_wide"))
+    eng.build_cube(
+        CubeDesc(
+            name="evw_cube",
+            model_name="evw_star",
+            dimensions=("etype",),
+            measures=(
+                MeasureDesc("_cnt", FunctionDesc("COUNT")),
+                MeasureDesc("bm_uid", FunctionDesc("COUNT_DISTINCT", "uid", "bitmap")),
+            ),
+        )
+    )
+    df = eng.sql(
+        "select intersect_value(uid, etype, array('view','click')) as v from ev_wide",
+        validate=True,
+    )
+    assert eng.last_route is not None and eng.last_route.bitmap_intersect_value
+    expect = "[" + ",".join(str(u) for u in sorted(u for u in uids if u % 3 == 0)) + "]"
+    assert df.collect()[0].v == expect
