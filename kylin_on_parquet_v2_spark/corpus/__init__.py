@@ -83,6 +83,7 @@ _PRIORITY = [
     "corpus_bpe_encode",
     "multimodal_perceptual_dedup",
     "intersect_value_parts",
+    "text_vocab_coverage",
     "multimodal_asset_dedup",
     "streaming_decontam_gate",
     "cube_routed_hybrid",

@@ -511,6 +511,16 @@ def corpus_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.top_ngrams(spark.table("documents"), n=2, k=20)
 
 
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocab coverage per document (new r10): learn the top-64
+    corpus vocabulary (occurrence-ranked, token tie-break — deterministic),
+    score each doc by the fraction of its tokens the vocab covers. Vocab
+    pass shuffles vocab-sized partials + k rows to the driver; scoring is a
+    broadcast join over the exploded tokens."""
+    views(spark, sf_dir)
+    return T.vocab_coverage(spark.table("documents"), k=64).orderBy("doc_id")
+
+
 def corpus_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source dataset profile (new r8): doc count, total/median chars,
     language diversity, mean whitespace tokens — the dataset-card table.
@@ -888,6 +898,7 @@ QUERIES = {
     "dedup_best_kept_corpus": dedup_best_kept_corpus,
     "pipeline_end_to_end": pipeline_end_to_end,
     "corpus_top_ngrams": corpus_top_ngrams,
+    "text_vocab_coverage": text_vocab_coverage,
     "text_quality_quantile": text_quality_quantile,
     "cube_routed_quality_quantile": cube_routed_quality_quantile,
     "corpus_bpe_pairs": corpus_bpe_pairs,
@@ -1665,6 +1676,23 @@ ORACLES = {
         from g group by gram
         order by doc_freq desc, occurrences desc, gram
         limit 20
+    """,
+    "text_vocab_coverage": f"""
+        with t as (select doc_id, string_split({_NORM}, ' ') as ws from documents),
+        toks as (select doc_id, unnest(ws) as tok from t),
+        vocab as (
+            select tok from toks
+            group by tok
+            order by count(*) desc, tok
+            limit 64
+        )
+        select doc_id,
+               cast(count(*) as bigint) as n_tokens,
+               cast(sum(case when tok in (select tok from vocab) then 1 else 0 end) as bigint) as n_in_vocab,
+               round(sum(case when tok in (select tok from vocab) then 1 else 0 end)::double / count(*), 6) as coverage
+        from toks
+        group by doc_id
+        order by doc_id
     """,
     "corpus_profile_stats": f"""
         with ranked as (

@@ -266,6 +266,52 @@ def top_ngrams(
     )
 
 
+def vocab_coverage(
+    docs: DataFrame,
+    k: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenizer-vocabulary coverage per document: learn the top-``k``
+    corpus vocabulary (by total occurrences, ties broken by token — fully
+    deterministic), then score every document by the fraction of its tokens
+    the vocabulary covers. The standard "will my tokenizer fragment this
+    document" signal for curation: low coverage flags code, foreign-language
+    or noisy docs relative to the corpus the vocab was learned on.
+
+    100 TB shape: the vocab pass shuffles map-side-combined (token, count)
+    partials — vocabulary-sized, not corpus-sized — and takes a k-row
+    TakeOrderedAndProject to the driver; the scoring pass is a map-side
+    broadcast join (k rows) over the exploded tokens plus one doc-keyed
+    partial aggregation. No UDF, no window, two scans of the text column.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .orderBy(F.col("__c").desc(), F.col("tok"))
+        .limit(k)
+        .select("tok", F.lit(1).alias("__in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.coalesce(F.col("__in_vocab"), F.lit(0))).cast("long").alias("n_in_vocab"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "n_in_vocab",
+            F.round(F.col("n_in_vocab") / F.col("n_tokens"), 6).alias("coverage"),
+        )
+    )
+
+
 def bpe_pair_counts(
     docs: DataFrame, k: int = 20, text_col: str = "text"
 ) -> DataFrame:
