@@ -298,6 +298,64 @@ class OlapEngine:
             inst.scheduler, wl, inst.layout_rows, budget_rows, max_cuboids
         )
 
+    def estimate_cube_stats(
+        self,
+        desc,
+        rsd: float = 0.02,
+        sample_frac: float | None = None,
+    ) -> dict[int, int]:
+        """PRE-BUILD cuboid row-count estimates for an unbuilt CubeDesc
+        (CubeStatsReader / FactDistinctColumns statistics-step parity): one
+        flat-table pass of per-cuboid HLL sketches — correlation-aware,
+        unlike the NDV-product bound — so the planner can prune the lattice
+        before any layout is written."""
+        from kylin_on_parquet_v2_spark.cube.build import CubeBuilder
+        from kylin_on_parquet_v2_spark.cube.stats import estimate_cuboid_stats
+
+        builder = CubeBuilder(
+            self.spark, self.models[desc.model_name], desc, self.storage_dir
+        )
+        return estimate_cuboid_stats(
+            builder._flat_with_segment(), builder.scheduler, rsd, sample_frac
+        )
+
+    def plan_cube(
+        self,
+        desc,
+        workload: dict | None = None,
+        budget_rows: int | None = None,
+        max_cuboids: int | None = None,
+        rsd: float = 0.02,
+        sample_frac: float | None = None,
+    ):
+        """Phase-1 cube planning (CuboidRecommender over CubeStatsReader
+        estimates): size every candidate cuboid from the flat table WITHOUT
+        building, run the BPUS greedy against ``workload`` (dim-set ->
+        frequency; defaults to this engine's recorded workload restricted
+        to the cube's dims), and return a ``cuboid_ids``-pruned copy of
+        ``desc`` ready for ``build_cube``. Phase 2 — re-planning from
+        MEASURED layout rows + live workload — remains
+        :meth:`recommend_cuboids` on the built instance."""
+        import dataclasses
+
+        from kylin_on_parquet_v2_spark.cube.cuboid import CuboidScheduler
+        from kylin_on_parquet_v2_spark.cube.planner import recommend_cuboids
+
+        est = self.estimate_cube_stats(desc, rsd=rsd, sample_frac=sample_frac)
+        dims = set(desc.dimensions)
+        if workload is None:
+            workload = {
+                q: n for q, n in self.workload.items() if set(q) <= dims
+            }
+        ids = recommend_cuboids(
+            CuboidScheduler(desc),
+            {frozenset(q): n for q, n in workload.items()},
+            est,
+            budget_rows,
+            max_cuboids,
+        )
+        return dataclasses.replace(desc, cuboid_ids=tuple(ids))
+
     # -- query ---------------------------------------------------------------
 
     def sql(
