@@ -63,9 +63,10 @@ def _modules():
 
 # The driver's correctness harness checks the FIRST 50 ``queries()`` entries
 # only. Rotate the window each round so every contract query eventually gets a
-# driver check. r10 window: the 4 NEW r10 queries first (compacted-tail
+# driver check. r10 window: the 6 NEW r10 queries first (compacted-tail
 # hybrid serving, BPE train+encode, multimodal perceptual near-dup,
-# INTERSECT_VALUE decoded from the stored bitmap), then
+# INTERSECT_VALUE decoded from the stored bitmap, OR-union cohorts,
+# vocab-coverage scoring), then
 # every query the r10 commits touched (the hybrid family — EVENTS_CUBE_SEG
 # gained the COUNT(value) AVG-decomposition measure; the streaming gate's
 # write-first atomicity fix; the SemDeDup probe's plan-tree walk; the
@@ -83,6 +84,7 @@ _PRIORITY = [
     "corpus_bpe_encode",
     "multimodal_perceptual_dedup",
     "intersect_value_parts",
+    "intersect_count_or_cohort",
     "text_vocab_coverage",
     "multimodal_asset_dedup",
     "streaming_decontam_gate",

@@ -147,6 +147,31 @@ def intersect_value_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def intersect_count_or_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-union cohorts inside INTERSECT_COUNT: a '|'-separated cohort
+    literal is the UNION of its member bitmaps before the intersection
+    (reference RetentionPartialResult.FILTER_DELIMETER /
+    childKeyToParentKey, ``kylin.query.intersect.separator`` default '|').
+    Routed: member rows are label-tagged map-side (one exploded array, no
+    extra shuffle), bags bit_or per cohort, bit_and across cohorts."""
+    from kylin_on_parquet_v2_spark.corpus.base import engine
+
+    eng = engine(spark, sf_dir)
+    df = eng.sql(
+        """
+        select l_linestatus,
+               intersect_count(l_partkey, l_returnflag, array('A|N', 'R')) as an_and_r
+        from lineitem
+        group by l_linestatus
+        order by l_linestatus
+        """
+    )
+    route = eng.last_route
+    assert route is not None, "expected bitmap route for intersect_count_or_cohort"
+    assert route.bitmap_intersect, route
+    return df
+
+
 def cube_routed_intersect_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT_COUNT (and a plain bitmap distinct) under ROLLUP, routed:
     each grouping set re-ORs the stored word bags at its own granularity and
@@ -335,6 +360,7 @@ QUERIES = {
     "intersect_count_retention": intersect_count_retention,
     "intersect_count_funnel": intersect_count_funnel,
     "intersect_value_parts": intersect_value_parts,
+    "intersect_count_or_cohort": intersect_count_or_cohort,
     "cube_routed_intersect_rollup": cube_routed_intersect_rollup,
     "hll_approx_distinct": hll_approx_distinct,
     "extended_column_first": extended_column_first,
@@ -419,6 +445,20 @@ ORACLES = {
                    max(case when event_type = 'purchase' then 1 else 0 end) as bought
             from events group by user_id
         ) t
+    """,
+    "intersect_count_or_cohort": """
+        with groups as (select distinct l_linestatus from lineitem),
+             an as (select l_linestatus, l_partkey from lineitem
+                    where l_returnflag in ('A','N') group by 1, 2),
+             r as (select l_linestatus, l_partkey from lineitem
+                   where l_returnflag = 'R' group by 1, 2),
+             i as (select an.l_linestatus, an.l_partkey
+                   from an join r using (l_linestatus, l_partkey))
+        select g.l_linestatus,
+               cast(count(i.l_partkey) as bigint) as an_and_r
+        from groups g left join i on g.l_linestatus = i.l_linestatus
+        group by g.l_linestatus
+        order by g.l_linestatus
     """,
     "intersect_value_parts": """
         with groups as (select distinct l_linestatus from lineitem),

@@ -198,6 +198,25 @@ def bitmap_intersect_count(
     return grouped.agg(F.sum(F.bit_count("__m")).alias(alias))
 
 
+#: the reference's cohort OR separator (RetentionPartialResult.FILTER_DELIMETER,
+#: config ``kylin.query.intersect.separator``, default ``|``): a cohort
+#: literal ``'view|click'`` means the UNION of the view and click bitmaps
+INTERSECT_OR_SEPARATOR = "|"
+
+
+def cohort_members(value_sql: str) -> list[str]:
+    """Member literal SQLs of one cohort: ``"'view|click'"`` ->
+    ``["'view'", "'click'"]`` (split + trim per ``StringUtil.splitAndTrim``,
+    RetentionPartialResult.java:52). Only string literals participate — the
+    reference splits ``key.toString()``, and a numeric literal carries no
+    delimiter."""
+    s = value_sql.strip()
+    if len(s) >= 2 and s[0] == "'" and s[-1] == "'" and INTERSECT_OR_SEPARATOR in s:
+        members = [m.strip() for m in s[1:-1].split(INTERSECT_OR_SEPARATOR)]
+        return ["'" + m + "'" for m in members if m]
+    return [s]
+
+
 def _intersect_words(
     df: DataFrame,
     keys: list[str],
@@ -207,15 +226,45 @@ def _intersect_words(
 ) -> DataFrame:
     """Shared cohort pipeline: per (group, word-chunk) the bit_and of the
     per-cohort OR-merged masks, keeping only chunks present in ALL cohorts.
-    Returns (keys..., __bkt, __m) rows — the intersected bitmap words."""
+    Returns (keys..., __bkt, __m) rows — the intersected bitmap words.
+
+    A cohort literal may be an OR-union of members (``'view|click'`` —
+    RetentionPartialResult childKeyToParentKey semantics): its bag is the
+    bit_or across every member's rows, and one layout row can feed several
+    cohorts, so the general path tags rows with an exploded cohort-label
+    array (map-side — no extra shuffle). Singleton-only calls keep the
+    direct group-by-filter-column path (identical plan to pre-OR rounds)."""
     n = len(values_sql)
-    in_list = ", ".join(values_sql)
-    cohorts = (
-        df.filter(F.expr(f"`{filter_col}` IN ({in_list})"))
-        .select(*keys, filter_col, F.explode(name).alias("__w"))
-        .groupBy(*keys, filter_col, F.col("__w.__bkt").alias("__bkt"))
-        .agg(F.bit_or("__w.__mask").alias("__mask"))
-    )
+    members = {v: cohort_members(v) for v in values_sql}
+    if all(len(m) == 1 and m[0] == v for v, m in members.items()):
+        in_list = ", ".join(values_sql)
+        cohorts = (
+            df.filter(F.expr(f"`{filter_col}` IN ({in_list})"))
+            .select(*keys, filter_col, F.explode(name).alias("__w"))
+            .groupBy(*keys, filter_col, F.col("__w.__bkt").alias("__bkt"))
+            .agg(F.bit_or("__w.__mask").alias("__mask"))
+        )
+    else:
+        all_members = sorted({m for ms in members.values() for m in ms})
+        labels = F.array(
+            *[
+                F.when(
+                    F.expr(f"`{filter_col}` IN ({', '.join(ms)})"), F.lit(v)
+                )
+                for v, ms in members.items()
+            ]
+        )
+        cohorts = (
+            df.filter(F.expr(f"`{filter_col}` IN ({', '.join(all_members)})"))
+            .select(
+                *keys,
+                F.explode(F.filter(labels, lambda x: x.isNotNull())).alias("__cohort"),
+                F.col(name),
+            )
+            .select(*keys, "__cohort", F.explode(name).alias("__w"))
+            .groupBy(*keys, "__cohort", F.col("__w.__bkt").alias("__bkt"))
+            .agg(F.bit_or("__w.__mask").alias("__mask"))
+        )
     return (
         cohorts.groupBy(*keys, "__bkt")
         .agg(F.bit_and("__mask").alias("__m"), F.count(F.lit(1)).alias("__nc"))

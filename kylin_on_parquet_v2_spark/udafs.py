@@ -31,11 +31,21 @@ def register_udafs(spark: SparkSession) -> None:
     """Idempotently register engine UDAFs on ``spark``."""
     from pyspark.sql.functions import pandas_udf
 
+    def _cohort(col: pd.Series, filt: pd.Series, v) -> set:
+        """One cohort's member set. A string cohort may be an OR-union of
+        values separated by '|' (RetentionPartialResult.FILTER_DELIMETER,
+        ``kylin.query.intersect.separator`` default) — split + trim like
+        the reference's StringUtil.splitAndTrim."""
+        if isinstance(v, str) and "|" in v:
+            members = [m.strip() for m in v.split("|") if m.strip()]
+            return set(col[filt.isin(members) & col.notna()])
+        return set(col[(filt == v) & col.notna()])
+
     @pandas_udf("long")
     def intersect_count(col: pd.Series, filt: pd.Series, values: pd.Series) -> int:
         inter: set | None = None
         for v in values.iloc[0]:
-            cohort = set(col[(filt == v) & col.notna()])
+            cohort = _cohort(col, filt, v)
             inter = cohort if inter is None else (inter & cohort)
             if not inter:
                 break
@@ -53,7 +63,7 @@ def register_udafs(spark: SparkSession) -> None:
         independent engine can reproduce the answer)."""
         inter: set | None = None
         for v in values.iloc[0]:
-            cohort = set(col[(filt == v) & col.notna()])
+            cohort = _cohort(col, filt, v)
             inter = cohort if inter is None else (inter & cohort)
             if not inter:
                 break

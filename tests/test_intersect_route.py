@@ -214,3 +214,32 @@ def test_intersect_value_decodes_across_word_chunks(spark, tmp_path):
     assert eng.last_route is not None and eng.last_route.bitmap_intersect_value
     expect = "[" + ",".join(str(u) for u in sorted(u for u in uids if u % 3 == 0)) + "]"
     assert df.collect()[0].v == expect
+
+
+def test_or_cohort_union_semantics(engine):
+    """A '|'-separated cohort is the UNION of its member bitmaps
+    (RetentionPartialResult.FILTER_DELIMETER / childKeyToParentKey,
+    kylin.query.intersect.separator default '|') — on both the routed
+    word-bag path and the pandas pushdown twin."""
+    df = engine.sql(
+        "select intersect_count(uid, etype, array('view|click','click')) as n, "
+        "intersect_value(uid, etype, array('view|click','click')) as v from ev_f",
+        validate=True,
+    )
+    route = engine.last_route
+    assert route is not None and route.bitmap_intersect and route.bitmap_intersect_value
+    row = df.collect()[0]
+    # 'view|click' = {1,2,3,5} U {2,4} = {1,2,3,4,5}; ∩ 'click' = {2,4}
+    assert (row.n, row.v) == (2, "[2,4]")
+
+
+def test_or_cohort_grouped(engine):
+    df = engine.sql(
+        """
+        select g, intersect_count(uid, etype, array('view|click')) as n
+        from ev_f group by g order by g
+        """,
+        validate=True,
+    )
+    assert engine.last_route is not None
+    assert {r.g: r.n for r in df.collect()} == {"x": 2, "y": 2, "z": 1}
