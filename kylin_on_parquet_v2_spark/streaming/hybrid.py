@@ -122,6 +122,7 @@ def _bag_served(name: str, route: Route) -> bool:
         name in route.bitmap_distinct
         or name in route.bitmap_cond
         or name in route.bitmap_intersect
+        or name in route.bitmap_intersect_value
         or name in route.approx_distinct
     )
 
@@ -242,11 +243,15 @@ def _encode_tail(
     space), unseen values append after the current max (versioned-append
     semantics of NGlobalDictionaryV2 — the persisted dictionary itself is
     NOT mutated by queries). Cost is O(distinct tail values): a distinct +
-    anti-join over the boundary-pruned tail only, never the batch store."""
+    anti-join over the boundary-pruned tail only, never the batch store.
+
+    Returns ``(encoded tail, extended dictionary)`` — INTERSECT_VALUE needs
+    the EXTENDED mapping to decode bits back to values (a tail-only value's
+    id exists nowhere in the persisted dictionary)."""
     from kylin_on_parquet_v2_spark.cube import dictionary as GD
 
     ext = GD.extend_global_dict(inst.dict_df(spark, param), rt, param)
-    return GD.encode_column(rt, ext, param)
+    return GD.encode_column(rt, ext, param), ext
 
 
 def execute_hybrid(
@@ -425,7 +430,7 @@ def execute_hybrid(
         # per-param tail encodings are computed once even when several
         # outputs share the same distinct column
         measures = {m.name: m for m in inst.desc.measures}
-        enc_cache: dict[str, DataFrame] = {}
+        enc_cache: dict[str, tuple] = {}
         if result is None and group_srcs:
             # no plain aggregates: the group universe still must include
             # groups whose distinct column is entirely NULL (count = 0)
@@ -473,6 +478,7 @@ def execute_hybrid(
                 )
                 continue
             cond = None
+            value_decode = False
             if name in route.bitmap_distinct:
                 mname = route.bitmap_distinct[name]
                 grain = group_srcs
@@ -480,24 +486,35 @@ def execute_hybrid(
                 mname, cond = route.bitmap_cond[name]
                 grain = group_srcs
             else:
-                mname, fcol, vals = route.bitmap_intersect[name]
+                if name in route.bitmap_intersect:
+                    mname, fcol, vals = route.bitmap_intersect[name]
+                else:
+                    # INTERSECT_VALUE: same bag merge across the split,
+                    # decoded through the EXTENDED dictionary at the end
+                    mname, fcol, vals = route.bitmap_intersect_value[name]
+                    value_decode = True
                 # the cohort column may itself be a group key — dedupe
                 grain = group_srcs + ([fcol] if fcol not in group_srcs else [])
             param = measures[mname].function.parameter
-            tail_enc = enc_cache.get(param)
-            if tail_enc is None:
+            cached = enc_cache.get(param)
+            if cached is None:
                 # encode the UNFILTERED tail once per param; cohort filters
                 # commute with the encoding join, so cond items filter the
                 # encoded frame instead of re-running the dict extension
-                tail_enc = _encode_tail(rt, inst, param, spark)
-                enc_cache[param] = tail_enc
+                cached = _encode_tail(rt, inst, param, spark)
+                enc_cache[param] = cached
+            tail_enc, ext_dict = cached
             b_side = batch_scan if cond is None else batch_scan.filter(F.expr(cond))
             t_side = tail_enc if cond is None else tail_enc.filter(F.expr(cond))
             tail_bags = GD.bitmap_build_agg(
                 t_side, grain, GD.dict_col(param), mname
             )
             bags = b_side.select(*grain, mname).unionByName(tail_bags)
-            if name in route.bitmap_intersect:
+            if value_decode:
+                counts = GD.bitmap_intersect_value(
+                    bags, group_srcs, mname, fcol, list(vals), name, ext_dict
+                )
+            elif name in route.bitmap_intersect:
                 counts = GD.bitmap_intersect_count(
                     bags, group_srcs, mname, fcol, list(vals), name
                 )
@@ -510,9 +527,14 @@ def execute_hybrid(
                 result = counts  # global query: single-row count frame
             else:
                 result = join_null_safe(result, counts, group_out, "left")
-            result = result.withColumn(
-                name, F.coalesce(F.col(name), F.lit(0)).cast("long")
-            )
+            if value_decode:
+                result = result.withColumn(
+                    name, F.coalesce(F.col(name), F.lit(""))
+                )
+            else:
+                result = result.withColumn(
+                    name, F.coalesce(F.col(name), F.lit(0)).cast("long")
+                )
         for item in pct_items:
             counts = _pct_counts(item, inst, rt, batch_scan, group_srcs, spark)
             counts = counts.select(
@@ -658,7 +680,7 @@ def _hybrid_grouping_sets(
     )
 
     # per-item merged-but-unfinalized state frames at the finest grain
-    enc_cache: dict[str, DataFrame] = {}
+    enc_cache: dict[str, tuple] = {}
     state_frames: list[tuple] = []  # (item, kind, frame, mname, extra)
     for item in bag_items:
         name = item.name
@@ -674,6 +696,7 @@ def _hybrid_grouping_sets(
             state_frames.append((item, "hll", frame, mname, None))
             continue
         cond = None
+        kind = "bag"
         if name in route.bitmap_distinct:
             mname = route.bitmap_distinct[name]
             grain = G
@@ -683,19 +706,26 @@ def _hybrid_grouping_sets(
             grain = G
             extra = None
         else:
-            mname, fcol, vals = route.bitmap_intersect[name]
+            if name in route.bitmap_intersect:
+                mname, fcol, vals = route.bitmap_intersect[name]
+                kind = "intersect"
+            else:
+                mname, fcol, vals = route.bitmap_intersect_value[name]
+                kind = "intersect_value"
             grain = G + ([fcol] if fcol not in G else [])
             extra = (fcol, list(vals))
         param = measures[mname].function.parameter
-        tail_enc = enc_cache.get(param)
-        if tail_enc is None:
-            tail_enc = _encode_tail(rt, inst, param, spark)
-            enc_cache[param] = tail_enc
+        cached = enc_cache.get(param)
+        if cached is None:
+            cached = _encode_tail(rt, inst, param, spark)
+            enc_cache[param] = cached
+        tail_enc, ext_dict = cached
         b_side = batch_scan if cond is None else batch_scan.filter(F.expr(cond))
         t_side = tail_enc if cond is None else tail_enc.filter(F.expr(cond))
         tail_bags = GD.bitmap_build_agg(t_side, grain, GD.dict_col(param), mname)
         frame = b_side.select(*grain, mname).unionByName(tail_bags)
-        kind = "intersect" if extra is not None else "bag"
+        if kind == "intersect_value":
+            extra = (fcol, list(vals), ext_dict)
         state_frames.append((item, kind, frame, mname, extra))
     for item in pct_gs:
         # additive sketch state at the finest grain; each set re-merges it
@@ -753,6 +783,11 @@ def _hybrid_grouping_sets(
                 counts = GD.bitmap_intersect_count(
                     frame, gl, mname, fcol, vals, item.name
                 )
+            elif kind == "intersect_value":
+                fcol, vals, ext_dict = extra
+                counts = GD.bitmap_intersect_value(
+                    frame, gl, mname, fcol, vals, item.name, ext_dict
+                )
             elif kind == "pct-hist":
                 from kylin_on_parquet_v2_spark.cube import measures as M
 
@@ -779,7 +814,12 @@ def _hybrid_grouping_sets(
                 branch = counts
             else:
                 branch = join_null_safe(branch, counts, gl, "left")
-            if kind not in ("pct-hist", "pct-kll"):
+            if kind == "intersect_value":
+                # an absent group's intersection renders the empty STRING
+                branch = branch.withColumn(
+                    item.name, F.coalesce(F.col(item.name), F.lit(""))
+                )
+            elif kind not in ("pct-hist", "pct-kll"):
                 # percentile of an absent group stays NULL; counts snap to 0
                 branch = branch.withColumn(
                     item.name, F.coalesce(F.col(item.name), F.lit(0)).cast("long")

@@ -440,3 +440,47 @@ def test_hybrid_persisted_dictionary_not_mutated(engine, spark):
     after = {(r["value"], r["did"]) for r in inst.dict_df(spark, "user_id").collect()}
     assert before == after
     assert len(before) == 10  # only batch-side users 0-9 are persisted
+
+
+def test_hybrid_intersect_value_across_boundary(engine):
+    """INTERSECT_VALUE across the split: cohort bags merge by bit_or, the
+    intersected bits decode through the EXTENDED dictionary — a member
+    first seen in the tail (id appended at query time) must still decode
+    to its value, and the empty intersection renders ""."""
+    sql = (
+        "select intersect_value(user_id, etype, array('click','purchase')) as cp "
+        "from hd_fact"
+    )
+    df = engine.sql(sql)
+    route = engine.last_route
+    assert route is not None and route.hybrid_tail and route.bitmap_intersect_value
+    # click (batch): 1,3,5,7,9; purchase (tail only): 5,7,9,101,103
+    assert df.collect()[0]["cp"] == "[5,7,9]"
+
+    # view ∩ purchase is empty -> "" through the hybrid path too
+    empty = engine.sql(
+        "select intersect_value(user_id, etype, array('view','purchase')) as vp "
+        "from hd_fact"
+    ).collect()[0]["vp"]
+    assert empty == ""
+
+    # tail-only members: purchase ∩ purchase|click union-cohort keeps the
+    # appended-id users 101/103 decodable (extension, not the frozen dict)
+    tail_only = engine.sql(
+        "select intersect_value(user_id, etype, array('purchase')) as p from hd_fact"
+    ).collect()[0]["p"]
+    assert tail_only == "[5,7,9,101,103]"
+
+
+def test_hybrid_intersect_value_under_rollup(engine):
+    sql = (
+        "select etype, intersect_value(user_id, etype, array('click','purchase')) as cp "
+        "from hd_fact group by rollup(etype) order by etype"
+    )
+    df = engine.sql(sql)
+    route = engine.last_route
+    assert route is not None and route.hybrid_tail and route.bitmap_intersect_value
+    rows = {r["etype"]: r["cp"] for r in df.collect()}
+    # per-etype sets can't contain BOTH cohorts -> empty everywhere;
+    # the grand total re-merges at the coarser grain -> {5,7,9}
+    assert rows == {"view": "", "click": "", "purchase": "", None: "[5,7,9]"}
