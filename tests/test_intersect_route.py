@@ -243,3 +243,20 @@ def test_or_cohort_grouped(engine):
     )
     assert engine.last_route is not None
     assert {r.g: r.n for r in df.collect()} == {"x": 2, "y": 2, "z": 1}
+
+
+def test_intersect_value_under_rollup_routes(engine):
+    """Routed (non-hybrid) grouping sets: each set re-ORs cohort bags at its
+    own grain before the bit_and, so the grand total is the coarser
+    intersection, not a union of per-group strings."""
+    df = engine.sql(
+        """
+        select g, intersect_value(uid, etype, array('view','click')) as vc
+        from ev_f group by rollup(g) order by g
+        """,
+        validate=True,
+    )
+    route = engine.last_route
+    assert route is not None and route.bitmap_intersect_value, route
+    rows = {r.g: r.vc for r in df.collect()}
+    assert rows == {"x": "[2]", "y": "", "z": "", None: "[2]"}
