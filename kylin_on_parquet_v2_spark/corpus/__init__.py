@@ -86,6 +86,7 @@ _PRIORITY = [
     "intersect_value_parts",
     "intersect_count_or_cohort",
     "text_vocab_coverage",
+    "dedup_containment",
     "multimodal_asset_dedup",
     "streaming_decontam_gate",
     "cube_routed_hybrid",

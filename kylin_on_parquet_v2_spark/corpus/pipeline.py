@@ -201,6 +201,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment pairs (Broder 1997, new r10): the doc-inside-
+    doc relation Jaccard under-scores. Same capped co-occurrence join as
+    dedup_ngram_jaccard; divide by the smaller side."""
+    views(spark, sf_dir)
+    docs = spark.table("documents").filter(F.col("doc_id") < 100)
+    return D.containment_pairs(docs, threshold=0.3, max_df=50).orderBy(
+        "contained", "container"
+    )
+
+
 def similarity_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     views(spark, sf_dir)
     emb = spark.table("embeddings")
@@ -923,6 +934,7 @@ QUERIES = {
     "dedup_filtered_corpus": dedup_filtered_corpus,
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_containment": dedup_containment,
     "similarity_bruteforce_topk": similarity_bruteforce_topk,
     "similarity_neardup_pairs": similarity_neardup_pairs,
     "similarity_neardup_exact": similarity_neardup_exact,
@@ -1367,6 +1379,41 @@ ORACLES = {
           join sizes sb on sb.doc_id = doc_b
         where round(inter / (sa.sz + sb.sz - inter), 6) >= 0.1
         order by doc_a, doc_b
+    """,
+    "dedup_containment": f"""
+        with sh2_all as (
+            select doc_id, distinct_sh as sh from (
+                select doc_id,
+                       unnest(list_distinct(list_transform(
+                           range(1, len(ws)),
+                           i -> ws[i] || ' ' || ws[i+1]))) as distinct_sh
+                from (select doc_id, string_split({_NORM}, ' ') as ws
+                      from documents where doc_id < 100)
+                where len(ws) >= 2
+                union all
+                select doc_id, {_NORM} as distinct_sh
+                from documents where doc_id < 100
+                  and len(string_split({_NORM}, ' ')) < 2
+            )
+        ),
+        sh2 as (
+            select doc_id, sh from sh2_all
+            where sh in (select sh from sh2_all group by sh having count(*) <= 50)
+        ),
+        sizes as (select doc_id, count(*) as sz from sh2 group by doc_id),
+        inter as (
+            select a.doc_id as doc_a, b.doc_id as doc_b, count(*) as inter
+            from sh2 a join sh2 b on a.sh = b.sh and a.doc_id < b.doc_id
+            group by 1, 2
+        )
+        select case when sa.sz <= sb.sz then doc_a else doc_b end as contained,
+               case when sa.sz <= sb.sz then doc_b else doc_a end as container,
+               round(inter / least(sa.sz, sb.sz), 6) as containment
+        from inter
+          join sizes sa on sa.doc_id = doc_a
+          join sizes sb on sb.doc_id = doc_b
+        where round(inter / least(sa.sz, sb.sz), 6) >= 0.3
+        order by contained, container
     """,
     "similarity_bruteforce_topk": f"""
         select query_id, cand_id, cos, rn from (

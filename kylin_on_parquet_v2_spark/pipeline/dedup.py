@@ -328,6 +328,63 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    threshold: float = 0.5,
+    max_df: int | None = 1000,
+) -> DataFrame:
+    """Asymmetric n-gram CONTAINMENT: C(S, T) = |S ∩ T| / |S| (Broder,
+    "On the resemblance and containment of documents", 1997). Catches the
+    quote/subset/boilerplate-wrapped-repost relation symmetric Jaccard
+    under-scores — a 100-gram doc fully embedded in a 10,000-gram doc has
+    J ≈ 0.01 but C = 1.0, and a near-dup pipeline keyed on Jaccard alone
+    ships the training set both copies.
+
+    Same sparse co-occurrence skeleton as :func:`ngram_jaccard_pairs`
+    (shingle self-join with the df cap — identical 100 TB guarantees); the
+    finalizer divides by the SMALLER side's size, which is exactly
+    ``max(C(A,B), C(B,A))``, and orients the pair as
+    ``(contained, container)`` — smaller shingle set contained, ties to the
+    lower id (the self-join already fixes doc_a < doc_b)."""
+    sh = shingle_rows(docs, text_col, id_col, n).dropDuplicates([id_col, "sh"])
+    if max_df is not None:
+        rare = (
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select("sh")
+        )
+        sh = sh.join(rare, "sh", "left_semi")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b"))
+    a_contained = F.col("sz_a") <= F.col("sz_b")  # tie -> lower id contained
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "containment",
+            F.round(F.col("inter") / F.least("sz_a", "sz_b"), 6),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select(
+            F.when(a_contained, F.col("doc_a")).otherwise(F.col("doc_b")).alias("contained"),
+            F.when(a_contained, F.col("doc_b")).otherwise(F.col("doc_a")).alias("container"),
+            "containment",
+        )
+    )
+
+
 def duplicate_clusters(
     docs: DataFrame | None,
     text_col: str = "text",

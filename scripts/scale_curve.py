@@ -141,6 +141,7 @@ def main() -> None:
         multimodal_asset_dedup,
         multimodal_perceptual_dedup,
         semantic_dedup_given,
+        text_vocab_coverage,
     )
     from kylin_on_parquet_v2_spark.session import get_spark, register_views
 
@@ -185,6 +186,7 @@ def main() -> None:
         "corpus_bpe_encode": corpus_bpe_encode,
         "multimodal_perceptual_dedup": multimodal_perceptual_dedup,
         "multimodal_asset_dedup": multimodal_asset_dedup,
+        "text_vocab_coverage": text_vocab_coverage,
     }
     if only_ops is not None:
         unknown = [o for o in only_ops if o not in ops]
