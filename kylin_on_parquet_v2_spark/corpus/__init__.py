@@ -87,6 +87,7 @@ _PRIORITY = [
     "intersect_count_or_cohort",
     "text_vocab_coverage",
     "dedup_containment",
+    "streaming_time_derived",
     "multimodal_asset_dedup",
     "streaming_decontam_gate",
     "cube_routed_hybrid",

@@ -62,6 +62,57 @@ def _ingest_dir(spark: SparkSession, sf_dir: str) -> str:
     return out_dir
 
 
+_INGESTED_TD: dict[str, str] = {}
+
+
+def _ingest_td_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Ingest the events fixture WITH auto-derived time columns stamped at
+    ingest (TimeDerivedColumnType / TimedJsonStreamParser parity) — a
+    separate store so the plain-ingest fixtures keep their schema."""
+    key = os.path.abspath(sf_dir)
+    if key in _INGESTED_TD:
+        return _INGESTED_TD[key]
+    base = proc_tmp("stream_segments_td", key.strip("/").replace("/", "_"))
+    out_dir = os.path.join(base, "segments")
+    ckpt = os.path.join(base, "checkpoint")
+    if os.path.exists(base):
+        shutil.rmtree(base)
+    os.makedirs(base, exist_ok=True)
+    ingest_segments(
+        spark,
+        source_dir=_stream_source_dir(sf_dir),
+        out_dir=out_dir,
+        checkpoint_dir=ckpt,
+        granularity="day",
+        max_files_per_trigger=2,
+        time_derived=("hour", "day", "week"),
+    )
+    _INGESTED_TD[key] = out_dir
+    return out_dir
+
+
+def streaming_time_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Auto-derived event-time dimensions (new r10 — reference
+    TimeDerivedColumnType.java:35-151 + stream-source-kafka
+    TimedJsonStreamParser): ingest stamps ``hour_start``/``day_start``/
+    ``week_start`` as REAL store columns (pure JVM date_trunc, map-side),
+    so queries group and filter on them like any column — here an hourly
+    rollup filtered to one derived week. The oracle replays the same
+    date_trunc over the raw source."""
+    views(spark, sf_dir)
+    seg_dir = _ingest_td_dir(spark, sf_dir)
+    segs = spark.read.parquet(seg_dir)
+    return (
+        segs.filter(F.col("week_start") == F.to_timestamp(F.lit("2024-01-01")))
+        .groupBy("day_start", "hour_start")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("day_start", "hour_start")
+    )
+
+
 def streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked tumbling-window aggregation driven to completion —
     must equal the batch date_trunc aggregation (the oracle)."""
@@ -535,6 +586,7 @@ QUERIES = {
     "streaming_dedup": streaming_dedup,
     "streaming_window_counts": streaming_window_counts,
     "streaming_segment_ingest": streaming_segment_ingest,
+    "streaming_time_derived": streaming_time_derived,
     "streaming_hybrid_union": streaming_hybrid_union,
     "streaming_stateful_totals": streaming_stateful_totals,
 }
@@ -647,6 +699,16 @@ ORACLES = {
         from events
         group by 1, 2
         order by window_start, event_type
+    """,
+    "streaming_time_derived": """
+        select date_trunc('day', ts) as day_start,
+               date_trunc('hour', ts) as hour_start,
+               count(*) as n,
+               round(sum(value), 2) as sum_value
+        from events
+        where date_trunc('week', ts) = timestamp '2024-01-01 00:00:00'
+        group by 1, 2
+        order by 1, 2
     """,
     "streaming_segment_ingest": """
         select strftime(date_trunc('day', ts), '%Y-%m-%d-%H') as segment,

@@ -56,6 +56,31 @@ def _normalize_ts(df: DataFrame, ts_col: str) -> DataFrame:
     return df
 
 
+#: the reference's auto-derived event-time dimension family
+#: (core-metadata/.../dimension/TimeDerivedColumnType.java:35-151): streaming
+#: table schemas declare these and the ingest parser computes them from the
+#: event timestamp (stream-source-kafka TimedJsonStreamParser), so queries
+#: group/filter on them like real columns
+TIME_DERIVED_FAMILIES = ("minute", "hour", "day", "week", "month", "quarter", "year")
+
+
+def with_time_derived(
+    df: DataFrame,
+    ts_col: str = "ts",
+    families: tuple[str, ...] = ("minute", "hour", "day"),
+) -> DataFrame:
+    """Append the named time-derived columns (``minute_start``,
+    ``hour_start``, ``day_start``, ...) computed from ``ts_col`` — pure JVM
+    ``date_trunc`` projections, map-side, no shuffle at any scale. Spark and
+    DuckDB agree on every family's boundary (week starts Monday in both),
+    so the columns replay exactly in an independent engine."""
+    for fam in families:
+        if fam not in TIME_DERIVED_FAMILIES:
+            raise ValueError(f"unknown time-derived family {fam!r}; known: {TIME_DERIVED_FAMILIES}")
+        df = df.withColumn(f"{fam}_start", F.date_trunc(fam, F.col(ts_col)))
+    return df
+
+
 def ingest_segments(
     spark: SparkSession,
     source_dir: str,
@@ -67,6 +92,7 @@ def ingest_segments(
     max_files_per_trigger: int = 1,
     compact_every: int | None = None,
     max_fragments: int = 8,
+    time_derived: tuple[str, ...] | None = None,
 ) -> None:
     """Stream a growing directory of Parquet files into segment-partitioned
     Parquet (the reference's real-time ingest path, file source standing in
@@ -93,6 +119,7 @@ def ingest_segments(
         available_now=True,
         compact_every=compact_every,
         max_fragments=max_fragments,
+        time_derived=time_derived,
     )
     q.awaitTermination()
 
@@ -107,6 +134,7 @@ def ingest_stream(
     available_now: bool = False,
     compact_every: int | None = None,
     max_fragments: int = 8,
+    time_derived: tuple[str, ...] | None = None,
 ):
     """Source-agnostic half of the ingest path: ANY streaming DataFrame —
     the file source above, Spark's built-in unbounded ``rate`` source
@@ -129,6 +157,11 @@ def ingest_stream(
     from kylin_on_parquet_v2_spark.streaming.compaction import maybe_compact
 
     stream = _normalize_ts(stream, ts_col)
+    if time_derived:
+        # TimedJsonStreamParser parity: the derived event-time dims become
+        # REAL store columns at ingest, so downstream queries group/filter
+        # on minute_start/hour_start/day_start like any other column
+        stream = with_time_derived(stream, ts_col, time_derived)
     with_seg = stream.withColumn(
         SEGMENT_COL,
         F.date_format(F.date_trunc(granularity, F.col(ts_col)), "yyyy-MM-dd-HH"),
