@@ -72,7 +72,11 @@ def register_udafs(spark: SparkSession) -> None:
 
         def _fmt(x) -> str:
             # pandas promotes nullable int64 to float64: re-narrow integral
-            # floats so the rendering matches the JVM cast of the true type
+            # floats so the rendering matches the JVM cast of the true type.
+            # Consequence: intersect_value renders INTEGER/STRING id columns
+            # faithfully (the bitmap-measure use case); a genuinely
+            # float-typed column would render 3.0 as "3" here but "3.0" on
+            # the routed decode — don't point the measure at floats.
             if isinstance(x, float) and x.is_integer():
                 return str(int(x))
             return str(x)
