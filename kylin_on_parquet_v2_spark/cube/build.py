@@ -1018,7 +1018,24 @@ class CubeBuilder:
         cuboid_id: int | None = None,
     ) -> str | None:
         """Persist one layout; returns the catalog table name when the
-        layout was written BUCKETED (CubeDesc.bucket_layouts), else None."""
+        layout was written BUCKETED (CubeDesc.bucket_layouts), else None.
+
+        Rows are written SORTED by the cuboid's dimension order (the
+        reference stores cuboid rows rowkey-ordered — RowKeyColDesc order —
+        which is what makes its storage range-scannable): sorted row groups
+        give parquet min/max statistics real skipping power, so a dim
+        equality/range filter at query time skips whole row groups instead
+        of scanning every file the dir holds. ``sortWithinPartitions`` only
+        — a task-local sort, no extra shuffle on the build."""
+        sort_cols = [
+            d
+            for d in (
+                self.scheduler.cuboids[cuboid_id].dims
+                if cuboid_id is not None and cuboid_id in self.scheduler.cuboids
+                else ()
+            )
+            if d in df.columns
+        ]
         if (
             self.desc.bucket_layouts
             and self.desc.shard_by
@@ -1045,7 +1062,10 @@ class CubeBuilder:
                 .format("parquet")
                 .option("path", path)
                 .bucketBy(self.desc.shard_buckets, self.desc.shard_by)
-                .sortBy(self.desc.shard_by)
+                .sortBy(
+                    self.desc.shard_by,
+                    *[c for c in sort_cols if c != self.desc.shard_by],
+                )
             )
             if segmented:
                 writer = writer.partitionBy(SEGMENT_COL)
@@ -1065,6 +1085,9 @@ class CubeBuilder:
             # every cuboid writes one tiny file per shuffle partition (the
             # classic small-files problem, multiplied by the lattice size)
             writer = df.coalesce(self.write_partitions)
+        if sort_cols:
+            # rowkey-order within each output file (no shuffle added)
+            writer = writer.sortWithinPartitions(*sort_cols)
         w = writer.write.mode(mode)
         if parts:
             w = w.partitionBy(*parts)
