@@ -154,9 +154,17 @@ def merge_segments(
             k = max(1, -(-n_files // max(1, inst.desc.shard_buckets)))
             salt = F.pmod(F.hash(*[F.col(c) for c in keys]), F.lit(k)) if keys else F.lit(0)
             writer = merged.repartition(n_files, *[F.col(c) for c in parts], salt)
+            if keys:
+                # keep the merged files rowkey-ordered like the original
+                # layout write (task-local sort, no extra shuffle) so the
+                # row-group min/max skipping survives the merge
+                writer = writer.sortWithinPartitions(*keys)
             writer.write.mode("overwrite").partitionBy(*parts).parquet(staging)
         else:
-            merged.repartition(n_files).write.mode("overwrite").parquet(staging)
+            writer = merged.repartition(n_files)
+            if keys:
+                writer = writer.sortWithinPartitions(*keys)
+            writer.write.mode("overwrite").parquet(staging)
         # swap sentinel: from here until the rename lands, the staged bytes
         # are the layout's truth — a rerun finishes the swap (above) rather
         # than recomputing from partially deleted inputs
