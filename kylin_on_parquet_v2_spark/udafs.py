@@ -5,6 +5,11 @@ retention/funnel UDAF (``kylin-spark-common/.../udaf/IntersectCount.scala``,
 ``IntersectBitmapCounter.scala``): per group, the size of the intersection of
 the per-cohort distinct value sets {col | filter_col = v}.
 
+``intersect_value(...)`` — same cohorts, but the member VALUES
+(``BitmapIntersectValueAggFunc.java``), rendered ``"[v1,v2,...]"`` sorted /
+``""`` empty. Both accept '|'-separated OR-union cohorts
+(``RetentionPartialResult.FILTER_DELIMETER``).
+
 Two execution paths:
 - pushdown: the Arrow-batched pandas GROUPED_AGG UDAF below (set
   intersection per group — correct at any scale Spark can group, but ships
