@@ -103,6 +103,32 @@ class _Handler(BaseHTTPRequestHandler):
         elif self.path == "/api/metrics":
             with self.lock:
                 self._reply(200, {"metrics": dict(eng.metrics)})
+        elif self.path.startswith("/api/cubes/") and self.path.endswith("/recommend"):
+            # GET /api/cubes/<name>/recommend — cube-planner recommendation
+            # from the recorded workload + measured layout rows (reference
+            # CubeController.java:932 /{cubeName}/cuboids/recommend)
+            name = self.path[len("/api/cubes/") : -len("/recommend")]
+            with self.lock:
+                if name not in eng.cubes:
+                    self._reply(404, {"error": f"unknown cube {name}"})
+                    return
+                inst = eng.cubes[name]
+                ids = eng.recommend_cuboids(name)
+                self._reply(
+                    200,
+                    {
+                        "cube": name,
+                        "recommended_cuboids": [
+                            {
+                                "cuboid_id": cid,
+                                "dims": list(inst.scheduler.cuboids[cid].dims),
+                                "rows": inst.layout_rows.get(cid),
+                            }
+                            for cid in ids
+                        ],
+                        "n_current_layouts": len(inst.layouts),
+                    },
+                )
         elif self.path == "/api/queries":
             # running-query listing (the read side of stopQuery — the
             # reference's query page shows in-flight queries + durations)

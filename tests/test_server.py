@@ -209,3 +209,34 @@ def test_explain_endpoint_routes_without_executing(served):
         base, "/api/explain", {"sql": "select nope from nothing"}
     )
     assert code == 400 and "error" in bad
+
+
+def test_recommend_endpoint(served):
+    """GET /api/cubes/<name>/recommend — CubeController.java:932
+    /{cubeName}/cuboids/recommend parity: the BPUS recommendation from the
+    recorded workload over measured layout rows. The base and grand-total
+    cuboids are always kept; a workload-hit dim set shows up with its
+    dims + rows."""
+    eng, base = served
+    # record some workload so the planner has frequencies to weigh
+    eng.sql(
+        "select l_returnflag, count(*) as n from lineitem group by l_returnflag"
+    ).collect()
+    code, body = _get(base, "/api/cubes/tpch_cube/recommend")
+    assert code == 200, body
+    recs = body["recommended_cuboids"]
+    assert body["cube"] == "tpch_cube" and recs
+    dims_sets = [tuple(r["dims"]) for r in recs]
+    assert tuple(TPCH_CUBE.dimensions) in dims_sets  # base always kept
+    assert all("cuboid_id" in r for r in recs)
+
+    code, body = _get_raw(base, "/api/cubes/no_such_cube/recommend")
+    assert code == 404
+
+
+def _get_raw(base: str, path: str) -> tuple[int, dict]:
+    try:
+        with urllib.request.urlopen(f"{base}{path}") as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
