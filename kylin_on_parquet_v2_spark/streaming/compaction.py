@@ -85,6 +85,7 @@ def compact_fragments(
     max_fragments: int | None = None,
     partition_col: str = SEGMENT_COL,
     skip_newest: bool = True,
+    sort_col: str | None = "ts",
     _pre_swap_hook=None,
 ) -> dict[str, tuple[int, int]]:
     """Compact every eligible ``partition_col=value`` dir under
@@ -101,6 +102,11 @@ def compact_fragments(
     stores (``partition_col='__epoch'``) keep their replay idempotence: a
     replayed epoch's dynamic overwrite replaces the whole (compacted) dir,
     exactly as it replaced the fragmented one.
+
+    ``sort_col``: order rows within each compacted file by this column when
+    the store carries it (default the event-time column) — task-local sort,
+    no extra shuffle, and boundary-filtered tail scans skip row groups via
+    parquet min/max stats.
 
     ``_pre_swap_hook(part_dir)`` is a test seam invoked between staging and
     the concurrent-append listing check.
@@ -131,7 +137,14 @@ def compact_fragments(
         # after this listing is never part of the rewrite, and the pre-swap
         # listing check below refuses to delete it
         df = spark.read.parquet(*[os.path.join(part_dir, f) for f in files])
-        df.repartition(n_target).write.mode("overwrite").parquet(staging)
+        staged = df.repartition(n_target)
+        if sort_col and sort_col in df.columns:
+            # order the compacted files by event time (task-local sort, no
+            # extra shuffle): the hybrid tail's strict `ts > boundary`
+            # filter then skips whole row groups via parquet min/max stats
+            # instead of scanning every compacted file in boundary dirs
+            staged = staged.sortWithinPartitions(sort_col)
+        staged.write.mode("overwrite").parquet(staging)
         if _pre_swap_hook is not None:
             _pre_swap_hook(part_dir)
         if _data_files(fs, part_dir) != files:
