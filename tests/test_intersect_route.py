@@ -260,3 +260,16 @@ def test_intersect_value_under_rollup_routes(engine):
     assert route is not None and route.bitmap_intersect_value, route
     rows = {r.g: r.vc for r in df.collect()}
     assert rows == {"x": "[2]", "y": "", "z": "", None: "[2]"}
+
+
+def test_cohort_members_parsing():
+    """'|' splitting applies to string literals only, trims members, drops
+    empties (StringUtil.splitAndTrim parity), and leaves numerics alone."""
+    from kylin_on_parquet_v2_spark.cube.dictionary import cohort_members
+
+    assert cohort_members("'view|click'") == ["'view'", "'click'"]
+    assert cohort_members("' view | click '") == ["'view'", "'click'"]
+    assert cohort_members("'view||'") == ["'view'"]
+    assert cohort_members("'view'") == ["'view'"]
+    assert cohort_members("42") == ["42"]
+    assert cohort_members("'A|N'") == ["'A'", "'N'"]
