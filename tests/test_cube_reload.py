@@ -89,3 +89,30 @@ def test_load_missing_raises(spark, tmp_path):
     eng.add_model(TPCH_MODEL)
     with pytest.raises(FileNotFoundError):
         eng.load_cube(TPCH_CUBE)
+
+
+def test_reload_serves_intersect_value(spark, tmp_path):
+    """INTERSECT_VALUE after a metadata-only reload: the decode reads the
+    PERSISTED global dictionary through the reloaded instance's storage
+    paths — no in-memory state from the building process survives. Own
+    storage dir: the stale-desc test above rebuilds the shared fixture's
+    cube under a CHANGED desc, so its meta no longer matches TPCH_CUBE."""
+    d = str(tmp_path / "iv_reload")
+    builder_eng = _fresh_engine(spark, d)
+    builder_eng.build_cube(TPCH_CUBE)
+    eng = _fresh_engine(spark, d)
+    eng.load_cube(TPCH_CUBE)
+    df = eng.sql(
+        """
+        select l_linestatus,
+               intersect_value(l_partkey, l_returnflag, array('A','R')) as v,
+               intersect_count(l_partkey, l_returnflag, array('A','R')) as n
+        from lineitem group by l_linestatus order by l_linestatus
+        """,
+        validate=True,
+    )
+    route = eng.last_route
+    assert route is not None and route.bitmap_intersect_value, route
+    for r in df.collect():
+        # the rendered list's length must agree with the count twin
+        assert (len(r.v.strip("[]").split(",")) if r.v else 0) == r.n
