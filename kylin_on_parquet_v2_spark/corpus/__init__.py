@@ -89,6 +89,7 @@ _PRIORITY = [
     "text_vocab_coverage",
     "dedup_containment",
     "streaming_time_derived",
+    "sample_quota",
     "multimodal_asset_dedup",
     "streaming_decontam_gate",
     "cube_routed_hybrid",

@@ -420,6 +420,16 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MIX_RATES = {"en": 0.6, "de": 0.4, "fr": 0.25, "es": 0.1}  # zh dropped
 
 
+def sample_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-count stratified sampling (new r10): EXACTLY 30 docs per
+    source (the balanced-eval-set op a proportional rate can't express),
+    selected as the 30 smallest hash values per stratum — key-deterministic,
+    replayed verbatim by the oracle's row_number window."""
+    views(spark, sf_dir)
+    kept = SP.stratified_quota(spark.table("documents"), "source", 30, "doc_id")
+    return kept.select("source", "doc_id").orderBy("source", "doc_id")
+
+
 def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-stratum sampling (corpus mixing): each language
     keeps its own rate via a multiplicative-hash threshold on doc_id —
@@ -925,6 +935,7 @@ QUERIES = {
     "export_training_shards": export_training_shards,
     "export_shard_manifest": export_shard_manifest,
     "sample_stratified": sample_stratified,
+    "sample_quota": sample_quota,
     "pack_token_budget": pack_token_budget,
     "dedup_exact": dedup_exact,
     "dedup_minhash_signatures": dedup_minhash_signatures,
@@ -1052,6 +1063,16 @@ ORACLES = {
                          else floor(h * 128 / w) end as int) as new_height
         from a
         order by asset_id
+    """,
+    "sample_quota": f"""
+        select source, doc_id from (
+            select source, doc_id,
+                   row_number() over (
+                       partition by source
+                       order by {_HASH_BUCKET}, doc_id) as rk
+            from documents
+        ) t where rk <= 30
+        order by source, doc_id
     """,
     "sample_stratified": f"""
         select lang, count(*) as n_kept,

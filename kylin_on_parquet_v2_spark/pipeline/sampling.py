@@ -64,6 +64,36 @@ def stratified_sample(
     return df.filter(hash_bucket(F.col(key_col)) < thresh)
 
 
+def stratified_quota(
+    df: DataFrame,
+    stratum_col: str,
+    n: int,
+    key_col: str,
+) -> DataFrame:
+    """Exact-count stratified sampling: keep EXACTLY ``n`` rows per stratum
+    (fewer when the stratum is smaller) — the balanced-eval-set /
+    class-balancing op that rate-based sampling can't express (a rate keeps
+    a proportional share, never a fixed count). Selection is the n smallest
+    hash values per stratum, so it is a pure function of the keys: stable
+    across reruns, repartitions and engines, and ADDING rows to a stratum
+    only ever swaps members whose hash ranks past n — no global reshuffle
+    of the selection.
+
+    Scale shape (100 TB): one window per stratum partition (the same
+    shuffle key :func:`pack_token_budget` uses); rank-by-hash needs no
+    global sort — each stratum ranks independently, skewed strata are the
+    limit exactly as for any per-stratum op.
+    """
+    w = Window.partitionBy(stratum_col).orderBy(
+        hash_bucket(F.col(key_col)), F.col(key_col)
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= n)
+        .drop("__rk")
+    )
+
+
 def domain_mix(
     docs: DataFrame,
     token_target: int,
