@@ -63,11 +63,11 @@ def _modules():
 
 # The driver's correctness harness checks the FIRST 50 ``queries()`` entries
 # only. Rotate the window each round so every contract query eventually gets a
-# driver check. r10 window: the 8 NEW r10 queries first (compacted-tail
+# driver check. r10 window: the 9 NEW r10 queries first (compacted-tail
 # hybrid serving, BPE train+encode, multimodal perceptual near-dup,
 # INTERSECT_VALUE decoded from the stored bitmap, OR-union cohorts,
 # vocab-coverage scoring, containment near-dup, ingest-stamped
-# time-derived dims), then
+# time-derived dims, exact-count quota sampling), then
 # every query the r10 commits touched (the hybrid family — EVENTS_CUBE_SEG
 # gained the COUNT(value) AVG-decomposition measure; the streaming gate's
 # write-first atomicity fix; the SemDeDup probe's plan-tree walk; the
