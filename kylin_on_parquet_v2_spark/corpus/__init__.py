@@ -63,11 +63,12 @@ def _modules():
 
 # The driver's correctness harness checks the FIRST 50 ``queries()`` entries
 # only. Rotate the window each round so every contract query eventually gets a
-# driver check. r10 window: the 9 NEW r10 queries first (compacted-tail
+# driver check. r10 window: the 10 NEW r10 queries first (compacted-tail
 # hybrid serving, BPE train+encode, multimodal perceptual near-dup,
 # INTERSECT_VALUE decoded from the stored bitmap, OR-union cohorts,
 # vocab-coverage scoring, containment near-dup, ingest-stamped
-# time-derived dims, exact-count quota sampling), then
+# time-derived dims + a routed time-derived cube, exact-count quota
+# sampling), then
 # every query the r10 commits touched (the hybrid family — EVENTS_CUBE_SEG
 # gained the COUNT(value) AVG-decomposition measure; the streaming gate's
 # write-first atomicity fix; the SemDeDup probe's plan-tree walk; the
@@ -79,7 +80,7 @@ def _modules():
 # by the driver-calibrated in-repo parity suite
 # (tests/test_entry_oracle_parity.py — all oracles, every round).
 _PRIORITY = [
-    # --- r10 driver window (50 entries): 3 NEW, then r10-touched, then
+    # --- r10 driver window (50 entries): 10 NEW, then r10-touched, then
     # --- the oldest-checked block
     "hybrid_compacted_tail",
     "corpus_bpe_encode",
@@ -89,6 +90,7 @@ _PRIORITY = [
     "text_vocab_coverage",
     "dedup_containment",
     "streaming_time_derived",
+    "cube_routed_time_derived",
     "sample_quota",
     "multimodal_asset_dedup",
     "streaming_decontam_gate",

@@ -113,6 +113,81 @@ def streaming_time_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TD_ENGINES: dict[str, object] = {}
+
+
+def _td_engine(spark: SparkSession, sf_dir: str):
+    """Engine with a cube whose DIMENSIONS are the auto-derived time
+    columns (the reference's streaming-cube shape: TimeDerivedColumnType
+    members declared as dimensions, queries roll up by minute/hour/day
+    start — `stream-core/.../ColumnarStoreDimDesc.java` encodes them as
+    first-class dim columns)."""
+    import os as _os
+
+    from kylin_on_parquet_v2_spark.metadata import (
+        CubeDesc,
+        DataModel,
+        FunctionDesc,
+        MeasureDesc,
+    )
+    from kylin_on_parquet_v2_spark.query.engine import OlapEngine
+    from kylin_on_parquet_v2_spark.streaming.segments import (
+        _normalize_ts,
+        with_time_derived,
+    )
+
+    key = _os.path.abspath(sf_dir)
+    eng = _TD_ENGINES.get(key)
+    if eng is not None and eng.spark is spark:
+        return eng
+    views(spark, sf_dir)
+    df = with_time_derived(
+        _normalize_ts(spark.table("events"), "ts"), "ts", ("hour", "day")
+    )
+    df.createOrReplaceTempView("events_td")
+    storage = proc_tmp("td_cubes", key.strip("/").replace("/", "_"))
+    eng = OlapEngine(spark, storage_dir=storage)
+    eng.add_model(DataModel(name="events_td_star", fact_table="events_td"))
+    eng.build_cube(
+        CubeDesc(
+            name="events_td_cube",
+            model_name="events_td_star",
+            dimensions=("day_start", "hour_start", "event_type"),
+            measures=(
+                MeasureDesc("_count", FunctionDesc("COUNT")),
+                MeasureDesc("sum_value", FunctionDesc("SUM", "value")),
+            ),
+        )
+    )
+    _TD_ENGINES[key] = eng
+    return eng
+
+
+def cube_routed_time_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's canonical streaming-cube query: an hourly rollup
+    GROUPED ON derived time dimensions, ROUTED onto a cube whose dims ARE
+    those columns (new r10). The hour grain serves from the
+    (day_start, hour_start) cuboid; no fact scan."""
+    eng = _td_engine(spark, sf_dir)
+    df = eng.sql(
+        """
+        select day_start, hour_start,
+               count(*) as n,
+               sum(value) as sum_value
+        from events_td
+        where day_start < timestamp '2024-01-03 00:00:00'
+        group by day_start, hour_start
+        order by day_start, hour_start
+        """
+    )
+    route = eng.last_route
+    assert route is not None, "expected routed time-derived rollup"
+    assert set(route.cuboid.dims) == {"day_start", "hour_start"}, route.cuboid
+    return df.select(
+        "day_start", "hour_start", "n", F.round("sum_value", 2).alias("sum_value")
+    )
+
+
 def streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked tumbling-window aggregation driven to completion —
     must equal the batch date_trunc aggregation (the oracle)."""
@@ -587,6 +662,7 @@ QUERIES = {
     "streaming_window_counts": streaming_window_counts,
     "streaming_segment_ingest": streaming_segment_ingest,
     "streaming_time_derived": streaming_time_derived,
+    "cube_routed_time_derived": cube_routed_time_derived,
     "streaming_hybrid_union": streaming_hybrid_union,
     "streaming_stateful_totals": streaming_stateful_totals,
 }
@@ -699,6 +775,16 @@ ORACLES = {
         from events
         group by 1, 2
         order by window_start, event_type
+    """,
+    "cube_routed_time_derived": """
+        select date_trunc('day', ts) as day_start,
+               date_trunc('hour', ts) as hour_start,
+               count(*) as n,
+               round(sum(value), 2) as sum_value
+        from events
+        where date_trunc('day', ts) < timestamp '2024-01-03 00:00:00'
+        group by 1, 2
+        order by 1, 2
     """,
     "streaming_time_derived": """
         select date_trunc('day', ts) as day_start,
