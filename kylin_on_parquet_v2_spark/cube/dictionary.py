@@ -209,11 +209,19 @@ def cohort_members(value_sql: str) -> list[str]:
     ``["'view'", "'click'"]`` (split + trim per ``StringUtil.splitAndTrim``,
     RetentionPartialResult.java:52). Only string literals participate — the
     reference splits ``key.toString()``, and a numeric literal carries no
-    delimiter."""
+    delimiter.
+
+    The literal is DECODED (SQL ``''`` escape collapsed) before splitting
+    and re-encoded per member, so a member containing an escaped quote
+    round-trips as valid SQL. A degenerate OR literal whose members are all
+    empty/whitespace (``"'|'"``, ``"'  |  '"``) returns ``[]`` — callers
+    treat that as an always-empty cohort (its intersection is empty) rather
+    than emitting an unanalyzable ``IN ()`` predicate."""
     s = value_sql.strip()
     if len(s) >= 2 and s[0] == "'" and s[-1] == "'" and INTERSECT_OR_SEPARATOR in s:
-        members = [m.strip() for m in s[1:-1].split(INTERSECT_OR_SEPARATOR)]
-        return ["'" + m + "'" for m in members if m]
+        decoded = s[1:-1].replace("''", "'")
+        members = [m.strip() for m in decoded.split(INTERSECT_OR_SEPARATOR)]
+        return ["'" + m.replace("'", "''") + "'" for m in members if m]
     return [s]
 
 
@@ -236,6 +244,20 @@ def _intersect_words(
     direct group-by-filter-column path (identical plan to pre-OR rounds)."""
     n = len(values_sql)
     members = {v: cohort_members(v) for v in values_sql}
+    if any(not ms for ms in members.values()):
+        # a memberless cohort (degenerate OR literal like "'|'") matches no
+        # row, so the intersection across ALL cohorts is empty — short-
+        # circuit with a schema-preserving empty frame instead of building
+        # an IN () predicate that fails analysis
+        return (
+            df.limit(0)
+            .select(*keys, F.explode(name).alias("__w"))
+            .select(
+                *keys,
+                F.col("__w.__bkt").alias("__bkt"),
+                F.col("__w.__mask").alias("__m"),
+            )
+        )
     if all(len(m) == 1 and m[0] == v for v, m in members.items()):
         in_list = ", ".join(values_sql)
         cohorts = (
@@ -312,14 +334,20 @@ def bitmap_intersect_value(
     )
     # no broadcast hint: the dictionary side can be arbitrarily large (one
     # row per distinct value corpus-wide) while the decode side is only the
-    # intersection members — AQE picks the build side at runtime
+    # intersection members — AQE picks the build side at runtime.
+    # Dictionary columns are aliased to reserved names BEFORE the join: a
+    # query grouping by a column literally named `did` or `value` (the
+    # events fixture has `value`) would otherwise make the join condition /
+    # collect_list reference ambiguous and throw at analysis.
     decoded = dids.join(
-        dictionary.select("did", "value"),
-        dids["__did"] == F.col("did"),
+        dictionary.select(
+            F.col("did").alias("__dict_did"), F.col("value").alias("__dict_value")
+        ),
+        dids["__did"] == F.col("__dict_did"),
         "inner",
     )
     grouped = decoded.groupBy(*keys) if keys else decoded.groupBy()
-    members = F.array_sort(F.collect_list("value"))
+    members = F.array_sort(F.collect_list("__dict_value"))
     # empty intersection -> "" (valueResult's contract), not "[]": reachable
     # on the keyless global form, where agg-over-zero-rows still emits a row
     return grouped.agg(

@@ -336,11 +336,15 @@ def perceptual_neardup_pairs(
     return (
         a.join(b, ["band", "val"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "h_a", "h_b")
-        .distinct()  # a pair sharing several bands reports once
+        # hamming filter BEFORE the dedup: the filter is a cheap map-side
+        # bit_count on the join output, and applying it first shrinks the
+        # exchange feeding the distinct (candidate pairs >> true pairs at
+        # high dup density), instead of shuffling every candidate pair
         .filter(
             F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))) <= max_hamming
         )
+        .select("id_a", "id_b", "h_a", "h_b")
+        .distinct()  # a pair sharing several bands reports once
         .select(
             "id_a",
             "id_b",

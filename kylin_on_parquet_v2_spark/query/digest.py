@@ -270,6 +270,15 @@ def _attr_names(jexpr) -> set[str]:
     return names
 
 
+class IntersectValueTypeError(ValueError):
+    """INTERSECT_VALUE over a float/double column is a contract violation:
+    the routed dictionary decode renders ``3.0`` while the pandas pushdown
+    twin re-narrows integral floats to ``3`` (pandas promotes nullable ints
+    to float64, so the UDAF cannot distinguish a true float column) — a
+    silent result divergence between execution paths. Rejected structurally
+    at digest time; the UDAF also rejects fractional floats at runtime."""
+
+
 def _intersect_call(jexpr) -> tuple[str, str, str, tuple[str, ...]] | None:
     """``intersect_count/intersect_value(col, filter_col, array(lit, ...))``
     (the registered pandas UDAFs — reference ``IntersectCount.scala`` /
@@ -302,7 +311,19 @@ def _intersect_call(jexpr) -> tuple[str, str, str, tuple[str, ...]] | None:
         if not vals:
             return None
         func = "INTERSECT_VALUE" if str(fn.name()) == "intersect_value" else "INTERSECT_COUNT"
+        if func == "INTERSECT_VALUE":
+            dt = str(args[0].dataType().simpleString())
+            if dt in ("float", "double"):
+                raise IntersectValueTypeError(
+                    f"intersect_value over {dt}-typed column "
+                    f"'{args[0].name()}' is not supported: the routed decode "
+                    "and the pandas pushdown twin render float values "
+                    "differently (3.0 vs 3) — point the measure at an "
+                    "integer or string column"
+                )
         return func, str(args[0].name()), str(args[1].name()), tuple(vals)
+    except IntersectValueTypeError:
+        raise
     except Exception:
         return None
 
@@ -397,6 +418,8 @@ def extract_digest(df: DataFrame) -> SqlDigest | None:
                 True, False
             ).apply(plan)
         return _extract(plan)
+    except IntersectValueTypeError:
+        raise  # contract violation, not a digest miss — never pushdown
     except Exception:
         return None
 

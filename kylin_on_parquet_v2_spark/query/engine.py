@@ -886,6 +886,7 @@ class OlapEngine:
             f"bitmap_distinct={route.bitmap_distinct} "
             f"bitmap_cond={route.bitmap_cond} "
             f"bitmap_intersect={route.bitmap_intersect} "
+            f"bitmap_intersect_value={route.bitmap_intersect_value} "
             f"topn={route.topn} "
             f"topn_approx={route.topn_approx} "
             f"dim_served={route.dim_served} "

@@ -78,11 +78,18 @@ def register_udafs(spark: SparkSession) -> None:
         def _fmt(x) -> str:
             # pandas promotes nullable int64 to float64: re-narrow integral
             # floats so the rendering matches the JVM cast of the true type.
-            # Consequence: intersect_value renders INTEGER/STRING id columns
-            # faithfully (the bitmap-measure use case); a genuinely
-            # float-typed column would render 3.0 as "3" here but "3.0" on
-            # the routed decode — don't point the measure at floats.
-            if isinstance(x, float) and x.is_integer():
+            # CONTRACT (not a caveat): float/double measure columns are
+            # rejected — structurally at digest time (IntersectValueTypeError,
+            # query/digest.py) and here at runtime for raw-pushdown callers
+            # that bypass the engine — because an integral true-float would
+            # render "3" here but "3.0" on the routed dictionary decode.
+            if isinstance(x, float):
+                if not x.is_integer():
+                    raise ValueError(
+                        "intersect_value over a float-typed column is not "
+                        "supported (render divergence vs the routed decode); "
+                        "use an integer or string column"
+                    )
                 return str(int(x))
             return str(x)
 
