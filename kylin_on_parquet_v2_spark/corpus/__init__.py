@@ -80,8 +80,11 @@ def _modules():
 # by the driver-calibrated in-repo parity suite
 # (tests/test_entry_oracle_parity.py — all oracles, every round).
 _PRIORITY = [
-    # --- r10 driver window (50 entries): 10 NEW, then r10-touched, then
-    # --- the oldest-checked block
+    # --- r11 driver window (50 entries): NEW r11 queries first (the
+    # --- time-grain rewrite family), then r10's new block, then the
+    # --- r11-touched / oldest-checked entries
+    "cube_routed_trunc_rewrite",
+    "cube_routed_extract_rewrite",
     "hybrid_compacted_tail",
     "corpus_bpe_encode",
     "multimodal_perceptual_dedup",

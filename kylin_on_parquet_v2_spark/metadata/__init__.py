@@ -11,6 +11,7 @@ from kylin_on_parquet_v2_spark.metadata.cube import (
     CubeDesc,
     FunctionDesc,
     MeasureDesc,
+    TimeDerivedDim,
 )
 
 __all__ = [
@@ -21,4 +22,5 @@ __all__ = [
     "CubeDesc",
     "FunctionDesc",
     "MeasureDesc",
+    "TimeDerivedDim",
 ]

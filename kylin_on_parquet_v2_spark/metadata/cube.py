@@ -67,6 +67,34 @@ class MeasureDesc:
     function: FunctionDesc
 
 
+#: the reference's auto-derived event-time grain family
+#: (core-metadata/.../dimension/TimeDerivedColumnType.java:35-151)
+TIME_GRAINS = ("minute", "hour", "day", "week", "month", "quarter", "year")
+
+
+@dataclass(frozen=True)
+class TimeDerivedDim:
+    """A stored dimension that IS a grain truncation of an event-time
+    column: ``name = date_trunc(grain, source)`` (reference
+    ``TimeDerivedColumnType.java:35-151`` — streaming cubes declare
+    minute_start/hour_start/... as first-class dim columns stamped at
+    ingest). Declaring the mapping lets the router rewrite BI-spelled
+    queries (``GROUP BY date_trunc('hour', ts)``, ``year(ts)``) onto the
+    stored column, so they serve from the cube instead of a fact scan.
+    The stored column must be the TIMESTAMP produced by ``date_trunc``
+    (what ``streaming.segments.with_time_derived`` stamps)."""
+
+    name: str  # stored dim column, e.g. "hour_start"
+    source: str  # raw event-time column, e.g. "ts"
+    grain: str  # one of TIME_GRAINS
+
+    def __post_init__(self) -> None:
+        if self.grain not in TIME_GRAINS:
+            raise ValueError(
+                f"unknown time grain {self.grain!r}; known: {TIME_GRAINS}"
+            )
+
+
 @dataclass(frozen=True)
 class AggregationGroup:
     """Prunes the 2^n cuboid lattice (reference AggregationGroup.java:62-67).
@@ -152,6 +180,13 @@ class CubeDesc:
     #: equality filters. Not combinable with segment merge (merge rewrites
     #: files outside the bucket bookkeeping and drops the table spec).
     bucket_layouts: bool = False
+    #: declared event-time grain dimensions (TimeDerivedColumnType parity):
+    #: each names a dimension of this cube that equals
+    #: ``date_trunc(grain, source)``. The router uses these to rewrite
+    #: grain expressions over the raw event-time column onto the stored
+    #: dims. Mappings are ALSO auto-detected from the model's
+    #: computed_columns whose expression is a date_trunc over one column.
+    time_derived: tuple[TimeDerivedDim, ...] = ()
 
     def __post_init__(self) -> None:
         names = [m.name for m in self.measures]
@@ -159,6 +194,11 @@ class CubeDesc:
             raise ValueError("duplicate measure names")
         if self.bucket_layouts and not self.shard_by:
             raise ValueError("bucket_layouts requires shard_by")
+        for td in self.time_derived:
+            if td.name not in self.dimensions:
+                raise ValueError(
+                    f"time-derived dim {td.name!r} is not a cube dimension"
+                )
 
     def measure(self, name: str) -> MeasureDesc:
         for m in self.measures:

@@ -35,6 +35,7 @@ from kylin_on_parquet_v2_spark.cube.cuboid import Cuboid
 from kylin_on_parquet_v2_spark.metadata.cube import MeasureDesc
 from kylin_on_parquet_v2_spark.metadata.model import JoinTable
 from kylin_on_parquet_v2_spark.query.digest import AggCall, SqlDigest
+from kylin_on_parquet_v2_spark.query.time_rewrite import rewrite_time_grains
 
 
 @dataclass
@@ -736,6 +737,13 @@ def plan_route(
     approx_distinct: bool = False,
     approx_topn: bool = False,
 ) -> Route | None:
+    # time-grain rewrite FIRST (TimeDerivedColumnType.java:35-151 parity):
+    # grain expressions over a declared event-time column are mapped onto
+    # the stored derived dims so BI-spelled queries match cuboids. The
+    # rewrite is deterministic + idempotent; execute_route/
+    # routed_layout_scan re-apply it to the caller's original digest and
+    # land on the same expressions.
+    digest = rewrite_time_grains(digest, inst)
     if not _match_joins(digest, inst):
         return None
     topn_route = _plan_topn_route(digest, inst, approx_topn)
@@ -1154,6 +1162,7 @@ def routed_layout_scan(
     execute_route and the hybrid realization (which needs the filtered
     layout rows — e.g. stored bitmap word-bags — as MERGE PARTIALS rather
     than finalized aggregates)."""
+    digest = rewrite_time_grains(digest, inst)
     df = inst.layout_df(spark, route.cuboid)
     # segment pruning first: these predicates hit the partition column, so
     # Catalyst turns them into PartitionFilters (no data read outside range)
@@ -1220,6 +1229,7 @@ def routed_layout_scan(
 def execute_route(
     digest: SqlDigest, inst: CubeInstance, route: Route, spark, scan=None
 ) -> DataFrame:
+    digest = rewrite_time_grains(digest, inst)
     # `scan` lets a caller that ALSO needs the raw routed rows (the hybrid
     # realization's bag pipelines) share one scan definition instead of
     # re-deriving the pruned+filtered+recovered frame

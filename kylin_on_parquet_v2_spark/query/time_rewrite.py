@@ -1,0 +1,260 @@
+"""Time-grain routing rewrite (reference ``TimeDerivedColumnType.java:35-151``).
+
+A streaming/batch cube stores derived event-time dimensions —
+``hour_start = date_trunc('hour', ts)`` and friends — as real columns, but a
+BI tool spells its queries over the RAW event-time column:
+``GROUP BY date_trunc('hour', ts)``, ``WHERE year(ts) = 2024``. Without a
+rewrite those queries fall to the pushdown fact scan even though the cube can
+answer them exactly. The reference's ``TimeDerivedColumnType`` recognizes
+derived time expressions and maps them onto the stored columns; this module
+does the same over the SQL digest, BEFORE cuboid matching:
+
+- ``date_trunc('G', ts)``      -> the stored grain-G dim (exact), or
+                                  ``date_trunc('G', <finer dim>)`` recomputed
+                                  from a finer stored grain
+- ``year/quarter/month/dayofmonth(CAST(ts AS DATE))`` (how Catalyst renders
+  ``year(ts)`` etc.) and ``extract('year' FROM ts)`` -> the same function
+  over a stored dim whose grain preserves the value
+- ``to_date(ts)``              -> ``to_date(<dim>)`` for any grain <= day
+
+Soundness: ``date_trunc(G, date_trunc(g, x)) = date_trunc(G, x)`` whenever
+grain ``g`` NESTS in ``G`` — with the one classic caveat that WEEK does not
+nest in month/quarter/year (a week's Monday can fall in the prior month), and
+nothing but week itself serves week except day-or-finer. The ``_SERVABLE``
+table encodes exactly the nesting lattice; substitution prefers the COARSEST
+stored grain that still preserves the value (fewest layout rows scanned).
+
+The rewrite returns a COPY of the digest (the original is shared across
+candidate cubes) and is deterministic + idempotent, so it is applied
+independently at ``plan_route`` and ``execute_route``/``routed_layout_scan``
+time with identical results. If ANY occurrence of the source column cannot be
+rewritten (a bare ``ts >= ...`` range, an unrecognized function), that
+expression is left untouched — the router then fails dim coverage and the
+query falls back to pushdown, which is always correct.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import replace
+
+from kylin_on_parquet_v2_spark.metadata.cube import TIME_GRAINS
+
+_STRING_LIT_RE = re.compile(r"'(?:[^']|'')*'")
+
+#: required grain -> stored grains that preserve its value, COARSEST FIRST
+#: (the preference order: coarser stored grain = smaller cuboid). Week only
+#: nests day/hour/minute; week itself never serves month/quarter/year.
+_SERVABLE: dict[str, tuple[str, ...]] = {
+    "minute": ("minute",),
+    "hour": ("hour", "minute"),
+    "day": ("day", "hour", "minute"),
+    "week": ("week", "day", "hour", "minute"),
+    "month": ("month", "day", "hour", "minute"),
+    "quarter": ("quarter", "month", "day", "hour", "minute"),
+    "year": ("year", "quarter", "month", "day", "hour", "minute"),
+}
+
+#: extract()/date-part functions -> the grain their value depends on
+_FUNC_GRAIN = {
+    "year": "year",
+    "quarter": "quarter",
+    "month": "month",
+    "dayofmonth": "day",
+    "day": "day",
+}
+
+
+def _ident(src: str) -> str:
+    return rf"`?{re.escape(src)}`?"
+
+
+def _patterns(src: str) -> list[tuple[re.Pattern, object]]:
+    """(compiled pattern, replacement-builder) pairs for one source column.
+    Each builder receives (match, grains: {grain: dim}, used: set) and
+    returns the replacement text, or None when unservable (the caller then
+    leaves the whole expression unrewritten)."""
+    s = _ident(src)
+
+    def trunc(m, grains, used):
+        req = m.group(1).lower()
+        for g in _SERVABLE.get(req, ()):
+            if g in grains:
+                dim = grains[g]
+                used.add(dim)
+                return dim if g == req else f"date_trunc('{m.group(1)}', {dim})"
+        return None
+
+    def part_fn(m, grains, used):
+        fn = m.group(1).lower()
+        req = _FUNC_GRAIN[fn]
+        for g in _SERVABLE[req]:
+            if g in grains:
+                dim = grains[g]
+                used.add(dim)
+                return f"{m.group(1)}(CAST({dim} AS DATE))"
+        return None
+
+    def extract_fn(m, grains, used):
+        field = m.group(1).lower()
+        req = _FUNC_GRAIN[field]
+        for g in _SERVABLE[req]:
+            if g in grains:
+                dim = grains[g]
+                used.add(dim)
+                # unquoted field on the rebuild: the parser accepts
+                # extract(YEAR FROM x); the quoted render is analysis-only
+                return f"extract({field.upper()} FROM {dim})"
+        return None
+
+    def to_date_fn(m, grains, used):
+        for g in _SERVABLE["day"]:
+            if g in grains:
+                dim = grains[g]
+                used.add(dim)
+                return f"to_date({dim})"
+        return None
+
+    return [
+        (
+            re.compile(rf"date_trunc\(\s*'(\w+)'\s*,\s*{s}\s*\)", re.IGNORECASE),
+            trunc,
+        ),
+        (
+            re.compile(
+                rf"\b(year|quarter|month|dayofmonth|day)\(\s*CAST\(\s*{s}\s+AS\s+DATE\s*\)\s*\)",
+                re.IGNORECASE,
+            ),
+            part_fn,
+        ),
+        (
+            re.compile(
+                rf"\bextract\(\s*'?(year|quarter|month|day)'?\s+FROM\s+{s}\s*\)",
+                re.IGNORECASE,
+            ),
+            extract_fn,
+        ),
+        (re.compile(rf"\bto_date\(\s*{s}\s*\)", re.IGNORECASE), to_date_fn),
+    ]
+
+
+def _substitute(
+    sql: str, src: str, grains: dict[str, str]
+) -> tuple[str, set[str]] | None:
+    """Rewrite every recognized grain expression over ``src`` in ``sql``
+    onto stored dims. Returns (new sql, dims used), or None when any
+    occurrence of ``src`` survives un-rewritten (partial rewrites would
+    change semantics — all or nothing)."""
+    used: set[str] = set()
+    failed = False
+
+    def wrap(builder):
+        def repl(m):
+            nonlocal failed
+            out = builder(m, grains, used)
+            if out is None:
+                failed = True
+                return m.group(0)
+            return out
+
+        return repl
+
+    out = sql
+    for pat, builder in _patterns(src):
+        out = pat.sub(wrap(builder), out)
+    if failed:
+        return None
+    # any bare reference left (outside string literals) => unservable
+    if re.search(rf"\b{re.escape(src)}\b", _STRING_LIT_RE.sub("''", out)):
+        return None
+    return out, used
+
+
+_CC_TRUNC = re.compile(
+    r"^date_trunc\(\s*'(\w+)'\s*,\s*`?(\w+)`?\s*\)$", re.IGNORECASE
+)
+
+
+def time_derived_map(inst) -> dict[str, dict[str, str]]:
+    """source event-time column -> {grain: stored dim name} for ``inst``,
+    merged from the cube's explicit :class:`TimeDerivedDim` declarations and
+    auto-detection over the model's computed columns (a computed column
+    ``hour_start = date_trunc('hour', ts)`` that is also a dimension IS a
+    time-derived dim — no separate declaration needed)."""
+    out: dict[str, dict[str, str]] = {}
+    for td in getattr(inst.desc, "time_derived", ()):
+        out.setdefault(td.source, {})[td.grain] = td.name
+    dims = set(inst.desc.dimensions)
+    for name, expr in getattr(inst.model, "computed_columns", {}).items():
+        if name not in dims:
+            continue
+        m = _CC_TRUNC.match(expr.strip())
+        if m and m.group(1).lower() in TIME_GRAINS:
+            out.setdefault(m.group(2), {}).setdefault(m.group(1).lower(), name)
+    return out
+
+
+def rewrite_time_grains(digest, inst):
+    """Return ``digest`` with grain expressions over declared event-time
+    source columns rewritten onto ``inst``'s stored time-derived dims — or
+    the SAME digest object when nothing applies (the common fast path: one
+    dict lookup per query for cubes with no time-derived declarations)."""
+    mapping = time_derived_map(inst)
+    if not mapping:
+        return digest
+    dims = set(inst.desc.dimensions)
+    # only sources that are NOT themselves dims need rewriting: if the raw
+    # column is a dimension the ordinary dim path already serves it
+    relevant = {s: g for s, g in mapping.items() if s not in dims and g}
+    if not relevant:
+        return digest
+
+    touched = False
+    new_gexprs = dict(digest.group_exprs)
+    for gname, (gsql, bases) in digest.group_exprs.items():
+        hit = sorted(b for b in bases if b in relevant)
+        if not hit:
+            continue
+        new_sql, new_bases, used_all, ok = gsql, set(bases), set(), True
+        for b in hit:
+            res = _substitute(new_sql, b, relevant[b])
+            if res is None:
+                ok = False
+                break
+            new_sql, used = res
+            new_bases.discard(b)
+            used_all |= used
+        if ok:
+            new_gexprs[gname] = (new_sql, frozenset(new_bases | used_all))
+            touched = True
+
+    new_fsql, new_fcols = digest.filter_sql, digest.filter_cols
+    if digest.filter_sql:
+        fhit = sorted(c for c in digest.filter_cols if c in relevant)
+        if fhit:
+            fsql, fcols, used_all, ok = (
+                digest.filter_sql,
+                set(digest.filter_cols),
+                set(),
+                True,
+            )
+            for b in fhit:
+                res = _substitute(fsql, b, relevant[b])
+                if res is None:
+                    ok = False
+                    break
+                fsql, used = res
+                fcols.discard(b)
+                used_all |= used
+            if ok:
+                new_fsql, new_fcols = fsql, fcols | used_all
+                touched = True
+
+    if not touched:
+        return digest
+    return replace(
+        digest,
+        group_exprs=new_gexprs,
+        filter_sql=new_fsql,
+        filter_cols=new_fcols,
+    )

@@ -1,0 +1,263 @@
+"""Time-grain routing rewrite (round-11 verdict item 1 —
+TimeDerivedColumnType.java:35-151 parity).
+
+A cube stores derived event-time dims (hour_start = date_trunc('hour', ts));
+queries SPELLED over the raw ts column — GROUP BY date_trunc('hour', ts),
+year(ts), WHERE date_trunc('day', ts) < ... — must route onto the stored
+dims instead of falling to a pushdown fact scan, and the routed answer must
+be hash-identical to the pushdown one (validate=True enforces this).
+
+Adversarial cases: week does NOT serve month/quarter/year (a week's Monday
+can precede the month), coarser grains recompute from finer stored dims,
+bare raw-ts predicates stay unroutable, and the rewrite leaves foreign
+digests untouched.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from kylin_on_parquet_v2_spark.metadata import (
+    CubeDesc,
+    DataModel,
+    FunctionDesc,
+    MeasureDesc,
+    TimeDerivedDim,
+)
+from kylin_on_parquet_v2_spark.query.engine import OlapEngine
+from kylin_on_parquet_v2_spark.query.time_rewrite import _substitute, time_derived_map
+
+ROWS = [
+    # two days, several hours, two event types; 2023-12-31 is a Sunday of
+    # the ISO week starting Monday 2023-12-25 (the week/month trap)
+    ("2023-12-31 23:10:00", "view", 1.0),
+    ("2024-01-01 00:20:00", "view", 2.0),
+    ("2024-01-01 01:30:00", "click", 3.0),
+    ("2024-01-01 01:45:00", "view", 4.0),
+    ("2024-01-02 10:00:00", "click", 5.0),
+    ("2024-02-15 12:00:00", "view", 6.0),
+]
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tmp_path_factory):
+    spark.createDataFrame(ROWS, "s string, etype string, v double").selectExpr(
+        "cast(s as timestamp) as ts", "etype", "v"
+    ).createOrReplaceTempView("tg_events")
+    eng = OlapEngine(spark, storage_dir=str(tmp_path_factory.mktemp("tg_cubes")))
+    eng.add_model(
+        DataModel(
+            name="tg_star",
+            fact_table="tg_events",
+            computed_columns={
+                "day_start": "date_trunc('day', ts)",
+                "hour_start": "date_trunc('hour', ts)",
+            },
+        )
+    )
+    eng.build_cube(
+        CubeDesc(
+            name="tg_cube",
+            model_name="tg_star",
+            dimensions=("day_start", "hour_start", "etype"),
+            measures=(
+                MeasureDesc("_cnt", FunctionDesc("COUNT")),
+                MeasureDesc("sum_v", FunctionDesc("SUM", "v")),
+            ),
+        )
+    )
+    return eng
+
+
+# ---- unit: the substitution engine ---------------------------------------
+
+
+def test_substitute_exact_and_recomputed_grains():
+    grains = {"hour": "hour_start", "day": "day_start"}
+    # exact grain -> bare dim
+    assert _substitute("date_trunc('hour', ts)", "ts", grains) == (
+        "hour_start",
+        {"hour_start"},
+    )
+    # coarser grain -> recomputed from the COARSEST valid stored dim
+    assert _substitute("date_trunc('month', ts)", "ts", grains) == (
+        "date_trunc('month', day_start)",
+        {"day_start"},
+    )
+    # extract-style functions ride the day dim
+    assert _substitute("year(CAST(ts AS DATE))", "ts", grains) == (
+        "year(CAST(day_start AS DATE))",
+        {"day_start"},
+    )
+    assert _substitute("extract('year' FROM ts)", "ts", grains) == (
+        "extract(YEAR FROM day_start)",
+        {"day_start"},
+    )
+    assert _substitute("to_date(ts)", "ts", grains) == (
+        "to_date(day_start)",
+        {"day_start"},
+    )
+
+
+def test_substitute_week_never_serves_month():
+    # only week stored: month/quarter/year must refuse (week misaligns)
+    assert _substitute("date_trunc('month', ts)", "ts", {"week": "week_start"}) is None
+    assert _substitute("year(CAST(ts AS DATE))", "ts", {"week": "week_start"}) is None
+    # but week itself is exact
+    assert _substitute("date_trunc('week', ts)", "ts", {"week": "week_start"}) == (
+        "week_start",
+        {"week_start"},
+    )
+    # and day-stored serves week
+    assert _substitute("date_trunc('week', ts)", "ts", {"day": "day_start"}) == (
+        "date_trunc('week', day_start)",
+        {"day_start"},
+    )
+
+
+def test_substitute_all_or_nothing():
+    grains = {"hour": "hour_start"}
+    # a bare raw-ts reference alongside a servable call: refuse entirely
+    assert _substitute("date_trunc('hour', ts) = ts", "ts", grains) is None
+    # raw ts inside a string literal is NOT a reference
+    out, used = _substitute("date_trunc('hour', ts) || 'ts'", "ts", grains)
+    assert out == "hour_start || 'ts'" and used == {"hour_start"}
+
+
+def test_time_derived_map_merges_declared_and_computed(spark, engine):
+    inst = engine.cubes["tg_cube"]
+    assert time_derived_map(inst) == {
+        "ts": {"day": "day_start", "hour": "hour_start"}
+    }
+
+
+# ---- engine: routed, validated, plan-asserted ----------------------------
+
+
+def _assert_no_fact_scan(engine, df):
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "tg_events" not in plan, plan
+
+
+def test_group_by_date_trunc_routes_exact_grain(engine):
+    df = engine.sql(
+        """
+        select date_trunc('hour', ts) as hour_start,
+               count(*) as n, sum(v) as sum_v
+        from tg_events
+        group by date_trunc('hour', ts)
+        order by hour_start
+        """,
+        validate=True,
+    )
+    route = engine.last_route
+    assert route is not None, "expected routed time-grain rewrite"
+    assert set(route.cuboid.dims) == {"hour_start"}, route.cuboid
+    _assert_no_fact_scan(engine, df)
+    rows = df.collect()
+    assert len(rows) == 5 and rows[1].n == 1 and rows[2].n == 2
+
+
+def test_group_and_filter_rewrite_together(engine):
+    df = engine.sql(
+        """
+        select date_trunc('day', ts) as d, sum(v) as sum_v
+        from tg_events
+        where date_trunc('day', ts) < timestamp '2024-01-02 00:00:00'
+        group by date_trunc('day', ts)
+        order by d
+        """,
+        validate=True,
+    )
+    route = engine.last_route
+    assert route is not None and set(route.cuboid.dims) == {"day_start"}
+    got = [(str(r.d), r.sum_v) for r in df.collect()]
+    assert got == [
+        ("2023-12-31 00:00:00", 1.0),
+        ("2024-01-01 00:00:00", 9.0),
+    ]
+
+
+def test_year_month_extract_recomputed_from_day(engine):
+    df = engine.sql(
+        """
+        select year(ts) as y, month(ts) as m, count(*) as n
+        from tg_events
+        group by year(ts), month(ts)
+        order by y, m
+        """,
+        validate=True,
+    )
+    route = engine.last_route
+    assert route is not None and set(route.cuboid.dims) == {"day_start"}
+    assert [(r.y, r.m, r.n) for r in df.collect()] == [
+        (2023, 12, 1),
+        (2024, 1, 4),
+        (2024, 2, 1),
+    ]
+
+
+def test_filter_only_rewrite_with_plain_dims(engine):
+    df = engine.sql(
+        """
+        select etype, count(*) as n
+        from tg_events
+        where year(ts) = 2024
+        group by etype
+        order by etype
+        """,
+        validate=True,
+    )
+    assert engine.last_route is not None
+    assert {r.etype: r.n for r in df.collect()} == {"click": 2, "view": 3}
+
+
+def test_bare_ts_predicate_stays_pushdown(engine):
+    df = engine.sql(
+        """
+        select etype, count(*) as n from tg_events
+        where ts >= timestamp '2024-01-01 00:00:00'
+        group by etype order by etype
+        """
+    )
+    assert engine.last_route is None  # raw-ts range: unservable, pushdown
+    assert {r.etype: r.n for r in df.collect()} == {"click": 2, "view": 3}
+
+
+def test_declared_time_derived_dim_on_prestamped_table(spark, tmp_path_factory):
+    """The streaming-store shape: the fact table ALREADY has the stamped
+    column (no computed_columns) and the cube DECLARES the mapping."""
+    spark.createDataFrame(ROWS, "s string, etype string, v double").selectExpr(
+        "cast(s as timestamp) as ts",
+        "date_trunc('week', cast(s as timestamp)) as week_start",
+        "etype",
+        "v",
+    ).createOrReplaceTempView("tg_week_events")
+    eng = OlapEngine(spark, storage_dir=str(tmp_path_factory.mktemp("tgw_cubes")))
+    eng.add_model(DataModel(name="tgw_star", fact_table="tg_week_events"))
+    eng.build_cube(
+        CubeDesc(
+            name="tgw_cube",
+            model_name="tgw_star",
+            dimensions=("week_start", "etype"),
+            measures=(MeasureDesc("_cnt", FunctionDesc("COUNT")),),
+            time_derived=(TimeDerivedDim("week_start", "ts", "week"),),
+        )
+    )
+    df = eng.sql(
+        """
+        select date_trunc('week', ts) as w, count(*) as n
+        from tg_week_events group by date_trunc('week', ts) order by w
+        """,
+        validate=True,
+    )
+    assert eng.last_route is not None
+    assert set(eng.last_route.cuboid.dims) == {"week_start"}
+    assert [r.n for r in df.collect()] == [1, 4, 1]
+
+    # the week/month trap END TO END: month cannot be served by week-only
+    eng.sql(
+        "select date_trunc('month', ts) as m, count(*) as n "
+        "from tg_week_events group by date_trunc('month', ts)"
+    )
+    assert eng.last_route is None
