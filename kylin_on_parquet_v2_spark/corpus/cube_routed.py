@@ -765,7 +765,79 @@ def cube_routed_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BLOOM_ENGINES: dict[str, object] = {}
+
+
+def _bloom_engine(spark: SparkSession, sf_dir: str):
+    """Engine with a cube declaring PARQUET BLOOM FILTERS on its
+    high-cardinality user_id dim (CubeDesc.bloom_filter_dims — reference
+    intent: the realtime store's fragment inverted index,
+    stream-core/.../storage/columnar/invertindex/*). Layout row groups
+    then carry bloom membership for user_id, so a point lookup skips row
+    groups that min/max stats cannot (user_id values scatter across every
+    row group of the event_type-leading rowkey order)."""
+    import os
+
+    from kylin_on_parquet_v2_spark.corpus.base import proc_tmp, views
+    from kylin_on_parquet_v2_spark.metadata import (
+        CubeDesc,
+        DataModel,
+        FunctionDesc,
+        MeasureDesc,
+    )
+    from kylin_on_parquet_v2_spark.query.engine import OlapEngine
+
+    key = os.path.abspath(sf_dir)
+    eng = _BLOOM_ENGINES.get(key)
+    if eng is not None and eng.spark is spark:
+        return eng
+    views(spark, sf_dir)
+    storage = proc_tmp("bloom_cubes", key.strip("/").replace("/", "_"))
+    eng = OlapEngine(spark, storage_dir=storage)
+    eng.add_model(DataModel(name="events_bloom_star", fact_table="events"))
+    eng.build_cube(
+        CubeDesc(
+            name="events_bloom_cube",
+            model_name="events_bloom_star",
+            dimensions=("event_type", "user_id"),
+            measures=(
+                MeasureDesc("_count", FunctionDesc("COUNT")),
+                MeasureDesc("sum_value", FunctionDesc("SUM", "value")),
+            ),
+            bloom_filter_dims=("user_id",),
+            bloom_filter_ndv={"user_id": 2000},
+        )
+    )
+    _BLOOM_ENGINES[key] = eng
+    return eng
+
+
+def cube_routed_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookup on the bloom-filtered user_id dim, routed onto the
+    (event_type, user_id) cuboid: the equality predicate reaches the
+    parquet scan as a pushed filter AND a bloom membership probe per row
+    group. Results are storage-option-independent — the DuckDB oracle
+    proves it."""
+    eng = _bloom_engine(spark, sf_dir)
+    df = eng.sql(
+        """
+        select event_type, count(*) as n, sum(value) as sum_value
+        from events
+        where user_id = 7
+        group by event_type
+        order by event_type
+        """
+    )
+    assert eng.last_route is not None, "expected bloom-cube route"
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "user_id" in plan, plan
+    return df.select(
+        "event_type", "n", F.round("sum_value", 2).alias("sum_value")
+    )
+
+
 QUERIES = {
+    "cube_routed_bloom_probe": cube_routed_bloom_probe,
     "cube_routed_bucketed": cube_routed_bucketed,
     "cube_routed_topn_range": cube_routed_topn_range,
     "cube_routed_cte": cube_routed_cte,
@@ -799,6 +871,13 @@ QUERIES = {
 }
 
 ORACLES = {
+    "cube_routed_bloom_probe": """
+        select event_type, count(*) as n, round(sum(value), 2) as sum_value
+        from events
+        where user_id = 7
+        group by event_type
+        order by event_type
+    """,
     "cube_routed_topn_range": """
         with daily as (
             select l_shipdate, l_suppkey, sum(l_quantity) as s

@@ -76,6 +76,24 @@ def _same_location(loc: str | None, path: str) -> bool:
     return os.path.abspath(loc.rstrip("/")) == os.path.abspath(str(path).rstrip("/"))
 
 
+def bloom_write_options(desc: CubeDesc, columns) -> dict[str, str]:
+    """Parquet writer options enabling bloom filters for the cube's
+    declared bloom dims present in ``columns`` (reference intent: the
+    realtime store's per-fragment inverted index,
+    stream-core/.../storage/columnar/invertindex/*). Complements rowkey-
+    ordered min/max skipping: an equality probe on a NON-leading
+    high-cardinality dim — whose values land in every row group — skips
+    row groups by bloom membership instead of scanning the layout."""
+    opts: dict[str, str] = {}
+    for col in desc.bloom_filter_dims:
+        if col in columns:
+            opts[f"parquet.bloom.filter.enabled#{col}"] = "true"
+            ndv = desc.bloom_filter_ndv.get(col)
+            if ndv:
+                opts[f"parquet.bloom.filter.expected.ndv#{col}"] = str(int(ndv))
+    return opts
+
+
 def with_shard_partition(df: DataFrame, desc: CubeDesc) -> tuple[DataFrame, list[str]]:
     """Materialize the ``__shard__`` partition column when the layout hosts
     the shard key (CubeBuildJob.java:326-357 + FilePruner.pruneShards
@@ -1060,6 +1078,7 @@ class CubeBuilder:
                 df.repartition(self.desc.shard_buckets, F.col(self.desc.shard_by))
                 .write.mode(mode)
                 .format("parquet")
+                .options(**bloom_write_options(self.desc, df.columns))
                 .option("path", path)
                 .bucketBy(self.desc.shard_buckets, self.desc.shard_by)
                 .sortBy(
@@ -1088,7 +1107,9 @@ class CubeBuilder:
         if sort_cols:
             # rowkey-order within each output file (no shuffle added)
             writer = writer.sortWithinPartitions(*sort_cols)
-        w = writer.write.mode(mode)
+        w = writer.write.mode(mode).options(
+            **bloom_write_options(self.desc, df.columns)
+        )
         if parts:
             w = w.partitionBy(*parts)
         w.parquet(path)

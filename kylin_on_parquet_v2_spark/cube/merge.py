@@ -22,6 +22,7 @@ from kylin_on_parquet_v2_spark.cube import measures as M
 from kylin_on_parquet_v2_spark.cube.build import (
     SEGMENT_COL,
     CubeInstance,
+    bloom_write_options,
     record_dim_ranges,
     with_shard_partition,
 )
@@ -159,12 +160,19 @@ def merge_segments(
                 # layout write (task-local sort, no extra shuffle) so the
                 # row-group min/max skipping survives the merge
                 writer = writer.sortWithinPartitions(*keys)
-            writer.write.mode("overwrite").partitionBy(*parts).parquet(staging)
+            # blooms survive the merge (same declaration as the original
+            # layout write — losing them here would silently drop the
+            # point-lookup skipping after every compaction cycle)
+            writer.write.mode("overwrite").options(
+                **bloom_write_options(inst.desc, merged.columns)
+            ).partitionBy(*parts).parquet(staging)
         else:
             writer = merged.repartition(n_files)
             if keys:
                 writer = writer.sortWithinPartitions(*keys)
-            writer.write.mode("overwrite").parquet(staging)
+            writer.write.mode("overwrite").options(
+                **bloom_write_options(inst.desc, merged.columns)
+            ).parquet(staging)
         # swap sentinel: from here until the rename lands, the staged bytes
         # are the layout's truth — a rerun finishes the swap (above) rather
         # than recomputing from partially deleted inputs

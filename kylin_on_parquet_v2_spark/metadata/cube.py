@@ -180,6 +180,19 @@ class CubeDesc:
     #: equality filters. Not combinable with segment merge (merge rewrites
     #: files outside the bucket bookkeeping and drops the table spec).
     bucket_layouts: bool = False
+    #: parquet BLOOM FILTERS on these columns at layout write (reference
+    #: intent: the realtime store's fragment inverted index,
+    #: stream-core/.../storage/columnar/invertindex/* — a per-fragment
+    #: membership structure for point lookups). Rowkey-ordered writes give
+    #: min/max skipping on LEADING dims; blooms give row-group skipping on
+    #: equality probes over NON-leading high-cardinality dims (shard keys,
+    #: id-like columns) whose values scatter across every row group.
+    bloom_filter_dims: tuple[str, ...] = ()
+    #: expected distinct count per bloom dim — sizes the filter bitset
+    #: (parquet.bloom.filter.expected.ndv). Unset dims take parquet's
+    #: max-bytes cap, which over-allocates on small row groups: declare the
+    #: per-row-group NDV when known.
+    bloom_filter_ndv: dict = field(default_factory=dict)
     #: declared event-time grain dimensions (TimeDerivedColumnType parity):
     #: each names a dimension of this cube that equals
     #: ``date_trunc(grain, source)``. The router uses these to rewrite
@@ -198,6 +211,12 @@ class CubeDesc:
             if td.name not in self.dimensions:
                 raise ValueError(
                     f"time-derived dim {td.name!r} is not a cube dimension"
+                )
+        for col in self.bloom_filter_dims:
+            if col not in self.dimensions and col != self.shard_by:
+                raise ValueError(
+                    f"bloom-filter column {col!r} is neither a dimension "
+                    "nor the shard column"
                 )
 
     def measure(self, name: str) -> MeasureDesc:

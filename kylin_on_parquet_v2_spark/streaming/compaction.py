@@ -86,6 +86,7 @@ def compact_fragments(
     partition_col: str = SEGMENT_COL,
     skip_newest: bool = True,
     sort_col: str | None = "ts",
+    bloom_cols: dict[str, int | None] | None = None,
     _pre_swap_hook=None,
 ) -> dict[str, tuple[int, int]]:
     """Compact every eligible ``partition_col=value`` dir under
@@ -107,6 +108,12 @@ def compact_fragments(
     the store carries it (default the event-time column) — task-local sort,
     no extra shuffle, and boundary-filtered tail scans skip row groups via
     parquet min/max stats.
+
+    ``bloom_cols``: {column: expected ndv or None} — write parquet bloom
+    filters on these columns in the compacted files (reference intent: the
+    fragment inverted index, stream-core/.../storage/columnar/
+    invertindex/*), so point lookups on high-cardinality non-sort columns
+    skip row groups the min/max stats cannot.
 
     ``_pre_swap_hook(part_dir)`` is a test seam invoked between staging and
     the concurrent-append listing check.
@@ -144,7 +151,15 @@ def compact_fragments(
             # filter then skips whole row groups via parquet min/max stats
             # instead of scanning every compacted file in boundary dirs
             staged = staged.sortWithinPartitions(sort_col)
-        staged.write.mode("overwrite").parquet(staging)
+        w = staged.write.mode("overwrite")
+        for bcol, ndv in (bloom_cols or {}).items():
+            if bcol in df.columns:
+                w = w.option(f"parquet.bloom.filter.enabled#{bcol}", "true")
+                if ndv:
+                    w = w.option(
+                        f"parquet.bloom.filter.expected.ndv#{bcol}", str(int(ndv))
+                    )
+        w.parquet(staging)
         if _pre_swap_hook is not None:
             _pre_swap_hook(part_dir)
         if _data_files(fs, part_dir) != files:
