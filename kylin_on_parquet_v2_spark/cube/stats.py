@@ -36,6 +36,17 @@ from kylin_on_parquet_v2_spark.cube.cuboid import CuboidScheduler
 #: compiling a 100k-column codegen stage
 MAX_STATS_CUBOIDS = 4096
 
+#: sketches per aggregate pass. Above ~spark.sql.codegen.maxFields (default
+#: 100) a wide Aggregate silently falls out of whole-stage codegen into
+#: interpreted row-at-a-time evaluation — so a 4096-sketch single agg would
+#: quietly run ~interpreted over the whole flat table. 64 keeps every pass
+#: comfortably inside codegen; a >64-cuboid lattice costs ceil(n/64) scans
+#: of the (optionally sampled) flat table, each fully pipelined and
+#: shuffle-free (only 1-row sketch partials move). Measured at sf0.1
+#: (PERFORMANCE.md): two codegen passes beat one 128-sketch interpreted
+#: pass — chunking is not just a codegen-cliff guard, it is faster.
+STATS_CHUNK = 64
+
 
 def estimate_cuboid_stats(
     flat: DataFrame,
@@ -69,9 +80,13 @@ def estimate_cuboid_stats(
                 F.struct(*[F.col(d) for d in c.dims]), rsd
             ).alias(f"c{cid}")
         )
-    if aggs:
-        row = df.agg(*aggs).collect()[0]
-        for cid, c in cuboids.items():
-            if c.dims:
-                est[cid] = int(row[f"c{cid}"])
+    # chunked passes (<= STATS_CHUNK sketches each) keep every Aggregate
+    # inside whole-stage codegen; chunk boundaries cannot change estimates
+    # (each sketch is an independent column). HLL++ is deterministic, so
+    # chunked == single-pass bit for bit — asserted in test_cube_stats.
+    for lo in range(0, len(aggs), STATS_CHUNK):
+        chunk = aggs[lo : lo + STATS_CHUNK]
+        row = df.agg(*chunk).collect()[0]
+        for name in row.asDict():
+            est[int(name[1:])] = int(row[name])
     return est

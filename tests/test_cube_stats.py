@@ -109,3 +109,29 @@ def test_plan_cube_prebuild_end_to_end(spark, fact, tmp_path):
     route = eng.last_route
     assert route is not None and route.cuboid.dims == ("a",)
     assert df.count() == 20
+
+
+def test_chunked_passes_identical_to_single_pass(spark, monkeypatch):
+    """>64-cuboid lattice (7 dims => 127 sketches): the chunked (<=64 per
+    Aggregate, codegen-safe) passes must produce BIT-IDENTICAL estimates
+    to one giant aggregate — HLL++ is deterministic and each sketch is an
+    independent column, so chunk boundaries cannot change results."""
+    from kylin_on_parquet_v2_spark.cube import stats as S
+
+    dims = tuple("abcdefg")
+    cube = CubeDesc(
+        name="wide_stats_cube",
+        model_name="stats_star",
+        dimensions=dims,
+        measures=(MeasureDesc("_cnt", FunctionDesc("COUNT")),),
+    )
+    sched = CuboidScheduler(cube)
+    assert len(sched.cuboids) == 128  # 2^7 incl. the 0-dim grand total
+    df = spark.range(3000).selectExpr(
+        *[f"cast(id % {p} as int) as {d}" for d, p in zip(dims, (2, 3, 5, 7, 11, 13, 17))]
+    )
+    chunked = estimate_cuboid_stats(df, sched, rsd=0.05)
+    monkeypatch.setattr(S, "STATS_CHUNK", 10_000)  # force one giant pass
+    single = estimate_cuboid_stats(df, sched, rsd=0.05)
+    assert chunked == single
+    assert len(chunked) == 128 and chunked[0] == 1
