@@ -205,6 +205,17 @@ class OlapEngine:
             # name, so replaying that reject would drop its widened rows
             self._cache.clear()
             self._route_memo.clear()
+        # hybrid maintenance: fold the realtime tail's values into the
+        # persisted global dictionaries so subsequent hybrid
+        # intersect/distinct queries skip the per-query dictionary-extend
+        # job (NGlobalDictionaryV2 versioned persistence parity)
+        part = self.hybrids.get(name)
+        if part is not None:
+            from kylin_on_parquet_v2_spark.streaming.hybrid import (
+                fold_tail_dictionary,
+            )
+
+            fold_tail_dictionary(inst, part, self.spark)
         return built
 
     def register_hybrid(
@@ -255,11 +266,18 @@ class OlapEngine:
         is schema-level and survives). Returns {segment: (files before,
         files after)} for the dirs rewritten."""
         from kylin_on_parquet_v2_spark.streaming.compaction import maybe_compact
+        from kylin_on_parquet_v2_spark.streaming.hybrid import fold_tail_dictionary
 
         part = self.hybrids[cube_name]
-        return maybe_compact(
+        out = maybe_compact(
             self.spark, part.realtime_dir, max_fragments=max_fragments
         )
+        # re-fold after compaction: rewritten dirs changed file names, which
+        # invalidates the dictionary tail-coverage listing — fold records
+        # the new listing (no new values, so the dictionaries are untouched)
+        # and restores the query-time extend-skip fast path
+        fold_tail_dictionary(self.cubes[cube_name], part, self.spark)
+        return out
 
     def recommend_cuboids(
         self,

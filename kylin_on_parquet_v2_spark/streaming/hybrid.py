@@ -62,11 +62,13 @@ EVERY shape the batch route serves.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kylin_on_parquet_v2_spark import fs as FS
 from kylin_on_parquet_v2_spark.cube.build import SEGMENT_COL, CubeInstance
 from kylin_on_parquet_v2_spark.query.digest import SqlDigest
 from kylin_on_parquet_v2_spark.query.router import (
@@ -234,8 +236,110 @@ def batch_boundary(inst: CubeInstance, spark: SparkSession) -> str | None:
     return max(ends) if ends else None
 
 
+def _tail_files(store_dir: str, spark) -> list[str]:
+    """Sorted store-relative data-file paths under the realtime store —
+    a driver-side listing, no Spark job. The append-only file identity is
+    the dictionary-coverage unit: a file present at fold time holds the
+    same rows forever (micro-batches only ADD files; compaction REPLACES
+    names), so `current files ⊆ covered files` proves every tail value is
+    already in the persisted dictionary."""
+    fs = FS.fs_for(store_dir, spark)
+    out: list[str] = []
+
+    def walk(rel: str) -> None:
+        full = os.path.join(store_dir, rel) if rel else store_dir
+        for name in fs.listdir(full):
+            if name.startswith("."):
+                continue
+            sub = os.path.join(rel, name) if rel else name
+            if fs.isdir(os.path.join(store_dir, sub)):
+                # partition dirs are "_"-prefixed (__segment__=...) and must
+                # be walked; other "_"-dirs are staging/temp — skip them
+                if name.startswith("_") and "=" not in name:
+                    continue
+                walk(sub)
+            elif name.startswith("_"):
+                continue  # _SUCCESS and friends
+            elif name.endswith(".parquet"):
+                out.append(sub)
+
+    if fs.exists(store_dir):
+        walk("")
+    return sorted(out)
+
+
+def _cover_path(inst: CubeInstance) -> str:
+    return os.path.join(
+        inst.storage_dir, inst.desc.name, "dict", "__tail_cover__.json"
+    )
+
+
+def _tail_covered(inst: CubeInstance, part: HybridPart, spark) -> bool:
+    """True when every current realtime data file was already folded into
+    the persisted dictionaries by :func:`fold_tail_dictionary`."""
+    path = _cover_path(inst)
+    if not FS.fs_for(path, spark).exists(path):
+        return False
+    covered = set(FS.read_json(path, spark).get("files", []))
+    return set(_tail_files(part.realtime_dir, spark)) <= covered
+
+
+def fold_tail_dictionary(
+    inst: CubeInstance, part: HybridPart, spark: SparkSession
+) -> dict[str, int]:
+    """MAINTENANCE: fold the realtime store's distinct values into the
+    cube's PERSISTED global dictionaries (the versioned-append persistence
+    of ``NGlobalDictionaryV2.java`` — ids already handed out never move)
+    and record the covered file listing. Subsequent hybrid
+    intersect/distinct queries whose tail files are all covered skip the
+    per-query dictionary-extend job entirely (`_encode_tail` fast path) —
+    the extend's distinct + anti-join + offset collects run once per
+    refresh/compaction instead of once per query.
+
+    The listing is taken BEFORE the fold reads the store: a micro-batch
+    landing mid-fold contributes values (harmless — the dictionary is
+    append-only) but its file is NOT recorded as covered, so the next
+    query extends over it normally. Returns {param: new ids appended}."""
+    from kylin_on_parquet_v2_spark.cube import dictionary as GD
+
+    bitmap_params = [
+        m.function.parameter
+        for m in inst.desc.measures
+        if m.function.expression == "COUNT_DISTINCT"
+        and (m.function.returntype or "") == "bitmap"
+        and m.function.parameter
+    ]
+    if not bitmap_params:
+        return {}
+    files = _tail_files(part.realtime_dir, spark)
+    rt = _normalize_ts(spark.read.parquet(part.realtime_dir), part.ts_col)
+    added: dict[str, int] = {}
+    fs = FS.fs_for(inst.storage_dir, spark)
+    for param in bitmap_params:
+        dict_path = os.path.join(inst.storage_dir, inst.desc.name, "dict", param)
+        base = spark.read.parquet(dict_path)
+        ext = GD.extend_global_dict(base, rt, param)
+        if ext is base:  # nothing new in the tail
+            added[param] = 0
+            continue
+        # same staging swap as build_increment: ext is checkpointed, so
+        # overwriting its own source is safe and readers never see a gap
+        staging = dict_path + "_staging"
+        ext.write.mode("overwrite").parquet(staging)
+        n_before = base.count()
+        fs.rmtree(dict_path)
+        fs.rename(staging, dict_path)
+        added[param] = spark.read.parquet(dict_path).count() - n_before
+    FS.write_json(_cover_path(inst), {"files": files}, spark)
+    return added
+
+
 def _encode_tail(
-    rt: DataFrame, inst: CubeInstance, param: str, spark: SparkSession
+    rt: DataFrame,
+    inst: CubeInstance,
+    param: str,
+    spark: SparkSession,
+    part: HybridPart | None = None,
 ) -> DataFrame:
     """Dictionary-encode the realtime tail through an in-memory EXTENSION of
     the cube's frozen global dictionary: values the batch build already saw
@@ -243,14 +347,20 @@ def _encode_tail(
     space), unseen values append after the current max (versioned-append
     semantics of NGlobalDictionaryV2 — the persisted dictionary itself is
     NOT mutated by queries). Cost is O(distinct tail values): a distinct +
-    anti-join over the boundary-pruned tail only, never the batch store.
+    anti-join over the boundary-pruned tail only, never the batch store —
+    and ZERO when :func:`fold_tail_dictionary` already covers every current
+    tail file (the refresh/compaction maintenance path): the persisted
+    dictionary is then complete for the tail and the extend job is skipped.
 
     Returns ``(encoded tail, extended dictionary)`` — INTERSECT_VALUE needs
     the EXTENDED mapping to decode bits back to values (a tail-only value's
     id exists nowhere in the persisted dictionary)."""
     from kylin_on_parquet_v2_spark.cube import dictionary as GD
 
-    ext = GD.extend_global_dict(inst.dict_df(spark, param), rt, param)
+    base = inst.dict_df(spark, param)
+    if part is not None and _tail_covered(inst, part, spark):
+        return GD.encode_column(rt, base, param), base
+    ext = GD.extend_global_dict(base, rt, param)
     return GD.encode_column(rt, ext, param), ext
 
 
@@ -390,7 +500,7 @@ def execute_hybrid(
         return apply_post_aggregation(digest, result)
     if digest.grouping_sets is not None:
         return _hybrid_grouping_sets(
-            digest, inst, route, spark, rt, batch_scan, bag_items
+            digest, inst, route, spark, rt, batch_scan, bag_items, part
         )
     if plain_aggs:
         batch = execute_route(core, inst, route, spark, scan=batch_scan)
@@ -501,7 +611,7 @@ def execute_hybrid(
                 # encode the UNFILTERED tail once per param; cohort filters
                 # commute with the encoding join, so cond items filter the
                 # encoded frame instead of re-running the dict extension
-                cached = _encode_tail(rt, inst, param, spark)
+                cached = _encode_tail(rt, inst, param, spark, part)
                 enc_cache[param] = cached
             tail_enc, ext_dict = cached
             b_side = batch_scan if cond is None else batch_scan.filter(F.expr(cond))
@@ -590,6 +700,7 @@ def _hybrid_grouping_sets(
     rt: DataFrame,
     batch_scan: DataFrame,
     bag_items: list,
+    part: HybridPart | None = None,
 ) -> DataFrame:
     """GROUPING SETS / ROLLUP / CUBE across the hybrid split.
 
@@ -717,7 +828,7 @@ def _hybrid_grouping_sets(
         param = measures[mname].function.parameter
         cached = enc_cache.get(param)
         if cached is None:
-            cached = _encode_tail(rt, inst, param, spark)
+            cached = _encode_tail(rt, inst, param, spark, part)
             enc_cache[param] = cached
         tail_enc, ext_dict = cached
         b_side = batch_scan if cond is None else batch_scan.filter(F.expr(cond))
