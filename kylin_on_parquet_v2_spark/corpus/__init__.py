@@ -85,6 +85,7 @@ _PRIORITY = [
     # --- r11-touched / oldest-checked entries
     "cube_routed_trunc_rewrite",
     "cube_routed_extract_rewrite",
+    "cube_routed_ts_range_rewrite",
     "cube_routed_bloom_probe",
     "hybrid_compacted_tail",
     "corpus_bpe_encode",

@@ -227,6 +227,30 @@ def cube_routed_trunc_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cube_routed_ts_range_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAW event-time range folded onto the stored day dim: for a
+    day-ALIGNED literal T, ``ts >= T <=> day_start >= T`` and
+    ``ts < T <=> day_start < T`` (monotone idempotent truncation with T a
+    fixed point), so the canonical dashboard range [start, end) serves
+    from the cube — no fact scan, and the folded predicate is eligible
+    for segment/dim-range pruning like any dim filter. Unaligned bounds
+    refuse the fold and take pushdown (tested in test_time_rewrite)."""
+    eng = _td_engine(spark, sf_dir)
+    df = eng.sql(
+        """
+        select event_type, count(*) as n, sum(value) as sum_value
+        from events_td
+        where ts >= timestamp '2024-01-01 00:00:00'
+          and ts < timestamp '2024-01-03 00:00:00'
+        group by event_type
+        order by event_type
+        """
+    )
+    route = eng.last_route
+    assert route is not None, "expected the aligned ts-range fold to route"
+    return df.select("event_type", "n", F.round("sum_value", 2).alias("sum_value"))
+
+
 def cube_routed_extract_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXTRACT-form grain rewrite: ``GROUP BY year(ts), month(ts)`` over
     the raw event-time column recomputes from the stored day_start dim
@@ -726,6 +750,7 @@ QUERIES = {
     "streaming_time_derived": streaming_time_derived,
     "cube_routed_time_derived": cube_routed_time_derived,
     "cube_routed_trunc_rewrite": cube_routed_trunc_rewrite,
+    "cube_routed_ts_range_rewrite": cube_routed_ts_range_rewrite,
     "cube_routed_extract_rewrite": cube_routed_extract_rewrite,
     "streaming_hybrid_union": streaming_hybrid_union,
     "streaming_stateful_totals": streaming_stateful_totals,
@@ -862,6 +887,14 @@ ORACLES = {
         where date_trunc('day', ts) < timestamp '2024-01-03 00:00:00'
         group by 1, 2
         order by 1, 2
+    """,
+    "cube_routed_ts_range_rewrite": """
+        select event_type, count(*) as n, round(sum(value), 2) as sum_value
+        from events
+        where ts >= timestamp '2024-01-01 00:00:00'
+          and ts < timestamp '2024-01-03 00:00:00'
+        group by event_type
+        order by event_type
     """,
     "cube_routed_extract_rewrite": """
         select cast(year(ts) as int) as y, cast(month(ts) as int) as m,

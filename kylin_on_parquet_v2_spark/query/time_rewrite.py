@@ -35,6 +35,7 @@ query falls back to pushdown, which is always correct.
 
 from __future__ import annotations
 
+import datetime as _dt
 import re
 from dataclasses import replace
 
@@ -63,6 +64,37 @@ _FUNC_GRAIN = {
     "dayofmonth": "day",
     "day": "day",
 }
+
+
+def _py_trunc(grain: str, t: _dt.datetime) -> _dt.datetime:
+    """date_trunc replicated driver-side, for literal alignment checks."""
+    if grain == "minute":
+        return t.replace(second=0, microsecond=0)
+    if grain == "hour":
+        return t.replace(minute=0, second=0, microsecond=0)
+    if grain == "day":
+        return t.replace(hour=0, minute=0, second=0, microsecond=0)
+    if grain == "week":
+        d = t.date() - _dt.timedelta(days=t.weekday())  # Monday, like Spark
+        return _dt.datetime(d.year, d.month, d.day)
+    if grain == "month":
+        return t.replace(day=1, hour=0, minute=0, second=0, microsecond=0)
+    if grain == "quarter":
+        return t.replace(
+            month=3 * ((t.month - 1) // 3) + 1,
+            day=1, hour=0, minute=0, second=0, microsecond=0,
+        )
+    if grain == "year":
+        return t.replace(
+            month=1, day=1, hour=0, minute=0, second=0, microsecond=0
+        )
+    raise ValueError(grain)
+
+
+#: coarsest-first preference order for range-predicate folding
+_COARSE_FIRST = ("year", "quarter", "month", "week", "day", "hour", "minute")
+
+_LIT_DT = re.compile(r"'([^']+)'")
 
 
 def _ident(src: str) -> str:
@@ -115,7 +147,39 @@ def _patterns(src: str) -> list[tuple[re.Pattern, object]]:
                 return f"to_date({dim})"
         return None
 
+    def range_fn(m, grains, used):
+        # RAW range predicate folded onto a stored grain dim when the
+        # literal sits EXACTLY on that grain's boundary: for a monotone
+        # idempotent truncation f with f(T) = T,
+        #   ts >= T  <=>  f(ts) >= T   and   ts < T  <=>  f(ts) < T
+        # (proof in both directions from monotonicity + T being a fixed
+        # point). `>` / `<=` / BETWEEN have no such equivalence and are
+        # left unrewritten. This serves the canonical dashboard range
+        # [aligned-start, aligned-end) from the cube.
+        op, lit = m.group(1), m.group(2)
+        dm = _LIT_DT.search(lit)
+        if dm is None:
+            return None
+        try:
+            t = _dt.datetime.fromisoformat(dm.group(1))
+        except ValueError:
+            return None
+        for g in _COARSE_FIRST:
+            if g in grains and _py_trunc(g, t) == t:
+                dim = grains[g]
+                used.add(dim)
+                return f"{dim} {op} {lit}"
+        return None
+
     return [
+        (
+            re.compile(
+                rf"{s}\s*(>=|<)\s*(TIMESTAMP\s*'[^']+'"
+                rf"|CAST\(\s*DATE\s*'[^']+'\s+AS\s+TIMESTAMP\s*\))",
+                re.IGNORECASE,
+            ),
+            range_fn,
+        ),
         (
             re.compile(rf"date_trunc\(\s*'(\w+)'\s*,\s*{s}\s*\)", re.IGNORECASE),
             trunc,

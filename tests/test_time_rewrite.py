@@ -213,15 +213,23 @@ def test_filter_only_rewrite_with_plain_dims(engine):
 
 
 def test_bare_ts_predicate_stays_pushdown(engine):
+    # an UNALIGNED raw-ts bound (00:30 is no stored grain boundary) and an
+    # exclusive `>` (no truncation equivalence) are both unservable
     df = engine.sql(
         """
         select etype, count(*) as n from tg_events
-        where ts >= timestamp '2024-01-01 00:00:00'
+        where ts >= timestamp '2024-01-01 00:30:00'
         group by etype order by etype
         """
     )
-    assert engine.last_route is None  # raw-ts range: unservable, pushdown
-    assert {r.etype: r.n for r in df.collect()} == {"click": 2, "view": 3}
+    assert engine.last_route is None  # unaligned raw-ts range: pushdown
+    # the 00:20 view is (correctly) excluded by the 00:30 bound
+    assert {r.etype: r.n for r in df.collect()} == {"click": 2, "view": 2}
+    engine.sql(
+        "select etype, count(*) as n from tg_events "
+        "where ts > timestamp '2024-01-01 00:00:00' group by etype"
+    )
+    assert engine.last_route is None
 
 
 def test_declared_time_derived_dim_on_prestamped_table(spark, tmp_path_factory):
@@ -261,3 +269,56 @@ def test_declared_time_derived_dim_on_prestamped_table(spark, tmp_path_factory):
         "from tg_week_events group by date_trunc('month', ts)"
     )
     assert eng.last_route is None
+
+
+# ---- raw-ts range folding (aligned literals only) ------------------------
+
+
+def test_substitute_aligned_range_predicates():
+    grains = {"hour": "hour_start", "day": "day_start"}
+    # day-aligned literal -> coarsest valid stored dim (day_start)
+    assert _substitute(
+        "(ts >= TIMESTAMP '2024-01-02 00:00:00')", "ts", grains
+    ) == ("(day_start >= TIMESTAMP '2024-01-02 00:00:00')", {"day_start"})
+    # hour-aligned (not day-aligned) -> hour_start
+    assert _substitute(
+        "(ts < TIMESTAMP '2024-01-02 13:00:00')", "ts", grains
+    ) == ("(hour_start < TIMESTAMP '2024-01-02 13:00:00')", {"hour_start"})
+    # DATE-cast spelling folds too
+    out, used = _substitute(
+        "(ts >= CAST(DATE '2024-01-02' AS TIMESTAMP))", "ts", grains
+    )
+    assert out == "(day_start >= CAST(DATE '2024-01-02' AS TIMESTAMP))"
+    # UNALIGNED literal: no stored grain preserves the bound -> refuse
+    assert (
+        _substitute("(ts >= TIMESTAMP '2024-01-02 13:37:00')", "ts", grains)
+        is None
+    )
+    # `>` has no truncation equivalence -> refuse (left as bare ts)
+    assert (
+        _substitute("(ts > TIMESTAMP '2024-01-02 00:00:00')", "ts", grains)
+        is None
+    )
+
+
+def test_raw_ts_range_routes_end_to_end(engine):
+    df = engine.sql(
+        """
+        select etype, count(*) as n, sum(v) as sum_v
+        from tg_events
+        where ts >= timestamp '2024-01-01 00:00:00'
+          and ts < timestamp '2024-02-01 00:00:00'
+        group by etype
+        order by etype
+        """,
+        validate=True,
+    )
+    assert engine.last_route is not None, "aligned raw-ts range must route"
+    assert {r.etype: r.n for r in df.collect()} == {"click": 2, "view": 2}
+
+    # unaligned bound: honest pushdown
+    engine.sql(
+        "select etype, count(*) as n from tg_events "
+        "where ts >= timestamp '2024-01-01 00:30:00' group by etype"
+    )
+    assert engine.last_route is None
