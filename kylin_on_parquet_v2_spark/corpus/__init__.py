@@ -87,6 +87,8 @@ _PRIORITY = [
     "cube_routed_extract_rewrite",
     "cube_routed_ts_range_rewrite",
     "cube_routed_bloom_probe",
+    "search_bm25",
+    "text_perplexity",
     "hybrid_compacted_tail",
     "corpus_bpe_encode",
     "multimodal_perceptual_dedup",

@@ -398,6 +398,25 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval (NEW r11): top-10 documents for a three-term
+    query, Lucene-style idf + tf saturation, everything JVM expressions.
+    The tf aggregation is filtered to the query terms BEFORE its shuffle
+    and the ranking is a TakeOrderedAndProject — the full posting table
+    never materializes. The DuckDB oracle replays the exact formula."""
+    views(spark, sf_dir)
+    return T.bm25_topk(spark.table("documents"), "spark window merge", k=10)
+
+
+def text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document perplexity under a corpus-trained unigram LM (NEW r11):
+    the KenLM-style quality signal reduced to its SQL-expressible core —
+    add-one smoothing, exp(-mean ln p(w)). Training (term counts) and
+    scoring (token->prob join + per-doc average) are one lazy DAG."""
+    views(spark, sf_dir)
+    return T.unigram_perplexity(spark.table("documents")).orderBy("doc_id")
+
+
 def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     views(spark, sf_dir)
     assets = MM.synthesize_assets(spark.table("documents"))
@@ -959,6 +978,8 @@ QUERIES = {
     "text_language_id": text_language_id,
     "text_fingerprint": text_fingerprint,
     "text_token_stats": text_token_stats,
+    "search_bm25": search_bm25,
+    "text_perplexity": text_perplexity,
     "text_repetition_features": text_repetition_features,
     "text_redact_pii": text_redact_pii,
     "sample_domain_mix": sample_domain_mix,
@@ -1608,6 +1629,48 @@ ORACLES = {
         from documents
         group by source
         order by source
+    """,
+    "search_bm25": f"""
+        with toks as (
+            select doc_id, unnest(string_split({_NORM}, ' ')) as term
+            from documents
+        ),
+        stats as (select doc_id, count(*) as dl from toks group by doc_id),
+        corpus as (select count(*) as n_docs, avg(dl) as avgdl from stats),
+        tf as (
+            select doc_id, term, count(*) as tf from toks
+            where term in ('merge', 'spark', 'window')
+            group by doc_id, term
+        ),
+        idf as (select term, count(distinct doc_id) as df from tf group by term)
+        select t.doc_id,
+               round(sum(
+                   ln(1 + (c.n_docs - d.df + 0.5) / (d.df + 0.5))
+                   * (t.tf * 2.2)
+                   / (t.tf + 1.2 * (1 - 0.75 + 0.75 * s.dl / c.avgdl))
+               ), 4) as score
+        from tf t
+        join idf d using (term)
+        join stats s using (doc_id)
+        cross join corpus c
+        group by t.doc_id
+        order by score desc, t.doc_id
+        limit 10
+    """,
+    "text_perplexity": f"""
+        with toks as (
+            select doc_id, unnest(string_split({_NORM}, ' ')) as term
+            from documents
+        ),
+        counts as (select term, count(*) as c from toks group by term),
+        tot as (select sum(c) as total, count(*) as vocab from counts)
+        select t.doc_id, count(*) as n_tokens,
+               round(exp(-avg(ln((c.c + 1.0) / (tt.total + tt.vocab)))), 2) as ppl
+        from toks t
+        join counts c using (term)
+        cross join tot tt
+        group by t.doc_id
+        order by t.doc_id
     """,
     "multimodal_metadata": """
         select case when doc_id % 3 = 0 then 'image'

@@ -614,3 +614,102 @@ def quality_quantile_gate(
         .filter(F.col(metric_col) >= F.col("__thr"))
         .drop("__thr")
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 keyword retrieval over the corpus: the top-``k`` documents for a
+    whitespace query, Lucene-style non-negative idf
+    ``ln(1 + (N - df + 0.5) / (df + 0.5))`` and the standard tf saturation
+    ``tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))``.
+
+    100 TB shape: one map-side tokenize feeds BOTH halves — corpus stats
+    (N, avgdl: a single global aggregate producing ONE row) and the
+    per-(doc, term) tf aggregation, which is FILTERED TO QUERY TERMS before
+    the shuffle, so the exchange carries only rows mentioning one of the
+    handful of query words, never the full posting table. Per-term df/idf
+    is a |query|-row frame joined broadcast-small; the final ranking is a
+    TakeOrderedAndProject of k rows. Scoring is pure JVM expressions —
+    replayed exactly by the DuckDB oracle (search_bm25)."""
+    terms = sorted({t for t in query.lower().split() if t})
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("term"),
+    )
+    stats = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    corpus = stats.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        toks.filter(F.col("term").isin(terms))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(stats, id_col)
+        .crossJoin(F.broadcast(corpus))
+        .withColumn(
+            "idf", F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        )
+        .withColumn(
+            "w",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1))
+            / (
+                F.col("tf")
+                + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .groupBy(id_col)
+        .agg(F.round(F.sum("w"), 4).alias("score"))
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+
+
+def unigram_perplexity(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document perplexity under a unigram LM trained on the corpus
+    itself (the classic KenLM-style quality signal, reduced to its
+    SQL-expressible core): ``p(w) = count(w) / total`` with add-one
+    smoothing over the corpus vocabulary, ``ppl = exp(-mean ln p(w))``.
+    Boilerplate-heavy documents score LOW (their words are corpus-frequent);
+    out-of-distribution documents score HIGH — the ranking a training-mix
+    curator prunes from both ends.
+
+    100 TB shape: one tokenize pass; unigram counts by one groupBy(term)
+    with map-side combine (vocabulary-sized output); totals via a 1-row
+    aggregate; tokens join the count table on term (AQE picks the strategy
+    — the count side is vocabulary-sized, often broadcastable) and one
+    groupBy(doc) averages the log-probs. No UDFs, no driver loops."""
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("term"),
+    )
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.agg(
+        F.sum("c").alias("total"), F.count(F.lit(1)).alias("vocab")
+    )
+    return (
+        toks.join(counts, "term")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "lp", F.log((F.col("c") + 1.0) / (F.col("total") + F.col("vocab")))
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.exp(-F.avg("lp")), 2).alias("ppl"),
+        )
+    )
