@@ -66,10 +66,11 @@ def _modules():
 # a driver check; the r01-r10 union already covers every pre-r11 query, and
 # the in-repo parity suite re-verifies every oracle each round regardless.
 _PRIORITY = [
-    # --- r11 driver window (50 entries): the 6 NEW r11 queries first
+    # --- r11 driver window (50 entries): the 8 NEW r11 queries first
     # --- (time-grain rewrite family: BI-spelled date_trunc/extract/raw-ts
     # --- range served from the cube; bloom-filter point lookup; BM25
-    # --- retrieval; unigram-LM perplexity), then every query the r11
+    # --- retrieval; unigram-LM perplexity; per-doc tf-idf keywords;
+    # --- duplicate-cluster leakage-safe split), then every query the r11
     # --- commits touched (the intersect/dictionary family — degenerate-OR
     # --- guard, escaped-quote members, reserved-name decode join, float
     # --- contract; the hybrid family — persisted-dictionary tail fold +
@@ -87,6 +88,8 @@ _PRIORITY = [
     "cube_routed_bloom_probe",
     "search_bm25",
     "text_perplexity",
+    "text_tfidf_keywords",
+    "sample_split_leakage_safe",
     "intersect_value_parts",
     "intersect_count_or_cohort",
     "cube_routed_intersect_rollup",

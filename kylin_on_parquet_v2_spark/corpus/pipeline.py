@@ -417,6 +417,30 @@ def text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.unigram_perplexity(spark.table("documents")).orderBy("doc_id")
 
 
+def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 tf-idf keywords (NEW r11): tf * ln(N/df), ranked
+    per document by a window over doc_id — deterministic (rounded score
+    desc, then term). The df table joins AQE-sized; N broadcasts as one
+    row; the oracle replays the formula and the ranking exactly."""
+    views(spark, sf_dir)
+    return T.tfidf_keywords(spark.table("documents"), k=3).orderBy(
+        "doc_id", "rank"
+    )
+
+
+def sample_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster-aware train/val/test split (NEW r11): the split is
+    a hash of the document's exact-duplicate GROUP (min doc_id sharing the
+    normalized-content digest), so every copy lands in the same split and
+    val/test never leak a training twin — the eval-hygiene property a
+    naive per-doc split silently violates."""
+    views(spark, sf_dir)
+    out = SP.split_corpus_leakage_safe(
+        spark.table("documents"), {"train": 0.9, "val": 0.05, "test": 0.05}
+    )
+    return out.select("doc_id", "split").orderBy("doc_id")
+
+
 def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     views(spark, sf_dir)
     assets = MM.synthesize_assets(spark.table("documents"))
@@ -980,6 +1004,8 @@ QUERIES = {
     "text_token_stats": text_token_stats,
     "search_bm25": search_bm25,
     "text_perplexity": text_perplexity,
+    "text_tfidf_keywords": text_tfidf_keywords,
+    "sample_split_leakage_safe": sample_split_leakage_safe,
     "text_repetition_features": text_repetition_features,
     "text_redact_pii": text_redact_pii,
     "sample_domain_mix": sample_domain_mix,
@@ -1671,6 +1697,50 @@ ORACLES = {
         cross join tot tt
         group by t.doc_id
         order by t.doc_id
+    """,
+    "text_tfidf_keywords": f"""
+        with toks as (
+            select doc_id, unnest(string_split({_NORM}, ' ')) as term
+            from documents
+        ),
+        tf as (select doc_id, term, count(*) as tf from toks group by 1, 2),
+        df as (select term, count(*) as df from tf group by term),
+        n as (select count(distinct doc_id) as n_docs from documents),
+        scored as (
+            select t.doc_id, t.term,
+                   round(t.tf * ln(n.n_docs * 1.0 / d.df), 4) as score
+            from tf t join df d using (term) cross join n
+        ),
+        ranked as (
+            select doc_id, term, score,
+                   row_number() over (
+                       partition by doc_id order by score desc, term
+                   ) as rank
+            from scored
+        )
+        select doc_id, cast(rank as int) as rank, term, score
+        from ranked where rank <= 3
+        order by doc_id, rank
+    """,
+    "sample_split_leakage_safe": f"""
+        with digests as (
+            select doc_id, md5({_NORM}) as digest from documents
+        ),
+        canon as (
+            select digest, min(doc_id) as canon from digests group by digest
+        ),
+        keyed as (
+            select d.doc_id, c.canon
+            from digests d join canon c using (digest)
+        )
+        select doc_id,
+               case when ((canon % 2147483647) * 2654435761) % 4294967296
+                         < {int(0.9 * 4294967296)} then 'train'
+                    when ((canon % 2147483647) * 2654435761) % 4294967296
+                         < {int(0.95 * 4294967296)} then 'val'
+                    else 'test' end as split
+        from keyed
+        order by doc_id
     """,
     "multimodal_metadata": """
         select case when doc_id % 3 = 0 then 'image'

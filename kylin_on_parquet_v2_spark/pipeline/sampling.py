@@ -205,3 +205,41 @@ def split_corpus(
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     expr = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
     return df.withColumn("split", expr)
+
+
+def split_corpus_leakage_safe(
+    docs: DataFrame,
+    fractions: dict[str, float],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Train/val/test split that cannot LEAK duplicates across splits: the
+    assignment hashes the document's exact-duplicate GROUP (the minimum id
+    among docs sharing a normalized-content digest), not the doc's own id,
+    so every copy of a document lands in the same split — a val/test
+    document never has a training-set twin. The standard eval-hygiene
+    requirement that a naive per-doc split silently violates.
+
+    100 TB shape: one md5 digest map-side, one groupBy(digest) with
+    map-side min-combine (duplicate-group-sized output), one join back on
+    the digest, then the same shuffle-free CASE assignment as
+    :func:`split_corpus`. The canonical key — not the digest — feeds the
+    hash so adding NEW duplicates of an existing doc never moves the
+    group's split (min of ids only changes if an EARLIER id appears, which
+    append-only corpora never do)."""
+    from kylin_on_parquet_v2_spark.pipeline.dedup import normalize_text
+
+    digests = docs.select(
+        F.col(id_col),
+        F.md5(normalize_text(F.col(text_col)).cast("binary")).alias("__digest"),
+    )
+    canon = digests.groupBy("__digest").agg(F.min(id_col).alias("__canon"))
+    keyed = (
+        digests.join(canon, "__digest")
+        .select(id_col, "__canon")
+        .withColumnRenamed(id_col, "__doc")
+    )
+    assigned = split_corpus(keyed, fractions, key_col="__canon")
+    return docs.join(
+        assigned.select(F.col("__doc").alias(id_col), "split"), id_col
+    )

@@ -5,7 +5,7 @@ vectorized, codegen'd, and bit-replayable by the DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from kylin_on_parquet_v2_spark.pipeline.dedup import normalize_text, word_shingles
@@ -712,4 +712,42 @@ def unigram_perplexity(
             F.count(F.lit(1)).alias("n_tokens"),
             F.round(F.exp(-F.avg("lp")), 2).alias("ppl"),
         )
+    )
+
+
+def tfidf_keywords(
+    docs: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` keywords per document by tf-idf (``tf * ln(N/df)``) — the
+    per-document descriptor table a corpus browser or topic labeler
+    publishes. Ranking is per-document (window over doc_id), deterministic:
+    rounded score descending, then the term itself.
+
+    100 TB shape: tokenize map-side; one groupBy(doc, term) for tf
+    (map-side combine); df is a term-sized aggregate joined back (AQE free
+    to broadcast it); N is a 1-row broadcast; one window partitioned by
+    doc — the shuffle key is the document, so skew is bounded by the
+    longest document, not the vocabulary."""
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("term"),
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(F.countDistinct(id_col).alias("n_docs"))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term")
+    )
+    return (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score", F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 4)
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "rank", "term", "score")
     )
