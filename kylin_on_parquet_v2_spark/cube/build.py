@@ -783,6 +783,16 @@ class CubeBuilder:
 
     def _flat_with_segment(self) -> DataFrame:
         flat = self.model.flat_table(self.spark)
+        # declared time-derived dims the source does not already carry are
+        # stamped here (TimeDerivedColumnType parity: the reference's ingest
+        # parser computes minute_start/hour_start/... automatically — a user
+        # declaring TimeDerivedDim("hour_start", "ts", "hour") should not
+        # also have to pre-stamp the column or spell a computed column)
+        for td in self.desc.time_derived:
+            if td.name not in flat.columns:
+                flat = flat.withColumn(
+                    td.name, F.date_trunc(td.grain, F.col(td.source))
+                )
         if self.model.partition_column:
             flat = flat.withColumn(
                 SEGMENT_COL,

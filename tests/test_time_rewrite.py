@@ -322,3 +322,32 @@ def test_raw_ts_range_routes_end_to_end(engine):
         "where ts >= timestamp '2024-01-01 00:30:00' group by etype"
     )
     assert engine.last_route is None
+
+
+def test_declared_dim_auto_stamped_at_build(spark, tmp_path_factory):
+    """A declared TimeDerivedDim whose column the source does NOT carry is
+    stamped by the build itself (reference parity: the ingest parser
+    computes *_start columns automatically) — declaring the mapping is
+    sufficient, no pre-stamped view or computed column needed."""
+    spark.createDataFrame(ROWS, "s string, etype string, v double").selectExpr(
+        "cast(s as timestamp) as ts", "etype", "v"
+    ).createOrReplaceTempView("tg_auto_events")
+    eng = OlapEngine(spark, storage_dir=str(tmp_path_factory.mktemp("tga_cubes")))
+    eng.add_model(DataModel(name="tga_star", fact_table="tg_auto_events"))
+    eng.build_cube(
+        CubeDesc(
+            name="tga_cube",
+            model_name="tga_star",
+            dimensions=("day_start", "etype"),
+            measures=(MeasureDesc("_cnt", FunctionDesc("COUNT")),),
+            time_derived=(TimeDerivedDim("day_start", "ts", "day"),),
+        )
+    )
+    df = eng.sql(
+        "select date_trunc('day', ts) as d, count(*) as n "
+        "from tg_auto_events group by date_trunc('day', ts) order by d",
+        validate=True,
+    )
+    assert eng.last_route is not None
+    assert set(eng.last_route.cuboid.dims) == {"day_start"}
+    assert [r.n for r in df.collect()] == [1, 3, 1, 1]
