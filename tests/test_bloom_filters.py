@@ -226,3 +226,39 @@ def test_compaction_writes_blooms(spark, tmp_path):
             hconf.unset("parquet.block.size")
         else:
             hconf.set("parquet.block.size", old)
+
+
+def test_bucketed_layout_writes_blooms(spark, tmp_path_factory):
+    """bucketBy/saveAsTable layouts must carry the bloom options too — the
+    bucketed writer is a separate code path from the dir-partitioned one."""
+    _fact(spark).createOrReplaceTempView("bloom_bkt_fact")
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    old = hconf.get("parquet.block.size")
+    hconf.setInt("parquet.block.size", 64 * 1024)
+    try:
+        eng = OlapEngine(spark, storage_dir=str(tmp_path_factory.mktemp("bfb_cubes")))
+        eng.add_model(DataModel(name="bfb_star", fact_table="bloom_bkt_fact"))
+        eng.build_cube(
+            CubeDesc(
+                name="bfb_cube",
+                model_name="bfb_star",
+                dimensions=("a", "b", "uid"),
+                measures=(MeasureDesc("_cnt", FunctionDesc("COUNT")),),
+                shard_by="a",
+                shard_buckets=4,
+                bucket_layouts=True,
+                bloom_filter_dims=("uid",),
+                bloom_filter_ndv={"uid": N},
+            )
+        )
+        scanned = _scan_output_rows(
+            spark.read.parquet(_base_layout(eng, "bfb_cube")).filter(
+                F.col("uid") == PROBE_UID
+            )
+        )
+        assert scanned < N // 10, scanned
+    finally:
+        if old is None:
+            hconf.unset("parquet.block.size")
+        else:
+            hconf.set("parquet.block.size", old)

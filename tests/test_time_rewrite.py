@@ -351,3 +351,69 @@ def test_declared_dim_auto_stamped_at_build(spark, tmp_path_factory):
     assert eng.last_route is not None
     assert set(eng.last_route.cuboid.dims) == {"day_start"}
     assert [r.n for r in df.collect()] == [1, 3, 1, 1]
+
+
+def test_rewrite_survives_route_memo_replay(engine):
+    """The same BI-spelled query twice: the second run replays the
+    memoized route and must produce identical rows (the rewrite is
+    deterministic, so the replayed execute path lands on the same
+    rewritten digest)."""
+    sql = (
+        "select date_trunc('hour', ts) as h, count(*) as n "
+        "from tg_events group by date_trunc('hour', ts) order by h"
+    )
+    first = [tuple(r) for r in engine.sql(sql, skip_result_cache=True).collect()]
+    assert engine.last_route is not None
+    second = [tuple(r) for r in engine.sql(sql, skip_result_cache=True).collect()]
+    assert engine.last_route is not None
+    assert first == second and len(first) == 5
+
+
+def test_rewrite_on_hybrid_cube(spark, tmp_path_factory):
+    """Time-grain rewrite composed with the hybrid realization: the batch
+    side serves the rewritten dim from layouts while the tail evaluates
+    the ORIGINAL expression over its raw ts — both compute the same value,
+    so the merged answer equals pushdown."""
+    import datetime as dt
+
+    rows = [
+        (dt.datetime(2024, 3, d, h), "view", 1.0)
+        for d in (1, 2, 3, 4)
+        for h in (0, 6, 12)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, etype string, v double")
+    df.createOrReplaceTempView("tgh_fact")
+    rt_dir = str(tmp_path_factory.mktemp("tgh_rt"))
+    from pyspark.sql import functions as F
+
+    df.withColumn(
+        "__segment__", F.date_format("ts", "yyyy-MM-dd")
+    ).write.mode("overwrite").partitionBy("__segment__").parquet(rt_dir)
+    eng = OlapEngine(spark, storage_dir=str(tmp_path_factory.mktemp("tgh_cubes")))
+    eng.add_model(
+        DataModel(name="tgh_star", fact_table="tgh_fact", partition_column="ts")
+    )
+    eng.build_cube(
+        CubeDesc(
+            name="tgh_cube",
+            model_name="tgh_star",
+            dimensions=("etype", "day_start"),
+            measures=(
+                MeasureDesc("_cnt", FunctionDesc("COUNT")),
+                MeasureDesc("sum_v", FunctionDesc("SUM", "v")),
+            ),
+            segment_granularity="day",
+            time_derived=(TimeDerivedDim("day_start", "ts", "day"),),
+        ),
+        segment_range=(None, "2024-03-02"),
+    )
+    eng.register_hybrid("tgh_cube", rt_dir, ts_col="ts")
+    sql = (
+        "select date_trunc('day', ts) as d, count(*) as n, sum(v) as sv "
+        "from tgh_fact group by date_trunc('day', ts) order by d"
+    )
+    got = [tuple(r) for r in eng.sql(sql).collect()]
+    route = eng.last_route
+    assert route is not None and route.hybrid_tail, route
+    want = [tuple(r) for r in eng.pushdown(sql).collect()]
+    assert got == want and len(got) == 4
