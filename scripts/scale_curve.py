@@ -140,7 +140,11 @@ def main() -> None:
         export_training_shards,
         multimodal_asset_dedup,
         multimodal_perceptual_dedup,
+        sample_split_leakage_safe,
+        search_bm25,
         semantic_dedup_given,
+        text_perplexity,
+        text_tfidf_keywords,
         text_vocab_coverage,
     )
     from kylin_on_parquet_v2_spark.session import get_spark, register_views
@@ -187,6 +191,11 @@ def main() -> None:
         "multimodal_perceptual_dedup": multimodal_perceptual_dedup,
         "multimodal_asset_dedup": multimodal_asset_dedup,
         "text_vocab_coverage": text_vocab_coverage,
+        # r11 operators
+        "search_bm25": search_bm25,
+        "text_perplexity": text_perplexity,
+        "text_tfidf_keywords": text_tfidf_keywords,
+        "sample_split_leakage_safe": sample_split_leakage_safe,
     }
     if only_ops is not None:
         unknown = [o for o in only_ops if o not in ops]
