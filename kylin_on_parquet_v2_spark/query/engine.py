@@ -908,6 +908,7 @@ class OlapEngine:
             f"topn={route.topn} "
             f"topn_approx={route.topn_approx} "
             f"dim_served={route.dim_served} "
+            f"time_rewritten={route.time_rewritten} "
             f"hybrid_tail={route.hybrid_tail}"
             if route is not None
             else "route: none (pushdown — plain spark.sql)"

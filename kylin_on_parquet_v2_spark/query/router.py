@@ -104,6 +104,10 @@ class Route:
     #: re-merged (reference storage/hybrid/HybridInstance, split at
     #: TableScanPlan.scala:58-62). Set by the engine at execution time.
     hybrid_tail: str | None = None
+    #: stored time-derived dims the grain rewrite substituted for raw
+    #: event-time expressions (TimeDerivedColumnType parity) — observability
+    #: only; empty when the digest needed no rewrite
+    time_rewritten: tuple[str, ...] = ()
 
 
 def _match_joins(digest: SqlDigest, inst: CubeInstance) -> bool:
@@ -744,6 +748,18 @@ def plan_route(
     # routed_layout_scan re-apply it to the caller's original digest and
     # land on the same expressions.
     digest = rewrite_time_grains(digest, inst)
+    route = _plan_route_rewritten(digest, inst, approx_distinct, approx_topn)
+    if route is not None:
+        route.time_rewritten = tuple(getattr(digest, "_time_rewritten", ()))
+    return route
+
+
+def _plan_route_rewritten(
+    digest: SqlDigest,
+    inst: CubeInstance,
+    approx_distinct: bool = False,
+    approx_topn: bool = False,
+) -> Route | None:
     if not _match_joins(digest, inst):
         return None
     topn_route = _plan_topn_route(digest, inst, approx_topn)

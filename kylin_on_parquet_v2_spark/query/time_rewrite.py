@@ -316,9 +316,19 @@ def rewrite_time_grains(digest, inst):
 
     if not touched:
         return digest
-    return replace(
+    out = replace(
         digest,
         group_exprs=new_gexprs,
         filter_sql=new_fsql,
         filter_cols=new_fcols,
     )
+    # observability breadcrumb (explain/Route.time_rewritten): which stored
+    # dims the rewrite substituted in
+    subbed = set()
+    for gname, (gsql, bases) in out.group_exprs.items():
+        if digest.group_exprs.get(gname) != (gsql, bases):
+            subbed |= set(bases) - set(digest.group_exprs[gname][1])
+    if out.filter_cols != digest.filter_cols:
+        subbed |= set(out.filter_cols) - set(digest.filter_cols)
+    out._time_rewritten = tuple(sorted(subbed))
+    return out

@@ -417,3 +417,54 @@ def test_rewrite_on_hybrid_cube(spark, tmp_path_factory):
     assert route is not None and route.hybrid_tail, route
     want = [tuple(r) for r in eng.pushdown(sql).collect()]
     assert got == want and len(got) == 4
+
+
+def test_explain_reports_time_rewrite(engine):
+    txt = engine.explain(
+        "select date_trunc('hour', ts) as h, count(*) as n "
+        "from tg_events group by date_trunc('hour', ts)"
+    )
+    assert "time_rewritten=('hour_start',)" in txt, txt
+
+
+def test_ts_range_fold_feeds_segment_pruning(spark, tmp_path_factory):
+    """The folded raw-ts range must reach SEGMENT pruning: after the
+    rewrite the predicate sits on the day_start dim whose per-segment
+    min/max ranges are recorded, so out-of-range day segments are
+    rejected before any file is read."""
+    import datetime as dt
+
+    rows = [
+        (dt.datetime(2024, 3, d, h), "view", 1.0)
+        for d in (1, 2, 3, 4)
+        for h in (0, 12)
+    ]
+    spark.createDataFrame(
+        rows, "ts timestamp, etype string, v double"
+    ).createOrReplaceTempView("tgp_fact")
+    eng = OlapEngine(spark, storage_dir=str(tmp_path_factory.mktemp("tgp_cubes")))
+    eng.add_model(
+        DataModel(name="tgp_star", fact_table="tgp_fact", partition_column="ts")
+    )
+    eng.build_cube(
+        CubeDesc(
+            name="tgp_cube",
+            model_name="tgp_star",
+            dimensions=("etype", "day_start"),
+            measures=(MeasureDesc("_cnt", FunctionDesc("COUNT")),),
+            segment_granularity="day",
+            time_derived=(TimeDerivedDim("day_start", "ts", "day"),),
+        )
+    )
+    df = eng.sql(
+        "select etype, count(*) as n from tgp_fact "
+        "where ts >= timestamp '2024-03-01 00:00:00' "
+        "  and ts < timestamp '2024-03-02 00:00:00' "
+        "group by etype",
+        validate=True,
+    )
+    route = eng.last_route
+    assert route is not None and route.time_rewritten == ("day_start",), route
+    # 3 of the 4 day segments are provably out of the folded range
+    assert route.segment_filters or len(route.segment_reject) == 3, route
+    assert [r.n for r in df.collect()] == [2]
