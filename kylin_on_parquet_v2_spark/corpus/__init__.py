@@ -66,11 +66,11 @@ def _modules():
 # a driver check; the r01-r10 union already covers every pre-r11 query, and
 # the in-repo parity suite re-verifies every oracle each round regardless.
 _PRIORITY = [
-    # --- r11 driver window (50 entries): the 8 NEW r11 queries first
+    # --- r11 driver window (50 entries): the 9 NEW r11 queries first
     # --- (time-grain rewrite family: BI-spelled date_trunc/extract/raw-ts
     # --- range served from the cube; bloom-filter point lookup; BM25
     # --- retrieval; unigram-LM perplexity; per-doc tf-idf keywords;
-    # --- duplicate-cluster leakage-safe split), then every query the r11
+    # --- duplicate-cluster leakage-safe split; in-place segment REFRESH), then every query the r11
     # --- commits touched (the intersect/dictionary family — degenerate-OR
     # --- guard, escaped-quote members, reserved-name decode join, float
     # --- contract; the hybrid family — persisted-dictionary tail fold +
@@ -90,6 +90,7 @@ _PRIORITY = [
     "text_perplexity",
     "text_tfidf_keywords",
     "sample_split_leakage_safe",
+    "cube_routed_segment_refresh",
     "intersect_value_parts",
     "intersect_count_or_cohort",
     "cube_routed_intersect_rollup",

@@ -836,7 +836,98 @@ def cube_routed_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_REFRESH_ENGINES: dict[str, object] = {}
+
+#: the deterministic "late data" restatement: one extra row landing in the
+#: 2024-01-02 day segment AFTER the cube was built — the oracle appends the
+#: same literal row to the raw source
+_RESTATED_ROW = (999_999_999, "2024-01-02 12:00:00", 7, "restated", 42.5, "")
+
+
+def _refresh_engine(spark: SparkSession, sf_dir: str):
+    """Engine whose day-segmented events cube was built BEFORE a late-data
+    restatement and then REFRESHED for exactly that day
+    (CubeManager.refreshSegment parity): the cube is built over the
+    original source, the source view is restated with one extra row in the
+    2024-01-02 segment, and refresh_segment re-cubes that day in place —
+    other segments' bytes untouched (proven in tests/test_segment_refresh)."""
+    import os
+
+    from kylin_on_parquet_v2_spark.corpus.base import proc_tmp, views
+    from kylin_on_parquet_v2_spark.metadata import (
+        CubeDesc,
+        DataModel,
+        FunctionDesc,
+        MeasureDesc,
+    )
+    from kylin_on_parquet_v2_spark.query.engine import OlapEngine
+    from kylin_on_parquet_v2_spark.streaming.segments import _normalize_ts
+
+    key = os.path.abspath(sf_dir)
+    eng = _REFRESH_ENGINES.get(key)
+    if eng is not None and eng.spark is spark:
+        return eng
+    views(spark, sf_dir)
+    base = _normalize_ts(spark.table("events"), "ts").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    base.createOrReplaceTempView("events_refresh_src")
+    storage = proc_tmp("refresh_cubes", key.strip("/").replace("/", "_"))
+    eng = OlapEngine(spark, storage_dir=storage)
+    eng.add_model(
+        DataModel(
+            name="events_refresh_star",
+            fact_table="events_refresh_src",
+            partition_column="ts",
+        )
+    )
+    eng.build_cube(
+        CubeDesc(
+            name="events_refresh_cube",
+            model_name="events_refresh_star",
+            dimensions=("event_type",),
+            measures=(
+                MeasureDesc("_count", FunctionDesc("COUNT")),
+                MeasureDesc("sum_value", FunctionDesc("SUM", "value")),
+            ),
+            segment_granularity="day",
+        )
+    )
+    # the restatement lands AFTER the build; the cube serves stale day-2
+    # bytes until the refresh swaps the re-cubed segment in
+    extra = spark.createDataFrame(
+        [_RESTATED_ROW],
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    base.unionByName(extra).createOrReplaceTempView("events_refresh_src")
+    eng.refresh_segment("events_refresh_cube", "2024-01-02")
+    _REFRESH_ENGINES[key] = eng
+    return eng
+
+
+def cube_routed_segment_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate served AFTER a segment REFRESH: the restated late row
+    (a new 'restated' event type in day 2024-01-02) appears exactly once,
+    every other segment is bit-untouched, and the answer hash-matches the
+    oracle computed over source + the same literal restatement."""
+    eng = _refresh_engine(spark, sf_dir)
+    df = eng.sql(
+        """
+        select event_type, count(*) as n, sum(value) as sum_value
+        from events_refresh_src
+        group by event_type
+        order by event_type
+        """
+    )
+    assert eng.last_route is not None, "expected routed refresh-cube aggregate"
+    return df.select(
+        "event_type", "n", F.round("sum_value", 2).alias("sum_value")
+    )
+
+
 QUERIES = {
+    "cube_routed_segment_refresh": cube_routed_segment_refresh,
     "cube_routed_bloom_probe": cube_routed_bloom_probe,
     "cube_routed_bucketed": cube_routed_bucketed,
     "cube_routed_topn_range": cube_routed_topn_range,
@@ -871,6 +962,17 @@ QUERIES = {
 }
 
 ORACLES = {
+    "cube_routed_segment_refresh": """
+        with src as (
+            select event_type, value from events
+            union all
+            select 'restated' as event_type, 42.5 as value
+        )
+        select event_type, count(*) as n, round(sum(value), 2) as sum_value
+        from src
+        group by event_type
+        order by event_type
+    """,
     "cube_routed_bloom_probe": """
         select event_type, count(*) as n, round(sum(value), 2) as sum_value
         from events

@@ -1126,6 +1126,123 @@ class CubeBuilder:
 
     # -- incremental segment build -------------------------------------------
 
+    def rebuild_segment(self, inst: CubeInstance, segment: str) -> None:
+        """REFRESH one existing segment in place (reference: the
+        segment-refresh job — ``CubeManager.refreshSegment`` /
+        ``CubingJob`` with an existing TSRange — re-cubes a date range
+        whose SOURCE rows changed, e.g. a late-data restatement, without
+        touching any other segment's bytes).
+
+        Write-then-swap, same crash discipline as merge/compaction: every
+        layout re-aggregates the segment's current source rows into a
+        ``_staging_refresh_`` dir INSIDE the layout path (the ``_`` prefix
+        hides it from partition discovery, so serving reads are never
+        polluted mid-build), then each layout swaps old-for-staged under a
+        sentinel. Old bytes serve queries until their layout's swap
+        instant; a layout is always self-consistent (a query routes to
+        exactly one layout — the merge-time visibility argument). Global
+        dictionaries EXTEND for values the restated rows introduce
+        (existing ids never move, so other segments' bitmaps stay valid).
+        Dim ranges are re-recorded at the end, which also bumps the
+        lifecycle epoch so memoized routes over the old ranges expire."""
+        from kylin_on_parquet_v2_spark.cube import dictionary as GD
+
+        if not inst.segmented:
+            raise ValueError("segment refresh requires a segmented cube")
+        if segment not in set(inst.segments(self.spark)):
+            raise ValueError(f"unknown segment {segment!r}")
+        if self.desc.bucket_layouts:
+            # the staged write would re-register bucketed tables pointed at
+            # staging paths — refuse loudly (bucketed cubes also refuse
+            # merge; both rewrite files outside the bucket bookkeeping)
+            raise ValueError(
+                "segment refresh is not supported for bucket_layouts cubes"
+            )
+
+        cube_dir = os.path.join(self.storage_dir, self.desc.name)
+        staging_name = f"_staging_refresh_{SEGMENT_COL}={segment}"
+
+        # crash repair FIRST: a previous attempt that died mid-swap left a
+        # sentinel + staged bytes — finish that swap so every layout is
+        # whole again, then rebuild from scratch (idempotent)
+        for cuboid_id, path in inst.layouts.items():
+            fs = FS.fs_for(path, self.spark)
+            staging = os.path.join(path, staging_name)
+            sentinel = staging + ".swapping"
+            seg_dir = os.path.join(path, f"{SEGMENT_COL}={segment}")
+            if fs.exists(sentinel):
+                staged_seg = os.path.join(staging, f"{SEGMENT_COL}={segment}")
+                if fs.exists(staged_seg):
+                    if fs.exists(seg_dir):
+                        fs.rmtree(seg_dir)
+                    fs.rename(staged_seg, seg_dir)
+                if fs.exists(staging):
+                    fs.rmtree(staging)
+                fs.remove(sentinel)
+
+        needed = set(self.desc.dimensions) | {SEGMENT_COL}
+        for m in self.desc.measures:
+            if m.function.parameter:
+                needed.add(m.function.parameter)
+            needed.update(m.function.extra_params)
+        flat_seg = self._flat_with_segment().filter(F.col(SEGMENT_COL) == segment)
+        flat_seg = flat_seg.select(*[c for c in flat_seg.columns if c in needed])
+        layout_fs = FS.fs_for(cube_dir, self.spark)
+        for m in self._bitmap_measures():
+            param = m.function.parameter
+            dict_path = os.path.join(cube_dir, "dict", param)
+            extended = GD.extend_global_dict(
+                self.spark.read.parquet(dict_path), flat_seg, param
+            )
+            dstaging = dict_path + "_staging"
+            extended.write.mode("overwrite").parquet(dstaging)
+            layout_fs.rmtree(dict_path)
+            layout_fs.rename(dstaging, dict_path)
+            flat_seg = GD.encode_column(
+                flat_seg, self.spark.read.parquet(dict_path), param
+            )
+        flat_seg.persist()
+        self._measure_key_nullability(flat_seg, True)
+        self._prepare_measure_bases(flat_seg)
+        built: dict[int, DataFrame] = {}
+        try:
+            # stage every layout's refreshed segment (parents feed children,
+            # exactly like the real build's spanning-tree walk)
+            for cuboid, parent in self.scheduler.spanning_tree():
+                path = inst.layouts[cuboid.cuboid_id]
+                staging = os.path.join(path, staging_name)
+                if parent is None:
+                    df = self._agg_from_flat(flat_seg, cuboid, True)
+                else:
+                    df = self._agg_from_parent(built[parent.cuboid_id], cuboid, True)
+                self._write_layout(
+                    df, staging, True, mode="overwrite", cuboid_id=cuboid.cuboid_id
+                )
+                built[cuboid.cuboid_id] = self.spark.read.parquet(staging)
+        finally:
+            self._release_measure_bases()
+            flat_seg.unpersist()
+
+        # swap pass: old dir -> staged dir per layout, sentinel-guarded
+        for cuboid_id, path in inst.layouts.items():
+            fs = FS.fs_for(path, self.spark)
+            staging = os.path.join(path, staging_name)
+            staged_seg = os.path.join(staging, f"{SEGMENT_COL}={segment}")
+            sentinel = staging + ".swapping"
+            seg_dir = os.path.join(path, f"{SEGMENT_COL}={segment}")
+            fs.write_text(sentinel, "")
+            if fs.exists(seg_dir):
+                fs.rmtree(seg_dir)
+            fs.rename(staged_seg, seg_dir)
+            fs.rmtree(staging)
+            fs.remove(sentinel)
+            self.spark.catalog.refreshByPath(path)
+            n = _parquet_rows(path)
+            if n is not None:
+                inst.layout_rows[cuboid_id] = n
+        record_dim_ranges(inst, self.spark)  # epoch bump => stale memos die
+        inst.save_meta()
+
     def build_increment(
         self, inst: CubeInstance, segments: list[str] | None = None
     ) -> list[str]:

@@ -218,6 +218,20 @@ class OlapEngine:
             fold_tail_dictionary(inst, part, self.spark)
         return built
 
+    def refresh_segment(self, name: str, segment: str) -> None:
+        """REFRESH one existing segment: re-cube its (possibly restated)
+        source rows and swap the rebuilt bytes in, other segments untouched
+        (reference ``CubeManager.refreshSegment`` — the REFRESH job type).
+        Serving continues from the old bytes until each layout's swap."""
+        inst = self.cubes[name]
+        model = self.models[inst.desc.model_name]
+        CubeBuilder(self.spark, model, inst.desc, self.storage_dir).rebuild_segment(
+            inst, segment
+        )
+        self._cache_epoch += 1
+        self._cache.clear()
+        self._route_memo.clear()
+
     def register_hybrid(
         self, cube_name: str, realtime_dir: str, ts_col: str = "ts"
     ) -> None:
