@@ -1013,8 +1013,12 @@ QUERIES = {
     "multimodal_decode_features": multimodal_decode_features,
 }
 
+# lockstep replica of pipeline.dedup.minhash_signatures: 32-bit slots —
+# slots 0-3 slice md5(sh), slots 4-7 slice the salted md5(sh || '#2')
+_MH_SALT = {True: "sh", False: "sh || '#2'"}
 _MH_COLS = ",\n               ".join(
-    f"min(substr(md5(sh), {4 * i + 1}, 4)) as mh{i}" for i in range(D.MINHASH_K)
+    f"min(substr(md5({_MH_SALT[i < 4]}), {8 * (i % 4) + 1}, 8)) as mh{i}"
+    for i in range(D.MINHASH_K)
 )
 
 _SIMHASH_BITS = 32
