@@ -82,6 +82,12 @@ _PRIORITY = [
     # --- the r9-checked block, and the remainder — all still re-verified
     # --- every round by the in-repo parity suite
     # --- (tests/test_entry_oracle_parity.py: every oracle, sf0.001).
+    # --- r12 driver window: new r12 queries first (sub-day part-function
+    # --- rewrite, inclusive-BETWEEN fold, widened 32-bit MinHash family)
+    "cube_routed_hour_rewrite",
+    "cube_routed_between_rewrite",
+    "dedup_minhash_signatures",
+    "dedup_minhash_lsh_pairs",
     "cube_routed_trunc_rewrite",
     "cube_routed_extract_rewrite",
     "cube_routed_ts_range_rewrite",

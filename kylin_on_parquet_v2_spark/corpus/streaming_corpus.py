@@ -274,6 +274,53 @@ def cube_routed_extract_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("y", "m", "n", F.round("sum_value", 2).alias("sum_value"))
 
 
+def cube_routed_hour_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-day part-function rewrite (r12, reference
+    TimeDerivedColumnType.java:35-80 HOUR_START): ``GROUP BY hour(ts)``
+    over the RAW event-time column recomputes from the stored hour_start
+    dim — hour-of-day is invariant under hour truncation, and the
+    _SERVABLE lattice refuses to serve it from day_start (which destroys
+    the hour). Routes onto the single-dim (hour_start) cuboid; an hourly
+    dashboard never scans the fact table."""
+    eng = _td_engine(spark, sf_dir)
+    df = eng.sql(
+        """
+        select hour(ts) as h, count(*) as n, sum(value) as sum_value
+        from events_td
+        group by hour(ts)
+        order by h
+        """
+    )
+    route = eng.last_route
+    assert route is not None, "expected hour(ts) to route via hour_start"
+    assert set(route.cuboid.dims) == {"hour_start"}, route.cuboid
+    return df.select("h", "n", F.round("sum_value", 2).alias("sum_value"))
+
+
+def cube_routed_between_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-range fold (r12): the dashboard's inclusive
+    ``ts BETWEEN T1 AND T2`` folds onto stored grain dims when T1 is
+    aligned and T2 + 1 microsecond (the timestamp resolution) is —
+    rewritten to the half-open ``day_start >= T1 AND day_start < T2+eps``
+    which then participates in segment/dim-range pruning. A
+    boundary-inclusive end (exactly midnight) refuses and takes pushdown
+    (tested in test_time_rewrite)."""
+    eng = _td_engine(spark, sf_dir)
+    df = eng.sql(
+        """
+        select event_type, count(*) as n, sum(value) as sum_value
+        from events_td
+        where ts between timestamp '2024-01-01 00:00:00'
+                     and timestamp '2024-01-02 23:59:59.999999'
+        group by event_type
+        order by event_type
+        """
+    )
+    route = eng.last_route
+    assert route is not None, "expected the aligned BETWEEN fold to route"
+    return df.select("event_type", "n", F.round("sum_value", 2).alias("sum_value"))
+
+
 def streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked tumbling-window aggregation driven to completion —
     must equal the batch date_trunc aggregation (the oracle)."""
@@ -752,6 +799,8 @@ QUERIES = {
     "cube_routed_trunc_rewrite": cube_routed_trunc_rewrite,
     "cube_routed_ts_range_rewrite": cube_routed_ts_range_rewrite,
     "cube_routed_extract_rewrite": cube_routed_extract_rewrite,
+    "cube_routed_hour_rewrite": cube_routed_hour_rewrite,
+    "cube_routed_between_rewrite": cube_routed_between_rewrite,
     "streaming_hybrid_union": streaming_hybrid_union,
     "streaming_stateful_totals": streaming_stateful_totals,
 }
@@ -903,6 +952,22 @@ ORACLES = {
         from events
         group by 1, 2
         order by 1, 2
+    """,
+    "cube_routed_hour_rewrite": """
+        select cast(hour(ts) as int) as h,
+               count(*) as n,
+               round(sum(value), 2) as sum_value
+        from events
+        group by 1
+        order by 1
+    """,
+    "cube_routed_between_rewrite": """
+        select event_type, count(*) as n, round(sum(value), 2) as sum_value
+        from events
+        where ts between timestamp '2024-01-01 00:00:00'
+                     and timestamp '2024-01-02 23:59:59.999999'
+        group by event_type
+        order by event_type
     """,
     "streaming_time_derived": """
         select date_trunc('day', ts) as day_start,

@@ -63,6 +63,12 @@ _FUNC_GRAIN = {
     "month": "month",
     "dayofmonth": "day",
     "day": "day",
+    # sub-day part functions (reference TimeDerivedColumnType HOUR_START /
+    # MINUTE_START, core-metadata/.../dimension/TimeDerivedColumnType.java:35-80):
+    # hour(ts) is invariant under hour-or-finer truncation, minute(ts)
+    # under minute truncation only
+    "hour": "hour",
+    "minute": "minute",
 }
 
 
@@ -98,7 +104,14 @@ _LIT_DT = re.compile(r"'([^']+)'")
 
 
 def _ident(src: str) -> str:
-    return rf"`?{re.escape(src)}`?"
+    # the lookbehind anchors the ident's LEFT edge: without it a sibling
+    # column whose name merely ENDS with the source name (``created_ts``
+    # vs source ``ts``) would match the range/between patterns and get
+    # mangled into a nonexistent dim reference (r11 advisor, high). The
+    # dot also blocks qualified refs (``alias.ts``) — those fall through
+    # to the bare-ref check and refuse the rewrite, which is the safe
+    # side. The lookahead guards the right edge symmetrically.
+    return rf"(?<![\w.`])`?{re.escape(src)}`?(?![\w`])"
 
 
 def _patterns(src: str) -> list[tuple[re.Pattern, object]]:
@@ -147,23 +160,78 @@ def _patterns(src: str) -> list[tuple[re.Pattern, object]]:
                 return f"to_date({dim})"
         return None
 
-    def range_fn(m, grains, used):
-        # RAW range predicate folded onto a stored grain dim when the
-        # literal sits EXACTLY on that grain's boundary: for a monotone
-        # idempotent truncation f with f(T) = T,
-        #   ts >= T  <=>  f(ts) >= T   and   ts < T  <=>  f(ts) < T
-        # (proof in both directions from monotonicity + T being a fixed
-        # point). `>` / `<=` / BETWEEN have no such equivalence and are
-        # left unrewritten. This serves the canonical dashboard range
-        # [aligned-start, aligned-end) from the cube.
-        op, lit = m.group(1), m.group(2)
+    def _lit_dt(lit: str) -> _dt.datetime | None:
         dm = _LIT_DT.search(lit)
         if dm is None:
             return None
         try:
-            t = _dt.datetime.fromisoformat(dm.group(1))
+            return _dt.datetime.fromisoformat(dm.group(1))
         except ValueError:
             return None
+
+    def hm_part_fn(m, grains, used):
+        # hour(ts)/minute(ts) take the TIMESTAMP directly (no DATE cast —
+        # the cast would destroy the sub-day part); value-preservation:
+        # hour needs an hour-or-finer stored grain, minute needs minute
+        fn = m.group(1).lower()
+        for g in _SERVABLE[_FUNC_GRAIN[fn]]:
+            if g in grains:
+                dim = grains[g]
+                used.add(dim)
+                return f"{m.group(1)}({dim})"
+        return None
+
+    def between_fn(m, grains, used):
+        # Spark 4 keeps BETWEEN as a ``between(ts, lo, hi)`` call in the
+        # analyzed plan's SQL rendering (it is NOT desugared to >=/<=).
+        # Both ends inclusive: folds exactly when lo sits on a stored
+        # boundary and hi + 1 microsecond does —
+        #   ts BETWEEN lo AND hi  <=>  ts >= lo AND ts < hi+1us
+        # and each half folds by range_fn's fixed-point argument.
+        # Parenthesized so the conjunction binds under an enclosing NOT/OR.
+        lit1, lit2 = m.group(1), m.group(2)
+        t1, t2 = _lit_dt(lit1), _lit_dt(lit2)
+        if t1 is None or t2 is None:
+            return None
+        t2x = t2 + _dt.timedelta(microseconds=1)
+        g1 = next(
+            (g for g in _COARSE_FIRST if g in grains and _py_trunc(g, t1) == t1),
+            None,
+        )
+        g2 = next(
+            (g for g in _COARSE_FIRST if g in grains and _py_trunc(g, t2x) == t2x),
+            None,
+        )
+        if g1 is None or g2 is None:
+            return None
+        used.add(grains[g1])
+        used.add(grains[g2])
+        end = t2x.isoformat(sep=" ")
+        return (
+            f"({grains[g1]} >= {lit1} AND {grains[g2]} < TIMESTAMP '{end}')"
+        )
+
+    def range_fn(m, grains, used):
+        # RAW range predicate folded onto a stored grain dim. For a
+        # monotone idempotent truncation f with f(T) = T,
+        #   ts >= T  <=>  f(ts) >= T   and   ts < T  <=>  f(ts) < T
+        # (proof in both directions from monotonicity + T being a fixed
+        # point). The INCLUSIVE/EXCLUSIVE twins fold through the timestamp
+        # type's microsecond resolution: ts <= T <=> ts < T+1us and
+        # ts > T <=> ts >= T+1us, so they fold exactly when T+1us sits on
+        # a boundary — which is how BETWEEN arrives here (Catalyst
+        # desugars ts BETWEEN T1 AND T2 into ts >= T1 AND ts <= T2 before
+        # the digest ever sees it; a dashboard's closed range ending at
+        # 23:59:59.999999 folds to dim < next-midnight). Unaligned
+        # literals refuse and the query takes pushdown.
+        op, lit = m.group(1), m.group(2)
+        t = _lit_dt(lit)
+        if t is None:
+            return None
+        if op in ("<=", ">"):
+            t = t + _dt.timedelta(microseconds=1)
+            op = "<" if op == "<=" else ">="
+            lit = f"TIMESTAMP '{t.isoformat(sep=' ')}'"
         for g in _COARSE_FIRST:
             if g in grains and _py_trunc(g, t) == t:
                 dim = grains[g]
@@ -171,13 +239,19 @@ def _patterns(src: str) -> list[tuple[re.Pattern, object]]:
                 return f"{dim} {op} {lit}"
         return None
 
+    ts_lit = (
+        r"TIMESTAMP\s*'[^']+'|CAST\(\s*DATE\s*'[^']+'\s+AS\s+TIMESTAMP\s*\)"
+    )
     return [
         (
             re.compile(
-                rf"{s}\s*(>=|<)\s*(TIMESTAMP\s*'[^']+'"
-                rf"|CAST\(\s*DATE\s*'[^']+'\s+AS\s+TIMESTAMP\s*\))",
+                rf"\bbetween\(\s*{s}\s*,\s*({ts_lit})\s*,\s*({ts_lit})\s*\)",
                 re.IGNORECASE,
             ),
+            between_fn,
+        ),
+        (
+            re.compile(rf"{s}\s*(>=|<=|<|>)\s*({ts_lit})", re.IGNORECASE),
             range_fn,
         ),
         (
@@ -192,8 +266,12 @@ def _patterns(src: str) -> list[tuple[re.Pattern, object]]:
             part_fn,
         ),
         (
+            re.compile(rf"\b(hour|minute)\(\s*{s}\s*\)", re.IGNORECASE),
+            hm_part_fn,
+        ),
+        (
             re.compile(
-                rf"\bextract\(\s*'?(year|quarter|month|day)'?\s+FROM\s+{s}\s*\)",
+                rf"\bextract\(\s*'?(year|quarter|month|day|hour|minute)'?\s+FROM\s+{s}\s*\)",
                 re.IGNORECASE,
             ),
             extract_fn,

@@ -353,6 +353,175 @@ def test_declared_dim_auto_stamped_at_build(spark, tmp_path_factory):
     assert [r.n for r in df.collect()] == [1, 3, 1, 1]
 
 
+def test_substitute_sibling_column_name_not_mangled():
+    """r11 advisor (high): a column whose name merely ENDS with the source
+    name must not match the range patterns. With source ``ts``, the filter
+    ``created_ts >= T AND ts >= T`` previously rewrote the ``ts``-suffix of
+    ``created_ts`` into a nonexistent ``created_day_start``; with the left
+    boundary anchored, created_ts is untouched (it stays in filter_cols for
+    ordinary dim coverage) while the genuine ts ref folds."""
+    grains = {"day": "day_start"}
+    out, used = _substitute(
+        "(created_ts >= TIMESTAMP '2024-01-02 00:00:00') AND "
+        "(ts >= TIMESTAMP '2024-01-03 00:00:00')",
+        "ts",
+        grains,
+    )
+    assert out == (
+        "(created_ts >= TIMESTAMP '2024-01-02 00:00:00') AND "
+        "(day_start >= TIMESTAMP '2024-01-03 00:00:00')"
+    )
+    assert used == {"day_start"}
+    # a filter over ONLY the sibling column is simply not ts-relevant:
+    # no occurrence of the bare source, nothing rewritten, nothing broken
+    out, used = _substitute(
+        "(created_ts >= TIMESTAMP '2024-01-02 00:00:00') AND "
+        "(date_trunc('day', ts) < TIMESTAMP '2024-01-05 00:00:00')",
+        "ts",
+        grains,
+    )
+    assert "created_ts >= TIMESTAMP '2024-01-02 00:00:00'" in out
+    assert "day_start < TIMESTAMP '2024-01-05 00:00:00'" in out
+    assert used == {"day_start"}
+    # qualified references refuse conservatively
+    assert (
+        _substitute("a.ts >= TIMESTAMP '2024-01-02 00:00:00'", "ts", grains)
+        is None
+    )
+
+
+def test_substitute_hour_minute_part_functions():
+    """Sub-day part functions (TimeDerivedColumnType.java:35-80
+    MINUTE_START/HOUR_START): hour(ts) needs an hour-or-finer stored
+    grain, minute(ts) strictly minute."""
+    hd = {"hour": "hour_start", "day": "day_start"}
+    assert _substitute("hour(ts)", "ts", hd) == ("hour(hour_start)", {"hour_start"})
+    # day truncation destroys the hour -> day-only refuses
+    assert _substitute("hour(ts)", "ts", {"day": "day_start"}) is None
+    # minute needs minute; hour-stored refuses
+    assert _substitute("minute(ts)", "ts", hd) is None
+    assert _substitute("minute(ts)", "ts", {"minute": "minute_start"}) == (
+        "minute(minute_start)",
+        {"minute_start"},
+    )
+    # extract spelling rides the same table
+    assert _substitute("extract(hour FROM ts)", "ts", hd) == (
+        "extract(HOUR FROM hour_start)",
+        {"hour_start"},
+    )
+
+
+def test_substitute_inclusive_range_epsilon_fold():
+    """Catalyst desugars BETWEEN into >= AND <= before the digest exists,
+    so the closed-range end arrives as ``ts <= T``: it folds exactly when
+    T + 1 microsecond (the timestamp type's resolution) is a grain
+    boundary — the canonical dashboard BETWEEN ending 23:59:59.999999.
+    ``>`` folds symmetrically to >= T+1us."""
+    grains = {"hour": "hour_start", "day": "day_start"}
+    # inclusive end one microsecond before a day boundary folds exactly
+    out, used = _substitute(
+        "(ts >= TIMESTAMP '2024-01-01 00:00:00') AND "
+        "(ts <= TIMESTAMP '2024-01-02 23:59:59.999999')",
+        "ts",
+        grains,
+    )
+    assert out == (
+        "(day_start >= TIMESTAMP '2024-01-01 00:00:00') AND "
+        "(day_start < TIMESTAMP '2024-01-03 00:00:00')"
+    )
+    assert used == {"day_start"}
+    # hour-aligned epsilon end rides the hour dim
+    out, used = _substitute(
+        "ts <= TIMESTAMP '2024-01-01 12:59:59.999999'", "ts", grains
+    )
+    assert out == "hour_start < TIMESTAMP '2024-01-01 13:00:00'"
+    # > folds through the same epsilon: ts > T <=> ts >= T+1us
+    out, used = _substitute(
+        "ts > TIMESTAMP '2023-12-31 23:59:59.999999'", "ts", grains
+    )
+    assert out == "day_start >= TIMESTAMP '2024-01-01 00:00:00'"
+    # an end sitting EXACTLY on a boundary is inclusive of that instant
+    # and has no truncation equivalence -> refuse
+    assert (
+        _substitute("ts <= TIMESTAMP '2024-01-02 00:00:00'", "ts", grains)
+        is None
+    )
+    # unaligned epsilon end refuses
+    assert (
+        _substitute("ts <= TIMESTAMP '2024-01-01 23:59:59'", "ts", grains)
+        is None
+    )
+    # the between(ts, lo, hi) call form (how Spark 4's analyzed plan
+    # renders BETWEEN) folds to a parenthesized half-open conjunction
+    out, used = _substitute(
+        "between(ts, TIMESTAMP '2024-01-01 00:00:00', "
+        "TIMESTAMP '2024-01-31 23:59:59.999999')",
+        "ts",
+        grains,
+    )
+    assert out == (
+        "(day_start >= TIMESTAMP '2024-01-01 00:00:00' "
+        "AND day_start < TIMESTAMP '2024-02-01 00:00:00')"
+    )
+    assert used == {"day_start"}
+    # boundary-inclusive hi refuses
+    assert (
+        _substitute(
+            "between(ts, TIMESTAMP '2024-01-01 00:00:00', "
+            "TIMESTAMP '2024-02-01 00:00:00')",
+            "ts",
+            grains,
+        )
+        is None
+    )
+
+
+def test_hour_part_function_routes_end_to_end(engine):
+    df = engine.sql(
+        """
+        select hour(ts) as h, count(*) as n, sum(v) as sum_v
+        from tg_events
+        group by hour(ts)
+        order by h
+        """,
+        validate=True,
+    )
+    route = engine.last_route
+    assert route is not None, "hour(ts) must route via the stored hour dim"
+    assert set(route.cuboid.dims) == {"hour_start"}, route.cuboid
+    got = {r.h: r.n for r in df.collect()}
+    assert got == {0: 1, 1: 2, 10: 1, 12: 1, 23: 1}
+    # minute(ts) has no minute-grain dim on this cube: honest pushdown
+    engine.sql(
+        "select minute(ts) as m, count(*) as n from tg_events "
+        "group by minute(ts)"
+    )
+    assert engine.last_route is None
+
+
+def test_between_routes_end_to_end(engine):
+    df = engine.sql(
+        """
+        select etype, count(*) as n, sum(v) as sum_v
+        from tg_events
+        where ts between timestamp '2024-01-01 00:00:00'
+                     and timestamp '2024-01-31 23:59:59.999999'
+        group by etype
+        order by etype
+        """,
+        validate=True,
+    )
+    assert engine.last_route is not None, "aligned BETWEEN must route"
+    assert {r.etype: r.n for r in df.collect()} == {"click": 2, "view": 2}
+    # boundary-inclusive BETWEEN (end exactly midnight) refuses -> pushdown
+    engine.sql(
+        "select etype, count(*) as n from tg_events "
+        "where ts between timestamp '2024-01-01 00:00:00' "
+        "and timestamp '2024-02-01 00:00:00' group by etype"
+    )
+    assert engine.last_route is None
+
+
 def test_rewrite_survives_route_memo_replay(engine):
     """The same BI-spelled query twice: the second run replays the
     memoized route and must produce identical rows (the rewrite is
