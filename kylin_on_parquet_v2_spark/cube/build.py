@@ -85,10 +85,11 @@ def bloom_write_options(desc: CubeDesc, columns) -> dict[str, str]:
     high-cardinality dim — whose values land in every row group — skips
     row groups by bloom membership instead of scanning the layout."""
     opts: dict[str, str] = {}
+    ndv_map = dict(desc.bloom_filter_ndv)  # stored as (col, ndv) pairs
     for col in desc.bloom_filter_dims:
         if col in columns:
             opts[f"parquet.bloom.filter.enabled#{col}"] = "true"
-            ndv = desc.bloom_filter_ndv.get(col)
+            ndv = ndv_map.get(col)
             if ndv:
                 opts[f"parquet.bloom.filter.expected.ndv#{col}"] = str(int(ndv))
     return opts
@@ -267,10 +268,15 @@ class CubeInstance:
         """The persisted global dictionary for a bitmap measure column
         (NGlobalDictionaryV2 store) — every word-bag bitmap built for this
         cube references these ids, so any NEW data merged with stored bags
-        must be encoded through (an extension of) this mapping."""
-        return spark.read.parquet(
-            os.path.join(self.storage_dir, self.desc.name, "dict", param)
-        )
+        must be encoded through (an extension of) this mapping. Repairs a
+        crashed maintenance swap first (one fs.exists per call): a query
+        landing right after a mid-swap crash rolls the staged extended
+        dictionary forward instead of failing on a missing dir."""
+        from kylin_on_parquet_v2_spark.cube import dictionary as GD
+
+        path = os.path.join(self.storage_dir, self.desc.name, "dict", param)
+        GD.repair_dict_swap(FS.fs_for(path, spark), path)
+        return spark.read.parquet(path)
 
     def meta_path(self) -> str:
         return os.path.join(self.storage_dir, self.desc.name, "cube_meta.json")
@@ -656,6 +662,7 @@ class CubeBuilder:
         for m in self._bitmap_measures():
             param = m.function.parameter
             dict_path = os.path.join(cube_dir, "dict", param)
+            GD.repair_dict_swap(layout_fs, dict_path)
             if resume and layout_fs.exists(os.path.join(dict_path, "_SUCCESS")):
                 # the crashed attempt finished this dictionary: EXTEND it
                 # (append-only ids) rather than rebuild — a rebuild could
@@ -664,10 +671,8 @@ class CubeBuilder:
                 extended = GD.extend_global_dict(
                     self.spark.read.parquet(dict_path), flat, param
                 )
-                staging = dict_path + "_staging"
-                extended.write.mode("overwrite").parquet(staging)
-                layout_fs.rmtree(dict_path)
-                layout_fs.rename(staging, dict_path)
+                extended.write.mode("overwrite").parquet(dict_path + "_staging")
+                GD.publish_dict_staging(layout_fs, dict_path)
             else:
                 d = GD.build_global_dict(flat, param)
                 d.write.mode("overwrite").parquet(dict_path)
@@ -1179,6 +1184,12 @@ class CubeBuilder:
                 if fs.exists(staging):
                     fs.rmtree(staging)
                 fs.remove(sentinel)
+            # a crashed full-retraction refresh leaves only an invisible
+            # "_"-prefixed tomb (hidden from partition discovery) — finish
+            # deleting it
+            tomb = os.path.join(path, f"_retract_{SEGMENT_COL}={segment}")
+            if fs.exists(tomb):
+                fs.rmtree(tomb)
 
         needed = set(self.desc.dimensions) | {SEGMENT_COL}
         for m in self.desc.measures:
@@ -1187,17 +1198,40 @@ class CubeBuilder:
             needed.update(m.function.extra_params)
         flat_seg = self._flat_with_segment().filter(F.col(SEGMENT_COL) == segment)
         flat_seg = flat_seg.select(*[c for c in flat_seg.columns if c in needed])
+        if not flat_seg.take(1):
+            # FULL RETRACTION (r11 advisor): the restated source has zero
+            # rows for this segment. The staged-write path would fail (an
+            # empty partitioned write creates no SEGMENT_COL dir to read
+            # back), so remove the segment from every layout instead:
+            # rename the dir into an "_"-prefixed tomb (atomic; hidden
+            # from partition discovery, so readers never see a half
+            # deleted dir), then delete the tomb — a crash in between
+            # leaves only invisible garbage the repair pass above cleans.
+            for cuboid_id, path in inst.layouts.items():
+                fs = FS.fs_for(path, self.spark)
+                seg_dir = os.path.join(path, f"{SEGMENT_COL}={segment}")
+                tomb = os.path.join(path, f"_retract_{SEGMENT_COL}={segment}")
+                if fs.exists(seg_dir):
+                    fs.rename(seg_dir, tomb)
+                    fs.rmtree(tomb)
+                self.spark.catalog.refreshByPath(path)
+                n = _parquet_rows(path)
+                if n is not None:
+                    inst.layout_rows[cuboid_id] = n
+            inst.uncommit_segments(self.spark, [segment])
+            record_dim_ranges(inst, self.spark)  # epoch bump
+            inst.save_meta()
+            return
         layout_fs = FS.fs_for(cube_dir, self.spark)
         for m in self._bitmap_measures():
             param = m.function.parameter
             dict_path = os.path.join(cube_dir, "dict", param)
+            GD.repair_dict_swap(layout_fs, dict_path)
             extended = GD.extend_global_dict(
                 self.spark.read.parquet(dict_path), flat_seg, param
             )
-            dstaging = dict_path + "_staging"
-            extended.write.mode("overwrite").parquet(dstaging)
-            layout_fs.rmtree(dict_path)
-            layout_fs.rename(dstaging, dict_path)
+            extended.write.mode("overwrite").parquet(dict_path + "_staging")
+            GD.publish_dict_staging(layout_fs, dict_path)
             flat_seg = GD.encode_column(
                 flat_seg, self.spark.read.parquet(dict_path), param
             )
@@ -1302,15 +1336,14 @@ class CubeBuilder:
         for m in self._bitmap_measures():
             param = m.function.parameter
             dict_path = os.path.join(cube_dir, "dict", param)
+            GD.repair_dict_swap(layout_fs, dict_path)
             extended = GD.extend_global_dict(
                 self.spark.read.parquet(dict_path), flat_new, param
             )
             # extended is checkpointed, so the staging swap of its own
             # source is safe; the swap keeps readers of the old dict valid
-            staging = dict_path + "_staging"
-            extended.write.mode("overwrite").parquet(staging)
-            layout_fs.rmtree(dict_path)
-            layout_fs.rename(staging, dict_path)
+            extended.write.mode("overwrite").parquet(dict_path + "_staging")
+            GD.publish_dict_staging(layout_fs, dict_path)
             flat_new = GD.encode_column(
                 flat_new, self.spark.read.parquet(dict_path), param
             )

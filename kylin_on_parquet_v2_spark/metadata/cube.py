@@ -191,8 +191,10 @@ class CubeDesc:
     #: expected distinct count per bloom dim — sizes the filter bitset
     #: (parquet.bloom.filter.expected.ndv). Unset dims take parquet's
     #: max-bytes cap, which over-allocates on small row groups: declare the
-    #: per-row-group NDV when known.
-    bloom_filter_ndv: dict = field(default_factory=dict)
+    #: per-row-group NDV when known. Stored as (col, ndv) pairs so the
+    #: frozen dataclass stays hashable (a dict field would break
+    #: ``hash(desc)``); a plain dict passed in is normalized below.
+    bloom_filter_ndv: tuple = ()
     #: declared event-time grain dimensions (TimeDerivedColumnType parity):
     #: each names a dimension of this cube that equals
     #: ``date_trunc(grain, source)``. The router uses these to rewrite
@@ -205,6 +207,12 @@ class CubeDesc:
         names = [m.name for m in self.measures]
         if len(names) != len(set(names)):
             raise ValueError("duplicate measure names")
+        if isinstance(self.bloom_filter_ndv, dict):
+            object.__setattr__(
+                self,
+                "bloom_filter_ndv",
+                tuple(sorted(self.bloom_filter_ndv.items())),
+            )
         if self.bucket_layouts and not self.shard_by:
             raise ValueError("bucket_layouts requires shard_by")
         for td in self.time_derived:

@@ -317,18 +317,18 @@ def fold_tail_dictionary(
     fs = FS.fs_for(inst.storage_dir, spark)
     for param in bitmap_params:
         dict_path = os.path.join(inst.storage_dir, inst.desc.name, "dict", param)
+        GD.repair_dict_swap(fs, dict_path)
         base = spark.read.parquet(dict_path)
         ext = GD.extend_global_dict(base, rt, param)
         if ext is base:  # nothing new in the tail
             added[param] = 0
             continue
-        # same staging swap as build_increment: ext is checkpointed, so
-        # overwriting its own source is safe and readers never see a gap
-        staging = dict_path + "_staging"
-        ext.write.mode("overwrite").parquet(staging)
+        # sentinel-guarded staging swap (shared with build/refresh): ext is
+        # checkpointed, so overwriting its own source is safe; a crash
+        # mid-swap is rolled forward by repair_dict_swap at the next read
+        ext.write.mode("overwrite").parquet(dict_path + "_staging")
         n_before = base.count()
-        fs.rmtree(dict_path)
-        fs.rename(staging, dict_path)
+        GD.publish_dict_staging(fs, dict_path)
         added[param] = spark.read.parquet(dict_path).count() - n_before
     FS.write_json(_cover_path(inst), {"files": files}, spark)
     return added
@@ -340,6 +340,7 @@ def _encode_tail(
     param: str,
     spark: SparkSession,
     part: HybridPart | None = None,
+    covered: bool | None = None,
 ) -> DataFrame:
     """Dictionary-encode the realtime tail through an in-memory EXTENSION of
     the cube's frozen global dictionary: values the batch build already saw
@@ -354,11 +355,18 @@ def _encode_tail(
 
     Returns ``(encoded tail, extended dictionary)`` — INTERSECT_VALUE needs
     the EXTENDED mapping to decode bits back to values (a tail-only value's
-    id exists nowhere in the persisted dictionary)."""
+    id exists nowhere in the persisted dictionary).
+
+    ``covered`` short-circuits the coverage check: callers that encode
+    several params in one query compute :func:`_tail_covered` ONCE (the
+    check walks the realtime store's file listing driver-side — per-query
+    cost must not scale with the number of bitmap params; r11 advisor)."""
     from kylin_on_parquet_v2_spark.cube import dictionary as GD
 
     base = inst.dict_df(spark, param)
-    if part is not None and _tail_covered(inst, part, spark):
+    if covered is None:
+        covered = part is not None and _tail_covered(inst, part, spark)
+    if covered:
         return GD.encode_column(rt, base, param), base
     ext = GD.extend_global_dict(base, rt, param)
     return GD.encode_column(rt, ext, param), ext
@@ -538,9 +546,11 @@ def execute_hybrid(
         # bags merge batch∪tail at the query grain, then finalize exactly
         # as the plain routed path does (explode → bit_or → bit_count);
         # per-param tail encodings are computed once even when several
-        # outputs share the same distinct column
+        # outputs share the same distinct column; the fold-coverage check
+        # (a driver-side store listing) runs once per QUERY, not per param
         measures = {m.name: m for m in inst.desc.measures}
         enc_cache: dict[str, tuple] = {}
+        tail_cov = _tail_covered(inst, part, spark)
         if result is None and group_srcs:
             # no plain aggregates: the group universe still must include
             # groups whose distinct column is entirely NULL (count = 0)
@@ -611,7 +621,7 @@ def execute_hybrid(
                 # encode the UNFILTERED tail once per param; cohort filters
                 # commute with the encoding join, so cond items filter the
                 # encoded frame instead of re-running the dict extension
-                cached = _encode_tail(rt, inst, param, spark, part)
+                cached = _encode_tail(rt, inst, param, spark, part, tail_cov)
                 enc_cache[param] = cached
             tail_enc, ext_dict = cached
             b_side = batch_scan if cond is None else batch_scan.filter(F.expr(cond))
@@ -790,8 +800,10 @@ def _hybrid_grouping_sets(
         else None
     )
 
-    # per-item merged-but-unfinalized state frames at the finest grain
+    # per-item merged-but-unfinalized state frames at the finest grain;
+    # the fold-coverage store listing runs once per query, not per param
     enc_cache: dict[str, tuple] = {}
+    tail_cov = part is not None and _tail_covered(inst, part, spark)
     state_frames: list[tuple] = []  # (item, kind, frame, mname, extra)
     for item in bag_items:
         name = item.name
@@ -828,7 +840,7 @@ def _hybrid_grouping_sets(
         param = measures[mname].function.parameter
         cached = enc_cache.get(param)
         if cached is None:
-            cached = _encode_tail(rt, inst, param, spark, part)
+            cached = _encode_tail(rt, inst, param, spark, part, tail_cov)
             enc_cache[param] = cached
         tail_enc, ext_dict = cached
         b_side = batch_scan if cond is None else batch_scan.filter(F.expr(cond))
