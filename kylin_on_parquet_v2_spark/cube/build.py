@@ -1049,6 +1049,7 @@ class CubeBuilder:
         segmented: bool,
         mode: str = "overwrite",
         cuboid_id: int | None = None,
+        table_suffix: str = "",
     ) -> str | None:
         """Persist one layout; returns the catalog table name when the
         layout was written BUCKETED (CubeDesc.bucket_layouts), else None.
@@ -1088,7 +1089,14 @@ class CubeBuilder:
             # into a different dir (per-test tempdirs, or multiple engine
             # instances) must not silently repoint the table at another
             # build's files (round-6 advisor finding #2).
-            tname = f"{self.desc.name}_{self._table_ns()}_c{cuboid_id}".lower()
+            # table_suffix stages a refresh under a SIDE table name (the
+            # live table must never be repointed at a staging path); the
+            # staged files carry the same bucket spec + bucket-id file
+            # names, so moving them into the live table's segment dir
+            # preserves bucketed reads
+            tname = (
+                f"{self.desc.name}_{self._table_ns()}_c{cuboid_id}{table_suffix}"
+            ).lower()
             writer = (
                 df.repartition(self.desc.shard_buckets, F.col(self.desc.shard_by))
                 .write.mode(mode)
@@ -1156,16 +1164,15 @@ class CubeBuilder:
             raise ValueError("segment refresh requires a segmented cube")
         if segment not in set(inst.segments(self.spark)):
             raise ValueError(f"unknown segment {segment!r}")
-        if self.desc.bucket_layouts:
-            # the staged write would re-register bucketed tables pointed at
-            # staging paths — refuse loudly (bucketed cubes also refuse
-            # merge; both rewrite files outside the bucket bookkeeping)
-            raise ValueError(
-                "segment refresh is not supported for bucket_layouts cubes"
-            )
 
         cube_dir = os.path.join(self.storage_dir, self.desc.name)
         staging_name = f"_staging_refresh_{SEGMENT_COL}={segment}"
+        # BUCKETED layouts refresh too (r11 What's-missing #3): the staged
+        # segment is written through a SIDE catalog table (same bucket
+        # spec) so the live table is never repointed; the staged files'
+        # bucket-id names survive the dir rename, so after the swap the
+        # live table's scan still groups them into the same buckets —
+        # refreshTable below drops its cached listings.
 
         # crash repair FIRST: a previous attempt that died mid-swap left a
         # sentinel + staged bytes — finish that swap so every layout is
@@ -1190,6 +1197,11 @@ class CubeBuilder:
             tomb = os.path.join(path, f"_retract_{SEGMENT_COL}={segment}")
             if fs.exists(tomb):
                 fs.rmtree(tomb)
+            tname = inst.layout_tables.get(cuboid_id)
+            if tname:
+                # leftover staged side table from a crashed attempt
+                self.spark.sql(f"DROP TABLE IF EXISTS {tname}_rstg")
+                self.spark.catalog.refreshTable(tname)
 
         needed = set(self.desc.dimensions) | {SEGMENT_COL}
         for m in self.desc.measures:
@@ -1215,6 +1227,9 @@ class CubeBuilder:
                     fs.rename(seg_dir, tomb)
                     fs.rmtree(tomb)
                 self.spark.catalog.refreshByPath(path)
+                tname = inst.layout_tables.get(cuboid_id)
+                if tname:
+                    self.spark.catalog.refreshTable(tname)
                 n = _parquet_rows(path)
                 if n is not None:
                     inst.layout_rows[cuboid_id] = n
@@ -1250,7 +1265,12 @@ class CubeBuilder:
                 else:
                     df = self._agg_from_parent(built[parent.cuboid_id], cuboid, True)
                 self._write_layout(
-                    df, staging, True, mode="overwrite", cuboid_id=cuboid.cuboid_id
+                    df,
+                    staging,
+                    True,
+                    mode="overwrite",
+                    cuboid_id=cuboid.cuboid_id,
+                    table_suffix="_rstg",
                 )
                 built[cuboid.cuboid_id] = self.spark.read.parquet(staging)
         finally:
@@ -1271,6 +1291,13 @@ class CubeBuilder:
             fs.rmtree(staging)
             fs.remove(sentinel)
             self.spark.catalog.refreshByPath(path)
+            tname = inst.layout_tables.get(cuboid_id)
+            if tname:
+                # the staged side table's metadata is disposable (its files
+                # just moved into the live table's segment dir); the live
+                # table re-lists its files on the next scan
+                self.spark.sql(f"DROP TABLE IF EXISTS {tname}_rstg")
+                self.spark.catalog.refreshTable(tname)
             n = _parquet_rows(path)
             if n is not None:
                 inst.layout_rows[cuboid_id] = n

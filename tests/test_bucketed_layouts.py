@@ -194,3 +194,92 @@ def test_bucketed_segmented_incremental_append(spark, tmp_path_factory):
     assert got == exp
     for t in inst.layout_tables.values():
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_bucketed_segment_refresh(spark, tmp_path_factory):
+    """Segment REFRESH on a bucket_layouts cube (r11 What's-missing #3):
+    the staged segment writes through a SIDE table with the same bucket
+    spec, its bucket-id file names survive the dir swap, and afterwards
+    the live table still serves the shard-key re-agg exchange-free with
+    restated answers; the other segment's bytes are untouched and no
+    staging tables or dirs are left behind."""
+    import datetime as dt
+    import os
+
+    def rows(late: bool):
+        out = [
+            (k % 5, dt.date(2024, 11, day), float(k + day))
+            for day in (1, 2)
+            for k in range(20)
+        ]
+        if late:
+            out.append((7, dt.date(2024, 11, 2), 100.0))  # new shard key
+        return out
+
+    spark.createDataFrame(
+        rows(False), "sk long, d date, v double"
+    ).createOrReplaceTempView("br_fact")
+    eng = OlapEngine(spark, storage_dir=str(tmp_path_factory.mktemp("br_cubes")))
+    eng.add_model(DataModel(name="br_star", fact_table="br_fact", partition_column="d"))
+    eng.build_cube(
+        CubeDesc(
+            name="br_cube",
+            model_name="br_star",
+            dimensions=("sk", "d"),
+            measures=(
+                MeasureDesc("_count", FunctionDesc("COUNT")),
+                MeasureDesc("sum_v", FunctionDesc("SUM", "v")),
+            ),
+            cuboid_ids=(3,),
+            shard_by="sk",
+            shard_buckets=4,
+            bucket_layouts=True,
+            segment_granularity="day",
+        )
+    )
+    inst = eng.cubes["br_cube"]
+    assert inst.layout_tables, "expected bucketed table registrations"
+    try:
+        base_path = inst.layouts[max(inst.layouts)]
+
+        def listing(seg):
+            root = os.path.join(base_path, f"__segment__={seg}")
+            return sorted(
+                os.path.join(os.path.relpath(r, root), f)
+                for r, _d, fs in os.walk(root)
+                for f in fs
+                if not f.startswith(".")
+            )
+
+        day1_before = listing("2024-11-01")
+
+        spark.createDataFrame(
+            rows(True), "sk long, d date, v double"
+        ).createOrReplaceTempView("br_fact")
+        eng.refresh_segment("br_cube", "2024-11-02")
+
+        sql = "select sk, sum(v) as s, count(*) as n from br_fact group by sk"
+        df = eng.sql(sql, validate=True)
+        assert eng.last_route is not None
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert not any(
+            "Exchange hashpartitioning" in ln and "sk" in ln.split("Exchange")[1][:60]
+            for ln in plan.splitlines()
+            if "Exchange hashpartitioning" in ln
+        ), plan
+        got = {tuple(r) for r in df.collect()}
+        assert (7, 100.0, 1) in got  # the restated row, via the new shard key
+        assert got == {tuple(r) for r in eng.pushdown(sql).collect()}
+        # day-1 bytes untouched; no staging dirs or side tables remain
+        assert listing("2024-11-01") == day1_before
+        for path in inst.layouts.values():
+            assert not [n for n in os.listdir(path) if "staging" in n], path
+        leftover = [
+            t.name
+            for t in spark.catalog.listTables()
+            if t.name.endswith("_rstg")
+        ]
+        assert not leftover, leftover
+    finally:
+        for t in inst.layout_tables.values():
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
