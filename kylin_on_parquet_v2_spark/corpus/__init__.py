@@ -89,6 +89,10 @@ _PRIORITY = [
     "cube_routed_bucket_refresh",
     "dedup_minhash_signatures",
     "dedup_minhash_lsh_pairs",
+    # --- rows-only queries that gained in-query self-checks in r12
+    "hll_approx_distinct",
+    "percentile_approx_sketch",
+    "similarity_ann_ivf_indexed",
     "cube_routed_trunc_rewrite",
     "cube_routed_extract_rewrite",
     "cube_routed_ts_range_rewrite",

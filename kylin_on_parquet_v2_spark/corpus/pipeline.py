@@ -250,7 +250,10 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN — corpus partitioned into inverted lists, each query probes
     its n_probe nearest lists via a hash join (never a full scan).
-    Approximate by design => rows-only; true-cosine invariant in tests."""
+    Approximate by design => rows-only; pinned by
+    tests/test_pipeline.py::test_ann_ivf_results_are_true_cosines (every
+    returned score equals the brute-force cosine) and
+    ::test_ivf_recall_vs_bruteforce (recall@k floor 0.40 seeded)."""
     views(spark, sf_dir)
     emb = spark.table("embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
@@ -260,8 +263,10 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def similarity_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with a TRAINED coarse quantizer: two distributed spherical
     k-means iterations refine the seeded centroids before the probe join.
-    Deterministic but float-training-dependent => rows-only; determinism,
-    quantizer-improvement, and true-cosine invariants live in tests."""
+    Deterministic but float-training-dependent => rows-only; pinned by
+    tests/test_pipeline.py::test_ivf_recall_vs_bruteforce (trained recall
+    floor 0.58, +18 points over seeded at identical query cost) and
+    ::test_ann_ivf_results_are_true_cosines."""
     views(spark, sf_dir)
     emb = spark.table("embeddings")
     cents = S.train_ivf_centroids(emb, iters=2)
@@ -277,7 +282,11 @@ def similarity_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     TRAINED on the build half (IVFIndex.build's default since r8 — recall
     is pinned in tests) and frozen for add(), so results are
     float-training-dependent => rows-only; the index==direct equivalence,
-    recall floor, and the pruning plan are tested."""
+    recall floor, and the pruning plan are tested. The recall@5 CONTRACT
+    is additionally enforced here every driver run (r11 verdict item 6):
+    the candidates are joined against the brute-force top-5 in the same
+    query and the measured recall must clear the 0.5 floor (deterministic:
+    measured 0.59 at sf0.001, 0.55 at sf0.01)."""
     import shutil
 
     views(spark, sf_dir)
@@ -294,7 +303,12 @@ def similarity_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx.build(emb.filter(F.col("vec_id") <= mid), train_fraction=0.25)
     idx.add(emb.filter(F.col("vec_id") > mid))
     queries = emb.filter(F.col("vec_id") < 20)
-    return idx.topk(queries, k=5).orderBy("query_id", "rn")
+    got = idx.topk(queries, k=5)
+    truth = S.brute_force_topk(emb, queries, k=5)
+    hits = got.join(truth, ["query_id", "cand_id"]).count()
+    total = truth.count()
+    assert total and hits / total >= 0.5, f"recall@5 {hits}/{total} below floor"
+    return got.orderBy("query_id", "rn")
 
 
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
