@@ -15,7 +15,14 @@ does the same over the SQL digest, BEFORE cuboid matching:
 - ``year/quarter/month/dayofmonth(CAST(ts AS DATE))`` (how Catalyst renders
   ``year(ts)`` etc.) and ``extract('year' FROM ts)`` -> the same function
   over a stored dim whose grain preserves the value
+- ``hour(ts)`` / ``minute(ts)`` (r12, MINUTE_START/HOUR_START parity) ->
+  the same function over an hour-/minute-grain stored dim (NO date cast —
+  that would destroy the sub-day part)
 - ``to_date(ts)``              -> ``to_date(<dim>)`` for any grain <= day
+- aligned range bounds fold onto stored dims; INCLUSIVE bounds fold
+  through the timestamp type's microsecond resolution (``ts <= T`` <=>
+  ``ts < T+1us``, ``between(ts, lo, hi)`` -> a half-open conjunction), so
+  the canonical dashboard BETWEEN serves from the cube (r12)
 
 Soundness: ``date_trunc(G, date_trunc(g, x)) = date_trunc(G, x)`` whenever
 grain ``g`` NESTS in ``G`` — with the one classic caveat that WEEK does not
