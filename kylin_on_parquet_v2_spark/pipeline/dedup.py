@@ -192,6 +192,15 @@ class IncrementalDedup:
     the stored-signature side is partition-pruned parquet of ~no width.
     """
 
+    #: signature-format version: bumped whenever the MinHash construction
+    #: changes (r12: 16-bit -> 32-bit slots). A store written under a
+    #: different construction must REFUSE, not silently degrade: old and
+    #: new band keys differ in width, so a mixed store would never emit a
+    #: cross-format candidate pair — silent under-detection, the worst
+    #: failure mode a dedup pipeline has (same version-stamped-marker
+    #: pattern as BPE_MERGES_VERSION / the IVF quantizer).
+    FORMAT = {"version": 2, "slot_hex": 8, "digests": 2}
+
     def __init__(
         self,
         spark,
@@ -207,15 +216,47 @@ class IncrementalDedup:
         self.text_col, self.id_col, self.k, self.bands = text_col, id_col, k, bands
         self.sig_path = os.path.join(store_dir, "signatures")
         self.pairs_path = os.path.join(store_dir, "pairs")
+        self.format_path = os.path.join(store_dir, "FORMAT.json")
 
     def _exists(self, path: str) -> bool:
         from kylin_on_parquet_v2_spark import fs as FS
 
         return FS.fs_for(path, self.spark).exists(path)
 
+    def _check_format(self) -> None:
+        """Stamp the signature format on first write; refuse a store whose
+        stamp mismatches (or predates stamps entirely — every pre-v2 store
+        holds 16-bit signatures)."""
+        from kylin_on_parquet_v2_spark import fs as FS
+
+        expected = dict(self.FORMAT, k=self.k, bands=self.bands)
+        if self._exists(self.format_path):
+            found = FS.read_json(self.format_path, self.spark)
+            if found != expected:
+                raise ValueError(
+                    f"incompatible signature store at {self.sig_path}: "
+                    f"written as {found}, this engine produces {expected}; "
+                    "rebuild the store (old and new signatures can never "
+                    "match, so mixing silently misses duplicates)"
+                )
+        elif self._exists(self.sig_path):
+            raise ValueError(
+                f"signature store at {self.sig_path} predates format "
+                "stamps (pre-v2 = 16-bit slots); rebuild the store"
+            )
+        else:
+            import os
+
+            fs = FS.fs_for(self.format_path, self.spark)
+            parent = os.path.dirname(self.format_path)
+            if not fs.exists(parent):
+                fs.makedirs(parent)
+            FS.write_json(self.format_path, expected, self.spark)
+
     def refresh(self, delta: DataFrame) -> int:
         """Process a batch of NEW documents; returns the number of new
         candidate pairs persisted. Only the delta's text is shingled."""
+        self._check_format()
         new_sig = minhash_signatures(delta, self.text_col, self.id_col, self.k)
         stacked_new = _stack_bands(new_sig, self.id_col, self.k, self.bands)
         if self._exists(self.sig_path):

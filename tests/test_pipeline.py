@@ -82,6 +82,37 @@ def test_incremental_dedup_equals_full_recompute(spark, tmp_path):
     assert sigs.count() == sigs.select("doc_id").distinct().count() == docs.count()
 
 
+def test_incremental_dedup_refuses_foreign_format_store(spark, tmp_path):
+    """A persisted signature store written under a DIFFERENT MinHash
+    construction must refuse loudly: old and new band keys can never
+    collide, so mixing would silently miss every cross-format duplicate
+    (the r12 16->32-bit widening is exactly such a change)."""
+    import json
+
+    docs = spark.table("documents").limit(10)
+    store = tmp_path / "store"
+    inc = D.IncrementalDedup(spark, str(store))
+    inc.refresh(docs)
+    stamp = json.loads((store / "FORMAT.json").read_text())
+    assert stamp["slot_hex"] == 8 and stamp["digests"] == 2
+
+    # same construction: further refreshes proceed
+    inc2 = D.IncrementalDedup(spark, str(store))
+    inc2.refresh(docs.withColumn("doc_id", F.col("doc_id") + 10**6))
+
+    # foreign stamp (a pre-widening store): refuse
+    (store / "FORMAT.json").write_text(
+        json.dumps({"version": 1, "slot_hex": 4, "digests": 1, "k": 8, "bands": 4})
+    )
+    with pytest.raises(ValueError, match="incompatible signature store"):
+        D.IncrementalDedup(spark, str(store)).refresh(docs)
+
+    # stampless store with existing signatures (pre-v2): refuse
+    (store / "FORMAT.json").unlink()
+    with pytest.raises(ValueError, match="predates format stamps"):
+        D.IncrementalDedup(spark, str(store)).refresh(docs)
+
+
 def test_simhash_near_duplicates_close(spark):
     rows = [
         (1, "the quick brown fox jumps over the lazy dog again and again today"),
