@@ -167,6 +167,20 @@ def _patterns(src: str) -> list[tuple[re.Pattern, object]]:
                 return f"to_date({dim})"
         return None
 
+    def cast_date_fn(m, grains, used):
+        # a BARE CAST(ts AS DATE) — ``GROUP BY CAST(ts AS DATE)``,
+        # ``WHERE CAST(ts AS DATE) = DATE '...'`` — truncates to the day,
+        # so any day-or-finer stored grain preserves it (same rule as
+        # to_date). Runs AFTER part_fn in the pattern list, so the CASTs
+        # inside year(CAST(ts AS DATE)) etc. are already consumed by the
+        # (less restrictive) part-function rule before this one fires.
+        for g in _SERVABLE["day"]:
+            if g in grains:
+                dim = grains[g]
+                used.add(dim)
+                return f"CAST({dim} AS DATE)"
+        return None
+
     def _lit_dt(lit: str) -> _dt.datetime | None:
         dm = _LIT_DT.search(lit)
         if dm is None:
@@ -284,6 +298,10 @@ def _patterns(src: str) -> list[tuple[re.Pattern, object]]:
             extract_fn,
         ),
         (re.compile(rf"\bto_date\(\s*{s}\s*\)", re.IGNORECASE), to_date_fn),
+        (
+            re.compile(rf"\bCAST\(\s*{s}\s+AS\s+DATE\s*\)", re.IGNORECASE),
+            cast_date_fn,
+        ),
     ]
 
 

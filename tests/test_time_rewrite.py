@@ -476,6 +476,44 @@ def test_substitute_inclusive_range_epsilon_fold():
     )
 
 
+def test_substitute_bare_cast_date():
+    """A bare CAST(ts AS DATE) (GROUP BY / filter spelling) rides any
+    day-or-finer stored grain, while year(CAST(ts AS DATE)) keeps its
+    LESS restrictive rule (a month-grain dim serves year() but cannot
+    serve the bare cast)."""
+    grains = {"day": "day_start"}
+    assert _substitute("CAST(ts AS DATE)", "ts", grains) == (
+        "CAST(day_start AS DATE)",
+        {"day_start"},
+    )
+    out, used = _substitute(
+        "CAST(ts AS DATE) = DATE '2024-01-01'", "ts", grains
+    )
+    assert out == "CAST(day_start AS DATE) = DATE '2024-01-01'"
+    # part functions over the cast still use the part rule: month-grain
+    # serves year(...) but refuses the bare cast
+    assert _substitute(
+        "year(CAST(ts AS DATE))", "ts", {"month": "month_start"}
+    ) == ("year(CAST(month_start AS DATE))", {"month_start"})
+    assert _substitute("CAST(ts AS DATE)", "ts", {"month": "month_start"}) is None
+
+
+def test_cast_date_group_by_routes_end_to_end(engine):
+    df = engine.sql(
+        """
+        select cast(ts as date) as d, count(*) as n
+        from tg_events
+        group by cast(ts as date)
+        order by d
+        """,
+        validate=True,
+    )
+    route = engine.last_route
+    assert route is not None, "bare CAST(ts AS DATE) must route via day_start"
+    assert set(route.cuboid.dims) == {"day_start"}, route.cuboid
+    assert [r.n for r in df.collect()] == [1, 3, 1, 1]
+
+
 def test_hour_part_function_routes_end_to_end(engine):
     df = engine.sql(
         """
