@@ -125,7 +125,6 @@ _PRIORITY = [
     "sample_stratified",
     "cube_routed_q1",
     "unpivot_metrics",
-    "percentile_approx_sketch",
     "mass_in_filter",
     "array_functions",
     "multi_distinct",
@@ -168,7 +167,6 @@ _PRIORITY = [
     "decontam_report",
     "decontam_filter",
     "decontam_by_source",
-    "similarity_ann_ivf_indexed",
     "similarity_ann_ivf_trained",
     "cube_routed_having",
     "cube_routed_having_hidden",
@@ -226,7 +224,6 @@ _PRIORITY = [
     "cube_routed_percentile_sketch",
     "cube_routed_topn_pinned",
     "cube_routed_topn_range",
-    "hll_approx_distinct",
     "extended_column_first",
     "raw_detail_values",
     "asof_join_events",
@@ -239,8 +236,6 @@ _PRIORITY = [
     "ordinal_group_order",
     "window_nth_value",
     "similarity_ann_lsh",
-    "dedup_minhash_signatures",
-    "dedup_minhash_lsh_pairs",
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "similarity_bruteforce_topk",
