@@ -86,6 +86,7 @@ _PRIORITY = [
     # --- rewrite, inclusive-BETWEEN fold, widened 32-bit MinHash family)
     "cube_routed_hour_rewrite",
     "cube_routed_between_rewrite",
+    "cube_routed_datefmt_rewrite",
     "cube_routed_bucket_refresh",
     "dedup_minhash_signatures",
     "dedup_minhash_lsh_pairs",

@@ -321,6 +321,29 @@ def cube_routed_between_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("event_type", "n", F.round("sum_value", 2).alias("sum_value"))
 
 
+def cube_routed_datefmt_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date_format rewrite (r12): ``GROUP BY date_format(ts, 'yyyy-MM-dd')``
+    exposes only day-grain fields, so it recomputes from the stored
+    day_start dim — the required grain is the FINEST pattern letter, with
+    week-based letters (Y/w) and sub-minute fields refusing outright.
+    Routes onto the single-dim (day_start) cuboid."""
+    eng = _td_engine(spark, sf_dir)
+    df = eng.sql(
+        """
+        select date_format(ts, 'yyyy-MM-dd') as d,
+               count(*) as n,
+               sum(value) as sum_value
+        from events_td
+        group by date_format(ts, 'yyyy-MM-dd')
+        order by d
+        """
+    )
+    route = eng.last_route
+    assert route is not None, "expected the date_format rewrite to route"
+    assert set(route.cuboid.dims) == {"day_start"}, route.cuboid
+    return df.select("d", "n", F.round("sum_value", 2).alias("sum_value"))
+
+
 def streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked tumbling-window aggregation driven to completion —
     must equal the batch date_trunc aggregation (the oracle)."""
@@ -801,6 +824,7 @@ QUERIES = {
     "cube_routed_extract_rewrite": cube_routed_extract_rewrite,
     "cube_routed_hour_rewrite": cube_routed_hour_rewrite,
     "cube_routed_between_rewrite": cube_routed_between_rewrite,
+    "cube_routed_datefmt_rewrite": cube_routed_datefmt_rewrite,
     "streaming_hybrid_union": streaming_hybrid_union,
     "streaming_stateful_totals": streaming_stateful_totals,
 }
@@ -968,6 +992,14 @@ ORACLES = {
                      and timestamp '2024-01-02 23:59:59.999999'
         group by event_type
         order by event_type
+    """,
+    "cube_routed_datefmt_rewrite": """
+        select strftime(ts, '%Y-%m-%d') as d,
+               count(*) as n,
+               round(sum(value), 2) as sum_value
+        from events
+        group by 1
+        order by 1
     """,
     "streaming_time_derived": """
         select date_trunc('day', ts) as day_start,

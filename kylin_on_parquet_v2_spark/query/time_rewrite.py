@@ -107,6 +107,33 @@ def _py_trunc(grain: str, t: _dt.datetime) -> _dt.datetime:
 #: coarsest-first preference order for range-predicate folding
 _COARSE_FIRST = ("year", "quarter", "month", "week", "day", "hour", "minute")
 
+#: date_format pattern letters -> the grain whose truncation preserves the
+#: field. Week-based letters (Y = week-based year, w/W = week-of-*) are
+#: DELIBERATELY absent — they do not nest in any calendar grain (the
+#: week/month trap) — as is anything finer than minute or non-calendar
+#: (s/S seconds, z/Z/O/V/X/x zones, G era, n/N nanos): an unknown letter
+#: refuses the whole format.
+_FMT_LETTER_GRAIN = {
+    "y": "year",
+    "Q": "quarter",
+    "q": "quarter",
+    "M": "month",
+    "L": "month",
+    "d": "day",
+    "D": "day",  # day-of-year
+    "E": "day",  # day-of-week
+    "e": "day",
+    "u": "day",
+    "F": "day",
+    "H": "hour",
+    "h": "hour",  # 12-hour clock: hour-derivable
+    "K": "hour",
+    "k": "hour",
+    "a": "hour",  # AM/PM: hour-derivable
+    "m": "minute",
+}
+_FMT_RANK = {"year": 0, "quarter": 1, "month": 2, "day": 3, "hour": 4, "minute": 5}
+
 _LIT_DT = re.compile(r"'([^']+)'")
 
 
@@ -165,6 +192,32 @@ def _patterns(src: str) -> list[tuple[re.Pattern, object]]:
                 dim = grains[g]
                 used.add(dim)
                 return f"to_date({dim})"
+        return None
+
+    def date_format_fn(m, grains, used):
+        # date_format(ts, 'yyyy-MM-dd') exposes exactly the calendar
+        # fields its pattern letters name, so the REQUIRED grain is the
+        # finest letter present (the _FMT_LETTER_GRAIN map); any letter
+        # outside the map — week-based, sub-minute, zone — or an embedded
+        # quoted literal refuses (quote parsing is not worth the risk).
+        fmt = m.group(1)
+        if "'" in fmt:
+            return None
+        req = None
+        for ch in fmt:
+            if ch.isalpha():
+                g = _FMT_LETTER_GRAIN.get(ch)
+                if g is None:
+                    return None
+                if req is None or _FMT_RANK[g] > _FMT_RANK[req]:
+                    req = g
+        if req is None:
+            return None  # letterless format: constant output, not worth it
+        for g in _SERVABLE[req]:
+            if g in grains:
+                dim = grains[g]
+                used.add(dim)
+                return f"date_format({dim}, '{fmt}')"
         return None
 
     def cast_date_fn(m, grains, used):
@@ -296,6 +349,12 @@ def _patterns(src: str) -> list[tuple[re.Pattern, object]]:
                 re.IGNORECASE,
             ),
             extract_fn,
+        ),
+        (
+            re.compile(
+                rf"\bdate_format\(\s*{s}\s*,\s*'([^']*)'\s*\)", re.IGNORECASE
+            ),
+            date_format_fn,
         ),
         (re.compile(rf"\bto_date\(\s*{s}\s*\)", re.IGNORECASE), to_date_fn),
         (

@@ -498,6 +498,68 @@ def test_substitute_bare_cast_date():
     assert _substitute("CAST(ts AS DATE)", "ts", {"month": "month_start"}) is None
 
 
+def test_substitute_date_format():
+    """date_format(ts, fmt) needs the grain of the FINEST pattern letter;
+    week-based letters (Y = week-based year, w = week-of-year), unknown
+    letters, and embedded quoted literals refuse."""
+    grains = {"hour": "hour_start", "day": "day_start"}
+    assert _substitute("date_format(ts, 'yyyy-MM-dd')", "ts", grains) == (
+        "date_format(day_start, 'yyyy-MM-dd')",
+        {"day_start"},
+    )
+    # month-only format rides the coarsest valid grain (still day here)
+    assert _substitute("date_format(ts, 'yyyy-MM')", "ts", grains) == (
+        "date_format(day_start, 'yyyy-MM')",
+        {"day_start"},
+    )
+    # hour fields need the hour dim; AM/PM is hour-derivable
+    assert _substitute("date_format(ts, 'yyyy-MM-dd HH')", "ts", grains) == (
+        "date_format(hour_start, 'yyyy-MM-dd HH')",
+        {"hour_start"},
+    )
+    assert _substitute("date_format(ts, 'hh a')", "ts", grains) == (
+        "date_format(hour_start, 'hh a')",
+        {"hour_start"},
+    )
+    # minute field with only hour stored: refuse
+    assert _substitute("date_format(ts, 'HH:mm')", "ts", grains) is None
+    # week-based year and week-of-year never fold (the week/month trap)
+    assert _substitute("date_format(ts, 'YYYY-ww')", "ts", grains) is None
+    # seconds / zones / era / embedded literal: refuse
+    assert _substitute("date_format(ts, 'yyyy-MM-dd HH:mm:ss')", "ts", grains) is None
+    assert _substitute("date_format(ts, 'yyyy z')", "ts", grains) is None
+    assert (
+        _substitute("date_format(ts, 'yyyy''T''MM')", "ts", grains) is None
+    )
+
+
+def test_date_format_group_by_routes_end_to_end(engine):
+    df = engine.sql(
+        """
+        select date_format(ts, 'yyyy-MM-dd') as d, count(*) as n
+        from tg_events
+        group by date_format(ts, 'yyyy-MM-dd')
+        order by d
+        """,
+        validate=True,
+    )
+    route = engine.last_route
+    assert route is not None, "date_format(ts, day fields) must route"
+    assert set(route.cuboid.dims) == {"day_start"}, route.cuboid
+    assert [(r.d, r.n) for r in df.collect()] == [
+        ("2023-12-31", 1),
+        ("2024-01-01", 3),
+        ("2024-01-02", 1),
+        ("2024-02-15", 1),
+    ]
+    # second-precision format: honest pushdown
+    engine.sql(
+        "select date_format(ts, 'yyyy-MM-dd HH:mm:ss') as t, count(*) as n "
+        "from tg_events group by date_format(ts, 'yyyy-MM-dd HH:mm:ss')"
+    )
+    assert engine.last_route is None
+
+
 def test_cast_date_group_by_routes_end_to_end(engine):
     df = engine.sql(
         """
