@@ -844,13 +844,21 @@ _REFRESH_ENGINES: dict[str, object] = {}
 _RESTATED_ROW = (999_999_999, "2024-01-02 12:00:00", 7, "restated", 42.5, "")
 
 
-def _refresh_engine(spark: SparkSession, sf_dir: str):
-    """Engine whose day-segmented events cube was built BEFORE a late-data
-    restatement and then REFRESHED for exactly that day
-    (CubeManager.refreshSegment parity): the cube is built over the
-    original source, the source view is restated with one extra row in the
-    2024-01-02 segment, and refresh_segment re-cubes that day in place —
-    other segments' bytes untouched (proven in tests/test_segment_refresh)."""
+def _restated_refresh_engine(
+    spark: SparkSession,
+    sf_dir: str,
+    cache: dict,
+    prefix: str,
+    dimensions: tuple,
+    **desc_kwargs,
+):
+    """Shared recipe for the refresh fixtures: build a day-segmented events
+    cube over the original source, restate the source view with
+    ``_RESTATED_ROW`` (one late row in the 2024-01-02 segment) AFTER the
+    build, then refresh_segment re-cubes that day in place — other
+    segments' bytes untouched (proven in tests/test_segment_refresh).
+    ``desc_kwargs`` vary the cube shape (e.g. bucket_layouts + shard_by
+    for the bucketed variant)."""
     import os
 
     from kylin_on_parquet_v2_spark.corpus.base import proc_tmp, views
@@ -864,33 +872,35 @@ def _refresh_engine(spark: SparkSession, sf_dir: str):
     from kylin_on_parquet_v2_spark.streaming.segments import _normalize_ts
 
     key = os.path.abspath(sf_dir)
-    eng = _REFRESH_ENGINES.get(key)
+    eng = cache.get(key)
     if eng is not None and eng.spark is spark:
         return eng
     views(spark, sf_dir)
     base = _normalize_ts(spark.table("events"), "ts").select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
     )
-    base.createOrReplaceTempView("events_refresh_src")
-    storage = proc_tmp("refresh_cubes", key.strip("/").replace("/", "_"))
+    src = f"events_{prefix}_src"
+    base.createOrReplaceTempView(src)
+    storage = proc_tmp(f"{prefix}_cubes", key.strip("/").replace("/", "_"))
     eng = OlapEngine(spark, storage_dir=storage)
     eng.add_model(
         DataModel(
-            name="events_refresh_star",
-            fact_table="events_refresh_src",
+            name=f"events_{prefix}_star",
+            fact_table=src,
             partition_column="ts",
         )
     )
     eng.build_cube(
         CubeDesc(
-            name="events_refresh_cube",
-            model_name="events_refresh_star",
-            dimensions=("event_type",),
+            name=f"events_{prefix}_cube",
+            model_name=f"events_{prefix}_star",
+            dimensions=dimensions,
             measures=(
                 MeasureDesc("_count", FunctionDesc("COUNT")),
                 MeasureDesc("sum_value", FunctionDesc("SUM", "value")),
             ),
             segment_granularity="day",
+            **desc_kwargs,
         )
     )
     # the restatement lands AFTER the build; the cube serves stale day-2
@@ -900,10 +910,17 @@ def _refresh_engine(spark: SparkSession, sf_dir: str):
         "event_id long, ts string, user_id long, event_type string, "
         "value double, props string",
     ).withColumn("ts", F.to_timestamp("ts"))
-    base.unionByName(extra).createOrReplaceTempView("events_refresh_src")
-    eng.refresh_segment("events_refresh_cube", "2024-01-02")
-    _REFRESH_ENGINES[key] = eng
+    base.unionByName(extra).createOrReplaceTempView(src)
+    eng.refresh_segment(f"events_{prefix}_cube", "2024-01-02")
+    cache[key] = eng
     return eng
+
+
+def _refresh_engine(spark: SparkSession, sf_dir: str):
+    """Plain-layout refresh fixture (CubeManager.refreshSegment parity)."""
+    return _restated_refresh_engine(
+        spark, sf_dir, _REFRESH_ENGINES, "refresh", ("event_type",)
+    )
 
 
 _BUCKET_REFRESH_ENGINES: dict[str, object] = {}
@@ -914,60 +931,16 @@ def _bucket_refresh_engine(spark: SparkSession, sf_dir: str):
     (r12, r11 What's-missing #3): the refresh stages the re-cubed segment
     through a side table with the same bucket spec and swaps the files in,
     so the live table keeps serving shard-key re-aggs exchange-free."""
-    import os
-
-    from kylin_on_parquet_v2_spark.corpus.base import proc_tmp, views
-    from kylin_on_parquet_v2_spark.metadata import (
-        CubeDesc,
-        DataModel,
-        FunctionDesc,
-        MeasureDesc,
+    return _restated_refresh_engine(
+        spark,
+        sf_dir,
+        _BUCKET_REFRESH_ENGINES,
+        "brefresh",
+        ("user_id", "event_type"),
+        shard_by="user_id",
+        shard_buckets=4,
+        bucket_layouts=True,
     )
-    from kylin_on_parquet_v2_spark.query.engine import OlapEngine
-    from kylin_on_parquet_v2_spark.streaming.segments import _normalize_ts
-
-    key = os.path.abspath(sf_dir)
-    eng = _BUCKET_REFRESH_ENGINES.get(key)
-    if eng is not None and eng.spark is spark:
-        return eng
-    views(spark, sf_dir)
-    base = _normalize_ts(spark.table("events"), "ts").select(
-        "event_id", "ts", "user_id", "event_type", "value", "props"
-    )
-    base.createOrReplaceTempView("events_brefresh_src")
-    storage = proc_tmp("brefresh_cubes", key.strip("/").replace("/", "_"))
-    eng = OlapEngine(spark, storage_dir=storage)
-    eng.add_model(
-        DataModel(
-            name="events_brefresh_star",
-            fact_table="events_brefresh_src",
-            partition_column="ts",
-        )
-    )
-    eng.build_cube(
-        CubeDesc(
-            name="events_brefresh_cube",
-            model_name="events_brefresh_star",
-            dimensions=("user_id", "event_type"),
-            measures=(
-                MeasureDesc("_count", FunctionDesc("COUNT")),
-                MeasureDesc("sum_value", FunctionDesc("SUM", "value")),
-            ),
-            segment_granularity="day",
-            shard_by="user_id",
-            shard_buckets=4,
-            bucket_layouts=True,
-        )
-    )
-    extra = spark.createDataFrame(
-        [_RESTATED_ROW],
-        "event_id long, ts string, user_id long, event_type string, "
-        "value double, props string",
-    ).withColumn("ts", F.to_timestamp("ts"))
-    base.unionByName(extra).createOrReplaceTempView("events_brefresh_src")
-    eng.refresh_segment("events_brefresh_cube", "2024-01-02")
-    _BUCKET_REFRESH_ENGINES[key] = eng
-    return eng
 
 
 def cube_routed_bucket_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -51,17 +51,19 @@ def percentile_approx_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "percentile(l_extendedprice, array(0.499, 0.501, 0.899, 0.901))"
         ).alias("__exact"),
     )
-    n_bad = out.filter(
-        ~(
-            (F.col("p50_approx") >= F.col("__exact")[0])
-            & (F.col("p50_approx") <= F.col("__exact")[1])
-            & (F.col("p90_approx") >= F.col("__exact")[2])
-            & (F.col("p90_approx") <= F.col("__exact")[3])
+    # collect ONCE (3 rows): assertion and result share one execution
+    rows = out.orderBy("l_returnflag").collect()
+    bad = [
+        r["l_returnflag"]
+        for r in rows
+        if not (
+            r["__exact"][0] <= r["p50_approx"] <= r["__exact"][1]
+            and r["__exact"][2] <= r["p90_approx"] <= r["__exact"][3]
         )
-    ).count()
-    assert n_bad == 0, f"{n_bad} groups outside the 1/10000 rank-error bound"
-    return out.select("l_returnflag", "p50_approx", "p90_approx").orderBy(
-        "l_returnflag"
+    ]
+    assert not bad, f"groups outside the 1/10000 rank-error bound: {bad}"
+    return spark.createDataFrame(rows, out.schema).select(
+        "l_returnflag", "p50_approx", "p90_approx"
     )
 
 
@@ -236,17 +238,24 @@ def hll_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = li.groupBy("l_returnflag").agg(
         F.countDistinct("l_partkey").alias("exact_nd")
     )
-    out = rolled.join(exact, "l_returnflag").withColumn(
-        "within_3rsd",
-        F.abs(F.col("approx_nd_part") - F.col("exact_nd"))
-        / F.col("exact_nd")
-        <= F.lit(0.025),
+    out = rolled.join(exact, "l_returnflag").select(
+        "l_returnflag",
+        "approx_nd_part",
+        "exact_nd",
+        (
+            F.abs(F.col("approx_nd_part") - F.col("exact_nd"))
+            / F.col("exact_nd")
+            <= F.lit(0.025)
+        ).alias("within_3rsd"),
+        "n",
     )
-    n_out_of_tol = out.filter(~F.col("within_3rsd")).count()
-    assert n_out_of_tol == 0, f"{n_out_of_tol} groups outside 3x rsd"
-    return out.select(
-        "l_returnflag", "approx_nd_part", "exact_nd", "within_3rsd", "n"
-    ).orderBy("l_returnflag")
+    # collect ONCE: the assertion and the returned frame share the same
+    # execution (re-collecting a 3-row local frame is free; re-running the
+    # sketch + exact-distinct aggregation would double the query's cost)
+    rows = out.orderBy("l_returnflag").collect()
+    bad = [r["l_returnflag"] for r in rows if not r["within_3rsd"]]
+    assert not bad, f"groups outside 3x rsd: {bad}"
+    return spark.createDataFrame(rows, out.schema)
 
 
 def extended_column_first(spark: SparkSession, sf_dir: str) -> DataFrame:

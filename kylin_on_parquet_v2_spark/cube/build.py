@@ -1162,8 +1162,6 @@ class CubeBuilder:
 
         if not inst.segmented:
             raise ValueError("segment refresh requires a segmented cube")
-        if segment not in set(inst.segments(self.spark)):
-            raise ValueError(f"unknown segment {segment!r}")
 
         cube_dir = os.path.join(self.storage_dir, self.desc.name)
         staging_name = f"_staging_refresh_{SEGMENT_COL}={segment}"
@@ -1174,9 +1172,12 @@ class CubeBuilder:
         # live table's scan still groups them into the same buckets —
         # refreshTable below drops its cached listings.
 
-        # crash repair FIRST: a previous attempt that died mid-swap left a
-        # sentinel + staged bytes — finish that swap so every layout is
-        # whole again, then rebuild from scratch (idempotent)
+        # crash repair FIRST — and BEFORE the unknown-segment precondition:
+        # a previous attempt that died mid-swap left a sentinel + staged
+        # bytes; finish that swap so every layout is whole again, then
+        # rebuild from scratch (idempotent). Running repair first also
+        # keeps a crashed retraction reachable (its tombs are cleaned here
+        # regardless of whether the segment is still listed).
         for cuboid_id, path in inst.layouts.items():
             fs = FS.fs_for(path, self.spark)
             staging = os.path.join(path, staging_name)
@@ -1203,6 +1204,9 @@ class CubeBuilder:
                 self.spark.sql(f"DROP TABLE IF EXISTS {tname}_rstg")
                 self.spark.catalog.refreshTable(tname)
 
+        if segment not in set(inst.segments(self.spark)):
+            raise ValueError(f"unknown segment {segment!r}")
+
         needed = set(self.desc.dimensions) | {SEGMENT_COL}
         for m in self.desc.measures:
             if m.function.parameter:
@@ -1214,12 +1218,25 @@ class CubeBuilder:
             # FULL RETRACTION (r11 advisor): the restated source has zero
             # rows for this segment. The staged-write path would fail (an
             # empty partitioned write creates no SEGMENT_COL dir to read
-            # back), so remove the segment from every layout instead:
-            # rename the dir into an "_"-prefixed tomb (atomic; hidden
-            # from partition discovery, so readers never see a half
-            # deleted dir), then delete the tomb — a crash in between
-            # leaves only invisible garbage the repair pass above cleans.
-            for cuboid_id, path in inst.layouts.items():
+            # back), so remove the segment from every layout instead.
+            # Crash discipline (r12 review): the LEDGER marker retires
+            # FIRST — one atomic visibility cut, after which every cuboid
+            # consistently ignores the segment whether or not its dir
+            # still exists — and the BASE layout's dir goes LAST, because
+            # inst.segments() is derived from the base layout's partition
+            # dirs: as long as the base dir survives, a crashed retraction
+            # can be re-run (the re-run's source is still empty, so it
+            # resumes here); once the base dir is gone, everything else
+            # already is. Each dir removal renames into an "_"-prefixed
+            # tomb (atomic; hidden from partition discovery) then deletes
+            # it — a crash in between leaves only invisible garbage the
+            # repair pass above cleans.
+            inst.uncommit_segments(self.spark, [segment])  # epoch bump too
+            by_dims_base_last = sorted(
+                inst.layouts, key=lambda cid: self.scheduler.cuboids[cid].n_dims
+            )
+            for cuboid_id in by_dims_base_last:
+                path = inst.layouts[cuboid_id]
                 fs = FS.fs_for(path, self.spark)
                 seg_dir = os.path.join(path, f"{SEGMENT_COL}={segment}")
                 tomb = os.path.join(path, f"_retract_{SEGMENT_COL}={segment}")
@@ -1233,7 +1250,6 @@ class CubeBuilder:
                 n = _parquet_rows(path)
                 if n is not None:
                     inst.layout_rows[cuboid_id] = n
-            inst.uncommit_segments(self.spark, [segment])
             record_dim_ranges(inst, self.spark)  # epoch bump
             inst.save_meta()
             return

@@ -207,12 +207,14 @@ class CubeDesc:
         names = [m.name for m in self.measures]
         if len(names) != len(set(names)):
             raise ValueError("duplicate measure names")
-        if isinstance(self.bloom_filter_ndv, dict):
-            object.__setattr__(
-                self,
-                "bloom_filter_ndv",
-                tuple(sorted(self.bloom_filter_ndv.items())),
-            )
+        # normalize ANY mapping-like input (dict, list/tuple of pairs —
+        # e.g. tuples JSON-roundtripped into lists) to sorted (col, ndv)
+        # tuples so the frozen dataclass is unconditionally hashable
+        object.__setattr__(
+            self,
+            "bloom_filter_ndv",
+            tuple(sorted(dict(self.bloom_filter_ndv).items())),
+        )
         if self.bucket_layouts and not self.shard_by:
             raise ValueError("bucket_layouts requires shard_by")
         for td in self.time_derived:

@@ -224,13 +224,17 @@ class IncrementalDedup:
         return FS.fs_for(path, self.spark).exists(path)
 
     def _check_format(self) -> None:
-        """Stamp the signature format on first write; refuse a store whose
-        stamp mismatches (or predates stamps entirely — every pre-v2 store
-        holds 16-bit signatures)."""
+        """Stamp the signature format; refuse a store whose stamp
+        mismatches (or predates stamps entirely — every pre-v2 store holds
+        16-bit signatures). The stamp only BINDS once signatures exist: a
+        refresh that crashed between stamping and its first signature
+        write leaves an empty store, which any engine may (re)initialize
+        by overwriting the stamp rather than being wedged by it."""
         from kylin_on_parquet_v2_spark import fs as FS
 
         expected = dict(self.FORMAT, k=self.k, bands=self.bands)
-        if self._exists(self.format_path):
+        have_sigs = self._exists(self.sig_path)
+        if self._exists(self.format_path) and have_sigs:
             found = FS.read_json(self.format_path, self.spark)
             if found != expected:
                 raise ValueError(
@@ -239,7 +243,7 @@ class IncrementalDedup:
                     "rebuild the store (old and new signatures can never "
                     "match, so mixing silently misses duplicates)"
                 )
-        elif self._exists(self.sig_path):
+        elif have_sigs:
             raise ValueError(
                 f"signature store at {self.sig_path} predates format "
                 "stamps (pre-v2 = 16-bit slots); rebuild the store"

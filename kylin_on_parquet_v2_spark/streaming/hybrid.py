@@ -547,10 +547,17 @@ def execute_hybrid(
         # as the plain routed path does (explode → bit_or → bit_count);
         # per-param tail encodings are computed once even when several
         # outputs share the same distinct column; the fold-coverage check
-        # (a driver-side store listing) runs once per QUERY, not per param
+        # (a driver-side store listing) runs AT MOST once per QUERY, and
+        # only if some item actually encodes the tail (hll/percentile/
+        # dim-distinct items never do — they must not pay the listing)
         measures = {m.name: m for m in inst.desc.measures}
         enc_cache: dict[str, tuple] = {}
-        tail_cov = _tail_covered(inst, part, spark)
+        _cov_memo: list = []
+
+        def tail_cov() -> bool:
+            if not _cov_memo:
+                _cov_memo.append(_tail_covered(inst, part, spark))
+            return _cov_memo[0]
         if result is None and group_srcs:
             # no plain aggregates: the group universe still must include
             # groups whose distinct column is entirely NULL (count = 0)
@@ -621,7 +628,7 @@ def execute_hybrid(
                 # encode the UNFILTERED tail once per param; cohort filters
                 # commute with the encoding join, so cond items filter the
                 # encoded frame instead of re-running the dict extension
-                cached = _encode_tail(rt, inst, param, spark, part, tail_cov)
+                cached = _encode_tail(rt, inst, param, spark, part, tail_cov())
                 enc_cache[param] = cached
             tail_enc, ext_dict = cached
             b_side = batch_scan if cond is None else batch_scan.filter(F.expr(cond))
@@ -801,9 +808,16 @@ def _hybrid_grouping_sets(
     )
 
     # per-item merged-but-unfinalized state frames at the finest grain;
-    # the fold-coverage store listing runs once per query, not per param
+    # the fold-coverage store listing runs AT MOST once per query, and
+    # only if some item actually encodes the tail
     enc_cache: dict[str, tuple] = {}
-    tail_cov = part is not None and _tail_covered(inst, part, spark)
+    _cov_memo: list = []
+
+    def tail_cov() -> bool:
+        if not _cov_memo:
+            _cov_memo.append(part is not None and _tail_covered(inst, part, spark))
+        return _cov_memo[0]
+
     state_frames: list[tuple] = []  # (item, kind, frame, mname, extra)
     for item in bag_items:
         name = item.name
@@ -840,7 +854,7 @@ def _hybrid_grouping_sets(
         param = measures[mname].function.parameter
         cached = enc_cache.get(param)
         if cached is None:
-            cached = _encode_tail(rt, inst, param, spark, part, tail_cov)
+            cached = _encode_tail(rt, inst, param, spark, part, tail_cov())
             enc_cache[param] = cached
         tail_enc, ext_dict = cached
         b_side = batch_scan if cond is None else batch_scan.filter(F.expr(cond))

@@ -215,6 +215,50 @@ def test_refresh_full_retraction_removes_segment(spark, engine):
         assert not leftovers, (path, leftovers)
 
 
+def test_retraction_crash_midway_is_resumable(spark, engine):
+    """r12 review finding: a retraction that dies mid-way must leave the
+    cube CONSISTENT (the ledger marker retires first — one atomic
+    visibility cut) and RESUMABLE (the base layout's dir goes last, so
+    inst.segments() still lists the segment and refresh_segment can be
+    re-run; previously the 'unknown segment' precondition made a crashed
+    retraction permanently unrepairable)."""
+    import shutil
+
+    inst = engine.cubes["sr_cube"]
+    rows = [r for r in _rows(late=False) if r[1] != dt.date(2024, 3, 2)]
+    spark.createDataFrame(
+        rows, "etype string, d date, user_id long, v double"
+    ).createOrReplaceTempView("sr_fact")
+
+    # construct the exact mid-crash state the retraction order can reach:
+    # ledger cut done, ONE non-base layout's segment dir already removed
+    inst.uncommit_segments(spark, ["2024-03-02"])
+    small_id = min(inst.layouts, key=lambda cid: inst.scheduler.cuboids[cid].n_dims)
+    base_id = max(inst.layouts, key=lambda cid: inst.scheduler.cuboids[cid].n_dims)
+    assert small_id != base_id
+    shutil.rmtree(os.path.join(inst.layouts[small_id], "__segment__=2024-03-02"))
+
+    # mid-crash visibility is already CONSISTENT: the ledger cut hides the
+    # segment from every cuboid, whether or not its dir still exists
+    mid = {
+        r.etype: (r.n, r.sv, r.u)
+        for r in engine.sql(SQL, skip_result_cache=True).collect()
+    }
+    assert mid == {"click": (4, 4.0, 2), "view": (4, 4.0, 2)}
+    # the base dir survives, so the segment is still addressable and the
+    # re-run completes the retraction instead of raising 'unknown segment'
+    assert "2024-03-02" in inst.segments(spark)
+    engine.refresh_segment("sr_cube", "2024-03-02")
+    assert "2024-03-02" not in inst.segments(spark)
+    after = {
+        r.etype: (r.n, r.sv, r.u)
+        for r in engine.sql(SQL, validate=True, skip_result_cache=True).collect()
+    }
+    assert after == mid
+    for path in inst.layouts.values():
+        assert not [n for n in os.listdir(path) if "retract" in n], path
+
+
 def test_refresh_unknown_segment_or_unsegmented_refuses(spark, engine, tmp_path):
     with pytest.raises(ValueError, match="unknown segment"):
         engine.refresh_segment("sr_cube", "1999-01-01")
