@@ -38,33 +38,47 @@ def percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def percentile_approx_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PERCENTILE_APPROX (sketch-based, accuracy-bounded) — values are
     engine-specific => rows-only, but the RANK-ERROR contract is enforced
-    here every driver run (r11 verdict item 6): accuracy=10000 bounds the
-    rank error by 1/10000, so each approximate percentile must sit between
-    the EXACT percentiles at p +/- 0.001 (a strictly wider rank window),
-    computed in the same query."""
+    here every driver run (r11 verdict item 6): each approximate
+    percentile must sit between the EXACT percentiles at p +/- 0.002,
+    computed in the same query. The window is DELIBERATELY 20x the
+    sketch's theoretical 1/10000 bound (r12 advisor): at small scale
+    factors +/-0.001 is only ~2 ranks — interpolation noise territory —
+    and a Spark sketch-implementation change at the razor edge would
+    crash the corpus query rather than report a regression. +/-0.002 is
+    still a strong sanity invariant at every scale while leaving honest
+    slack; the per-bound flags travel as a returned column so the harness
+    sees WHICH bound moved if it ever trips."""
     views(spark, sf_dir)
     li = spark.table("lineitem")
     out = li.groupBy("l_returnflag").agg(
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50_approx"),
         F.percentile_approx("l_extendedprice", 0.9, 10000).alias("p90_approx"),
         F.expr(
-            "percentile(l_extendedprice, array(0.499, 0.501, 0.899, 0.901))"
+            "percentile(l_extendedprice, array(0.498, 0.502, 0.898, 0.902))"
         ).alias("__exact"),
+    )
+    out = out.select(
+        "l_returnflag",
+        "p50_approx",
+        "p90_approx",
+        (
+            (F.col("__exact")[0] <= F.col("p50_approx"))
+            & (F.col("p50_approx") <= F.col("__exact")[1])
+        ).alias("p50_in_bound"),
+        (
+            (F.col("__exact")[2] <= F.col("p90_approx"))
+            & (F.col("p90_approx") <= F.col("__exact")[3])
+        ).alias("p90_in_bound"),
     )
     # collect ONCE (3 rows): assertion and result share one execution
     rows = out.orderBy("l_returnflag").collect()
     bad = [
         r["l_returnflag"]
         for r in rows
-        if not (
-            r["__exact"][0] <= r["p50_approx"] <= r["__exact"][1]
-            and r["__exact"][2] <= r["p90_approx"] <= r["__exact"][3]
-        )
+        if not (r["p50_in_bound"] and r["p90_in_bound"])
     ]
-    assert not bad, f"groups outside the 1/10000 rank-error bound: {bad}"
-    return spark.createDataFrame(rows, out.schema).select(
-        "l_returnflag", "p50_approx", "p90_approx"
-    )
+    assert not bad, f"groups outside the 0.002 rank-error window: {bad}"
+    return spark.createDataFrame(rows, out.schema)
 
 
 def topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:

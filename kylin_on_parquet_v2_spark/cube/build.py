@@ -85,7 +85,7 @@ def bloom_write_options(desc: CubeDesc, columns) -> dict[str, str]:
     high-cardinality dim — whose values land in every row group — skips
     row groups by bloom membership instead of scanning the layout."""
     opts: dict[str, str] = {}
-    ndv_map = dict(desc.bloom_filter_ndv)  # stored as (col, ndv) pairs
+    ndv_map = desc.bloom_ndv_map()
     for col in desc.bloom_filter_dims:
         if col in columns:
             opts[f"parquet.bloom.filter.enabled#{col}"] = "true"
@@ -418,13 +418,23 @@ class CubeInstance:
         self.lifecycle_epoch += 1
 
     def uncommit_segments(self, spark: SparkSession, vals: list) -> None:
-        """Retire markers (segments merged away or dropped by retention)."""
+        """Retire markers (segments merged away, dropped by retention, or
+        fully retracted). On a pre-ledger cube the ledger is ADOPTED first
+        (seeded with every serving segment, commit_segments parity) rather
+        than skipped: retraction's crash discipline relies on the marker
+        removal being the single atomic visibility cut, and a no-op here
+        would leave a crashed retraction serving the segment from some
+        layouts but not others (r12 advisor)."""
         d = self.ledger_dir()
         fs = FS.fs_for(d, spark)
         if not fs.exists(d):
-            return
+            fs.makedirs(d)
+            for v in self.segments(spark):
+                fs.write_text(os.path.join(d, str(v)), "")
         for v in vals:
-            fs.remove(os.path.join(d, str(v)))
+            marker = os.path.join(d, str(v))
+            if fs.exists(marker):
+                fs.remove(marker)
         self._committed_cache = None
         self.lifecycle_epoch += 1
 

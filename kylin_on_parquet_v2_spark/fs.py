@@ -78,6 +78,17 @@ class LocalFS:
         with open(path, "w") as fh:
             fh.write(text)
 
+    def write_text_exclusive(self, path: str, text: str) -> bool:
+        """Create-exclusive write: returns False (writing nothing) when the
+        file already exists — the loser of an init race must observe the
+        winner's content, never overwrite it."""
+        try:
+            with open(path, "x") as fh:
+                fh.write(text)
+            return True
+        except FileExistsError:
+            return False
+
 
 class HadoopFS:
     """Hadoop FileSystem implementation (s3a/abfs/hdfs/file URIs) through
@@ -155,6 +166,23 @@ class HadoopFS:
             out.write(bytearray(text.encode("utf-8")))
         finally:
             out.close()
+
+    def write_text_exclusive(self, path: str, text: str) -> bool:
+        """Create-exclusive write (overwrite=false): False when the file
+        already exists. On HDFS the namenode arbitrates the race; object
+        stores without atomic create degrade to check-then-create, the
+        same guarantee the caller had before."""
+        from py4j.protocol import Py4JJavaError
+
+        try:
+            out = self._fs(path).create(self._path(path), False)
+        except Py4JJavaError:
+            return False
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+        return True
 
 
 def fs_for(path: str, spark=None) -> LocalFS | HadoopFS:

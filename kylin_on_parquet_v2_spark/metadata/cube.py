@@ -229,6 +229,14 @@ class CubeDesc:
                     "nor the shard column"
                 )
 
+    def bloom_ndv_map(self) -> dict[str, int]:
+        """``bloom_filter_ndv`` as a dict. The field itself is stored as
+        sorted (col, ndv) pairs so the frozen dataclass stays hashable —
+        an r12 change that broke external readers still calling
+        ``.get(col)`` on the old dict shape (r12 advisor); go through this
+        accessor instead of re-wrapping with ``dict()`` at each use."""
+        return dict(self.bloom_filter_ndv)
+
     def measure(self, name: str) -> MeasureDesc:
         for m in self.measures:
             if m.name == name:

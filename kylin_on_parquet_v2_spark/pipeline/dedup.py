@@ -249,13 +249,27 @@ class IncrementalDedup:
                 "stamps (pre-v2 = 16-bit slots); rebuild the store"
             )
         else:
+            import json
             import os
 
             fs = FS.fs_for(self.format_path, self.spark)
             parent = os.path.dirname(self.format_path)
             if not fs.exists(parent):
                 fs.makedirs(parent)
-            FS.write_json(self.format_path, expected, self.spark)
+            # create-exclusive (r12 advisor): two engines racing to
+            # initialize a brand-new store must converge on ONE stamp —
+            # the loser re-reads the winner's and refuses on mismatch
+            # instead of silently overwriting it mid-flight
+            if not fs.write_text_exclusive(
+                self.format_path, json.dumps(expected, indent=2)
+            ):
+                found = FS.read_json(self.format_path, self.spark)
+                if found != expected:
+                    raise ValueError(
+                        f"concurrent initializer stamped {found}, this "
+                        f"engine produces {expected}; formats are "
+                        "incompatible — pick one engine configuration"
+                    )
 
     def refresh(self, delta: DataFrame) -> int:
         """Process a batch of NEW documents; returns the number of new

@@ -113,6 +113,34 @@ def test_incremental_dedup_refuses_foreign_format_store(spark, tmp_path):
         D.IncrementalDedup(spark, str(store)).refresh(docs)
 
 
+def test_format_stamp_init_is_create_exclusive(spark, tmp_path):
+    """r12 advisor: the empty-store stamp initialization must be
+    create-exclusive — a racer that loses the create observes the
+    winner's stamp (same config: proceeds; incompatible config: loud
+    refusal) instead of overwriting it mid-flight."""
+    import json
+
+    from kylin_on_parquet_v2_spark import fs as FS
+
+    p = str(tmp_path / "excl.json")
+    assert FS.fs_for(p).write_text_exclusive(p, "winner") is True
+    assert FS.fs_for(p).write_text_exclusive(p, "loser") is False
+    assert (tmp_path / "excl.json").read_text() == "winner"
+
+    # an incompatible stamp landing between the exists-check and the
+    # create: the loser re-reads and refuses rather than clobbering
+    store = tmp_path / "race_store"
+    store.mkdir()
+    (store / "FORMAT.json").write_text(
+        json.dumps({"version": 1, "slot_hex": 4, "digests": 1, "k": 8, "bands": 4})
+    )
+    docs = spark.table("documents").limit(5)
+    with pytest.raises(ValueError, match="concurrent initializer"):
+        # empty store (no signatures) + pre-existing foreign stamp hits
+        # the init branch, where the exclusive create loses
+        D.IncrementalDedup(spark, str(store)).refresh(docs)
+
+
 def test_simhash_near_duplicates_close(spark):
     rows = [
         (1, "the quick brown fox jumps over the lazy dog again and again today"),

@@ -259,6 +259,30 @@ def test_retraction_crash_midway_is_resumable(spark, engine):
         assert not [n for n in os.listdir(path) if "retract" in n], path
 
 
+def test_uncommit_adopts_ledger_on_preledger_cube(spark, engine):
+    """r12 advisor: uncommit_segments on a PRE-LEDGER cube was a silent
+    no-op, so retraction's 'atomic visibility cut' did not exist there —
+    a mid-retraction crash left layouts disagreeing. It must now adopt
+    the ledger first (seed every serving segment, commit_segments parity)
+    and then retire the marker, giving pre-ledger cubes the same cut."""
+    import shutil
+
+    inst = engine.cubes["sr_cube"]
+    # simulate a pre-ledger cube: drop the ledger dir entirely
+    shutil.rmtree(inst.ledger_dir())
+    inst._committed_cache = None
+    assert inst.committed_segments(spark) is None  # dir-scan fallback mode
+    inst.uncommit_segments(spark, ["2024-03-02"])
+    committed = inst.committed_segments(spark)
+    assert committed is not None, "ledger must be adopted, not skipped"
+    assert "2024-03-02" not in committed
+    assert set(committed) == {"2024-03-01", "2024-03-03"}
+    # idempotent re-run (marker already gone) must not raise
+    inst.uncommit_segments(spark, ["2024-03-02"])
+    # restore for other tests sharing the engine fixture
+    inst.commit_segments(spark, ["2024-03-02"])
+
+
 def test_refresh_unknown_segment_or_unsegmented_refuses(spark, engine, tmp_path):
     with pytest.raises(ValueError, match="unknown segment"):
         engine.refresh_segment("sr_cube", "1999-01-01")
