@@ -66,43 +66,86 @@ def _modules():
 # a driver check; the r01-r10 union already covers every pre-r11 query, and
 # the in-repo parity suite re-verifies every oracle each round regardless.
 _PRIORITY = [
-    # --- r11 driver window (50 entries): the 9 NEW r11 queries first
-    # --- (time-grain rewrite family: BI-spelled date_trunc/extract/raw-ts
-    # --- range served from the cube; bloom-filter point lookup; BM25
-    # --- retrieval; unigram-LM perplexity; per-doc tf-idf keywords;
-    # --- duplicate-cluster leakage-safe split; in-place segment REFRESH), then every query the r11
-    # --- commits touched (the intersect/dictionary family — degenerate-OR
-    # --- guard, escaped-quote members, reserved-name decode join, float
-    # --- contract; the hybrid family — persisted-dictionary tail fold +
-    # --- encode-tail fast path; layout/merge writers — bloom options;
-    # --- perceptual near-dup — filter-before-distinct; the time-derived
-    # --- cube gaining TimeDerivedDim declarations), then the
-    # --- oldest-driver-checked block (the r8-era tail the r9/r10
-    # --- rotations displaced). Below the window: the r10-checked block,
-    # --- the r9-checked block, and the remainder — all still re-verified
-    # --- every round by the in-repo parity suite
-    # --- (tests/test_entry_oracle_parity.py: every oracle, sf0.001).
-    # --- r12 driver window: new r12 queries first (sub-day part-function
-    # --- rewrite, inclusive-BETWEEN fold, widened 32-bit MinHash family)
+    # --- r13 driver window: NEW r13 queries first (Java-time quoted
+    # --- date_format fold; IVF index restatement), then every query the
+    # --- r13 commits touched (the connected-components family — the
+    # --- alternating star contraction replaced min-label propagation, so
+    # --- every clusters/dedup_filter consumer re-verifies under a driver
+    # --- check; the self-check queries whose contracts changed —
+    # --- percentile window widened to +/-0.002 with returned flags, IVF
+    # --- topk now runs restate repair on the query path; the segment
+    # --- refresh family over the adopted-ledger uncommit; datefmt +
+    # --- bloom-options code paths), then the never-recently-checked tail
+    # --- (the TPC-H/text/similarity block the r11/r12 rotations pushed
+    # --- below the window — last driver-checked in r9/r10). Below the
+    # --- 50-entry window: the r12 window block, the r11/r10/r9 blocks,
+    # --- and the remainder — all still re-verified every round by the
+    # --- in-repo parity suite (tests/test_entry_oracle_parity.py: every
+    # --- oracle, sf0.001).
+    "cube_routed_datefmt_quoted",
+    "similarity_ann_ivf_restated",
+    "dedup_clusters",
+    "dedup_incremental_refresh",
+    "multimodal_asset_dedup",
+    "pipeline_end_to_end",
+    "dedup_filtered_corpus",
+    "dedup_best_kept_corpus",
+    "streaming_dedup",
+    "percentile_approx_sketch",
+    "hll_approx_distinct",
+    "similarity_ann_ivf_indexed",
+    "cube_routed_segment_refresh",
+    "cube_routed_bucket_refresh",
+    "cube_routed_datefmt_rewrite",
+    "cube_routed_bloom_probe",
+    # --- never-recently-checked tail (displaced since r9/r10)
+    "q10_returned_items",
+    "q19_discounted_revenue",
+    "q4_order_priority",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity",
+    "q22_missed_opportunity",
+    "q2_min_cost_supplier",
+    "q11_important_parts",
+    "q16_supplier_relationship",
+    "q20_potential_promotion",
+    "q21_suppliers_waiting",
+    "cube_routed_island_ratio",
+    "streaming_window_counts",
+    "streaming_segment_ingest",
+    "streaming_hybrid_union",
+    "streaming_stateful_totals",
+    "text_quality_features",
+    "text_language_id",
+    "text_fingerprint",
+    "text_token_stats",
+    "multimodal_metadata",
+    "similarity_ann_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "similarity_bruteforce_topk",
+    "similarity_neardup_pairs",
+    "similarity_neardup_exact",
+    "similarity_ann_ivf",
+    "dedup_exact",
+    "date_month_arithmetic",
+    "dynamic_params",
+    "except_all_pairs",
+    "intersect_all_pairs",
+    # --- end of the 50-entry r13 window; the r12 window block follows so
+    # --- recently-verified queries stay near the top of the full ordering
     "cube_routed_hour_rewrite",
     "cube_routed_between_rewrite",
-    "cube_routed_datefmt_rewrite",
-    "cube_routed_bucket_refresh",
     "dedup_minhash_signatures",
     "dedup_minhash_lsh_pairs",
-    # --- rows-only queries that gained in-query self-checks in r12
-    "hll_approx_distinct",
-    "percentile_approx_sketch",
-    "similarity_ann_ivf_indexed",
     "cube_routed_trunc_rewrite",
     "cube_routed_extract_rewrite",
     "cube_routed_ts_range_rewrite",
-    "cube_routed_bloom_probe",
     "search_bm25",
     "text_perplexity",
     "text_tfidf_keywords",
     "sample_split_leakage_safe",
-    "cube_routed_segment_refresh",
     "intersect_value_parts",
     "intersect_count_or_cohort",
     "cube_routed_intersect_rollup",
@@ -118,8 +161,6 @@ _PRIORITY = [
     "cube_routed_time_derived",
     "streaming_time_derived",
     "multimodal_perceptual_dedup",
-    "multimodal_asset_dedup",
-    "dedup_incremental_refresh",
     "cube_routed_bucketed",
     "q7_volume_shipping",
     "q18_large_orders",
@@ -134,9 +175,6 @@ _PRIORITY = [
     "string_encode_funcs",
     "subquery_sql_text",
     "udf_pandas_vectorized",
-    "dedup_clusters",
-    "dedup_filtered_corpus",
-    "streaming_dedup",
     "cube_routed_month_series",
     "cube_routed_derived_dim",
     "cube_routed_topn_rewrite",
@@ -158,11 +196,9 @@ _PRIORITY = [
     "cube_routed_segment_prune",
     "cube_routed_dim_minmax",
     "corpus_bpe_pairs",
-    "pipeline_end_to_end",
     "decontam_filter_shuffled",
     "decontam_chargram_report",
     "dedup_passages",
-    "dedup_best_kept_corpus",
     "corpus_top_ngrams",
     "corpus_profile_stats",
     "decontam_report",
@@ -229,42 +265,8 @@ _PRIORITY = [
     "raw_detail_values",
     "asof_join_events",
     "range_join_binned",
-    "dedup_exact",
-    "date_month_arithmetic",
-    "dynamic_params",
-    "except_all_pairs",
-    "intersect_all_pairs",
     "ordinal_group_order",
     "window_nth_value",
-    "similarity_ann_lsh",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "similarity_bruteforce_topk",
-    "similarity_neardup_pairs",
-    "similarity_neardup_exact",
-    "similarity_ann_ivf",
-    "text_quality_features",
-    "text_language_id",
-    "text_fingerprint",
-    "text_token_stats",
-    "multimodal_metadata",
-    "streaming_window_counts",
-    "streaming_segment_ingest",
-    "streaming_hybrid_union",
-    "streaming_stateful_totals",
-    "q10_returned_items",
-    "q19_discounted_revenue",
-    "q4_order_priority",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q17_small_quantity",
-    "q22_missed_opportunity",
-    "q2_min_cost_supplier",
-    "q11_important_parts",
-    "q16_supplier_relationship",
-    "q20_potential_promotion",
-    "q21_suppliers_waiting",
-    "cube_routed_island_ratio",
 ]
 
 

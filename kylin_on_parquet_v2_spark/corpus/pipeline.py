@@ -93,10 +93,11 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Connected components over the LSH candidate-pair graph (min-label
-    propagation); the oracle replays the same graph with a recursive CTE
-    (min id reachable = component id). Proves the iterative DataFrame loop
-    converges to the exact component labelling."""
+    """Connected components over the LSH candidate-pair graph (alternating
+    large-star/small-star contraction since r13 — O(log n) rounds, loud on
+    non-convergence); the oracle replays the same graph with a recursive
+    CTE (min id reachable = component id). Proves the iterative DataFrame
+    loop converges to the exact component labelling."""
     views(spark, sf_dir)
     return D.duplicate_clusters(spark.table("documents")).orderBy("doc_id")
 
