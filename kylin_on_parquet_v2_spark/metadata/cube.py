@@ -69,7 +69,7 @@ class MeasureDesc:
 
 #: the reference's auto-derived event-time grain family
 #: (core-metadata/.../dimension/TimeDerivedColumnType.java:35-151)
-TIME_GRAINS = ("minute", "hour", "day", "week", "month", "quarter", "year")
+TIME_GRAINS = ("second", "minute", "hour", "day", "week", "month", "quarter", "year")
 
 
 @dataclass(frozen=True)

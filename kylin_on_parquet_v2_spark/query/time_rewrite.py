@@ -15,9 +15,10 @@ does the same over the SQL digest, BEFORE cuboid matching:
 - ``year/quarter/month/dayofmonth(CAST(ts AS DATE))`` (how Catalyst renders
   ``year(ts)`` etc.) and ``extract('year' FROM ts)`` -> the same function
   over a stored dim whose grain preserves the value
-- ``hour(ts)`` / ``minute(ts)`` (r12, MINUTE_START/HOUR_START parity) ->
-  the same function over an hour-/minute-grain stored dim (NO date cast —
-  that would destroy the sub-day part)
+- ``hour(ts)`` / ``minute(ts)`` / ``second(ts)`` (r12-r13,
+  MINUTE_START/HOUR_START parity and one grain beyond) -> the same
+  function over a stored dim of preserving grain (NO date cast — that
+  would destroy the sub-day part)
 - ``to_date(ts)``              -> ``to_date(<dim>)`` for any grain <= day
 - aligned range bounds fold onto stored dims; INCLUSIVE bounds fold
   through the timestamp type's microsecond resolution (``ts <= T`` <=>
@@ -52,15 +53,16 @@ _STRING_LIT_RE = re.compile(r"'(?:[^']|'')*'")
 
 #: required grain -> stored grains that preserve its value, COARSEST FIRST
 #: (the preference order: coarser stored grain = smaller cuboid). Week only
-#: nests day/hour/minute; week itself never serves month/quarter/year.
+#: nests day/hour/minute/second; week itself never serves month/quarter/year.
 _SERVABLE: dict[str, tuple[str, ...]] = {
-    "minute": ("minute",),
-    "hour": ("hour", "minute"),
-    "day": ("day", "hour", "minute"),
-    "week": ("week", "day", "hour", "minute"),
-    "month": ("month", "day", "hour", "minute"),
-    "quarter": ("quarter", "month", "day", "hour", "minute"),
-    "year": ("year", "quarter", "month", "day", "hour", "minute"),
+    "second": ("second",),
+    "minute": ("minute", "second"),
+    "hour": ("hour", "minute", "second"),
+    "day": ("day", "hour", "minute", "second"),
+    "week": ("week", "day", "hour", "minute", "second"),
+    "month": ("month", "day", "hour", "minute", "second"),
+    "quarter": ("quarter", "month", "day", "hour", "minute", "second"),
+    "year": ("year", "quarter", "month", "day", "hour", "minute", "second"),
 }
 
 #: extract()/date-part functions -> the grain their value depends on
@@ -76,11 +78,14 @@ _FUNC_GRAIN = {
     # under minute truncation only
     "hour": "hour",
     "minute": "minute",
+    "second": "second",
 }
 
 
 def _py_trunc(grain: str, t: _dt.datetime) -> _dt.datetime:
     """date_trunc replicated driver-side, for literal alignment checks."""
+    if grain == "second":
+        return t.replace(microsecond=0)
     if grain == "minute":
         return t.replace(second=0, microsecond=0)
     if grain == "hour":
@@ -105,14 +110,16 @@ def _py_trunc(grain: str, t: _dt.datetime) -> _dt.datetime:
 
 
 #: coarsest-first preference order for range-predicate folding
-_COARSE_FIRST = ("year", "quarter", "month", "week", "day", "hour", "minute")
+_COARSE_FIRST = (
+    "year", "quarter", "month", "week", "day", "hour", "minute", "second"
+)
 
 #: date_format pattern letters -> the grain whose truncation preserves the
 #: field. Week-based letters (Y = week-based year, w/W = week-of-*) are
 #: DELIBERATELY absent — they do not nest in any calendar grain (the
-#: week/month trap) — as is anything finer than minute or non-calendar
-#: (s/S seconds, z/Z/O/V/X/x zones, G era, n/N nanos): an unknown letter
-#: refuses the whole format.
+#: week/month trap) — as is anything finer than second or non-calendar
+#: (S fractional seconds, z/Z/O/V/X/x zones, G era, n/N nanos): an
+#: unknown letter refuses the whole format.
 _FMT_LETTER_GRAIN = {
     "y": "year",
     "Q": "quarter",
@@ -131,8 +138,12 @@ _FMT_LETTER_GRAIN = {
     "k": "hour",
     "a": "hour",  # AM/PM: hour-derivable
     "m": "minute",
+    "s": "second",
 }
-_FMT_RANK = {"year": 0, "quarter": 1, "month": 2, "day": 3, "hour": 4, "minute": 5}
+_FMT_RANK = {
+    "year": 0, "quarter": 1, "month": 2, "day": 3, "hour": 4, "minute": 5,
+    "second": 6,
+}
 
 _LIT_DT = re.compile(r"'([^']+)'")
 
@@ -279,9 +290,10 @@ def _patterns(src: str) -> list[tuple[re.Pattern, object]]:
             return None
 
     def hm_part_fn(m, grains, used):
-        # hour(ts)/minute(ts) take the TIMESTAMP directly (no DATE cast —
-        # the cast would destroy the sub-day part); value-preservation:
-        # hour needs an hour-or-finer stored grain, minute needs minute
+        # hour(ts)/minute(ts)/second(ts) take the TIMESTAMP directly (no
+        # DATE cast — the cast would destroy the sub-day part);
+        # value-preservation: each part needs a stored grain at least as
+        # fine as itself (_SERVABLE)
         fn = m.group(1).lower()
         for g in _SERVABLE[_FUNC_GRAIN[fn]]:
             if g in grains:
@@ -375,7 +387,7 @@ def _patterns(src: str) -> list[tuple[re.Pattern, object]]:
             part_fn,
         ),
         (
-            re.compile(rf"\b(hour|minute)\(\s*{s}\s*\)", re.IGNORECASE),
+            re.compile(rf"\b(hour|minute|second)\(\s*{s}\s*\)", re.IGNORECASE),
             hm_part_fn,
         ),
         (

@@ -61,7 +61,7 @@ def _normalize_ts(df: DataFrame, ts_col: str) -> DataFrame:
 #: table schemas declare these and the ingest parser computes them from the
 #: event timestamp (stream-source-kafka TimedJsonStreamParser), so queries
 #: group/filter on them like real columns
-TIME_DERIVED_FAMILIES = ("minute", "hour", "day", "week", "month", "quarter", "year")
+TIME_DERIVED_FAMILIES = ("second", "minute", "hour", "day", "week", "month", "quarter", "year")
 
 
 def with_time_derived(

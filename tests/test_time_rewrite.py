@@ -271,6 +271,105 @@ def test_declared_time_derived_dim_on_prestamped_table(spark, tmp_path_factory):
     assert eng.last_route is None
 
 
+def test_substitute_second_grain():
+    """Second-grain serving (r13, VERDICT r12 item 7): the rewrite's
+    lattice generalizes one grain finer — second(ts), ss-bearing
+    date_format patterns, and second-aligned bounds all serve from a
+    declared second-grain dim; fractional seconds still refuse."""
+    both = {"second": "second_start", "minute": "minute_start"}
+    only_s = {"second": "second_start"}
+    assert _substitute("second(ts)", "ts", both) == (
+        "second(second_start)",
+        {"second_start"},
+    )
+    # coarser parts prefer the coarser stored dim, recompute from second
+    # when it's the only one stored
+    assert _substitute("minute(ts)", "ts", both) == (
+        "minute(minute_start)",
+        {"minute_start"},
+    )
+    assert _substitute("minute(ts)", "ts", only_s) == (
+        "minute(second_start)",
+        {"second_start"},
+    )
+    assert _substitute("date_trunc('second', ts)", "ts", both) == (
+        "second_start",
+        {"second_start"},
+    )
+    # second-aligned range bound folds; a sub-second literal refuses
+    assert _substitute(
+        "ts >= TIMESTAMP '2024-01-01 10:20:30'", "ts", only_s
+    ) == ("second_start >= TIMESTAMP '2024-01-01 10:20:30'", {"second_start"})
+    assert (
+        _substitute("ts >= TIMESTAMP '2024-01-01 10:20:30.5'", "ts", only_s)
+        is None
+    )
+    # seconds-precision formats now serve; fractional seconds never
+    assert _substitute(
+        "date_format(ts, 'yyyy-MM-dd HH:mm:ss')", "ts", only_s
+    ) == ("date_format(second_start, 'yyyy-MM-dd HH:mm:ss')", {"second_start"})
+    assert (
+        _substitute("date_format(ts, 'HH:mm:ss.SSS')", "ts", only_s) is None
+    )
+
+
+def test_second_grain_routes_end_to_end(spark, tmp_path_factory):
+    """A cube declaring a second-grain dim serves second(ts) group-bys and
+    the seconds-precision date_format spelling from the cuboid."""
+    rows = [
+        ("2024-01-01 10:00:01.200", "view", 1.0),
+        ("2024-01-01 10:00:01.700", "view", 2.0),
+        ("2024-01-01 10:00:02.100", "click", 3.0),
+        ("2024-01-01 10:00:59.900", "view", 4.0),
+    ]
+    spark.createDataFrame(rows, "s string, etype string, v double").selectExpr(
+        "cast(s as timestamp) as ts",
+        "date_trunc('second', cast(s as timestamp)) as second_start",
+        "etype",
+        "v",
+    ).createOrReplaceTempView("tg_sec_events")
+    eng = OlapEngine(spark, storage_dir=str(tmp_path_factory.mktemp("tgs_cubes")))
+    eng.add_model(DataModel(name="tgs_star", fact_table="tg_sec_events"))
+    eng.build_cube(
+        CubeDesc(
+            name="tgs_cube",
+            model_name="tgs_star",
+            dimensions=("second_start", "etype"),
+            measures=(MeasureDesc("_cnt", FunctionDesc("COUNT")),),
+            time_derived=(TimeDerivedDim("second_start", "ts", "second"),),
+        )
+    )
+    df = eng.sql(
+        """
+        select second(ts) as sec, count(*) as n
+        from tg_sec_events group by second(ts) order by sec
+        """,
+        validate=True,
+    )
+    assert eng.last_route is not None, "second(ts) must route via the dim"
+    assert set(eng.last_route.cuboid.dims) == {"second_start"}
+    assert [(r.sec, r.n) for r in df.collect()] == [(1, 2), (2, 1), (59, 1)]
+    df2 = eng.sql(
+        """
+        select date_format(ts, 'HH:mm:ss') as hms, count(*) as n
+        from tg_sec_events group by date_format(ts, 'HH:mm:ss') order by hms
+        """,
+        validate=True,
+    )
+    assert eng.last_route is not None
+    assert [(r.hms, r.n) for r in df2.collect()] == [
+        ("10:00:01", 2),
+        ("10:00:02", 1),
+        ("10:00:59", 1),
+    ]
+    # sub-second truncation cannot be served: honest pushdown
+    eng.sql(
+        "select date_format(ts, 'HH:mm:ss.SSS') as t, count(*) as n "
+        "from tg_sec_events group by date_format(ts, 'HH:mm:ss.SSS')"
+    )
+    assert eng.last_route is None
+
+
 # ---- raw-ts range folding (aligned literals only) ------------------------
 
 
