@@ -694,8 +694,8 @@ def multimodal_perceptual_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def multimodal_asset_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual near-dup carried to the COLLAPSE decision: the banded
-    dHash pairs are edges, and connected components (the same min-label
-    propagation the text dedup family uses) assign every touched asset its
+    dHash pairs are edges, and connected components (the same alternating
+    star contraction the text dedup family uses) assign every touched asset its
     component representative — a~b, b~c collapse {a,b,c} even though a~c
     was never emitted. Proves the multimodal family composes into the full
     dedup pipeline (pairs -> clusters -> keep-one), not just pair listing.
