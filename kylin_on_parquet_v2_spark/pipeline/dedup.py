@@ -493,11 +493,15 @@ def _star_round(edges: DataFrame) -> DataFrame:
         edges.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
     )
     w_u = Window.partitionBy("u")
+    # NO dedup here: duplicate (lo, hi) rows cannot change small-star's
+    # window min, and small-star dedups its own output — dropping the
+    # intermediate distinct saves one of the round's four shuffles. Row
+    # count stays bounded: large-star emits at most one row per symmetric
+    # edge (= 2|E|).
     large = (
         sym.withColumn("m", F.least(F.col("u"), F.min("v").over(w_u)))
         .filter(F.col("v") > F.col("u"))  # rewire larger neighbors only
         .select(F.col("m").alias("lo"), F.col("v").alias("hi"))  # m <= u < v
-        .dropDuplicates()
     )
     # -- small-star: canonical edges are already larger-endpoint oriented
     w_hi = Window.partitionBy("hi")
@@ -541,11 +545,11 @@ def duplicate_clusters(
     of returning wrong labels (default 20 rounds covers components of
     ~2^20 nodes with margin).
 
-    Scale shape (100 TB): each round is two window-min shuffles plus two
-    dedup shuffles — no driver-side graph, no all-pairs, edge count
+    Scale shape (100 TB): each round is two window-min shuffles plus one
+    dedup shuffle — no driver-side graph, no all-pairs, edge count
     monotonically bounded by the input (large-star emits each edge once
     from its smaller endpoint; small-star emits one edge per (node,
-    smaller-neighbor) plus one per node). ``localCheckpoint`` truncates
+    smaller-neighbor) plus one per node, deduped once at round end). ``localCheckpoint`` truncates
     the lineage each round; without it the plan doubles per iteration and
     Catalyst analysis time explodes. Convergence = the canonical edge set
     reaches a fixed point, detected by a (count, hash-sum) signature — one
