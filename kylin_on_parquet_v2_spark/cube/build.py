@@ -402,16 +402,27 @@ class CubeInstance:
         self._committed_cache = sorted(fs.listdir(d))
         return self._committed_cache
 
+    def _adopt_ledger(self, fs, d: str, spark: SparkSession) -> None:
+        """Adopt the ledger on a pre-ledger cube: seed it with every segment
+        already serving, or the first commit/retire would hide them. Seeded
+        into a temp dir and RENAMED into place — committed_segments treats
+        dir-existence as "ledger in force", so a crash mid-seed must leave
+        no dir at all (a partial ledger would silently hide serving
+        segments), only a stale temp dir the next adoption discards."""
+        tmp = d + "._adopting"
+        if fs.exists(tmp):
+            fs.rmtree(tmp)
+        fs.makedirs(tmp)
+        for v in self.segments(spark):
+            fs.write_text(os.path.join(tmp, str(v)), "")
+        fs.rename(tmp, d)
+
     def commit_segments(self, spark: SparkSession, vals: list) -> None:
         """Flip segment dir values to READY (idempotent)."""
         d = self.ledger_dir()
         fs = FS.fs_for(d, spark)
         if not fs.exists(d):
-            fs.makedirs(d)
-            # adopting the ledger on a pre-ledger cube: seed it with every
-            # segment already serving, or this first commit would hide them
-            for v in self.segments(spark):
-                fs.write_text(os.path.join(d, str(v)), "")
+            self._adopt_ledger(fs, d, spark)
         for v in vals:
             fs.write_text(os.path.join(d, str(v)), "")
         self._committed_cache = None
@@ -428,9 +439,7 @@ class CubeInstance:
         d = self.ledger_dir()
         fs = FS.fs_for(d, spark)
         if not fs.exists(d):
-            fs.makedirs(d)
-            for v in self.segments(spark):
-                fs.write_text(os.path.join(d, str(v)), "")
+            self._adopt_ledger(fs, d, spark)
         for v in vals:
             marker = os.path.join(d, str(v))
             if fs.exists(marker):

@@ -176,13 +176,38 @@ class HadoopFS:
 
         try:
             out = self._fs(path).create(self._path(path), False)
-        except Py4JJavaError:
+        except Py4JJavaError as exc:
+            # only "already exists" means we lost the race — permission /
+            # connectivity / namenode failures must surface, or the caller
+            # would read a file that was never created
+            if not self._is_already_exists(exc):
+                raise
             return False
         try:
             out.write(bytearray(text.encode("utf-8")))
         finally:
             out.close()
         return True
+
+    @staticmethod
+    def _is_already_exists(exc) -> bool:
+        """True when the wrapped Java exception (or its cause chain /
+        RemoteException payload) is a FileAlreadyExistsException."""
+        j = getattr(exc, "java_exception", None)
+        seen = 0
+        while j is not None and seen < 8:
+            name = str(j.getClass().getName())
+            if "FileAlreadyExistsException" in name:
+                return True
+            if name.endswith("RemoteException"):
+                try:
+                    if "FileAlreadyExistsException" in str(j.getClassName()):
+                        return True
+                except Exception:
+                    pass
+            j = j.getCause()
+            seen += 1
+        return False
 
 
 def fs_for(path: str, spark=None) -> LocalFS | HadoopFS:

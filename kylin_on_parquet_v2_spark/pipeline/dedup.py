@@ -258,17 +258,30 @@ class IncrementalDedup:
                 fs.makedirs(parent)
             # create-exclusive (r12 advisor): two engines racing to
             # initialize a brand-new store must converge on ONE stamp —
-            # the loser re-reads the winner's and refuses on mismatch
-            # instead of silently overwriting it mid-flight
+            # the loser re-reads the winner's instead of silently
+            # overwriting it mid-flight. A mismatched stamp over an EMPTY
+            # store is NOT a wedge, though: no signatures bind it yet (the
+            # docstring contract — a refresh that crashed between stamping
+            # and its first write must not brick the store), so it is
+            # re-initialized loudly. Best-effort under concurrency, like
+            # the create itself on object stores without atomic create.
             if not fs.write_text_exclusive(
                 self.format_path, json.dumps(expected, indent=2)
             ):
                 found = FS.read_json(self.format_path, self.spark)
                 if found != expected:
-                    raise ValueError(
-                        f"concurrent initializer stamped {found}, this "
-                        f"engine produces {expected}; formats are "
-                        "incompatible — pick one engine configuration"
+                    import warnings
+
+                    warnings.warn(
+                        f"re-initializing stamp {found} on the empty "
+                        f"signature store at {self.sig_path} (this engine "
+                        f"produces {expected}); if another engine is "
+                        "initializing the store concurrently, pick one "
+                        "configuration",
+                        stacklevel=3,
+                    )
+                    fs.write_text(
+                        self.format_path, json.dumps(expected, indent=2)
                     )
 
     def refresh(self, delta: DataFrame) -> int:

@@ -462,6 +462,7 @@ class IVFIndex:
         points per centroid, not the corpus — the FAISS practice; same
         knob as :func:`semantic_dedup`) while assignment still covers
         every vector."""
+        self._discard_pending_restate()
         if train_iters > 0:
             train_corpus = corpus
             if train_fraction < 1.0:
@@ -503,6 +504,23 @@ class IVFIndex:
 
     def _restate_paths(self) -> tuple[str, str]:
         return self.data_path + "_rstg", self.data_path + ".restating"
+
+    def _discard_pending_restate(self) -> None:
+        """DISCARD (never roll forward) any in-flight restate before a full
+        rebuild: the staged lists were cut against the PRE-rebuild store
+        and quantizer, so replaying them over the fresh index would delete
+        freshly built lists (`_empty_` markers) and serve vectors assigned
+        under a retrained quantizer. Sentinel is removed FIRST — a crash
+        between the two removals leaves staging without a sentinel, which
+        repair_restate already discards."""
+        from kylin_on_parquet_v2_spark import fs as FS
+
+        staging, sentinel = self._restate_paths()
+        fs = FS.fs_for(self.store_dir, self.spark)
+        if fs.exists(sentinel):
+            fs.remove(sentinel)
+        if fs.exists(staging):
+            fs.rmtree(staging)
 
     def repair_restate(self) -> bool:
         """Crash repair, called first on every maintenance AND query entry
@@ -583,7 +601,10 @@ class IVFIndex:
                 parts.append(
                     delete_ids.select(F.col(delete_ids.columns[0]).alias("__rid"))
                 )
-            else:
+            elif len(delete_ids) > 0:
+                # an empty id list is a legitimate no-op restatement (a
+                # retraction filter that matched nothing), not a schema-
+                # inference crash
                 parts.append(
                     self.spark.createDataFrame(
                         [(v,) for v in delete_ids], ["__rid"]

@@ -246,6 +246,12 @@ def _patterns(src: str) -> list[tuple[re.Pattern, object]]:
         # the regex captures through those and we unescape before the
         # Java-time parse, then re-emit with standard SQL doubled quotes.
         fmt = re.sub(r"\\(.)", r"\1", m.group(1))
+        if "\\" in fmt:
+            # a LITERAL backslash would need parser-config-dependent
+            # re-escaping on re-emission (escapedStringLiterals toggles
+            # whether '\M' round-trips) — refuse rather than risk serving
+            # a silently different rendering
+            return None
         letters = _fmt_pattern_letters(fmt)
         if letters is None:
             return None  # imbalanced quote: refuse rather than guess
@@ -392,7 +398,7 @@ def _patterns(src: str) -> list[tuple[re.Pattern, object]]:
         ),
         (
             re.compile(
-                rf"\bextract\(\s*'?(year|quarter|month|day|hour|minute)'?\s+FROM\s+{s}\s*\)",
+                rf"\bextract\(\s*'?(year|quarter|month|day|hour|minute|second)'?\s+FROM\s+{s}\s*\)",
                 re.IGNORECASE,
             ),
             extract_fn,

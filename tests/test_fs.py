@@ -77,3 +77,61 @@ def test_cube_build_and_route_on_uri_storage(spark, tmp_path):
     )
     assert eng.last_route is not None
     assert df.count() > 0
+
+
+def test_hadoop_exclusive_create_classifies_java_exceptions():
+    """r13 review: write_text_exclusive must only treat 'file already
+    exists' as losing the init race; permission/connectivity failures
+    must surface, or a caller would read a stamp that was never written.
+    Exercised with stub Java exception objects (no HDFS in the sandbox):
+    the classifier walks getClass/getCause and RemoteException payloads."""
+    from kylin_on_parquet_v2_spark.fs import HadoopFS
+
+    class _JClass:
+        def __init__(self, name):
+            self._n = name
+
+        def getName(self):
+            return self._n
+
+    class _JExc:
+        def __init__(self, cls_name, cause=None, remote_cls=None):
+            self._cls, self._cause, self._remote = cls_name, cause, remote_cls
+
+        def getClass(self):
+            return _JClass(self._cls)
+
+        def getCause(self):
+            return self._cause
+
+        def getClassName(self):
+            return self._remote or ""
+
+    class _PyExc:
+        def __init__(self, j):
+            self.java_exception = j
+
+    already = _PyExc(_JExc("org.apache.hadoop.fs.FileAlreadyExistsException"))
+    assert HadoopFS._is_already_exists(already) is True
+    nested = _PyExc(
+        _JExc(
+            "java.io.IOException",
+            cause=_JExc("java.nio.file.FileAlreadyExistsException"),
+        )
+    )
+    assert HadoopFS._is_already_exists(nested) is True
+    remote = _PyExc(
+        _JExc(
+            "org.apache.hadoop.ipc.RemoteException",
+            remote_cls="org.apache.hadoop.fs.FileAlreadyExistsException",
+        )
+    )
+    assert HadoopFS._is_already_exists(remote) is True
+    denied = _PyExc(
+        _JExc("org.apache.hadoop.security.AccessControlException")
+    )
+    assert HadoopFS._is_already_exists(denied) is False
+    # a cause CYCLE must not loop forever
+    a = _JExc("java.io.IOException")
+    a._cause = a
+    assert HadoopFS._is_already_exists(_PyExc(a)) is False

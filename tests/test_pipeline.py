@@ -116,8 +116,11 @@ def test_incremental_dedup_refuses_foreign_format_store(spark, tmp_path):
 def test_format_stamp_init_is_create_exclusive(spark, tmp_path):
     """r12 advisor: the empty-store stamp initialization must be
     create-exclusive — a racer that loses the create observes the
-    winner's stamp (same config: proceeds; incompatible config: loud
-    refusal) instead of overwriting it mid-flight."""
+    winner's stamp instead of overwriting it mid-flight. r13 review: a
+    mismatched stamp over an EMPTY store (no signatures bind it — e.g. a
+    refresh that crashed between stamping and its first write) must NOT
+    wedge the store: it is re-initialized with a loud warning, per the
+    _check_format docstring contract."""
     import json
 
     from kylin_on_parquet_v2_spark import fs as FS
@@ -127,17 +130,24 @@ def test_format_stamp_init_is_create_exclusive(spark, tmp_path):
     assert FS.fs_for(p).write_text_exclusive(p, "loser") is False
     assert (tmp_path / "excl.json").read_text() == "winner"
 
-    # an incompatible stamp landing between the exists-check and the
-    # create: the loser re-reads and refuses rather than clobbering
+    # a stale/foreign stamp over an EMPTY store: re-initialized loudly,
+    # the refresh proceeds, and the stamp now records THIS engine's format
     store = tmp_path / "race_store"
     store.mkdir()
     (store / "FORMAT.json").write_text(
         json.dumps({"version": 1, "slot_hex": 4, "digests": 1, "k": 8, "bands": 4})
     )
     docs = spark.table("documents").limit(5)
-    with pytest.raises(ValueError, match="concurrent initializer"):
-        # empty store (no signatures) + pre-existing foreign stamp hits
-        # the init branch, where the exclusive create loses
+    inc = D.IncrementalDedup(spark, str(store))
+    with pytest.warns(UserWarning, match="re-initializing stamp"):
+        inc.refresh(docs)
+    stamp = json.loads((store / "FORMAT.json").read_text())
+    assert stamp["version"] == 2 and stamp["slot_hex"] == 8
+    # once signatures EXIST the stamp binds: the foreign engine now refuses
+    (store / "FORMAT.json").write_text(
+        json.dumps({"version": 1, "slot_hex": 4, "digests": 1, "k": 8, "bands": 4})
+    )
+    with pytest.raises(ValueError, match="incompatible signature store"):
         D.IncrementalDedup(spark, str(store)).refresh(docs)
 
 
@@ -597,6 +607,55 @@ def test_ivf_restate_uncommitted_staging_discarded(spark, tmp_path):
     assert idx.repair_restate() is True
     assert not os.path.exists(staging)
     assert spark.read.parquet(idx.data_path).count() == n0
+
+
+def test_ivf_rebuild_discards_pending_restate(spark, tmp_path):
+    """r13 review (reproduced live): a restate that crashed AFTER its
+    sentinel (the commit point) must not roll forward over a subsequent
+    full rebuild — the staged lists were cut against the pre-rebuild
+    store/quantizer, so replaying them would delete freshly built lists
+    and serve stale contents. build() discards any pending restate."""
+    import os
+
+    emb = spark.table("embeddings").filter(F.col("vec_id") < 80)
+    idx = S.IVFIndex(spark, str(tmp_path / "ivf"))
+    idx.build(emb, train_iters=0)
+
+    # crash a removal right after the sentinel write (commit point passed,
+    # swap never ran)
+    swap = S.IVFIndex._swap_staged
+
+    def boom(self, fs, staging):
+        raise RuntimeError("injected crash before swap")
+
+    S.IVFIndex._swap_staged = boom
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            idx.remove([3, 4, 5])
+    finally:
+        S.IVFIndex._swap_staged = swap
+    staging, sentinel = idx._restate_paths()
+    assert os.path.exists(sentinel) and os.path.exists(staging)
+
+    # operator responds by rebuilding the index from the full corpus:
+    # the stale staged swap must be discarded, not replayed
+    idx.build(emb, train_iters=0)
+    assert not os.path.exists(sentinel) and not os.path.exists(staging)
+    assert spark.read.parquet(idx.data_path).count() == 80
+    # first query after the rebuild leaves the store intact (the bug rolled
+    # the stale swap forward here and lost rows)
+    idx.topk(emb.filter(F.col("vec_id") < 3), k=3).collect()
+    assert spark.read.parquet(idx.data_path).count() == 80
+
+
+def test_ivf_remove_empty_id_list_is_noop(spark, tmp_path):
+    """r13 review: a dynamically computed delete set that matched nothing
+    must no-op, not crash schema inference on an empty local list."""
+    emb = spark.table("embeddings").filter(F.col("vec_id") < 40)
+    idx = S.IVFIndex(spark, str(tmp_path / "ivf"))
+    idx.build(emb, train_iters=0)
+    idx.remove([])  # must not raise
+    assert spark.read.parquet(idx.data_path).count() == 40
 
 
 def test_char_shingles_units(spark):

@@ -283,6 +283,58 @@ def test_uncommit_adopts_ledger_on_preledger_cube(spark, engine):
     inst.commit_segments(spark, ["2024-03-02"])
 
 
+def test_ledger_adoption_is_crash_atomic(spark, engine):
+    """r13 review: committed_segments treats ledger-dir EXISTENCE as 'the
+    ledger is in force', so adoption must never expose a partially seeded
+    dir — a crash mid-seed would otherwise silently hide serving segments
+    from every routed query. Adoption seeds a temp dir and renames; a
+    crash leaves only the stale temp dir, which the next adoption
+    discards."""
+    import os
+    import shutil
+
+    from kylin_on_parquet_v2_spark import fs as FS
+
+    inst = engine.cubes["sr_cube"]
+    shutil.rmtree(inst.ledger_dir())
+    inst._committed_cache = None
+    assert inst.committed_segments(spark) is None
+
+    # inject a crash mid-seed (after the temp dir exists, before rename)
+    real_write = FS.LocalFS.write_text
+    calls = {"n": 0}
+
+    def crashy(self, path, text):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("injected crash mid-seed")
+        real_write(self, path, text)
+
+    FS.LocalFS.write_text = crashy
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            inst.uncommit_segments(spark, ["2024-03-02"])
+    finally:
+        FS.LocalFS.write_text = real_write
+
+    # the ledger dir must NOT exist (fallback mode intact, nothing hidden);
+    # the stale temp dir is all that remains
+    inst._committed_cache = None
+    assert inst.committed_segments(spark) is None
+    tmp = inst.ledger_dir() + "._adopting"
+    assert os.path.exists(tmp)
+
+    # the next adoption discards the stale temp dir and completes
+    inst.uncommit_segments(spark, ["2024-03-02"])
+    assert not os.path.exists(tmp)
+    committed = inst.committed_segments(spark)
+    assert committed is not None and set(committed) == {
+        "2024-03-01",
+        "2024-03-03",
+    }
+    inst.commit_segments(spark, ["2024-03-02"])
+
+
 def test_refresh_unknown_segment_or_unsegmented_refuses(spark, engine, tmp_path):
     with pytest.raises(ValueError, match="unknown segment"):
         engine.refresh_segment("sr_cube", "1999-01-01")

@@ -865,3 +865,34 @@ def test_ts_range_fold_feeds_segment_pruning(spark, tmp_path_factory):
     # 3 of the 4 day segments are provably out of the folded range
     assert route.segment_filters or len(route.segment_reject) == 3, route
     assert [r.n for r in df.collect()] == [2]
+
+
+def test_substitute_extract_second_spelling():
+    """r13 review: the extract() alternation must cover SECOND, or the BI
+    spelling of a servable second-grain part silently falls to pushdown
+    while second(ts) routes."""
+    only_s = {"second": "second_start"}
+    assert _substitute("extract('second' FROM ts)", "ts", only_s) == (
+        "extract(SECOND FROM second_start)",
+        {"second_start"},
+    )
+    assert _substitute("extract(second FROM ts)", "ts", only_s) == (
+        "extract(SECOND FROM second_start)",
+        {"second_start"},
+    )
+
+
+def test_substitute_datefmt_backslash_literal_refuses():
+    """r13 review: a format with a LITERAL backslash (digest renders it
+    backslash-escaped) must refuse — re-emission would round-trip
+    differently depending on spark.sql.parser.escapedStringLiterals, so
+    folding could serve a silently different rendering."""
+    grains = {"month": "month_start"}
+    # digest spelling of date_format(ts, 'yyyy\MM'): the backslash arrives
+    # escaped as \\
+    assert _substitute(r"date_format(ts, 'yyyy\\MM')", "ts", grains) is None
+    # sanity: the same pattern without the backslash still folds
+    assert _substitute("date_format(ts, 'yyyyMM')", "ts", grains) == (
+        "date_format(month_start, 'yyyyMM')",
+        {"month_start"},
+    )
