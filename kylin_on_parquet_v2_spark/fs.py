@@ -32,7 +32,11 @@ class LocalFS:
         return os.path.exists(path)
 
     def listdir(self, path: str) -> list[str]:
-        return os.listdir(path)
+        # dotfiles hidden, matching file_sizes (and the Hadoop local FS):
+        # they are checksum sidecars or in-flight ``.{name}.tmp~`` publishes,
+        # never addressable content — a ledger/fragment listing must not
+        # surface a crashed write_text's temp file as an entry
+        return [n for n in os.listdir(path) if not n.startswith(".")]
 
     def isdir(self, path: str) -> bool:
         return os.path.isdir(path)
@@ -75,8 +79,16 @@ class LocalFS:
             return fh.read()
 
     def write_text(self, path: str, text: str) -> None:
-        with open(path, "w") as fh:
+        """Atomic publish (write dot-tmp sibling, rename over): a crash
+        mid-write must never truncate the PREVIOUS content — cube meta and
+        the hybrid cover file are overwritten in place, and open('w')
+        destroys the old version before the new one is durable. The tmp
+        name is dot-prefixed so listdir/file_sizes never surface it."""
+        d, name = os.path.split(path)
+        tmp = os.path.join(d, f".{name}.tmp~")
+        with open(tmp, "w") as fh:
             fh.write(text)
+        os.replace(tmp, path)
 
     def write_text_exclusive(self, path: str, text: str) -> bool:
         """Create-exclusive write: returns False (writing nothing) when the
@@ -116,7 +128,13 @@ class HadoopFS:
 
     def listdir(self, path: str) -> list[str]:
         stats = self._fs(path).listStatus(self._path(path))
-        return [st.getPath().getName() for st in stats]
+        # same dotfile convention as LocalFS.listdir (in-flight write_text
+        # temps must never surface as entries)
+        return [
+            name
+            for st in stats
+            if not (name := st.getPath().getName()).startswith(".")
+        ]
 
     def isdir(self, path: str) -> bool:
         return bool(self._fs(path).getFileStatus(self._path(path)).isDirectory())
@@ -161,11 +179,26 @@ class HadoopFS:
             stream.close()
 
     def write_text(self, path: str, text: str) -> None:
-        out = self._fs(path).create(self._path(path), True)
+        """Publish via dot-tmp sibling + delete + rename (Hadoop rename
+        refuses an existing destination, so a delete precedes it). Crash
+        windows leave either the OLD file (pre-delete) or no file plus the
+        complete tmp (between delete and rename) — never a truncated file;
+        every reader of these artifacts fails loudly on absence. Object
+        stores degrade per their rename semantics, the same caveat as
+        write_text_exclusive."""
+        p = self._path(path)
+        fsys = self._fs(path)
+        tmp = self._jvm.org.apache.hadoop.fs.Path(
+            p.getParent(), "." + p.getName() + ".tmp~"
+        )
+        out = fsys.create(tmp, True)
         try:
             out.write(bytearray(text.encode("utf-8")))
         finally:
             out.close()
+        fsys.delete(p, False)
+        if not fsys.rename(tmp, p):
+            raise OSError(f"atomic publish failed: {tmp} -> {path}")
 
     def write_text_exclusive(self, path: str, text: str) -> bool:
         """Create-exclusive write (overwrite=false): False when the file

@@ -5,6 +5,8 @@ the same FileSystem API surface s3a/abfs/hdfs implement."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 
 from kylin_on_parquet_v2_spark import fs as FS
@@ -135,3 +137,33 @@ def test_hadoop_exclusive_create_classifies_java_exceptions():
     a = _JExc("java.io.IOException")
     a._cause = a
     assert HadoopFS._is_already_exists(_PyExc(a)) is False
+
+
+def test_local_write_text_is_atomic_and_tmp_hidden(tmp_path, monkeypatch):
+    """r13: write_text publishes via dot-tmp + rename, so a crash mid-write
+    never truncates the previous content (cube meta / hybrid cover are
+    overwritten in place), and listdir never surfaces the in-flight temp."""
+    import os
+
+    from kylin_on_parquet_v2_spark import fs as FS
+
+    local = FS.LocalFS()
+    p = str(tmp_path / "meta.json")
+    local.write_text(p, "v1")
+    assert local.read_text(p) == "v1"
+    # no temp residue, and a planted dotfile is hidden from listdir
+    (tmp_path / ".meta.json.tmp~").write_text("partial")
+    assert local.listdir(str(tmp_path)) == ["meta.json"]
+    (tmp_path / ".meta.json.tmp~").unlink()
+
+    # crash between the tmp write and the rename: old content survives
+    def boom(src, dst):
+        raise RuntimeError("injected crash before publish")
+
+    monkeypatch.setattr(os, "replace", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        local.write_text(p, "v2")
+    monkeypatch.undo()
+    assert local.read_text(p) == "v1"
+    local.write_text(p, "v2")
+    assert local.read_text(p) == "v2"
