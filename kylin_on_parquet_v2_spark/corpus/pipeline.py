@@ -310,7 +310,7 @@ def similarity_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     got_rows = got.orderBy("query_id", "rn").collect()
     truth = {
         (r["query_id"], r["cand_id"])
-        for r in S.brute_force_topk(emb, queries, k=5).collect()
+        for r in S.brute_force_topk_vectorized(emb, queries, k=5).collect()
     }
     hits = sum((r["query_id"], r["cand_id"]) in truth for r in got_rows)
     assert truth and hits / len(truth) >= 0.5, (
@@ -361,7 +361,7 @@ def similarity_ann_ivf_restated(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     truth = {
         (r["query_id"], r["cand_id"])
-        for r in S.brute_force_topk(restated, queries, k=5).collect()
+        for r in S.brute_force_topk_vectorized(restated, queries, k=5).collect()
     }
     hits = sum((r["query_id"], r["cand_id"]) in truth for r in got_rows)
     assert truth and hits / len(truth) >= 0.5, (

@@ -125,7 +125,13 @@ def _probe_side(bad: DataFrame, limit: int | None) -> DataFrame:
     and OOM, which is exactly what the guard exists to prevent. Mirrors
     ``dedup_filter``'s un-forced-broadcast design.
     """
-    if limit is None or bad.count() <= limit:
+    if limit is None or bad.limit(limit + 1).count() <= limit:
+        # limit+1 probe instead of a full count (r13): the decision only
+        # needs "more than limit rows?", so the probe job can stop after
+        # limit+1 rows — on the mistaken-huge-eval-set case this guard
+        # exists for, that is the difference between scanning a corpus
+        # and scanning its first few million rows. Same decision, same
+        # join, same result either way.
         return F.broadcast(bad)
     return bad.hint("merge")
 

@@ -288,7 +288,13 @@ class IncrementalDedup:
         """Process a batch of NEW documents; returns the number of new
         candidate pairs persisted. Only the delta's text is shingled."""
         self._check_format()
-        new_sig = minhash_signatures(delta, self.text_col, self.id_col, self.k)
+        # persisted: the delta's shingle-explode + minhash groupBy is the
+        # expensive half of a refresh and BOTH consumers need it — the
+        # band join below and the signature-store append at the end.
+        # Without the persist the whole minhash pipeline ran twice per
+        # refresh (r13 optimization; guide §1.2 "don't compute things
+        # twice" — the delta is refresh-sized, so caching it is bounded).
+        new_sig = minhash_signatures(delta, self.text_col, self.id_col, self.k).persist()
         stacked_new = _stack_bands(new_sig, self.id_col, self.k, self.bands)
         if self._exists(self.sig_path):
             old_sig = self.spark.read.parquet(self.sig_path)
@@ -322,6 +328,7 @@ class IncrementalDedup:
         pairs.write.mode("append").parquet(self.pairs_path)
         pairs.unpersist()
         new_sig.write.mode("append").parquet(self.sig_path)
+        new_sig.unpersist()
         return n_new
 
     def pairs(self) -> DataFrame:
@@ -576,6 +583,11 @@ def duplicate_clusters(
     # canonicalize ONCE and materialize: (lo, hi) distinct, lo < hi; the
     # upstream pair pipeline (shingle -> minhash -> LSH self-join) must not
     # re-execute per round
+    # lazy localCheckpoint: the signature aggregate below is the round's
+    # ONE action, and materializing the checkpoint inside it halves the
+    # job count per round vs eager-checkpoint-then-aggregate (two full
+    # passes -> one; the lineage truncation is identical because the
+    # checkpointed RDD is what later rounds read either way)
     edges = (
         pairs.select(
             F.least("doc_a", "doc_b").alias("lo"),
@@ -583,7 +595,7 @@ def duplicate_clusters(
         )
         .filter(F.col("lo") < F.col("hi"))
         .dropDuplicates()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     def _sig(e: DataFrame) -> tuple:
@@ -601,7 +613,7 @@ def duplicate_clusters(
     for _ in range(max_iterations):
         if converged:
             break
-        edges = _star_round(edges).localCheckpoint(eager=True)
+        edges = _star_round(edges).localCheckpoint(eager=False)
         new_sig = _sig(edges)
         converged = new_sig == sig
         sig = new_sig

@@ -76,6 +76,87 @@ def brute_force_topk(
     )
 
 
+def brute_force_topk_vectorized(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k per query via Arrow-batched numpy matmuls — the
+    guide-§4.2 shape for dense linear algebra (one BLAS call per batch
+    instead of ~2·dim interpreted lambda evaluations per pair).
+
+    Same result contract as :func:`brute_force_topk` (round-6 cosine,
+    ties toward the lower cand_id), but the dot product SUMS IN BLAS
+    ORDER, not the sequential fold's — so the two can differ in the last
+    float bit on razor-edge ties. Use this for in-query accuracy probes
+    and production scans; ORACLE-HASHED queries keep the fold-based
+    :func:`brute_force_topk`, whose summation order DuckDB replays
+    bit-for-bit.
+
+    Scale shape: the query set is driver-collected (small by definition —
+    the same metadata-sized object as a quantizer), the corpus is scanned
+    once map-side, each partition emits only its k best per query, and the
+    global top-k reduces |partitions|·|queries|·k rows — the corpus itself
+    is never shuffled (brute_force_topk's window shuffles every scored
+    pair).
+    """
+    import numpy as np
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    q_rows = queries.select(F.col(id_col), F.col(vec_col)).collect()
+    if not q_rows:
+        return brute_force_topk(corpus, queries, k, id_col, vec_col)
+    q_ids = np.array([r[0] for r in q_rows])
+    q_mat = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+    q_unit_t = (q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)).T
+
+    out_schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("cand_id", LongType()),
+            StructField("cos", DoubleType()),
+        ]
+    )
+
+    def _partition_topk(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cand_ids = pdf[id_col].to_numpy()
+            mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            cos = np.round((mat / norms) @ q_unit_t, 6)  # rows x queries
+            rows = []
+            for j, qid in enumerate(q_ids):
+                col = cos[:, j]
+                mask = cand_ids != qid
+                order = np.lexsort((cand_ids[mask], -col[mask]))[:k]
+                ids_m, col_m = cand_ids[mask], col[mask]
+                for i in order:
+                    rows.append((int(qid), int(ids_m[i]), float(col_m[i])))
+            yield pd.DataFrame(rows, columns=["query_id", "cand_id", "cos"])
+
+    partial = corpus.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        _partition_topk, out_schema
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
+    return (
+        partial.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "cand_id", "cos", "rn")
+    )
+
+
 def embedding_neardup_pairs(
     corpus: DataFrame,
     threshold: float = 0.95,
@@ -216,24 +297,34 @@ def train_ivf_centroids(
     centroid (standard Lloyd degeneracy handling).
     """
     cents = ivf_centroids(n_lists, dim, seed)
-    for _ in range(iters):
-        assigned = ivf_assign(
-            corpus, n_lists, id_col, vec_col, seed, dim, centroids=cents
-        )
-        means = (
-            assigned.groupBy("ivf_list")
-            .agg(
-                *[
-                    F.avg(F.element_at(F.col(vec_col), i + 1).cast("double")).alias(f"c{i}")
-                    for i in range(dim)
-                ]
+    # persist the training set across Lloyd iterations: every iteration
+    # re-assigns the SAME rows under new centroids, and without the persist
+    # each iteration re-ran the upstream scan/filter/sample lineage — at
+    # 100 TB that is `iters` full corpus scans to produce a sample that is
+    # bounded by construction (~100s of vectors per centroid, the FAISS
+    # practice). Values unchanged: same rows either way (r13, guide §5).
+    train = corpus.select(F.col(id_col), F.col(vec_col)).persist()
+    try:
+        for _ in range(iters):
+            assigned = ivf_assign(
+                train, n_lists, id_col, vec_col, seed, dim, centroids=cents
             )
-            .collect()
-        )
-        new = [list(c) for c in cents]
-        for r in means:
-            new[r["ivf_list"]] = [float(r[f"c{i}"]) for i in range(dim)]
-        cents = new
+            means = (
+                assigned.groupBy("ivf_list")
+                .agg(
+                    *[
+                        F.avg(F.element_at(F.col(vec_col), i + 1).cast("double")).alias(f"c{i}")
+                        for i in range(dim)
+                    ]
+                )
+                .collect()
+            )
+            new = [list(c) for c in cents]
+            for r in means:
+                new[r["ivf_list"]] = [float(r[f"c{i}"]) for i in range(dim)]
+            cents = new
+    finally:
+        train.unpersist()
     return cents
 
 
@@ -375,7 +466,7 @@ def ann_ivf_topk(
     cents = centroids if centroids is not None else ivf_centroids(n_lists, dim, seed)
     cb = ivf_assign(corpus, n_lists, id_col, vec_col, seed, dim, centroids=cents).select(
         F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec"), "ivf_list"
-    )
+    ).withColumn("__nc", norm(F.col("cvec")))
     # query side: rank ALL centroid scores, keep top n_probe (explode of a
     # metadata-sized array — the query set is small by definition)
     scores = _centroid_scores(F.col(vec_col), cents)
@@ -387,15 +478,17 @@ def ann_ivf_topk(
             F.explode(F.slice(F.reverse(F.array_sort("__sc")), 1, n_probe)).alias("__p"),
         )
         .select("query_id", "qvec", (-F.col("__p.ni")).cast("int").alias("ivf_list"))
+        .withColumn("__nq", norm(F.col("qvec")))
     )
+    # norms hoisted above the join (once per row, not per probed pair);
+    # dot/(nq*nc) is bit-identical to cosine(qvec, cvec) — same expression
+    # trees, just evaluated above the join (r13: 2/3 of the per-pair
+    # interpreted fold work removed, the ann_lsh_topk pattern)
+    cos = dot(F.col("qvec"), F.col("cvec")) / (F.col("__nq") * F.col("__nc"))
     scored = (
         cb.join(F.broadcast(probes), "ivf_list")
         .filter(F.col("cand_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "cand_id",
-            F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cos"),
-        )
+        .select("query_id", "cand_id", F.round(cos, 6).alias("cos"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
     return (
@@ -666,7 +759,7 @@ class IVFIndex:
             F.col(self.id_col).alias("cand_id"),
             F.col(self.vec_col).alias("cvec"),
             "ivf_list",
-        )
+        ).withColumn("__nc", norm(F.col("cvec")))
         scores = _centroid_scores(F.col(self.vec_col), cents)
         probes = (
             queries.select(
@@ -680,6 +773,7 @@ class IVFIndex:
                 F.explode(F.slice(F.reverse(F.array_sort("__sc")), 1, n_probe)).alias("__p"),
             )
             .select("query_id", "qvec", (-F.col("__p.ni")).cast("int").alias("ivf_list"))
+            .withColumn("__nq", norm(F.col("qvec")))
         )
         # the broadcast hash join's ivf_list keys become a partition
         # predicate via dynamic partition pruning; for the common
@@ -689,14 +783,15 @@ class IVFIndex:
             {r["ivf_list"] for r in probes.select("ivf_list").distinct().collect()}
         )
         lists = lists.filter(F.col("ivf_list").isin(probe_ids))
+        # norms hoisted above the join — bit-identical to cosine(qvec,
+        # cvec), 1/3 of the per-pair interpreted fold evaluations (r13)
+        cos = dot(F.col("qvec"), F.col("cvec")) / (
+            F.col("__nq") * F.col("__nc")
+        )
         scored = (
             lists.join(F.broadcast(probes), "ivf_list")
             .filter(F.col("cand_id") != F.col("query_id"))
-            .select(
-                "query_id",
-                "cand_id",
-                F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cos"),
-            )
+            .select("query_id", "cand_id", F.round(cos, 6).alias("cos"))
         )
         w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
         return (

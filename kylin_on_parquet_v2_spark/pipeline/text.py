@@ -404,18 +404,25 @@ def bpe_learn_merges(
     cur = vocab
     try:
         for _ in range(n_merges):
-            syms = _bpe_symbols(F.col("s"))
+            # MATERIALIZE the symbol array before indexing it (the
+            # word_shingles lesson): element_at inside the transform lambda
+            # embeds a full copy of its input subtree, so an inline
+            # _bpe_symbols would re-split the spaced string PER PAIR
+            # ELEMENT — O(symbols^2) splits per word per round
+            syms_df = cur.select(
+                _bpe_symbols(F.col("s")).alias("__syms"), "freq"
+            )
             # fully-merged single-symbol words drop out BEFORE the pair
             # explode (sequence(1, 0) would generate DESCENDING [1, 0] and
             # index out of bounds under ANSI element_at)
-            pairs = cur.where(F.size(syms) >= 2).select(
+            pairs = syms_df.where(F.size("__syms") >= 2).select(
                 F.explode(
                     F.transform(
-                        F.sequence(F.lit(1), F.size(syms) - 1),
+                        F.sequence(F.lit(1), F.size("__syms") - 1),
                         lambda i: F.concat(
-                            F.element_at(_bpe_symbols(F.col("s")), i),
+                            F.element_at(F.col("__syms"), i),
                             F.lit(" "),
-                            F.element_at(_bpe_symbols(F.col("s")), i + 1),
+                            F.element_at(F.col("__syms"), i + 1),
                         ),
                     )
                 ).alias("pair"),
