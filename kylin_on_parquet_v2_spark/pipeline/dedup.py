@@ -295,41 +295,61 @@ class IncrementalDedup:
         # refresh (r13 optimization; guide §1.2 "don't compute things
         # twice" — the delta is refresh-sized, so caching it is bounded).
         new_sig = minhash_signatures(delta, self.text_col, self.id_col, self.k).persist()
-        stacked_new = _stack_bands(new_sig, self.id_col, self.k, self.bands)
-        if self._exists(self.sig_path):
-            old_sig = self.spark.read.parquet(self.sig_path)
-            stacked_all = stacked_new.unionByName(
-                _stack_bands(old_sig, self.id_col, self.k, self.bands)
+        try:
+            stacked_new = _stack_bands(new_sig, self.id_col, self.k, self.bands)
+            if self._exists(self.sig_path):
+                old_sig = self.spark.read.parquet(self.sig_path)
+                stacked_all = stacked_new.unionByName(
+                    _stack_bands(old_sig, self.id_col, self.k, self.bands)
+                )
+            else:
+                stacked_all = stacked_new
+            a, b = stacked_new.alias("a"), stacked_all.alias("b")
+            idc = self.id_col
+            pairs = (
+                a.join(
+                    b,
+                    (F.col("a.bucket") == F.col("b.bucket"))
+                    & (F.col(f"a.{idc}") != F.col(f"b.{idc}")),
+                )
+                .select(
+                    F.least(F.col(f"a.{idc}"), F.col(f"b.{idc}")).alias("doc_a"),
+                    F.greatest(F.col(f"a.{idc}"), F.col(f"b.{idc}")).alias("doc_b"),
+                )
+                .dropDuplicates()
             )
-        else:
-            stacked_all = stacked_new
-        a, b = stacked_new.alias("a"), stacked_all.alias("b")
-        idc = self.id_col
-        pairs = (
-            a.join(
-                b,
-                (F.col("a.bucket") == F.col("b.bucket"))
-                & (F.col(f"a.{idc}") != F.col(f"b.{idc}")),
+            # write order matters: pairs materialize against the OLD signature
+            # store, then the delta signatures are appended. The pair count the
+            # caller gets back is summed from the parquet FOOTERS of the files
+            # this write just appended (before/after dir listing) — driver-side
+            # metadata instead of the r13 persist + count() job, so the delta
+            # pairs are computed exactly once and NOTHING here scans the
+            # accumulated history: the whole refresh stays O(|delta| + matched
+            # buckets), not O(corpus age) (round-5 advisor #3; r14 guide §1.5
+            # — one action per refresh artifact).
+            import os as _os
+
+            from kylin_on_parquet_v2_spark import fs as FS
+
+            pfs = FS.fs_for(self.pairs_path, self.spark)
+            before = (
+                set(pfs.listdir(self.pairs_path))
+                if pfs.exists(self.pairs_path)
+                else set()
             )
-            .select(
-                F.least(F.col(f"a.{idc}"), F.col(f"b.{idc}")).alias("doc_a"),
-                F.greatest(F.col(f"a.{idc}"), F.col(f"b.{idc}")).alias("doc_b"),
+            pairs.write.mode("append").parquet(self.pairs_path)
+            n_new = sum(
+                pfs.parquet_file_rows(_os.path.join(self.pairs_path, name))
+                for name in pfs.listdir(self.pairs_path)
+                if name.endswith(".parquet") and name not in before
             )
-            .dropDuplicates()
-        )
-        # write order matters: pairs materialize against the OLD signature
-        # store, then the delta signatures are appended. The delta pairs are
-        # persisted (delta-sized) so the count and the write share ONE
-        # computation and NOTHING here scans the accumulated history — the
-        # whole refresh stays O(|delta| + matched buckets), not O(corpus age)
-        # (round-5 advisor finding #3 / judge wrong #1).
-        pairs = pairs.persist()
-        n_new = pairs.count()
-        pairs.write.mode("append").parquet(self.pairs_path)
-        pairs.unpersist()
-        new_sig.write.mode("append").parquet(self.sig_path)
-        new_sig.unpersist()
-        return n_new
+            new_sig.write.mode("append").parquet(self.sig_path)
+            return n_new
+        finally:
+            # unpersist in finally (r13 advisor): an exception in the band
+            # join or either write must not leak the cached signatures for
+            # the life of the session
+            new_sig.unpersist()
 
     def pairs(self) -> DataFrame:
         return self.spark.read.parquet(self.pairs_path).dropDuplicates()
@@ -535,6 +555,56 @@ def _star_round(edges: DataFrame) -> DataFrame:
     return small
 
 
+#: driver-side finish threshold for :func:`duplicate_clusters` — the
+#: broadcast-join pattern applied to connected components: a candidate-pair
+#: edge set at or under this many edges is collected and union-found on the
+#: driver (one action, zero per-round shuffles), anything larger runs the
+#: distributed star contraction unchanged. 1M edges is ~200 MB of driver-side
+#: Python rows — the same order as a comfortable broadcast relation — while
+#: a duplicate-heavy corpus at 100 TB emits orders of magnitude more pairs
+#: and stays on the distributed path. Overridable per session via the
+#: ``spark.graft.cc.localEdgeLimit`` conf (0 disables the local finish).
+CC_LOCAL_EDGE_LIMIT = 1_000_000
+
+
+def _cc_local_limit(spark) -> int:
+    try:
+        return int(
+            spark.conf.get("spark.graft.cc.localEdgeLimit", str(CC_LOCAL_EDGE_LIMIT))
+        )
+    except ValueError:
+        return CC_LOCAL_EDGE_LIMIT
+
+
+def _union_find_labels(edge_rows) -> list[tuple]:
+    """Min-id component labels for a collected edge list: (member, min id of
+    its component) for every node appearing in an edge — exactly the rows
+    the distributed star-forest fixed point emits. Path-halving union-find;
+    ids compare under Python's natural order, which matches F.least /
+    F.greatest for the long and string id types the pipelines use."""
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for lo, hi in edge_rows:
+        if lo not in parent:
+            parent[lo] = lo
+        if hi not in parent:
+            parent[hi] = hi
+        ra, rb = find(lo), find(hi)
+        if ra != rb:
+            # union by min: the smaller root stays root, so the final root
+            # of every tree IS the component minimum
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    return [(node, find(node)) for node in parent]
+
+
 def duplicate_clusters(
     docs: DataFrame | None,
     text_col: str = "text",
@@ -575,6 +645,17 @@ def duplicate_clusters(
     reaches a fixed point, detected by a (count, hash-sum) signature — one
     cheap aggregate per round instead of a full set comparison.
 
+    Small graphs finish on the driver (r14): an edge set at or under
+    ``spark.graft.cc.localEdgeLimit`` (default :data:`CC_LOCAL_EDGE_LIMIT`)
+    is collected once and union-found in Python — the broadcast-join move,
+    where a bounded small side is brought to the driver because shipping it
+    beats shuffling it. The probe is ``limit(n+1).collect()`` (the bounded
+    decontam probe pattern), so an over-limit graph pays one extra pass over
+    the checkpointed edges and runs the star contraction unchanged. Labels
+    are identical by construction: union-by-min with Python ordering matches
+    F.least/F.greatest on the long and string ids used here (asserted by
+    test_duplicate_clusters_local_vs_distributed).
+
     ``pairs`` overrides the default LSH candidate source (reuse any pair
     generator: simhash bands, embedding buckets, ngram jaccard).
     """
@@ -597,6 +678,25 @@ def duplicate_clusters(
         .dropDuplicates()
         .localCheckpoint(eager=False)
     )
+
+    local_limit = _cc_local_limit(edges.sparkSession)
+    if local_limit > 0:
+        # bounded probe-and-collect: n+1 rows prove the set exceeds the
+        # limit without counting it; n or fewer means we already hold the
+        # WHOLE edge set and the driver finish is free of further jobs
+        probe = edges.limit(local_limit + 1).collect()
+        if len(probe) <= local_limit:
+            from pyspark.sql.types import StructField, StructType
+
+            lo_field = edges.schema["lo"]
+            schema = StructType(
+                [
+                    StructField(id_col, lo_field.dataType, lo_field.nullable),
+                    StructField("cluster_id", lo_field.dataType, lo_field.nullable),
+                ]
+            )
+            labels = _union_find_labels((r["lo"], r["hi"]) for r in probe)
+            return edges.sparkSession.createDataFrame(labels, schema)
 
     def _sig(e: DataFrame) -> tuple:
         # order-independent set signature; each term < 2^31 so the ANSI-mode

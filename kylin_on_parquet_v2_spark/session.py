@@ -79,30 +79,44 @@ def get_spark(app_name: str = "kylin-on-parquet-v2-spark") -> SparkSession:
     return builder.getOrCreate()
 
 
-#: last-registered source views per live session: id(session) -> (session,
-#: abspath(sf_dir), views). Registration is idempotent metadata work — ten
-#: parquet schema inferences plus ten catalog writes per call — yet every
-#: corpus query calls it defensively, so an un-memoized call burned ~0.5 s
-#: of pure driver time per query (guide §5: the driver should do almost no
-#: work on the query path). The memo caches only CATALOG REGISTRATION
-#: (name -> unexecuted DataFrame); every query still scans the parquet.
-#: Switching sf_dir on the same session re-registers (the temp-view names
-#: are session-global), which keeps multi-SF test sessions correct.
-_VIEWS_MEMO: dict[int, tuple[SparkSession, str, dict[str, DataFrame]]] = {}
+#: memo attribute stamped onto the session: (abspath(sf_dir), views).
+#: Registration is idempotent metadata work — ten parquet schema inferences
+#: plus ten catalog writes per call — yet every corpus query calls it
+#: defensively, so an un-memoized call burned ~0.5 s of pure driver time per
+#: query (guide §5: the driver should do almost no work on the query path).
+#: The memo caches only CATALOG REGISTRATION (name -> unexecuted DataFrame);
+#: every query still scans the parquet. Switching sf_dir on the same session
+#: re-registers (the temp-view names are session-global), which keeps
+#: multi-SF test sessions correct. Stored ON the session object (r13
+#: advisor) so its lifetime is the session's — no global dict holding strong
+#: refs to dead sessions, no id()-reuse aliasing.
+_VIEWS_MEMO_ATTR = "_graft_views_memo"
 
 
-def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+def invalidate_views_memo(spark: SparkSession) -> None:
+    """Drop the session's view memo — call after clobbering a source-named
+    temp view or regenerating files under a registered sf_dir (the memo
+    cannot see either; r13 advisor). The next register_views re-registers
+    and re-lists."""
+    if hasattr(spark, _VIEWS_MEMO_ATTR):
+        delattr(spark, _VIEWS_MEMO_ATTR)
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, force: bool = False
+) -> dict[str, DataFrame]:
     """Register every source parquet under ``sf_dir`` as a temp view.
 
     This is the engine's "Hive source" (reference: table registration through
     ``OLAPSchemaFactory`` + ``source-hive``; our sources are parquet files).
-    Returns name -> DataFrame. Memoized per (session, sf_dir) — see
-    ``_VIEWS_MEMO``.
+    Returns name -> DataFrame. Memoized per (session, sf_dir); ``force=True``
+    (or :func:`invalidate_views_memo`) bypasses the memo when the catalog or
+    the files underneath changed out from under it.
     """
     sf_abs = os.path.abspath(sf_dir)
-    hit = _VIEWS_MEMO.get(id(spark))
-    if hit is not None and hit[0] is spark and hit[1] == sf_abs:
-        return hit[2]
+    hit = getattr(spark, _VIEWS_MEMO_ATTR, None)
+    if not force and hit is not None and hit[0] == sf_abs:
+        return hit[1]
     # The session may be driver-provided (not built by get_spark): pin the
     # runtime-settable confs the sources/oracle comparison depend on.
     for k, v in (
@@ -122,7 +136,7 @@ def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[st
         df = _read_source(spark, path)
         df.createOrReplaceTempView(name)
         out[name] = df
-    _VIEWS_MEMO[id(spark)] = (spark, sf_abs, out)
+    setattr(spark, _VIEWS_MEMO_ATTR, (sf_abs, out))
     return out
 
 

@@ -356,12 +356,18 @@ def test_duplicate_clusters_exhaustion_is_loud(spark):
     """max_iterations exhaustion raises instead of silently returning
     split clusters (r12 judge What's-wrong #1: the no-silent-caps rule).
     A 2-hop chain needs at least one contraction round, so a zero-round
-    budget cannot have converged."""
+    budget cannot have converged. Forces the distributed arm — the r14
+    bounded driver finish (which this graph would otherwise take) has no
+    rounds to exhaust."""
     import pytest
 
     pairs = spark.createDataFrame([(1, 2), (2, 3)], ["doc_a", "doc_b"])
-    with pytest.raises(D.ClusteringConvergenceError):
-        D.duplicate_clusters(None, pairs=pairs, max_iterations=0)
+    spark.conf.set("spark.graft.cc.localEdgeLimit", "0")
+    try:
+        with pytest.raises(D.ClusteringConvergenceError):
+            D.duplicate_clusters(None, pairs=pairs, max_iterations=0)
+    finally:
+        spark.conf.unset("spark.graft.cc.localEdgeLimit")
 
 
 def test_duplicate_clusters_string_ids_and_reverse_chain(spark):
