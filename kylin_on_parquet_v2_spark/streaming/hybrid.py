@@ -662,10 +662,18 @@ def execute_hybrid(
                 result = result.withColumn(
                     name, F.coalesce(F.col(name), F.lit(0)).cast("long")
                 )
+        # one merged sketch per COLUMN, all its percentile outputs extracted
+        # in the same aggregate (r14 — the r13 percentile_exact lesson
+        # applied across the split: p50/p95 over one column previously each
+        # built the tail sketch, merged batch∪tail, and joined separately)
+        pct_by_col: dict = {}
         for item in pct_items:
-            counts = _pct_counts(item, inst, rt, batch_scan, group_srcs, spark)
+            pct_by_col.setdefault(item.agg.column, []).append(item)
+        for items in pct_by_col.values():
+            counts = _pct_counts(items, inst, rt, batch_scan, group_srcs, spark)
             counts = counts.select(
-                *[F.col(c).alias(src_to_out[c]) for c in group_srcs], item.name
+                *[F.col(c).alias(src_to_out[c]) for c in group_srcs],
+                *[it.name for it in items],
             )
             if result is None:
                 result = counts
@@ -989,7 +997,7 @@ def _hybrid_grouping_sets(
 
 
 def _pct_counts(
-    item,
+    items,
     inst: CubeInstance,
     rt: DataFrame,
     batch_scan: DataFrame,
@@ -1000,7 +1008,12 @@ def _pct_counts(
     histogram / KLL weighted sample) is ADDITIVE, and the boundary split is
     disjoint, so batch layout sketches + a sketch built over the tail merge
     exactly — the served answer equals the sketch over the whole table,
-    within the sketch's own declared accuracy (bin width / rank error)."""
+    within the sketch's own declared accuracy (bin width / rank error).
+
+    ``items`` all target ONE source column: the tail sketch is built once
+    and every requested quantile is extracted from the same merged state in
+    one aggregate (r14; previously each percentile output re-built the
+    tail sketch and re-merged — the r13 one-sketch-queried-twice lesson)."""
     from kylin_on_parquet_v2_spark.cube import kll as KLL
     from kylin_on_parquet_v2_spark.cube import measures as M
     from kylin_on_parquet_v2_spark.query.router import (
@@ -1008,21 +1021,25 @@ def _pct_counts(
         _kll_measure_for,
     )
 
-    a = item.agg
-    m = _hist_measure_for(a.column, inst)
+    column = items[0].agg.column
+    m = _hist_measure_for(column, inst)
     if m is not None:
         tail = (rt.groupBy(*grain) if grain else rt.groupBy()).agg(
             M.hist_build(m.function, m.name)
         )
-        agg = M.hist_percentile(
-            m.function, M.hist_reagg(m.function, m.name), a.q
-        ).alias(item.name)
+        merged = M.hist_reagg(m.function, m.name)
+        aggs = [
+            M.hist_percentile(m.function, merged, it.agg.q).alias(it.name)
+            for it in items
+        ]
     else:
-        m = _kll_measure_for(a.column, inst)
+        m = _kll_measure_for(column, inst)
         # two-phase: bounded per-partition partials even on a hot tail
         tail = KLL.kll_build_two_phase(rt, list(grain), [(m.function, m.name)])
-        agg = KLL.kll_percentile(
-            m.function, KLL.kll_reagg(m.function, m.name), a.q
-        ).alias(item.name)
+        merged = KLL.kll_reagg(m.function, m.name)
+        aggs = [
+            KLL.kll_percentile(m.function, merged, it.agg.q).alias(it.name)
+            for it in items
+        ]
     frame = batch_scan.select(*grain, m.name).unionByName(tail)
-    return (frame.groupBy(*grain) if grain else frame.groupBy()).agg(agg)
+    return (frame.groupBy(*grain) if grain else frame.groupBy()).agg(*aggs)

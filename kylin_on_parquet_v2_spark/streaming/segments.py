@@ -38,6 +38,30 @@ def _stream_shuffle(spark: SparkSession, n: int = 8):
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
+@contextmanager
+def _no_idle_batches(spark: SparkSession):
+    """Disable no-data micro-batches for a stream whose SINK OUTPUT cannot
+    depend on them (r14, guide §1 — measured: the zero-row watermark-advance
+    batch cost ~40% of streaming_stream_join's wall clock, re-running the
+    full state-store plan to emit nothing).
+
+    Safe ONLY for operators that emit eagerly in the data batch — an
+    append-mode INNER stream-stream join and streaming dropDuplicates both
+    emit a row in the micro-batch that produces it; the idle batch exists
+    to advance the watermark and EVICT state, which changes no output row
+    (the run's state is discarded at stop()). Windowed append-mode
+    aggregations must NOT use this: their finalized windows are emitted BY
+    the no-data batch. Output parity with the batch oracle is asserted per
+    run by the corpus queries themselves."""
+    key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
+
+
 def _normalize_ts(df: DataFrame, ts_col: str) -> DataFrame:
     """Source parquet may carry TIMESTAMP(NANOS) read as bigint (see
     session.py nanosAsLong) — convert back to a UTC-naive timestamp."""
@@ -312,7 +336,9 @@ def run_dedup_to_memory(
     )
     stream = _normalize_ts(stream, ts_col)
     deduped = stream.withWatermark(ts_col, watermark).dropDuplicates(list(key_cols))
-    with _stream_shuffle(spark):
+    # dropDuplicates emits each first-seen row in ITS data batch; the idle
+    # watermark batch only evicts state (see _no_idle_batches)
+    with _stream_shuffle(spark), _no_idle_batches(spark):
         q = (
             deduped.writeStream.outputMode("append")
             .format("memory")
@@ -379,7 +405,11 @@ def run_stream_join_to_memory(
         ),
         "inner",
     )
-    with _stream_shuffle(spark):
+    # an append-mode INNER stream-stream join emits every matched pair in
+    # the data batch that completes it; the zero-row watermark batch that
+    # followed re-ran the whole state-store plan to emit nothing — ~40% of
+    # the query's measured wall clock (see _no_idle_batches)
+    with _stream_shuffle(spark), _no_idle_batches(spark):
         q = (
             joined.writeStream.outputMode("append")
             .format("memory")
