@@ -1031,16 +1031,29 @@ class CubeBuilder:
         return True
 
     def _agg_from_parent(self, parent: DataFrame, cuboid: Cuboid, segmented: bool) -> DataFrame:
-        aggs = []
-        special = {m.name for m in self._bitmap_measures()} | {
-            m.name for m in self._topn_measures()
-        }
-        for m in self.desc.measures:
-            if m.name not in parent.columns or m.name in special:
-                continue
-            c = M.reagg_from_layout(m, parent.schema)
-            if c is not None:
-                aggs.append(c)
+        # The re-agg Column list depends only on which measure columns the
+        # parent carries (same cube => same measure types), not on the
+        # cuboid — memoize it per parent shape (r14, guide §5: Column
+        # objects are immutable expression wrappers, safely reused across
+        # every child cuboid's groupBy; rebuilding them was pure per-layout
+        # py4j driver work in the lattice loop).
+        memo = getattr(self, "_reagg_memo", None)
+        if memo is None:
+            memo = self._reagg_memo = {}
+        pkey = tuple(parent.columns)
+        aggs = memo.get(pkey)
+        if aggs is None:
+            aggs = []
+            special = {m.name for m in self._bitmap_measures()} | {
+                m.name for m in self._topn_measures()
+            }
+            for m in self.desc.measures:
+                if m.name not in parent.columns or m.name in special:
+                    continue
+                c = M.reagg_from_layout(m, parent.schema)
+                if c is not None:
+                    aggs.append(c)
+            memo[pkey] = aggs
         keys = self._group_cols(cuboid, segmented)
         present_bitmaps = [
             m for m in self._bitmap_measures() if m.name in parent.columns

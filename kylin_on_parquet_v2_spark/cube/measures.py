@@ -103,19 +103,28 @@ def hist_spec(func: FunctionDesc) -> tuple[int, float, float] | None:
 
 
 def hist_build(func: FunctionDesc, name: str) -> Column:
-    """array<long> of per-bin counts; values clamp into the edge bins."""
+    """array<long> of per-bin counts; values clamp into the edge bins.
+
+    Built as ONE parsed SQL expression (r14, guide §5: the driver should do
+    almost no query-path work): the former per-bin listcomp of
+    ``F.sum(F.when(b == i, 1).otherwise(0)).cast("long")`` Columns cost
+    ~6 py4j round trips per bin — ~600 per call at bins=100 — and this
+    function runs once per layout at build time AND once per hybrid tail at
+    query time. The parsed tree is the same expression (double literals via
+    the ``D`` suffix, same int-literal comparisons, same clamp), so every
+    bin count is bit-identical; pinned by
+    tests/test_r14_optimizations.py::test_hist_exprs_match_column_form."""
     bins, lo, hi = hist_spec(func)
     w = (hi - lo) / bins
-    b = F.least(
-        F.greatest(F.floor((F.col(func.parameter) - F.lit(lo)) / F.lit(w)), F.lit(0)),
-        F.lit(bins - 1),
+    b = (
+        f"least(greatest(floor((`{func.parameter}` - {float(lo)!r}D)"
+        f" / {float(w)!r}D), 0), {bins - 1})"
     )
-    return F.array(
-        *[
-            F.sum(F.when(b == i, 1).otherwise(0)).cast("long")
-            for i in range(bins)
-        ]
-    ).alias(name)
+    cells = ",".join(
+        f"cast(sum(case when {b} = {i} then 1 else 0 end) as bigint)"
+        for i in range(bins)
+    )
+    return F.expr(f"array({cells})").alias(name)
 
 
 def hist_reagg(func: FunctionDesc, name: str) -> Column:
@@ -124,14 +133,19 @@ def hist_reagg(func: FunctionDesc, name: str) -> Column:
     aggregation buffer is `bins` longs per group and partial map-side
     aggregation applies. The earlier collect_list-then-fold spelling held
     every child histogram in one buffer — O(child rows × bins) per group,
-    the same unbounded-buffer shape the two-phase KLL build removes."""
+    the same unbounded-buffer shape the two-phase KLL build removes.
+
+    One parsed SQL expression for the same reason as :func:`hist_build`
+    (r14): the per-bin ``F.coalesce(F.sum(F.col(name)[i]), lit 0L)``
+    listcomp was ~0.6 s of pure py4j/driver time per call — once per
+    cuboid in the lattice build (the measured 0.79 s/cuboid plan
+    constant was mostly THIS) and once per percentile-serving routed
+    query. Identical expression tree, bit-identical merges."""
     bins, _lo, _hi = hist_spec(func)
-    return F.array(
-        *[
-            F.coalesce(F.sum(F.col(name)[i]), F.lit(0).cast("long"))
-            for i in range(bins)
-        ]
-    ).alias(name)
+    cells = ",".join(
+        f"coalesce(sum(`{name}`[{i}]), cast(0 as bigint))" for i in range(bins)
+    )
+    return F.expr(f"array({cells})").alias(name)
 
 
 def hist_percentile(func: FunctionDesc, col: Column, q: float) -> Column:

@@ -327,19 +327,25 @@ def train_ivf_centroids(
             assigned = ivf_assign(
                 train, n_lists, id_col, vec_col, seed, dim, centroids=cents
             )
+            # one parsed aggregate expression instead of `dim` separate
+            # F.avg(F.element_at(...)) Columns (r14, guide §5): the listcomp
+            # cost ~6 py4j round trips per dimension per iteration of pure
+            # driver time. array(avg(...), ...) holds the SAME per-dimension
+            # avg aggregates, so the collected doubles — and therefore the
+            # trained centroids — are bit-identical (pinned by
+            # test_r14_optimizations.py::test_lloyd_array_agg_matches_columns).
+            mexpr = "array(" + ",".join(
+                f"avg(cast(element_at(`{vec_col}`, {i + 1}) as double))"
+                for i in range(dim)
+            ) + ")"
             means = (
                 assigned.groupBy("ivf_list")
-                .agg(
-                    *[
-                        F.avg(F.element_at(F.col(vec_col), i + 1).cast("double")).alias(f"c{i}")
-                        for i in range(dim)
-                    ]
-                )
+                .agg(F.expr(mexpr).alias("__m"))
                 .collect()
             )
             new = [list(c) for c in cents]
             for r in means:
-                new[r["ivf_list"]] = [float(r[f"c{i}"]) for i in range(dim)]
+                new[r["ivf_list"]] = [float(x) for x in r["__m"]]
             cents = new
     finally:
         if sampled:

@@ -254,3 +254,88 @@ def test_register_views_memo_force_and_invalidate(spark):
     assert fresh is not forced
     # memo lives on the session object, not a module-global dict
     assert getattr(spark, "_graft_views_memo")[1] is fresh
+
+
+def _hist_column_form_build(func, name):
+    """The pre-r14 per-bin Column listcomp for hist_build — kept here as the
+    reference spelling the single-parse F.expr form must match bit-for-bit."""
+    from kylin_on_parquet_v2_spark.cube.measures import hist_spec
+
+    bins, lo, hi = hist_spec(func)
+    w = (hi - lo) / bins
+    b = F.least(
+        F.greatest(F.floor((F.col(func.parameter) - F.lit(lo)) / F.lit(w)), F.lit(0)),
+        F.lit(bins - 1),
+    )
+    return F.array(
+        *[F.sum(F.when(b == i, 1).otherwise(0)).cast("long") for i in range(bins)]
+    ).alias(name)
+
+
+def _hist_column_form_reagg(func, name):
+    from kylin_on_parquet_v2_spark.cube.measures import hist_spec
+
+    bins, _lo, _hi = hist_spec(func)
+    return F.array(
+        *[F.coalesce(F.sum(F.col(name)[i]), F.lit(0).cast("long")) for i in range(bins)]
+    ).alias(name)
+
+
+def test_hist_exprs_match_column_form(spark):
+    """The r14 single-parse F.expr spellings of hist_build/hist_reagg return
+    the SAME schema and the SAME per-bin counts as the per-bin Column
+    listcomps they replaced, including edge-bin clamping and all-NULL
+    coalesce, on a grouped build + re-agg round trip."""
+    from kylin_on_parquet_v2_spark.cube import measures as M
+    from kylin_on_parquet_v2_spark.metadata.cube import FunctionDesc
+
+    func = FunctionDesc("PERCENTILE_APPROX", "v", "hist(20,0,10)")
+    rows = [
+        ("a", -5.0), ("a", 0.0), ("a", 0.49), ("a", 9.99), ("a", 50.0),
+        ("b", 3.2), ("b", 3.3), ("b", 7.7),
+    ]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    built_new = df.groupBy("g").agg(M.hist_build(func, "h")).orderBy("g")
+    built_old = df.groupBy("g").agg(_hist_column_form_build(func, "h")).orderBy("g")
+    assert built_new.schema == built_old.schema
+    assert built_new.collect() == built_old.collect()
+    # re-agg both groups' sketches down to one global histogram
+    reagg_new = built_new.groupBy().agg(M.hist_reagg(func, "h"))
+    reagg_old = built_old.groupBy().agg(_hist_column_form_reagg(func, "h"))
+    assert reagg_new.schema == reagg_old.schema
+    assert reagg_new.collect() == reagg_old.collect()
+    # clamping sanity: -5 clamps into bin 0 (with 0.0 and 0.49), 50 clamps
+    # into bin 19 (with 9.99); every 'a' value lands somewhere
+    h = built_new.collect()[0]["h"]
+    assert h[0] == 3 and h[19] == 2 and sum(h) == 5
+
+
+def test_lloyd_array_agg_matches_columns(spark):
+    """train_ivf_centroids' single array(avg(...)) aggregate (r14) yields
+    bit-identical centroids to the per-dimension Column spelling."""
+    from kylin_on_parquet_v2_spark.session import register_views
+
+    register_views(spark, SF_SMOKE)
+    emb = spark.table("embeddings").limit(200)
+    cents_new = S.train_ivf_centroids(emb, n_lists=4, iters=2, dim=64)
+    # reference: per-dim avg columns over the same assignment pipeline
+    from kylin_on_parquet_v2_spark.pipeline.similarity import ivf_assign, ivf_centroids
+
+    cents = ivf_centroids(4, 64, 7)
+    for _ in range(2):
+        assigned = ivf_assign(emb, 4, "vec_id", "embedding", 7, 64, centroids=cents)
+        means = (
+            assigned.groupBy("ivf_list")
+            .agg(
+                *[
+                    F.avg(F.element_at(F.col("embedding"), i + 1).cast("double")).alias(f"c{i}")
+                    for i in range(64)
+                ]
+            )
+            .collect()
+        )
+        new = [list(c) for c in cents]
+        for r in means:
+            new[r["ivf_list"]] = [float(r[f"c{i}"]) for i in range(64)]
+        cents = new
+    assert cents_new == cents
