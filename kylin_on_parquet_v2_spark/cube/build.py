@@ -728,7 +728,14 @@ class CubeBuilder:
     #: per-cuboid write jobs overlap instead of leaving cores idle between
     #: stages. Layers are a natural barrier: a cuboid of size k only ever
     #: reads parents of size > k.
-    build_parallelism = 4
+    #:
+    #: Re-A/B'd in r14 after the hist_reagg single-parse fix removed the
+    #: GIL-bound plan-construction path that made 4 the r13 knee: quiet
+    #: 5-phase builds at sf0.1 measured 61.0/52.1 s (par 4), 55.3/43.9 s
+    #: (par 8), 57.7/48.6 s (par 12) cold/warm — 8 is the new knee. On a
+    #: cluster this is driver-side job submission concurrency; executor
+    #: occupancy is governed by the scheduler, not this constant.
+    build_parallelism = 8
 
     def _build_layers(
         self,
