@@ -19,6 +19,15 @@ from pyspark.sql.types import StructType
 SEGMENT_COL = "__segment__"
 
 
+#: serializes every session-wide conf save/set/restore window in this
+#: module: the bench's build phases (and the engine's cube pool) run on
+#: plain threads sharing ONE SparkSession, so two concurrent
+#: save/restore windows could restore each other's transient value as
+#: the "old" one and leave the session misconfigured (r13 advisor).
+#: RLock so a stream runner may nest both context managers.
+_CONF_LOCK = __import__("threading").RLock()
+
+
 @contextmanager
 def _stream_shuffle(spark: SparkSession, n: int = 8):
     """Pin ``spark.sql.shuffle.partitions`` low for a streaming run.
@@ -29,13 +38,15 @@ def _stream_shuffle(spark: SparkSession, n: int = 8):
     batch, pure overhead at harness data volumes. A production job sizes
     this to key cardinality / executor count before the first start; the
     restore in ``finally`` keeps the session's batch tuning intact.
+    Serialized by ``_CONF_LOCK`` — see its note.
     """
-    old = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(n))
-    try:
-        yield
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old)
+    with _CONF_LOCK:
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(n))
+        try:
+            yield
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 @contextmanager
@@ -52,14 +63,15 @@ def _no_idle_batches(spark: SparkSession):
     (the run's state is discarded at stop()). Windowed append-mode
     aggregations must NOT use this: their finalized windows are emitted BY
     the no-data batch. Output parity with the batch oracle is asserted per
-    run by the corpus queries themselves."""
+    run by the corpus queries themselves. Serialized by ``_CONF_LOCK``."""
     key = "spark.sql.streaming.noDataMicroBatches.enabled"
-    old = spark.conf.get(key)
-    spark.conf.set(key, "false")
-    try:
-        yield
-    finally:
-        spark.conf.set(key, old)
+    with _CONF_LOCK:
+        old = spark.conf.get(key)
+        spark.conf.set(key, "false")
+        try:
+            yield
+        finally:
+            spark.conf.set(key, old)
 
 
 def _normalize_ts(df: DataFrame, ts_col: str) -> DataFrame:

@@ -102,17 +102,19 @@ def test_incremental_refresh_returns_delta_pair_count(spark, tmp_path):
 
 
 @pytest.fixture(scope="module")
-def cached_server(spark, tmp_path_factory):
+def cached_server(spark, tpch_cube_store, tmp_path_factory):
     from kylin_on_parquet_v2_spark.datasets import TPCH_CUBE, TPCH_MODEL
+    from tests.conftest import clone_cube_store
 
+    d = clone_cube_store(tpch_cube_store, str(tmp_path_factory.mktemp("adv6_cubes")))
     eng = OlapEngine(
         spark,
-        storage_dir=str(tmp_path_factory.mktemp("adv6_cubes")),
+        storage_dir=d,
         result_cache_size=8,
     )
     eng.register_sources(SF_SMOKE)
     eng.add_model(TPCH_MODEL)
-    eng.build_cube(TPCH_CUBE)
+    eng.load_cube(TPCH_CUBE)
     srv = make_server(eng)
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()

@@ -20,14 +20,15 @@ from tests.conftest import SF_SMOKE
 
 
 @pytest.fixture(scope="module")
-def storage(spark, tmp_path_factory):
+def storage(spark, tpch_cube_store, seg_cube_store, tmp_path_factory):
+    # clones of the session-built cubes (r14 suite-budget fix): the reload
+    # semantics under test — reopen a dir some OTHER engine built — hold
+    # identically for a byte-copy of another engine's build
+    from tests.conftest import clone_cube_store
+
     d = str(tmp_path_factory.mktemp("reload_cubes"))
-    eng = OlapEngine(spark, storage_dir=d)
-    eng.register_sources(SF_SMOKE)
-    eng.add_model(TPCH_MODEL)
-    eng.add_model(TPCH_MODEL_SEG)
-    eng.build_cube(TPCH_CUBE)
-    eng.build_cube(TPCH_CUBE_SEG)
+    clone_cube_store(tpch_cube_store, d)
+    clone_cube_store(seg_cube_store, d)
     return d
 
 
@@ -74,8 +75,15 @@ def test_reload_rejects_stale_desc(spark, storage):
     """A CubeDesc edit (different dims) invalidates persisted layouts —
     load must refuse rather than serve wrong-shaped data."""
     eng = _fresh_engine(spark, storage)
+    # same cube NAME, different (smaller) shape: load must reject, and the
+    # build_if_missing degradation pays a 3-layout build instead of a
+    # second 49-layout one (r14 suite budget)
     changed = dataclasses.replace(
-        TPCH_CUBE, dimensions=tuple(reversed(TPCH_CUBE.dimensions))
+        TPCH_CUBE,
+        dimensions=tuple(reversed(TPCH_CUBE.dimensions[:2])),
+        measures=TPCH_CUBE.measures[:2],
+        aggregation_groups=(),
+        shard_by=None,
     )
     with pytest.raises(FileNotFoundError):
         eng.load_cube(changed)
@@ -91,15 +99,17 @@ def test_load_missing_raises(spark, tmp_path):
         eng.load_cube(TPCH_CUBE)
 
 
-def test_reload_serves_intersect_value(spark, tmp_path):
+def test_reload_serves_intersect_value(spark, tpch_cube_store, tmp_path):
     """INTERSECT_VALUE after a metadata-only reload: the decode reads the
     PERSISTED global dictionary through the reloaded instance's storage
-    paths — no in-memory state from the building process survives. Own
-    storage dir: the stale-desc test above rebuilds the shared fixture's
-    cube under a CHANGED desc, so its meta no longer matches TPCH_CUBE."""
-    d = str(tmp_path / "iv_reload")
-    builder_eng = _fresh_engine(spark, d)
-    builder_eng.build_cube(TPCH_CUBE)
+    paths — no in-memory state from the building process survives (the
+    files were persisted by the SESSION fixture's engine; this fresh
+    engine sees only the cloned dir). Own clone: the stale-desc test
+    above rebuilds the module fixture's cube under a CHANGED desc, so
+    its meta no longer matches TPCH_CUBE."""
+    from tests.conftest import clone_cube_store
+
+    d = clone_cube_store(tpch_cube_store, str(tmp_path / "iv_reload"))
     eng = _fresh_engine(spark, d)
     eng.load_cube(TPCH_CUBE)
     df = eng.sql(

@@ -34,16 +34,21 @@ def test_transformer_units():
 
 
 @pytest.fixture(scope="module")
-def engine(spark, tmp_path_factory):
+def engine(spark, tpch_cube_store, tmp_path_factory):
+    # clone of the session-built cube instead of a fresh 49-layout build
+    # (r14 suite-budget fix): byte-identical layouts, same routing
+    from tests.conftest import clone_cube_store
+
+    d = clone_cube_store(tpch_cube_store, str(tmp_path_factory.mktemp("cubes_feat")))
     eng = OlapEngine(
         spark,
-        storage_dir=str(tmp_path_factory.mktemp("cubes_feat")),
+        storage_dir=d,
         max_result_rows=1000,
         result_cache_size=8,
     )
     eng.register_sources(SF_SMOKE)
     eng.add_model(TPCH_MODEL)
-    eng.build_cube(TPCH_CUBE)
+    eng.load_cube(TPCH_CUBE)
     return eng
 
 

@@ -16,9 +16,22 @@ from kylin_on_parquet_v2_spark.streaming.stateful import running_totals
 from tests.conftest import SF_SMOKE
 
 
-def test_merge_segments_preserves_answers(spark, tmp_path):
+def _cloned_seg_inst(spark, seg_cube_store, tmp_path):
+    """Private byte-copy of the session-built segmented cube (r14: each
+    merge test paid its own ~25 s 49-layout build to mutate an identical
+    instance; merging a byte-identical clone asserts the same invariants)."""
+    from kylin_on_parquet_v2_spark.cube.build import CubeInstance
+    from tests.conftest import clone_cube_store
+
+    d = clone_cube_store(seg_cube_store, str(tmp_path / "clone"))
+    inst = CubeInstance.load(TPCH_CUBE_SEG, TPCH_MODEL_SEG, d, spark)
+    assert inst is not None
+    return inst
+
+
+def test_merge_segments_preserves_answers(spark, seg_cube_store, tmp_path):
     register_views(spark, SF_SMOKE)
-    inst = CubeBuilder(spark, TPCH_MODEL_SEG, TPCH_CUBE_SEG, str(tmp_path)).build()
+    inst = _cloned_seg_inst(spark, seg_cube_store, tmp_path)
 
     base_layout = inst.layouts[inst.scheduler.find_best_match(frozenset()).cuboid_id]
     any_layout = next(iter(inst.layouts.values()))
@@ -51,12 +64,12 @@ def test_merge_segments_preserves_answers(spark, tmp_path):
     del base_layout
 
 
-def test_merge_writes_size_based_files(spark, tmp_path):
+def test_merge_writes_size_based_files(spark, seg_cube_store, tmp_path):
     """A large merged segment must NOT be a single coalesce(1) file — the
     write is repartitioned by input bytes / target file size (compaction
     with a bounded file size, never a one-task funnel)."""
     register_views(spark, SF_SMOKE)
-    inst = CubeBuilder(spark, TPCH_MODEL_SEG, TPCH_CUBE_SEG, str(tmp_path)).build()
+    inst = _cloned_seg_inst(spark, seg_cube_store, tmp_path)
     base = inst.layouts[max(inst.layouts)]
     segs = sorted(
         d.split("=", 1)[1]
@@ -84,7 +97,7 @@ def test_merge_writes_size_based_files(spark, tmp_path):
     assert len(files) > 1, files
 
 
-def test_auto_merge_fires_at_threshold_and_keeps_answers(spark, tmp_path):
+def test_auto_merge_fires_at_threshold_and_keeps_answers(spark, seg_cube_store, tmp_path):
     """Round-3 verdict item 8 (CubeDesc.java:180 auto-merge): ingest crosses
     the declared threshold -> merge fires, answers unchanged, segment dirs
     and file count drop, and the newest segment is left un-merged."""
@@ -93,11 +106,17 @@ def test_auto_merge_fires_at_threshold_and_keeps_answers(spark, tmp_path):
     from kylin_on_parquet_v2_spark.cube.merge import maybe_auto_merge
     from kylin_on_parquet_v2_spark.query.engine import OlapEngine
 
+    from tests.conftest import clone_cube_store
+
     register_views(spark, SF_SMOKE)
     desc = replace(TPCH_CUBE_SEG, name="tpch_seg_am", auto_merge_segments=4)
-    eng = OlapEngine(spark, storage_dir=str(tmp_path))
+    d = clone_cube_store(
+        seg_cube_store, str(tmp_path / "clone"), rename=("tpch_cube_seg", "tpch_seg_am")
+    )
+    eng = OlapEngine(spark, storage_dir=d)
+    eng.register_sources(SF_SMOKE)
     eng.add_model(TPCH_MODEL_SEG)
-    inst = eng.build_cube(desc)
+    inst = eng.load_cube(desc)
 
     segs_before = inst.segments(spark)
     assert len(segs_before) >= 4, segs_before
@@ -130,7 +149,7 @@ def test_auto_merge_fires_at_threshold_and_keeps_answers(spark, tmp_path):
     assert maybe_auto_merge(spark, inst) is None
 
 
-def test_lower_bound_pruning_sound_after_merge(spark, tmp_path):
+def test_lower_bound_pruning_sound_after_merge(spark, seg_cube_store, tmp_path):
     """A date lower bound landing INSIDE a merged segment's range must relax
     to the merged dir's start (reference prunes by TSRange overlap) — naive
     folding would prune the merged dir and silently drop in-range rows."""
@@ -139,11 +158,17 @@ def test_lower_bound_pruning_sound_after_merge(spark, tmp_path):
     from kylin_on_parquet_v2_spark.cube.merge import maybe_auto_merge
     from kylin_on_parquet_v2_spark.query.engine import OlapEngine
 
+    from tests.conftest import clone_cube_store
+
     register_views(spark, SF_SMOKE)
     desc = replace(TPCH_CUBE_SEG, name="tpch_seg_am2", auto_merge_segments=4)
-    eng = OlapEngine(spark, storage_dir=str(tmp_path))
+    d = clone_cube_store(
+        seg_cube_store, str(tmp_path / "clone"), rename=("tpch_cube_seg", "tpch_seg_am2")
+    )
+    eng = OlapEngine(spark, storage_dir=d)
+    eng.register_sources(SF_SMOKE)
     eng.add_model(TPCH_MODEL_SEG)
-    inst = eng.build_cube(desc)
+    inst = eng.load_cube(desc)
     segs = inst.segments(spark)
     merged = maybe_auto_merge(spark, inst)
     assert merged is not None

@@ -26,11 +26,16 @@ PUSHDOWN_SQL = (
 
 
 @pytest.fixture(scope="module")
-def eng(spark, tmp_path_factory):
-    e = OlapEngine(spark, storage_dir=str(tmp_path_factory.mktemp("memo_cubes")))
+def eng(spark, tpch_cube_store, tmp_path_factory):
+    # clone of the session-built cube instead of a fresh 49-layout build
+    # (r14 suite-budget fix): byte-identical layouts, same routing
+    from tests.conftest import clone_cube_store
+
+    d = clone_cube_store(tpch_cube_store, str(tmp_path_factory.mktemp("memo_cubes")))
+    e = OlapEngine(spark, storage_dir=d)
     e.register_sources(SF_SMOKE)
     e.add_model(TPCH_MODEL)
-    e.build_cube(TPCH_CUBE)
+    e.load_cube(TPCH_CUBE)
     return e
 
 
@@ -72,14 +77,28 @@ def test_pushdown_decision_memoized_and_feeds_workload(eng):
     assert sum(eng.workload.values()) == wl_before + 2
 
 
-def test_memo_invalidated_by_build(spark, tmp_path):
-    e = OlapEngine(spark, storage_dir=str(tmp_path))
+def test_memo_invalidated_by_build(spark, tpch_cube_store, tmp_path):
+    from tests.conftest import clone_cube_store
+
+    d = clone_cube_store(tpch_cube_store, str(tmp_path / "clone"))
+    e = OlapEngine(spark, storage_dir=d)
     e.register_sources(SF_SMOKE)
     e.add_model(TPCH_MODEL)
-    e.build_cube(TPCH_CUBE)
+    e.load_cube(TPCH_CUBE)
     e.sql(ROUTED_SQL)
     assert e._route_memo
-    e.build_cube(TPCH_CUBE)  # epoch bump
+    # ANY cube build bumps the epoch and must clear every memoized
+    # decision — a 2-dim variant keeps the invariant while costing a
+    # 3-layout build instead of a second 49-layout one (r14 suite budget)
+    from kylin_on_parquet_v2_spark.metadata.cube import CubeDesc
+
+    mini = CubeDesc(
+        name="tpch_mini_bump",
+        model_name=TPCH_CUBE.model_name,
+        dimensions=("l_returnflag", "l_linestatus"),
+        measures=TPCH_CUBE.measures[:2],
+    )
+    e.build_cube(mini)  # epoch bump
     assert not e._route_memo
     # replans after the bump (fresh epoch in the key)
     calls = e.metrics["plan_route_calls"]

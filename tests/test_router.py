@@ -16,13 +16,20 @@ from tests.conftest import SF_SMOKE
 
 
 @pytest.fixture(scope="module")
-def engine(spark, tmp_path_factory):
-    eng = OlapEngine(spark, storage_dir=str(tmp_path_factory.mktemp("cubes")))
+def engine(spark, tpch_cube_store, seg_cube_store, tmp_path_factory):
+    # clones of the session-built cubes instead of two fresh 49-layout
+    # builds (r14 suite-budget fix): byte-identical layouts, same routing
+    from tests.conftest import clone_cube_store
+
+    d = str(tmp_path_factory.mktemp("cubes"))
+    clone_cube_store(tpch_cube_store, d)
+    clone_cube_store(seg_cube_store, d)
+    eng = OlapEngine(spark, storage_dir=d)
     eng.register_sources(SF_SMOKE)
     eng.add_model(TPCH_MODEL)
     eng.add_model(TPCH_MODEL_SEG)
-    eng.build_cube(TPCH_CUBE)
-    eng.build_cube(TPCH_CUBE_SEG)
+    eng.load_cube(TPCH_CUBE)
+    eng.load_cube(TPCH_CUBE_SEG)
     return eng
 
 

@@ -69,15 +69,29 @@ REACHABLE = {
 }
 
 _ENGINE = None
+_STORES: dict = {}
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _shared_stores(tpch_cube_store, seg_cube_store):
+    # session-built cube templates for _engine (r14 suite-budget fix:
+    # property runs cloned byte-identical layouts instead of rebuilding)
+    _STORES["tpch"] = tpch_cube_store
+    _STORES["seg"] = seg_cube_store
 
 
 def _engine(spark):
     global _ENGINE
     if _ENGINE is None:
-        eng = OlapEngine(spark, storage_dir="/tmp/kylin_prop_cubes")
+        import tempfile
+
+        from tests.conftest import clone_cube_store
+
+        d = clone_cube_store(_STORES["tpch"], tempfile.mkdtemp(prefix="prop_cubes_"))
+        eng = OlapEngine(spark, storage_dir=d)
         eng.register_sources(SF_SMOKE)
         eng.add_model(TPCH_MODEL)
-        eng.build_cube(TPCH_CUBE)
+        eng.load_cube(TPCH_CUBE)
         _ENGINE = eng
     return _ENGINE
 
@@ -155,8 +169,11 @@ def test_segment_pruned_routes_equal_pushdown(spark, sql):
 
     eng = _engine(spark)
     if TPCH_CUBE_SEG.name not in eng.cubes:
+        from tests.conftest import clone_cube_store
+
+        clone_cube_store(_STORES["seg"], eng.storage_dir)
         eng.add_model(TPCH_MODEL_SEG)
-        eng.build_cube(TPCH_CUBE_SEG)
+        eng.load_cube(TPCH_CUBE_SEG)
     eng.sql(sql, validate=True)
     route = eng.last_route
     assert route is not None and route.cube == TPCH_CUBE_SEG.name, sql

@@ -15,11 +15,15 @@ from tests.conftest import SF_SMOKE
 
 
 @pytest.fixture(scope="module")
-def served(spark, tmp_path_factory):
-    eng = OlapEngine(spark, storage_dir=str(tmp_path_factory.mktemp("cubes")))
+def served(spark, tpch_cube_store, tmp_path_factory):
+    # clone of the session-built cube (r14 suite-budget fix)
+    from tests.conftest import clone_cube_store
+
+    d = clone_cube_store(tpch_cube_store, str(tmp_path_factory.mktemp("cubes")))
+    eng = OlapEngine(spark, storage_dir=d)
     eng.register_sources(SF_SMOKE)
     eng.add_model(TPCH_MODEL)
-    eng.build_cube(TPCH_CUBE)
+    eng.load_cube(TPCH_CUBE)
     srv = make_server(eng)
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
