@@ -114,8 +114,17 @@ def hist_build(func: FunctionDesc, name: str) -> Column:
     the ``D`` suffix, same int-literal comparisons, same clamp), so every
     bin count is bit-identical; pinned by
     tests/test_r14_optimizations.py::test_hist_exprs_match_column_form."""
+    import math
+
     bins, lo, hi = hist_spec(func)
     w = (hi - lo) / bins
+    if not (math.isfinite(lo) and math.isfinite(w)) or w == 0.0:
+        # repr() of inf/nan has no SQL double-literal spelling, and a
+        # zero-width bin is a degenerate declaration either way — fail
+        # with the reason instead of a ParseException (r14 review)
+        raise ValueError(
+            f"hist bounds must be finite with non-zero width: {func.returntype}"
+        )
     b = (
         f"least(greatest(floor((`{func.parameter}` - {float(lo)!r}D)"
         f" / {float(w)!r}D), 0), {bins - 1})"

@@ -326,7 +326,11 @@ class IncrementalDedup:
             # pairs are computed exactly once and NOTHING here scans the
             # accumulated history: the whole refresh stays O(|delta| + matched
             # buckets), not O(corpus age) (round-5 advisor #3; r14 guide §1.5
-            # — one action per refresh artifact).
+            # — one action per refresh artifact). Refreshes are SERIALIZED per
+            # store by contract — concurrent refreshes would interleave the
+            # pairs-vs-signature append ordering this comment pins regardless
+            # of how the count is taken; under that contract the before/after
+            # listing can only see this refresh's files (r14 review).
             import os as _os
 
             from kylin_on_parquet_v2_spark import fs as FS
@@ -564,6 +568,10 @@ def _star_round(edges: DataFrame) -> DataFrame:
 #: a duplicate-heavy corpus at 100 TB emits orders of magnitude more pairs
 #: and stays on the distributed path. Overridable per session via the
 #: ``spark.graft.cc.localEdgeLimit`` conf (0 disables the local finish).
+#: The ~200 MB sizing assumes narrow (long) ids; a deployment whose doc
+#: ids are long strings (URLs, content hashes) should lower the limit
+#: accordingly — the probe collects up to limit+1 FULL edge rows before
+#: deciding (r14 review).
 CC_LOCAL_EDGE_LIMIT = 1_000_000
 
 

@@ -339,3 +339,77 @@ def test_lloyd_array_agg_matches_columns(spark):
             new[r["ivf_list"]] = [float(r[f"c{i}"]) for i in range(64)]
         cents = new
     assert cents_new == cents
+
+
+def test_probe_lists_py_edge_cases_match_expression(spark):
+    """The driver-side probe ranking replicates the expression pipeline on
+    the r14-review edge cases: NaN scores (from a NaN query component and
+    from inf-inf / inf/inf overflow folds) and ±inf-magnitude arithmetic,
+    under java Double.compare ordering (NaN greatest). Zero-norm centroids
+    are NOT comparable here — the expression pipeline raises Spark's ANSI
+    DIVIDE_BY_ZERO for them, so that branch of _probe_lists_py documents
+    intended IEEE semantics rather than replicating an (erroring)
+    expression."""
+    big = 1.0e308
+    cents = [
+        [big, -big, 0.0, 0.0],   # num = inf + (-inf) = NaN for a [big,big] query
+        [big, big, 0.0, 0.0],    # num = inf, nc = inf -> inf/inf = NaN
+        [1.0, 0.0, 0.0, 0.0],
+        [0.0, 1.0, 0.0, 0.0],
+    ]
+    vecs = [
+        (1, [float("nan"), 1.0, 0.0, 0.0]),  # NaN propagates into every score
+        (2, [big, big, 0.0, 0.0]),           # overflow folds -> NaN/inf mix
+        (3, [-1.0, 0.5, 0.0, 0.0]),
+        (4, [0.0, 0.0, 1.0, 0.0]),           # exact-zero scores tie
+    ]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    scores = S._centroid_scores(F.col("embedding"), cents)
+    expr_rows = df.select(
+        "vec_id",
+        F.transform(
+            F.reverse(F.array_sort(scores)), lambda p: (-p["ni"]).cast("int")
+        ).alias("order"),
+    ).collect()
+    for r in expr_rows:
+        qv = dict(vecs)[r["vec_id"]]
+        got = S._probe_lists_py(qv, cents, len(cents))
+        assert got == list(r["order"]), (r["vec_id"], got, list(r["order"]))
+
+
+def test_probes_df_skips_null_embeddings(spark):
+    """A NULL query embedding emits no probe rows instead of crashing the
+    driver-side ranking (r14 review)."""
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(DoubleType())),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None)], schema
+    )
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    probes, ids = S._probes_df(df, cents, 1, "vec_id", "embedding")
+    rows = probes.collect()
+    assert {r["query_id"] for r in rows} == {1}
+    assert ids == [0]
+
+
+def test_hist_build_rejects_non_finite_bounds():
+    from kylin_on_parquet_v2_spark.cube import measures as M
+    from kylin_on_parquet_v2_spark.metadata.cube import FunctionDesc
+
+    import pytest as _pytest
+
+    for rt in ("hist(10,-inf,inf)", "hist(10,0,0)"):
+        with _pytest.raises(ValueError, match="finite"):
+            M.hist_build(FunctionDesc("PERCENTILE_APPROX", "v", rt), "h")
